@@ -1,0 +1,62 @@
+"""Benchmark runner (driver contract).
+
+Runs every headline query from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {"q01...": sec, ...}, "sf": 0.1}
+
+Each query is timed to full materialization (collect) after a warm-up pass
+of the session (first query pays JVM/codegen warm-up; order is fixed so
+run-to-run numbers are comparable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry_mod
+    from snowflake_stock_dbt_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    qs = entry_mod.queries()
+    # Warm up the JVM/codegen path on the smallest corpus so per-query times
+    # measure the plan, not session start-up.
+    next(iter(qs.values()))(spark, "/root/testdata/sf0.001").collect()
+
+    times: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

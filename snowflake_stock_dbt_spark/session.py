@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+The reference delegates execution to Snowflake's warehouse; here a single
+well-configured SparkSession is the engine. Config choices:
+
+- AQE on (runtime join-strategy switches, skew-join splitting, partition
+  coalescing) — the Snowflake-warehouse robustness analog (SURVEY.md §4).
+- UTC session timezone — the reference's scraper emits UTC ISO-8601
+  (reference scraper/scrape.py:124); pinning UTC keeps timestamp semantics
+  identical to the DuckDB oracle.
+- Arrow enabled for any pandas-UDF seam.
+- shuffle.partitions sized from the env (local mode ≈ cores); on a real
+  cluster this would be ~2-3× total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "snowflake_stock_dbt_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` sets local parallelism (default 32 threads to match
+    the driver box); shuffle partitions default to the same number so a
+    local run has one post-shuffle task per core.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Non-ANSI: try_cast-style null-on-malformed matches the reference's
+        # TRY_TO_* loading semantics (reference sql/02_load_data.sql:100-107).
+        .config("spark.sql.ansi.enabled", "false")
+        # The test corpus's events.parquet stores TIMESTAMP(NANOS), which the
+        # Spark parquet reader rejects by default; read as long and convert
+        # in sources/tables.py (truncating ns->us exactly like DuckDB's cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,76 @@
+"""Local twin of the driver's DuckDB differential check.
+
+Runs an engine DataFrame and a DuckDB oracle SQL on the same parquet tables
+and compares row count, column set, and values order-insensitively. Floats
+are compared BIT-EXACTLY by default — the engine's numeric recipe
+(functions/numeric.py) is designed to make Spark and DuckDB agree to the last
+bit, and this harness is where that promise is enforced before the driver
+ever sees a query.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from snowflake_stock_dbt_spark.schemas import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", repr(v))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    return ("s", str(v))
+
+
+def _normalize_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_normalize_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return sorted(c for c in cols), out
+
+
+def compare_query(spark, sf_dir, query_fn, sql, name="query"):
+    """Assert engine vs oracle parity; returns (n_rows, columns)."""
+    sdf = query_fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_connection(sf_dir)
+    res = con.sql(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}"
+    )
+    assert len(srows) == len(orows), (
+        f"{name}: row count mismatch spark={len(srows)} oracle={len(orows)}"
+    )
+    ncols, nsrows = _normalize_rows(scols, srows)
+    _, norows = _normalize_rows(ocols, orows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(nsrows, norows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
+    )
+    return len(srows), ncols
