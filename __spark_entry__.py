@@ -12,24 +12,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from snowflake_stock_dbt_spark.plans import ANALYTICS_ORACLES, ANALYTICS_QUERIES
+from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: Q1 top-10 entities by metric (reference
     sql/03_analytics_queries.sql:6-22) on the sf0.001 corpus."""
-    return ANALYTICS_QUERIES["q01_top_by_metric"](spark, "/root/testdata/sf0.001")
+    return ALL_QUERIES["q01_top_by_metric"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(ANALYTICS_QUERIES)
-    return out
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-dialect twins of ``queries()`` (same aliases, same semantics)."""
-    out: dict[str, str] = {}
-    out.update(ANALYTICS_ORACLES)
-    return out
+    """DuckDB-dialect twins of ``queries()`` (same aliases, same semantics).
+    Keys absent here (non-SQL-expressible ops) get a rows-only check."""
+    return dict(ALL_ORACLES)

@@ -1,0 +1,255 @@
+"""[EXT] Document deduplication operators (exact, n-gram Jaccard, MinHash-LSH,
+SimHash) for LLM-data pipelines.
+
+Not present in the reference (its only dedup is the latest-wins key dedup,
+sql/02_load_data.sql:109-112); these implement the standard large-corpus
+near-dup stack entirely with DataFrame ops — explode / hash / groupBy /
+self-join — so every stage is a shuffle Catalyst can plan, no Python in the
+hot path.
+
+Scale shape (100 TB):
+- exact: one hash-aggregate on the fingerprint — embarrassingly parallel.
+- n-gram Jaccard: exact but quadratic in colliding docs; use only after
+  candidate pruning (that is exactly what MinHash-LSH provides).
+- MinHash-LSH: signatures in one explode+agg pass (single shuffle on
+  doc_id), candidates via equi-join on (band, band_hash) buckets — never an
+  all-pairs product. Banding (16×4 over 64 hashes) targets the usual
+  s-curve: P(candidate) ≈ 1-(1-j^4)^16, steep around j≈0.7-0.8.
+- SimHash: signatures in one pass; pairing joins on 15-bit bands (4 bands)
+  — by pigeonhole any pair within Hamming distance 3 shares a clean band, so
+  band-join + exact Hamming filter returns exactly the brute-force result.
+
+All hashes are the cross-engine hash60 (functions/text.py), so a SQL engine
+can replay every stage bit-for-bit — that is what the DuckDB oracles in
+plans/llm_text.py do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, hash60, word_shingles
+
+# MinHash configuration: 64 permutations in 16 bands of 4.
+MINHASH_SEEDS = 64
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_SEEDS // LSH_BANDS
+
+# SimHash configuration: 60-bit signatures, 4 bands of 15 bits.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group documents by content fingerprint: (fingerprint, n_docs,
+    keeper_id = min id). Downstream keeps ``keeper_id`` rows only."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word k-shingles for every pair
+    sharing at least one shingle; keeps pairs with j >= threshold.
+
+    Pair discovery is an equi-join on the shingle value — cost is bounded by
+    the shingle-frequency skew, not |docs|²; pre-prune with MinHash-LSH when
+    running at full corpus scale.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = MINHASH_SEEDS,
+) -> DataFrame:
+    """doc_id + h0..h{n-1} minhash columns in ONE explode+aggregate pass
+    (single shuffle on doc_id): every seed's hash is a column expression on
+    the exploded shingle rows, aggregated with MIN. Docs with no shingles
+    (< k tokens) are dropped — they have no signature."""
+    sh = _exploded_shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(hash60(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(
+            f"h{s}"
+        )
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs whose signatures agree on >= 1 band.
+    Returns (doc_a, doc_b, n_shared_bands). Join is on (band_id, band_hash)
+    buckets — no quadratic product ever materializes."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"h{band * rows + r}") for r in range(rows)]
+                )
+            ).alias("band_hash"),
+        )
+        for band in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash): classic SimHash — every token occurrence votes ±1
+    on each signature bit according to its hash60 bit; bit is 1 when the sum
+    is positive. Explodes tokens × bits, one shuffle on (doc_id, bit), then
+    reassembles the signature with shiftleft/sum."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select("doc_id", hash60(F.col("tok")).alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = hashed.select("doc_id", "h", bit).select(
+        "doc_id",
+        "bit",
+        F.when((F.expr("shiftright(h, bit)") % 2) == 1, 1).otherwise(-1).alias("vote"),
+    )
+    bitsums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return bitsums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Banding join: signatures are split into ``bands`` equal bit-slices; a
+    pair within distance ``bands - 1`` must share at least one identical
+    slice (pigeonhole), so the equi-join on (band, slice) finds every
+    qualifying pair and the exact Hamming filter removes false candidates —
+    identical output to the brute-force cross join, at bucket-join cost.
+    Requires max_hamming < bands.
+    """
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    band_bits = bits // bands
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    mask = (1 << band_bits) - 1
+    slices = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            (
+                F.expr(f"shiftright(simhash, {i * band_bits})").bitwiseAND(
+                    F.lit(mask)
+                )
+            ).alias("slice"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*slices)).alias("b")
+    ).select("doc_id", "simhash", "b.band_id", "b.slice")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

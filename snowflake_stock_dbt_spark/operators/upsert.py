@@ -1,0 +1,72 @@
+"""Upsert (MERGE INTO) semantics — reference sql/02_load_data.sql:78-165 (J6).
+
+The reference MERGE updates *every* column from the source on match and
+inserts on no-match, so the relational semantics reduce to:
+
+    result = target ANTI-JOIN source ON key   UNION ALL   source
+
+Two strategies:
+
+- :func:`merge_upsert` — the pure transform (works on any DataFrame pair;
+  this is also what the MERGE compiles to in engines without a mutable
+  table format).
+- :func:`merge_upsert_write` — materialization against a Parquet path:
+  read-current → transform → overwrite. At reference scale a full rewrite
+  is fine; at 100 TB this must be partition-scoped (only rewrite the
+  ``partition_col`` values present in the source — Delta/Iceberg MERGE or
+  dynamic partition overwrite), which is what the ``partition_col``
+  parameter enables via ``partitionOverwriteMode=dynamic``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str | list[str]) -> DataFrame:
+    """MERGE semantics as a pure transform (matched→replace, else insert)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(source.select(*target.columns))
+
+
+def merge_upsert_write(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str | list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Materialized upsert into a Parquet table at ``path``.
+
+    With ``partition_col``, only partitions present in the source batch are
+    rewritten (dynamic partition overwrite) — the 100 TB-safe path; without
+    it, the whole table is rewritten (reference-scale only).
+    """
+    try:
+        target = spark.read.parquet(path)
+        exists = True
+    except Exception:
+        exists = False
+
+    if not exists:
+        writer = source.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        return
+
+    if partition_col:
+        parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+        scoped_target = target.where(F.col(partition_col).isin(parts))
+        merged = merge_upsert(scoped_target, source, key)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    else:
+        merged = merge_upsert(target, source, key)
+        # Break the read-then-overwrite cycle on the same path.
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(path)
+        merged.unpersist()

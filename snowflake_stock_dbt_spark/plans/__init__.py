@@ -1,3 +1,18 @@
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
+from .llm_text import LLM_TEXT_ORACLES, LLM_TEXT_QUERIES
+from .pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
-__all__ = ["ANALYTICS_ORACLES", "ANALYTICS_QUERIES"]
+#: Every driver-checkable query: name -> fn(spark, sf_dir) -> DataFrame.
+ALL_QUERIES = {**ANALYTICS_QUERIES, **PIPELINE_QUERIES, **LLM_TEXT_QUERIES}
+
+#: DuckDB oracle SQL for each query (omitted => driver does rows-only check).
+ALL_ORACLES = {**ANALYTICS_ORACLES, **PIPELINE_ORACLES, **LLM_TEXT_ORACLES}
+
+__all__ = [
+    "ALL_ORACLES",
+    "ALL_QUERIES",
+    "ANALYTICS_ORACLES",
+    "ANALYTICS_QUERIES",
+    "PIPELINE_ORACLES",
+    "PIPELINE_QUERIES",
+]

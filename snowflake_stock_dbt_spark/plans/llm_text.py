@@ -1,0 +1,389 @@
+"""[EXT] Text-analysis and dedup queries over the ``documents`` table.
+
+These are the LLM-data-pipeline operators the build mandate adds beyond
+reference parity (BASELINE.json north_star): text stats, language ID,
+fingerprinting, exact dedup, n-gram Jaccard near-dup, MinHash-LSH and
+SimHash. Every stage uses the cross-engine hash60 (md5-prefix) so the DuckDB
+oracles replay the full hash pipeline bit-for-bit — including banding.
+
+Shingle/tokenization contract shared by Spark and the oracles:
+tokens = regex-split of TRIM(text) on \\s+; shingles = DISTINCT k-word
+joins; hash60(x) = int(md5(x)[:15], 16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    QUALITY_STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from ..operators.textdedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from ..functions.text import hash60, word_shingles
+from ..sources.tables import load_table
+
+# Shared oracle CTE fragments -------------------------------------------------
+
+_SQL_TOKS = r"""
+toks AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+    FROM documents
+)
+"""
+
+_SQL_SHINGLES = r"""
+sh AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+    FROM toks CROSS JOIN range(0, 4000) r(i)
+    WHERE i <= len(t) - 3
+)
+"""
+
+_SQL_HASH60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# ---------------------------------------------------------------------------
+# Q16 — Per-document text statistics (token counts, punctuation, stopwords,
+# quality score). All per-row arithmetic — embarrassingly parallel at scale.
+# ---------------------------------------------------------------------------
+
+
+def q16_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text").alias("n_stopwords"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+Q16_SQL = rf"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+           END AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                                x -> x IN ({_SW}))) AS BIGINT) AS n_stopwords
+    FROM documents
+)
+SELECT doc_id, n_chars_actual, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
+       0.4 * least(CAST(n_chars_actual AS DOUBLE) / 500.0, 1.0)
+       + 0.4 * least((CASE WHEN n_tokens > 0
+                           THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                           ELSE 0.0 END) * 4.0, 1.0)
+       + 0.2 * (1.0 - least((CASE WHEN n_chars_actual > 0
+                                  THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_actual AS DOUBLE)
+                                  ELSE 0.0 END) * 5.0, 1.0)) AS quality
+FROM base
+"""
+
+# ---------------------------------------------------------------------------
+# Q17 — Heuristic language ID: argmax of per-language marker-token hits,
+# ties to the alphabetically-first language, no hits -> 'und'.
+# ---------------------------------------------------------------------------
+
+
+def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_id("text").alias("predicted_lang"),
+    )
+
+
+def _lang_sql() -> str:
+    hit_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        hit_cols.append(
+            f"CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'), "
+            f"x -> x IN ({markers}))) AS BIGINT) AS {lang}_hits"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {lg}_hits > 0 AND {lg}_hits = {best} THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH hits AS (
+    SELECT doc_id, lang AS declared_lang, {', '.join(hit_cols)}
+    FROM documents
+)
+SELECT doc_id, declared_lang, {case} AS predicted_lang
+FROM hits
+"""
+
+
+Q17_SQL = _lang_sql()
+
+# ---------------------------------------------------------------------------
+# Q18 — Document fingerprint: sha256 of normalized text (lower, non-alnum
+# runs -> single space, trim). Bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+def q18_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+Q18_SQL = r"""
+SELECT doc_id,
+       sha256(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Q19 — Exact dedup groups: one hash-aggregate on the fingerprint (the 100 TB
+# shape: a single map-side-combinable shuffle).
+# ---------------------------------------------------------------------------
+
+
+def q19_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+Q19_SQL = r"""
+SELECT sha256(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q20 — Exact n-gram Jaccard near-dup pairs (word 3-shingles, j >= 0.8).
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.8
+
+
+def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+    )
+
+
+Q20_SQL = rf"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+       CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# Q21 — MinHash signatures (long format: doc_id × seed → min hash60 of
+# seed-prefixed shingles). The engine's wide/banded variant builds the same
+# values in one pass (operators/textdedup.py:minhash_signatures); the long
+# format is the SQL-comparable projection of it.
+# ---------------------------------------------------------------------------
+
+MINHASH_ORACLE_SEEDS = 16  # long-format oracle checks a prefix of the 64 seeds
+
+
+def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(MINHASH_ORACLE_SEEDS - 1))
+    ).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                hash60(
+                    F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
+                )
+            ).alias("minhash")
+        )
+    )
+
+
+Q21_SQL = rf"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES},
+seeded AS (
+    SELECT doc_id, CAST(s.i AS INT) AS seed,
+           {_SQL_HASH60.format(x="concat_ws(':', CAST(s.i AS VARCHAR), shingle)")} AS h
+    FROM sh CROSS JOIN range(0, {MINHASH_ORACLE_SEEDS}) s(i)
+)
+SELECT doc_id, seed, MIN(h) AS minhash
+FROM seeded
+GROUP BY doc_id, seed
+"""
+
+# ---------------------------------------------------------------------------
+# Q22 — MinHash-LSH candidate pairs (64 hashes, 16 bands × 4): docs sharing
+# >= 1 band bucket. Join is on (band_id, band_hash) — never an all-pairs
+# product; this is the scale path that prunes candidates for Q20's exact
+# verify.
+# ---------------------------------------------------------------------------
+
+
+def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3)
+
+
+Q22_SQL = rf"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES},
+seeded AS (
+    SELECT doc_id, CAST(s.i AS INT) AS seed,
+           {_SQL_HASH60.format(x="concat_ws(':', CAST(s.i AS VARCHAR), shingle)")} AS h
+    FROM sh CROSS JOIN range(0, 64) s(i)
+),
+sig AS (
+    SELECT doc_id, seed, MIN(h) AS minhash
+    FROM seeded GROUP BY doc_id, seed
+),
+banded AS (
+    SELECT doc_id, seed // 4 AS band_id,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+    FROM sig
+    GROUP BY doc_id, seed // 4
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q23 — SimHash signatures (60-bit, token votes).
+# ---------------------------------------------------------------------------
+
+
+def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "doc_id", "text")
+
+
+Q23_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc_id, {_SQL_HASH60.format(x='tok')} AS h
+    FROM toks WHERE tok <> ''
+),
+votes AS (
+    SELECT doc_id, CAST(r.i AS INT) AS bit,
+           CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+    FROM h CROSS JOIN range(0, 60) r(i)
+),
+bitsums AS (
+    SELECT doc_id, bit, CAST(SUM(vote) AS BIGINT) AS s
+    FROM votes GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsums
+GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q24 — SimHash near-dup pairs, Hamming <= 3. Engine side joins on 15-bit
+# bands (pigeonhole-complete, see operators/textdedup.py); the oracle brute-
+# forces all pairs — same result set, which is exactly the point of the test.
+# ---------------------------------------------------------------------------
+
+
+def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+Q24_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc_id, {_SQL_HASH60.format(x='tok')} AS h
+    FROM toks WHERE tok <> ''
+),
+votes AS (
+    SELECT doc_id, CAST(r.i AS INT) AS bit,
+           CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+    FROM h CROSS JOIN range(0, 60) r(i)
+),
+bitsums AS (
+    SELECT doc_id, bit, CAST(SUM(vote) AS BIGINT) AS s
+    FROM votes GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsums GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+# ---------------------------------------------------------------------------
+
+LLM_TEXT_QUERIES = {
+    "q16_text_stats": q16_text_stats,
+    "q17_lang_id": q17_lang_id,
+    "q18_fingerprint": q18_fingerprint,
+    "q19_exact_dedup": q19_exact_dedup,
+    "q20_ngram_jaccard": q20_ngram_jaccard,
+    "q21_minhash_signatures": q21_minhash_signatures,
+    "q22_minhash_lsh_pairs": q22_minhash_lsh_pairs,
+    "q23_simhash": q23_simhash,
+    "q24_simhash_pairs": q24_simhash_pairs,
+}
+
+LLM_TEXT_ORACLES = {
+    "q16_text_stats": Q16_SQL,
+    "q17_lang_id": Q17_SQL,
+    "q18_fingerprint": Q18_SQL,
+    "q19_exact_dedup": Q19_SQL,
+    "q20_ngram_jaccard": Q20_SQL,
+    "q21_minhash_signatures": Q21_SQL,
+    "q22_minhash_lsh_pairs": Q22_SQL,
+    "q23_simhash": Q23_SQL,
+    "q24_simhash_pairs": Q24_SQL,
+}

@@ -1,0 +1,42 @@
+"""Differential tests for the [EXT] text-analysis/dedup query set (q16-q24)."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_stock_dbt_spark.plans.llm_text import LLM_TEXT_ORACLES, LLM_TEXT_QUERIES
+
+from .oracle_utils import compare_query
+
+
+@pytest.mark.parametrize("name", sorted(LLM_TEXT_QUERIES))
+def test_llm_text_matches_oracle_sf001(spark, oracle_sf_dir, name):
+    n, _ = compare_query(
+        spark, oracle_sf_dir, LLM_TEXT_QUERIES[name], LLM_TEXT_ORACLES[name], name
+    )
+    assert n > 0, f"{name}: expected non-trivial result"
+
+
+def test_jaccard_finds_planted_near_dups(spark, oracle_sf_dir):
+    df = LLM_TEXT_QUERIES["q20_ngram_jaccard"](spark, oracle_sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+
+
+def test_lsh_candidates_superset_of_exact_pairs(spark, oracle_sf_dir):
+    """Every j>=0.8 pair must be an LSH candidate (16x4 banding catches
+    high-similarity pairs with overwhelming probability on this corpus)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in LLM_TEXT_QUERIES["q20_ngram_jaccard"](spark, oracle_sf_dir).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in LLM_TEXT_QUERIES["q22_minhash_lsh_pairs"](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    assert exact, "expected planted near-dups"
+    missing = exact - cand
+    assert not missing, f"LSH missed high-jaccard pairs: {missing}"
