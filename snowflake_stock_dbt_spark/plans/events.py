@@ -1,0 +1,138 @@
+"""[EXT] Event-stream batch queries over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §2.10); these implement the standard
+event-time operators a streaming ingest needs, in their batch form —
+sessionization (gap-based) and tumbling-window aggregation. The streaming
+variants live in streaming/pipeline.py; the batch forms here are the
+oracle-checkable semantics contract.
+
+Timestamps are compared as epoch microseconds (long) to sidestep
+timezone/precision representation differences between engines; the events
+table is TIMESTAMP(NANOS) on disk and both engines truncate to µs the same
+way (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import SQL_DEC_SUM, dec_sum
+from ..sources.tables import load_table
+
+SESSION_GAP_S = 1800
+WINDOW_S = 300
+
+
+def q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min idle.
+    lag + cumulative-sum windows, then one aggregate per (user, session)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # The cumulative window runs on the projected frame where ts survives
+    # only as epoch-µs; same total order (µs truncation is injective here
+    # because ties fall back to event_id in both engines).
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_gap = ev.select(
+        "user_id", "event_id", "value", us.alias("us"),
+        F.lag(us, 1).over(w).alias("prev_us"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | ((F.col("us") - F.col("prev_us")) > SESSION_GAP_S * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = with_gap.withColumn(
+        "session_idx", F.sum("new_session").over(wcum).cast("long")
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+Q27_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_id, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR us - prev_us > {SESSION_GAP_S} * 1000000
+                   THEN 1 ELSE 0 END AS new_session
+    FROM base
+),
+numbered AS (
+    SELECT *, CAST(SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(us) AS session_start_us,
+       MAX(us) AS session_end_us,
+       COUNT(*) AS n_events,
+       {SQL_DEC_SUM.format(x='value')} AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window aggregation via the streaming-compatible
+    ``F.window`` operator (epoch-aligned), emitted as epoch-µs window start."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", f"{WINDOW_S} seconds").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "active_users",
+            "total_value",
+        )
+    )
+
+
+Q28_SQL = f"""
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {WINDOW_S * 1_000_000})
+         * {WINDOW_S * 1_000_000} AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS active_users,
+       {SQL_DEC_SUM.format(x='value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+EVENT_QUERIES = {
+    "q27_sessionize": q27_sessionize,
+    "q28_tumbling_window": q28_tumbling_window,
+}
+
+EVENT_ORACLES = {
+    "q27_sessionize": Q27_SQL,
+    "q28_tumbling_window": Q28_SQL,
+}

@@ -1,0 +1,91 @@
+"""[EXT] Embedding similarity-search queries over the ``embeddings`` table.
+
+q25 is the oracle-checked exact brute-force top-k (decimal-exact dot
+products — deterministic across engines). q26 is the IVF-style approximate
+variant on the fused fast path; its scores are engine-local floating point,
+so it ships without a SQL oracle (driver records a rows-only check) and its
+recall is gated in tests against the exact operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk_exact, ivf_topk
+from ..sources.tables import load_table
+
+N_QUERY_VECS = 5
+TOP_K = 3
+
+
+def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = cosine_topk_exact(queries, emb, k=TOP_K)
+    # Decimal→double conversion is correctly rounded in Spark but double-
+    # rounded in DuckDB (int128 → double → /1e18), so cosines can differ by
+    # 1 ulp; round to 9 dp for the cross-engine contract. Ranking still uses
+    # full precision inside the operator.
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+Q25_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS e FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+qe AS (
+    SELECT q_id, CAST(r.i AS INT) AS pos, CAST(e[r.i + 1] AS DOUBLE) AS v
+    FROM q CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(e)
+),
+ce AS (
+    SELECT vec_id AS c_id, CAST(r.i AS INT) AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(embedding)
+),
+dots AS (
+    SELECT q_id, c_id,
+           CAST(SUM(CAST(qe.v * ce.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM qe JOIN ce USING (pos)
+    WHERE q_id <> c_id
+    GROUP BY q_id, c_id
+),
+qn AS (
+    SELECT q_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS qn
+    FROM qe GROUP BY q_id
+),
+cn AS (
+    SELECT c_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+    FROM ce GROUP BY c_id
+),
+scored AS (
+    SELECT q_id AS query_id, c_id AS neighbor_id,
+           dot / NULLIF(qn * cn, 0.0) AS cosine
+    FROM dots JOIN qn USING (q_id) JOIN cn USING (c_id)
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 9) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q26_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (fast float path; no SQL oracle — rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk(queries, emb, k=TOP_K, nprobe=2)
+
+
+VECTOR_QUERIES = {
+    "q25_cosine_topk": q25_cosine_topk,
+    "q26_ann_ivf": q26_ann_ivf,
+}
+
+VECTOR_ORACLES = {
+    "q25_cosine_topk": Q25_SQL,
+    # q26_ann_ivf intentionally absent: approximate float-path operator.
+}

@@ -1,0 +1,111 @@
+"""[EXT] Structured Streaming ingestion over the events table.
+
+The reference is a manually-triggered batch pipeline (SURVEY.md §2.10); its
+recurring-snapshot shape maps naturally onto a Spark file-source stream.
+These operators implement that mapping on the driver's ``events`` table:
+
+- :func:`stream_events` — file-source ``readStream`` with an explicit schema
+  (never inferred), including the ns→µs timestamp conversion the batch
+  loader applies (sources/tables.py).
+- :func:`streaming_tumbling_agg` — watermarked tumbling-window aggregation;
+  in complete output mode its final state equals the batch Q28 semantics,
+  which is exactly how it is oracle-checked.
+- :func:`streaming_dedup` — ``dropDuplicatesWithinWatermark`` on the natural
+  key: the streaming form of the reference's latest-wins MERGE dedup
+  (sql/02_load_data.sql:109-112) — bounded state, late data beyond the
+  watermark dropped.
+- :func:`run_streaming_query` — drives a stream to completion synchronously
+  with a memory sink (Trigger.AvailableNow semantics for tests/drivers).
+
+At scale: the file source becomes Kafka/object-store listing; watermark
+bounds state; ``complete`` mode would be replaced by ``update``/``append``
+into an idempotent sink (foreachBatch + MERGE).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Explicit read schema for the events stream; ts is the raw parquet
+#: TIMESTAMP(NANOS) surfaced as long (session sets nanosAsLong).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (ts converted to µs instants)."""
+    # The file source requires a directory (the landing-dir shape of
+    # SURVEY.md §2.10); events.parquet is a single file inside sf_dir, so
+    # stream the directory with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_agg(
+    events: DataFrame, window_s: int = 300, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type (no distinct
+    aggregates — they are unsupported in streaming; approx_count_distinct is
+    the scale substitute)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{window_s} seconds").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """First-seen dedup per key within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["user_id", "event_type"]
+    )
+
+
+def run_streaming_query(
+    spark: SparkSession, df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and return
+    the materialized result as a batch DataFrame."""
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,100 @@
+"""Differential + recall tests for similarity search and event operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_stock_dbt_spark.plans.events import EVENT_ORACLES, EVENT_QUERIES
+from snowflake_stock_dbt_spark.plans.vectors import (
+    VECTOR_ORACLES,
+    VECTOR_QUERIES,
+    q25_cosine_topk,
+)
+
+from .oracle_utils import compare_query
+
+
+@pytest.mark.parametrize("name", sorted(EVENT_QUERIES))
+def test_events_match_oracle(spark, oracle_sf_dir, name):
+    n, _ = compare_query(
+        spark, oracle_sf_dir, EVENT_QUERIES[name], EVENT_ORACLES[name], name
+    )
+    assert n > 0
+
+
+def test_cosine_topk_matches_oracle(spark, oracle_sf_dir):
+    n, _ = compare_query(
+        spark,
+        oracle_sf_dir,
+        VECTOR_QUERIES["q25_cosine_topk"],
+        VECTOR_ORACLES["q25_cosine_topk"],
+        "q25_cosine_topk",
+    )
+    assert n > 0
+
+
+def test_fast_path_agrees_with_exact_on_neighbors(spark, oracle_sf_dir):
+    """zip_with/fold fast path must return the same neighbor sets as the
+    decimal-exact path (scores may differ in last float bits, ids must not)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.operators.similarity import cosine_topk_fast
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q25_cosine_topk(spark, oracle_sf_dir).collect()
+    }
+    fast = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_fast(queries, emb, k=3).collect()
+    }
+    assert exact == fast
+
+
+def test_ivf_with_full_probe_equals_exact(spark, oracle_sf_dir):
+    """With nprobe = #buckets IVF degenerates to brute force — neighbor sets
+    must match the exact operator exactly. (The corpus's label buckets are
+    not geometric clusters — embeddings are near-random, max cosine ≈ 0.37 —
+    so a recall gate at low nprobe would test the data, not the operator.)"""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.operators.similarity import ivf_topk
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    n_buckets = emb.select("label").distinct().count()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q25_cosine_topk(spark, oracle_sf_dir).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, k=3, nprobe=n_buckets).collect()
+    }
+    assert exact == full
+
+
+def test_ivf_low_probe_returns_k_per_query(spark, oracle_sf_dir):
+    df = VECTOR_QUERIES["q26_ann_ivf"](spark, oracle_sf_dir)
+    rows = df.collect()
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert set(per_q.values()) == {3}
+
+
+def test_sessionize_sessions_are_disjoint(spark, sf_dir):
+    df = EVENT_QUERIES["q27_sessionize"](spark, sf_dir)
+    rows = df.orderBy("user_id", "session_idx").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        for a, b in zip(sess, sess[1:]):
+            assert a["session_end_us"] < b["session_start_us"]
+            # the defining property: gap between sessions exceeds 30 min
+            assert b["session_start_us"] - a["session_end_us"] > 1800 * 1_000_000
