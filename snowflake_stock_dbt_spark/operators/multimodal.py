@@ -1,0 +1,106 @@
+"""[EXT] Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct, processed in Arrow batches via ``mapInPandas`` — the
+standard Spark shape for byte-level media work (decode libs run per
+executor, data never round-trips through the driver).
+
+The decode step itself is STUBBED: the container has no image/audio codecs,
+so ``decode_image_batch`` ships a deterministic fake "decoder" behind the
+same batch interface a real one (PIL/torchvision/ffmpeg) would use, and
+``require_real_decoder`` raises NotImplementedError where production code
+would plug in. The Spark-side plumbing — schema, batching, partitioning,
+UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical multimodal record schema: payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+#: Output schema of the decode/feature stage.
+FEATURE_SCHEMA = (
+    "media_id long, modality string, n_bytes long, payload_sha string, "
+    "feat_mean double, feat_dim int"
+)
+
+
+def require_real_decoder() -> None:
+    """Seam for a real codec stack (PIL / torchaudio / ffmpeg)."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "plug a real decoder into decode_image_batch"
+    )
+
+
+def _fake_features(payload: bytes | None, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded-pixel feature vector: byte
+    histogram moments. Stable across runs/engines; replace with a real
+    decode when codecs exist."""
+    if not payload:
+        return [0.0] * dim
+    return [payload[i::dim] and sum(payload[i::dim]) / len(payload[i::dim]) or 0.0
+            for i in range(dim)]
+
+
+def decode_media(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """mapInPandas decode/feature-extract stage over binary payloads.
+
+    Arrow delivers each partition as pandas batches; per batch we hash the
+    payload and compute the (stubbed) feature vector. One narrow pass — no
+    shuffle; scales with input bytes.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            feats = [
+                _fake_features(p if p is not None else b"", feature_dim)
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "payload_sha": [
+                        hashlib.sha256(p if p is not None else b"").hexdigest()
+                        for p in payloads
+                    ],
+                    "feat_mean": [sum(f) / len(f) if f else 0.0 for f in feats],
+                    "feat_dim": feature_dim,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Per-modality rollup of payload sizes (pure JVM aggregation)."""
+    return (
+        df.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.length("payload").cast("long")).alias("total_bytes"),
+            F.max(F.length("payload")).alias("max_bytes"),
+        )
+        .orderBy("modality")
+    )

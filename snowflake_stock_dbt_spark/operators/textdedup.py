@@ -36,6 +36,28 @@ MINHASH_SEEDS = 64
 LSH_BANDS = 16
 LSH_ROWS = MINHASH_SEEDS // LSH_BANDS
 
+#: Universal-hash family for MinHash permutations: g_s(x) = (a_s*h(x) + b_s)
+#: mod p over the Mersenne prime p = 2^31 - 1, with h(x) a 32-bit md5-prefix
+#: base hash reduced mod p. ONE cryptographic hash per shingle, then 64 cheap
+#: integer transforms — 64× less hashing than md5-per-seed, and a_s*h + b_s
+#: stays < 2^62 so the whole family runs in 64-bit integer arithmetic on any
+#: engine. Constants come from a fixed LCG so the DuckDB oracle embeds the
+#: same literals.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(n_hashes: int = MINHASH_SEEDS) -> list[tuple[int, int]]:
+    """Deterministic (a_s, b_s) pairs, a_s != 0, identical in every engine."""
+    params = []
+    state = 0x5DEECE66D
+    for _ in range(n_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MINHASH_PRIME - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
 # SimHash configuration: 60-bit signatures, 4 bands of 15 bits.
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
@@ -76,7 +98,9 @@ def ngram_jaccard_pairs(
     the shingle-frequency skew, not |docs|²; pre-prune with MinHash-LSH when
     running at full corpus scale.
     """
-    sh = _exploded_shingles(df, id_col, text_col, k)
+    # The shingle set feeds three plan branches (sizes + both join sides);
+    # persist it so tokenize/shingle/distinct runs once.
+    sh = _exploded_shingles(df, id_col, text_col, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -109,6 +133,16 @@ def ngram_jaccard_pairs(
     )
 
 
+def base_hash31(col) -> F.Column:
+    """32-bit md5-prefix hash reduced into [0, p): the per-shingle base of the
+    universal-hash family. Cross-engine: DuckDB twin is
+    CAST(('0x' || substr(md5(x),1,8)) AS BIGINT) % 2147483647."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -117,15 +151,17 @@ def minhash_signatures(
     n_hashes: int = MINHASH_SEEDS,
 ) -> DataFrame:
     """doc_id + h0..h{n-1} minhash columns in ONE explode+aggregate pass
-    (single shuffle on doc_id): every seed's hash is a column expression on
-    the exploded shingle rows, aggregated with MIN. Docs with no shingles
-    (< k tokens) are dropped — they have no signature."""
-    sh = _exploded_shingles(df, id_col, text_col, k)
+    (single shuffle on doc_id): one md5 per shingle row, then every seed is a
+    cheap (a*h+b) mod p column expression aggregated with MIN. Docs with no
+    shingles (< k tokens) are dropped — they have no signature."""
+    sh = _exploded_shingles(df, id_col, text_col, k).select(
+        "doc_id", base_hash31(F.col("shingle")).alias("h")
+    )
     mins = [
-        F.min(hash60(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"h{s}"
         )
-        for s in range(n_hashes)
+        for s, (a, b) in enumerate(minhash_params(n_hashes))
     ]
     return sh.groupBy("doc_id").agg(*mins)
 

@@ -28,13 +28,16 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.textdedup import (
+    MINHASH_PRIME,
+    base_hash31,
     exact_dedup_groups,
     minhash_lsh_pairs,
+    minhash_params,
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signatures,
 )
-from ..functions.text import hash60, word_shingles
+from ..functions.text import word_shingles
 from ..sources.tables import load_table
 
 # Shared oracle CTE fragments -------------------------------------------------
@@ -208,45 +211,62 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= {JACCARD_
 """
 
 # ---------------------------------------------------------------------------
-# Q21 — MinHash signatures (long format: doc_id × seed → min hash60 of
-# seed-prefixed shingles). The engine's wide/banded variant builds the same
-# values in one pass (operators/textdedup.py:minhash_signatures); the long
-# format is the SQL-comparable projection of it.
+# Q21 — MinHash signatures (long format: doc_id × seed → minhash). One md5
+# base hash per shingle, then the (a*h+b) mod p universal family — the same
+# scheme as the engine's wide/banded one-pass variant
+# (operators/textdedup.py:minhash_signatures); the long format is its
+# SQL-comparable projection.
 # ---------------------------------------------------------------------------
 
 MINHASH_ORACLE_SEEDS = 16  # long-format oracle checks a prefix of the 64 seeds
+
+_SQL_BASE31 = (
+    "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % " + str(MINHASH_PRIME)
+)
+
+
+def _params_values_sql(n: int) -> str:
+    rows = ", ".join(
+        f"({s}, {a}, {b})" for s, (a, b) in enumerate(minhash_params(n))
+    )
+    return f"params(seed, a, b) AS (SELECT * FROM (VALUES {rows}) v(seed, a, b))"
 
 
 def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         F.col("doc_id"), F.explode(word_shingles("text", 3)).alias("shingle")
-    )
-    seeds = F.explode(
-        F.sequence(F.lit(0), F.lit(MINHASH_ORACLE_SEEDS - 1))
-    ).alias("seed")
+    ).select("doc_id", base_hash31(F.col("shingle")).alias("h"))
+    params = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"), F.lit(a).alias("a"), F.lit(b).alias("b")
+                )
+                for s, (a, b) in enumerate(minhash_params(MINHASH_ORACLE_SEEDS))
+            ]
+        )
+    ).alias("p")
     return (
-        sh.select("doc_id", "shingle", seeds)
+        sh.select("doc_id", "h", params)
+        .select("doc_id", "p.seed", "p.a", "p.b", "h")
         .groupBy("doc_id", "seed")
         .agg(
-            F.min(
-                hash60(
-                    F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
-                )
-            ).alias("minhash")
+            F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_PRIME)).alias(
+                "minhash"
+            )
         )
     )
 
 
 Q21_SQL = rf"""
 WITH {_SQL_TOKS}, {_SQL_SHINGLES},
-seeded AS (
-    SELECT doc_id, CAST(s.i AS INT) AS seed,
-           {_SQL_HASH60.format(x="concat_ws(':', CAST(s.i AS VARCHAR), shingle)")} AS h
-    FROM sh CROSS JOIN range(0, {MINHASH_ORACLE_SEEDS}) s(i)
+{_params_values_sql(MINHASH_ORACLE_SEEDS)},
+hashed AS (
+    SELECT doc_id, {_SQL_BASE31} AS h FROM sh
 )
-SELECT doc_id, seed, MIN(h) AS minhash
-FROM seeded
+SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+FROM hashed CROSS JOIN params
 GROUP BY doc_id, seed
 """
 
@@ -265,14 +285,14 @@ def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_SQL = rf"""
 WITH {_SQL_TOKS}, {_SQL_SHINGLES},
-seeded AS (
-    SELECT doc_id, CAST(s.i AS INT) AS seed,
-           {_SQL_HASH60.format(x="concat_ws(':', CAST(s.i AS VARCHAR), shingle)")} AS h
-    FROM sh CROSS JOIN range(0, 64) s(i)
+{_params_values_sql(64)},
+hashed AS (
+    SELECT doc_id, {_SQL_BASE31} AS h FROM sh
 ),
 sig AS (
-    SELECT doc_id, seed, MIN(h) AS minhash
-    FROM seeded GROUP BY doc_id, seed
+    SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+    FROM hashed CROSS JOIN params
+    GROUP BY doc_id, seed
 ),
 banded AS (
     SELECT doc_id, seed // 4 AS band_id,

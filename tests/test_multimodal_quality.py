@@ -1,0 +1,75 @@
+"""Tests for multimodal column plumbing and the quality-check framework."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_stock_dbt_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    media_stats,
+    require_real_decoder,
+)
+from snowflake_stock_dbt_spark.quality.checks import (
+    accepted_range,
+    not_null,
+    relationships,
+    run_checks,
+    unique,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake payload 1", "image/png", 64, 64, None),
+        (2, "image", b"\x89PNG fake payload two", "image/png", 128, 128, None),
+        (3, "audio", b"RIFF fake wav", "audio/wav", None, None, 1200),
+        (4, "video", None, "video/mp4", 640, 480, 5000),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_media_batch_plumbing(media_df):
+    out = decode_media(media_df).collect()
+    assert len(out) == 4
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 19
+    assert by_id[4]["n_bytes"] == 0  # NULL payload -> 0 bytes, no crash
+    assert len(by_id[2]["payload_sha"]) == 64
+    assert all(r["feat_dim"] == 8 for r in out)
+    # determinism: same payload -> same sha/features on a second run
+    again = {r["media_id"]: r for r in decode_media(media_df).collect()}
+    assert all(
+        again[i]["payload_sha"] == by_id[i]["payload_sha"] for i in by_id
+    )
+
+
+def test_media_stats_rollup(media_df):
+    stats = {r["modality"]: r for r in media_stats(media_df).collect()}
+    assert stats["image"]["n_items"] == 2
+    assert stats["audio"]["total_bytes"] == 13
+
+
+def test_decoder_stub_is_explicit():
+    with pytest.raises(NotImplementedError):
+        require_real_decoder()
+
+
+def test_quality_checks_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None)], ["id", "v"]
+    )
+    assert not_null(df, "id").passed
+    assert not not_null(df, "v").passed
+    assert not unique(df, "id").passed
+    assert accepted_range(df, "id", 1, 2).passed
+    assert not accepted_range(df, "id", 2, None).passed
+
+    parent = spark.createDataFrame([(1,), (2,)], ["id"])
+    child = spark.createDataFrame([(1,), (3,)], ["id"])
+    assert not relationships(child, "id", parent, "id").passed
+
+    with pytest.raises(AssertionError, match="unique\\(id\\)"):
+        run_checks([unique(df, "id")])
