@@ -43,6 +43,9 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 4)
+        # Isolate queries: drop any persisted intermediates so one query's
+        # cache (or memory pressure) can't distort the next one's time.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 4)
     print(

@@ -34,3 +34,35 @@ def norm_fast(a: Column) -> Column:
 def cosine_fast(a: Column, b: Column) -> Column:
     """Cosine similarity, fast profile; NULL when either norm is 0."""
     return dot_fast(a, b) / F.nullif(norm_fast(a) * norm_fast(b), F.lit(0.0))
+
+
+# Exact profile, fused (no explode): per-element double products rounded to
+# 18 fractional digits, then summed exactly in a decimal fold. 10^18 ulp
+# granularity makes the sum order-independent, so the fused fold equals the
+# oracle's SUM(CAST(x AS DECIMAL(38,18))) bit-for-bit. DECIMAL(30,18) gives
+# 12 integral digits of headroom — products of unit-ish embedding floats
+# never approach it — while (30,18)+(28,18) stays under Spark's 38-digit
+# cap WITHOUT scale loss (a (38,18) accumulator would silently drop to
+# scale 17 on addition and break oracle parity).
+_ACC = "decimal(30,18)"
+_PROD = "decimal(28,18)"
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order/partitioning/engine-independent dot product, as DOUBLE."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_PROD)
+        ),
+        F.lit(0).cast(_ACC),
+        lambda acc, v: (acc + v).cast(_ACC),
+    ).cast("double")
+
+
+def norm_exact(a: Column) -> Column:
+    return F.sqrt(dot_exact(a, a))
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Cosine similarity, exact-decimal profile; NULL when either norm is 0."""
+    return dot_exact(a, b) / F.nullif(norm_exact(a) * norm_exact(b), F.lit(0.0))

@@ -26,27 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_fast
-
-_DEC = "decimal(38,18)"
-
-
-def _exploded(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(f"{prefix}_id"),
-        F.posexplode(vec_col).alias("pos", f"{prefix}_v"),
-    )
-
-
-def _norms_exact(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
-    e = _exploded(df, id_col, vec_col, "n")
-    return e.groupBy("n_id").agg(
-        F.sqrt(
-            F.sum((F.col("n_v").cast("double") * F.col("n_v").cast("double")).cast(_DEC))
-            .cast("double")
-        ).alias(out)
-    )
-
+from ..functions.partitioning import ensure_min_parallelism
+from ..functions.vectors import cosine_fast, dot_exact, norm_exact
 
 def cosine_topk_exact(
     queries: DataFrame,
@@ -58,32 +39,32 @@ def cosine_topk_exact(
     """Exact top-k neighbors per query by cosine; deterministic everywhere.
 
     Output: (query_id, neighbor_id, cosine, rank), excluding self-matches.
+    Vectors stay packed: broadcast the (small) query set against the
+    partitioned corpus and compute each score with the fused exact-decimal
+    fold (functions/vectors.py:dot_exact) — bit-identical to a
+    posexplode/DECIMAL(38,18) formulation but with no |corpus|×dim shuffle,
+    which is the only shape that survives a 100 TB corpus.
     """
-    qe = _exploded(queries, id_col, vec_col, "q")
-    ce = _exploded(corpus, id_col, vec_col, "c")
-    dots = (
-        qe.join(ce, "pos")
-        .where(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.sum(
-                (F.col("q_v").cast("double") * F.col("c_v").cast("double")).cast(_DEC)
-            )
-            .cast("double")
-            .alias("dot")
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("qn"),
     )
-    qn = _norms_exact(queries, id_col, vec_col, "qn").withColumnRenamed("n_id", "q_id")
-    cn = _norms_exact(corpus, id_col, vec_col, "cn").withColumnRenamed("n_id", "c_id")
+    c = ensure_min_parallelism(corpus, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("cn"),
+    )
     scored = (
-        dots.join(qn, "q_id")
-        .join(cn, "c_id")
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            (F.col("dot") / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias(
-                "cosine"
-            ),
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -94,6 +75,67 @@ def cosine_topk_exact(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: unordered pairs (id_a < id_b)
+    inside the same block whose cosine ≥ threshold.
+
+    Blocking on ``block_col`` (a coarse cluster id — at scale, k-means
+    centroid or LSH bucket) turns the all-pairs O(n²) scan into a per-block
+    quadratic, the standard near-dup pattern: candidates from a cheap
+    blocker, exact scores only within blocks.
+
+    Vectors stay PACKED: the dot product is a fused zip_with fold with an
+    exact-decimal accumulator (functions/vectors.py:dot_exact) — same
+    bit-exact scores as the posexplode formulation but one self-equi-join
+    on the block id instead of a |pairs|×dim shuffle. Norms are computed
+    once per row before the join.
+    """
+    e = ensure_min_parallelism(corpus, F.col(id_col)).select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm_exact(F.col(vec_col)).alias("norm"),
+    )
+    a = e.select(
+        "block",
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        "block",
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b"))
+    # The equi-join's parallelism is capped at the number of distinct
+    # blocks (10 here; rarely more than a few thousand in a real blocker),
+    # while the scoring fold below is the expensive part. Re-spread the
+    # candidate pairs across the cluster before scoring so the fold uses
+    # every core, not one per block.
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism,
+        F.col("id_a"),
+        F.col("id_b"),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("block"),
+        (
+            dot_exact(F.col("vec_a"), F.col("vec_b"))
+            / F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0))
+        ).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
 
 
 def cosine_topk_fast(

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_parallelism
 from ..functions.text import fingerprint, hash60, word_shingles
 
 # MinHash configuration: 64 permutations in 16 bands of 4.
@@ -78,7 +79,12 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
+    # Spread docs across the cluster BEFORE the explode fan-out: a small
+    # upstream file count (locally: one parquet file) would otherwise pin
+    # the entire tokenize/shingle/hash pipeline to those few tasks. The
+    # pre-explode shuffle moves only (id, text) rows — cheap relative to
+    # the k-gram blow-up it parallelizes.
+    return ensure_min_parallelism(df, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, k)).alias("shingle"),
     )
@@ -213,7 +219,7 @@ def simhash_signatures(
     on each signature bit according to its hash60 bit; bit is 1 when the sum
     is positive. Explodes tokens × bits, one shuffle on (doc_id, bit), then
     reassembles the signature with shiftleft/sum."""
-    toks = df.select(
+    toks = ensure_min_parallelism(df, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")

@@ -1,7 +1,9 @@
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .events import EVENT_ORACLES, EVENT_QUERIES
 from .llm_text import LLM_TEXT_ORACLES, LLM_TEXT_QUERIES
+from .multimodal_plans import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
+from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
 from .streaming_plans import STREAMING_ORACLES, STREAMING_QUERIES
 from .vectors import VECTOR_ORACLES, VECTOR_QUERIES
 
@@ -13,6 +15,8 @@ ALL_QUERIES = {
     **VECTOR_QUERIES,
     **EVENT_QUERIES,
     **STREAMING_QUERIES,
+    **RELATIONAL_QUERIES,
+    **MULTIMODAL_QUERIES,
 }
 
 #: DuckDB oracle SQL for each query (omitted => driver does rows-only check).
@@ -23,6 +27,8 @@ ALL_ORACLES = {
     **VECTOR_ORACLES,
     **EVENT_ORACLES,
     **STREAMING_ORACLES,
+    **RELATIONAL_ORACLES,
+    **MULTIMODAL_ORACLES,
 }
 
 __all__ = [

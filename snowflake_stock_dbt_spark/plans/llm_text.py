@@ -29,6 +29,7 @@ from ..functions.text import (
 )
 from ..operators.textdedup import (
     MINHASH_PRIME,
+    _exploded_shingles,
     base_hash31,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -37,7 +38,6 @@ from ..operators.textdedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from ..functions.text import word_shingles
 from ..sources.tables import load_table
 
 # Shared oracle CTE fragments -------------------------------------------------
@@ -234,9 +234,9 @@ def _params_values_sql(n: int) -> str:
 
 def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id"), F.explode(word_shingles("text", 3)).alias("shingle")
-    ).select("doc_id", base_hash31(F.col("shingle")).alias("h"))
+    sh = _exploded_shingles(docs, "doc_id", "text", 3).select(
+        "doc_id", base_hash31(F.col("shingle")).alias("h")
+    )
     params = F.explode(
         F.array(
             *[

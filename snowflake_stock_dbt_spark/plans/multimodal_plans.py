@@ -1,0 +1,90 @@
+"""[EXT] Multimodal-column queries over the ``documents`` corpus.
+
+The container ships no media files and no codecs, so the corpus is
+manufactured deterministically: each document's UTF-8 bytes become the
+opaque ``payload`` of a media row (the engine treats payloads as opaque
+bytes either way — SURVEY.md's multimodal mandate is about the Spark-side
+plumbing: binary columns, typed metadata, Arrow-batched decode). The
+decode/feature stage runs the real ``mapInPandas`` path
+(operators/multimodal.py); only the codec inside is a stub.
+
+Oracle bridge: Spark's ``cast(text AS BINARY)`` and DuckDB's
+``encode(text)`` both yield the UTF-8 bytes, and DuckDB ``sha256(text)``
+hashes those same bytes — so payload length and digest are checkable
+cross-engine even though the decode runs in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_media, media_stats
+from ..sources.tables import load_table
+
+_MODALITY = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+_MIME = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' "
+    "WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END"
+)
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media corpus: documents re-typed to the MEDIA_SCHEMA
+    shape (payload = UTF-8 bytes of the text, modality round-robin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_MODALITY).alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.expr(_MIME).alias("mime_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def q38_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature pass; the oracle checks the engine-
+    independent outputs (byte length + sha256), the stubbed feature vector
+    is gated by tests/test_multimodal_quality.py."""
+    media = documents_as_media(spark, sf_dir)
+    return decode_media(media).select(
+        "media_id", "modality", "n_bytes", "payload_sha"
+    )
+
+
+Q38_SQL = f"""
+SELECT doc_id AS media_id,
+       {_MODALITY} AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+
+def q39_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality payload rollup — pure JVM aggregation over binary
+    lengths (no Python in the plan)."""
+    return media_stats(documents_as_media(spark, sf_dir))
+
+
+Q39_SQL = f"""
+SELECT {_MODALITY} AS modality,
+       COUNT(*) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       MAX(octet_length(encode(text))) AS max_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
+MULTIMODAL_QUERIES = {
+    "q38_media_decode": q38_media_decode,
+    "q39_media_stats": q39_media_stats,
+}
+
+MULTIMODAL_ORACLES = {
+    "q38_media_decode": Q38_SQL,
+    "q39_media_stats": Q39_SQL,
+}

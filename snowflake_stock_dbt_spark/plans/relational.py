@@ -1,0 +1,303 @@
+"""[EXT] Relational-surface extensions: multi-dimensional aggregation
+(ROLLUP / CUBE / GROUPING SETS), set operations, pivot, and the temporal
+joins (as-of, range) from operators/asof.py.
+
+The reference uses none of these (SURVEY.md §2.4 "no grouping sets / cube /
+rollup / pivot", §2.7 "no set operations", §2.3 "no as-of/range joins") —
+they complete the query surface a warehouse user expects, each as a stock
+Catalyst operator (Expand for grouping sets, hash joins for set ops) so the
+100 TB story is the engine's own: one shuffle per aggregation, map-side
+partial aggregation, AQE-coalesced partitions.
+
+Grouping flags use ``grouping_id()`` — Spark and DuckDB both expose the
+same first-column-is-MSB bitmask (verified empirically), so the oracle
+compares it directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import SQL_DEC_SUM, dec_sum
+from ..operators.asof import asof_join, range_join_buckets
+from ..sources.tables import load_table
+
+RANGE_SPAN_US = 6 * 3600 * 1_000_000  # 6-hour window for the range join
+
+
+# ---------------------------------------------------------------------------
+# Q31 — ROLLUP over lineitem: per (returnflag, linestatus), per returnflag,
+# and grand total in one pass (Catalyst Expand => single shuffle).
+# ---------------------------------------------------------------------------
+
+
+def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+Q31_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {SQL_DEC_SUM.format(x='l_quantity')} AS sum_qty,
+       {SQL_DEC_SUM.format(x='l_extendedprice')} AS sum_price,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q32 — CUBE over orders: all 4 grouping combinations of status × priority.
+# ---------------------------------------------------------------------------
+
+
+def q32_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+Q32_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {SQL_DEC_SUM.format(x='o_totalprice')} AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q33 — GROUPING SETS: two independent one-column aggregations of lineitem
+# in one Expand pass instead of two scans + a union.
+# ---------------------------------------------------------------------------
+
+
+def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum("l_discount").alias("sum_disc"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+Q33_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {SQL_DEC_SUM.format(x='l_discount')} AS sum_disc,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q34 — set operations over the customer/supplier nation domains:
+# INTERSECT, EXCEPT (both directions), UNION, tagged and stacked.
+# Distinct inputs are tiny (≤ #nations) so every branch is a cheap
+# hash-aggregated join; the distincts themselves are map-side combined.
+# ---------------------------------------------------------------------------
+
+
+def q34_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "nationkey")  # noqa: E731
+    return (
+        tag(cust.intersect(supp), "intersect")
+        .unionByName(tag(cust.subtract(supp), "cust_only"))
+        .unionByName(tag(supp.subtract(cust), "supp_only"))
+        .unionByName(tag(cust.union(supp).distinct(), "union"))
+    )
+
+
+Q34_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'cust_only' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'supp_only' AS op, nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+UNION ALL
+SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q35 — pivot: returnflag rows × linestatus columns, decimal-exact sums.
+# Explicit pivot values keep the output schema static (no extra distinct
+# scan, and a stable driver contract).
+# ---------------------------------------------------------------------------
+
+
+def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dec_sum("l_quantity"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+Q35_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q36 — as-of join: for every purchase event, the user's most recent click
+# at or before it (backward inclusive). Single shuffle on user_id via the
+# union-and-window formulation (operators/asof.py).
+# ---------------------------------------------------------------------------
+
+
+def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("us").alias("purchase_us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("click_us"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="purchase_us",
+        right_time="click_us",
+        right_payload=["click_id", "click_value"],
+        tiebreak="click_id",
+    ).withColumnRenamed("matched_click_us", "last_click_us")
+
+
+Q36_SQL = """
+WITH p AS (
+    SELECT user_id, event_id AS purchase_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, event_id AS click_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS click_us, value AS click_value
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, p.purchase_us,
+       c.click_us AS last_click_us, c.click_id, c.click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.click_us <= p.purchase_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q37 — range join: purchases within 6 h AFTER a view by the same user,
+# aggregated per user. Bucketed-equi-join rewrite (operators/asof.py) keeps
+# it shuffle-bounded instead of a per-key cross product.
+# ---------------------------------------------------------------------------
+
+
+def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts"))
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("view_us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("purchase_us")
+    )
+    pairs = range_join_buckets(
+        views,
+        purchases,
+        on=["user_id"],
+        left_time="view_us",
+        right_time="purchase_us",
+        span=RANGE_SPAN_US,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("purchase_us") - F.col("view_us")).alias("total_gap_us"),
+    )
+
+
+Q37_SQL = f"""
+WITH v AS (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS view_us
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(p.purchase_us - v.view_us) AS BIGINT) AS total_gap_us
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.purchase_us >= v.view_us
+ AND p.purchase_us - v.view_us <= {RANGE_SPAN_US}
+GROUP BY v.user_id
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q31_rollup": q31_rollup,
+    "q32_cube": q32_cube,
+    "q33_grouping_sets": q33_grouping_sets,
+    "q34_set_ops": q34_set_ops,
+    "q35_pivot": q35_pivot,
+    "q36_asof_join": q36_asof_join,
+    "q37_range_join": q37_range_join,
+}
+
+RELATIONAL_ORACLES = {
+    "q31_rollup": Q31_SQL,
+    "q32_cube": Q32_SQL,
+    "q33_grouping_sets": Q33_SQL,
+    "q34_set_ops": Q34_SQL,
+    "q35_pivot": Q35_SQL,
+    "q36_asof_join": Q36_SQL,
+    "q37_range_join": Q37_SQL,
+}

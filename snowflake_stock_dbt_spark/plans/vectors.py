@@ -12,11 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk_exact, ivf_topk
+from ..operators.similarity import cosine_neardup_pairs, cosine_topk_exact, ivf_topk
 from ..sources.tables import load_table
 
 N_QUERY_VECS = 5
 TOP_K = 3
+NEARDUP_THRESHOLD = 0.3
 
 
 def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,12 +81,52 @@ def q26_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=TOP_K, nprobe=2)
 
 
+def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the ``label`` cluster
+    column (the synthetic corpus has no true near-dups — max within-block
+    cosine ≈ 0.47 — so the threshold is set inside the observed range to
+    exercise the operator non-trivially)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
+    # Same 1-ulp decimal->double note as q25: round for the contract only.
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+Q40_SQL = f"""
+WITH u AS (
+    SELECT vec_id, label, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(embedding)
+),
+n AS (
+    SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nn
+    FROM u GROUP BY vec_id
+),
+d AS (
+    SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM u a JOIN u b
+      ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT id_a, id_b, block,
+           dot / NULLIF(na.nn * nb.nn, 0.0) AS cosine
+    FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+)
+SELECT id_a, id_b, block, round(cosine, 9) AS cosine
+FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
+    "q40_embedding_neardup": q40_embedding_neardup,
 }
 
 VECTOR_ORACLES = {
     "q25_cosine_topk": Q25_SQL,
     # q26_ann_ivf intentionally absent: approximate float-path operator.
+    "q40_embedding_neardup": Q40_SQL,
 }

@@ -45,7 +45,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[] mode runs everything in the driver JVM: size the heap for
+        # 32 concurrent tasks of hash/decimal-heavy work (the box has
+        # 128 GiB; a small heap turns the bench into a GC benchmark).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # Non-ANSI: try_cast-style null-on-malformed matches the reference's
         # TRY_TO_* loading semantics (reference sql/02_load_data.sql:100-107).
