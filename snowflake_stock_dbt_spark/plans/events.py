@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_SUM, dec_sum
+from ..functions.partitioning import ensure_min_parallelism
 from ..sources.tables import load_table
 
 SESSION_GAP_S = 1800
@@ -127,12 +128,69 @@ GROUP BY 1, 2
 """
 
 
+def q42_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``
+    (streaming-compatible; merges events < gap apart). Semantics contract:
+    window.start = first event ts, window.end = last event ts + gap —
+    the oracle rebuilds both from the lag/cumsum formulation of q27."""
+    ev = ensure_min_parallelism(load_table(spark, sf_dir, "events"), F.col("user_id"))
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+Q42_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_id, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR us - prev_us >= {SESSION_GAP_S} * 1000000
+                   THEN 1 ELSE 0 END AS new_session
+    FROM base
+),
+numbered AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {SESSION_GAP_S * 1_000_000} AS session_end_us,
+       COUNT(*) AS n_events,
+       {SQL_DEC_SUM.format(x='value')} AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
+    "q42_session_window": q42_session_window,
 }
 
 EVENT_ORACLES = {
     "q27_sessionize": Q27_SQL,
     "q28_tumbling_window": Q28_SQL,
+    "q42_session_window": Q42_SQL,
 }

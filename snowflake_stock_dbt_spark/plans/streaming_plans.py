@@ -10,7 +10,7 @@ keys + count, which IS deterministic and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_SUM
@@ -61,12 +61,45 @@ ORDER BY user_id, event_type
 """
 
 
+def q41_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals. After the stream drains, each user's LAST emission equals the
+    batch aggregate — the micro-unit state makes the total independent of
+    batching/arrival order, so a full SQL oracle applies. (The driver
+    corpus is one file → one micro-batch → exactly one emission per user;
+    the latest-wins dedup below also covers multi-batch replays.)"""
+    from ..streaming.stateful import stateful_user_totals
+
+    ev = stream_events(spark, sf_dir)
+    out = run_streaming_query(
+        spark, stateful_user_totals(ev), output_mode="update"
+    )
+    # Keep the final emission per user (n_events is monotone across
+    # emissions of one user).
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+Q41_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))), 0) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,
+    "q41_stateful_totals": q41_stateful_totals,
 }
 
 STREAMING_ORACLES = {
     "q29_streaming_window": Q29_SQL,
     "q30_streaming_dedup": Q30_SQL,
+    "q41_stateful_totals": Q41_SQL,
 }

@@ -36,3 +36,62 @@ def test_streaming_window_equals_batch_query(spark, oracle_sf_dir):
         for r in q28_tumbling_window(spark, oracle_sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stateful_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState must carry state across micro-batches: split
+    the corpus into two files, force one file per trigger, and check each
+    user's final emission equals the batch aggregate over both files."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+    from snowflake_stock_dbt_spark.streaming.pipeline import (
+        EVENTS_STREAM_SCHEMA,
+        run_streaming_query,
+    )
+    from snowflake_stock_dbt_spark.streaming.stateful import stateful_user_totals
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    land = str(tmp_path / "landing")
+    half = ev.where(F.col("event_id") % 2 == 0)
+    other = ev.where(F.col("event_id") % 2 == 1)
+    half.select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type",
+        "value", "props",
+    ).selectExpr("event_id", "us * 1000 AS ts", "user_id", "event_type", "value", "props").coalesce(1).write.parquet(land)
+    other.select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type",
+        "value", "props",
+    ).selectExpr("event_id", "us * 1000 AS ts", "user_id", "event_type", "value", "props").coalesce(1).write.mode("append").parquet(land)
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(land)
+    )
+    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = run_streaming_query(spark, stateful_user_totals(raw), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(38,6)")), F.lit(0)
+            ).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert final == batch
+    # At least one user must have been emitted in both micro-batches.
+    multi = out.groupBy("user_id").count().where("count > 1").count()
+    assert multi > 0
