@@ -282,6 +282,85 @@ GROUP BY v.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q43 — the canonical warehouse join pipeline: lineitem ⋈ orders ⋈ customer
+# ⋈ nation ⋈ region, revenue rolled up by region/nation. The scale shape:
+# the two big tables shuffle-join on orderkey; customer joins on the
+# shuffled custkey; nation and region are broadcast. Revenue uses the
+# exact-decimal recipe.
+# ---------------------------------------------------------------------------
+
+
+def q43_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+        "rev"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", revenue)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum("rev").alias("revenue"),
+        )
+    )
+
+
+Q43_SQL = f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_items,
+       {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q44 — semi/anti join surface: customers WITH at least one 'F'-status
+# order (left_semi) and customers WITHOUT any order at all (left_anti),
+# tagged and stacked. Both plans are single broadcast/shuffle hash joins
+# that never materialize the matched rows.
+# ---------------------------------------------------------------------------
+
+
+def q44_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    with_f = c.join(
+        o.where(F.col("o_orderstatus") == "F").select("o_custkey"),
+        c.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select(F.lit("has_f_order").alias("op"), "c_custkey")
+    without = c.join(
+        o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select(F.lit("no_orders").alias("op"), "c_custkey")
+    return with_f.unionByName(without)
+
+
+Q44_SQL = """
+SELECT 'has_f_order' AS op, c_custkey
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+UNION ALL
+SELECT 'no_orders' AS op, c_custkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q31_rollup": q31_rollup,
     "q32_cube": q32_cube,
@@ -290,6 +369,8 @@ RELATIONAL_QUERIES = {
     "q35_pivot": q35_pivot,
     "q36_asof_join": q36_asof_join,
     "q37_range_join": q37_range_join,
+    "q43_revenue_rollup": q43_revenue_rollup,
+    "q44_semi_anti": q44_semi_anti,
 }
 
 RELATIONAL_ORACLES = {
@@ -300,4 +381,6 @@ RELATIONAL_ORACLES = {
     "q35_pivot": Q35_SQL,
     "q36_asof_join": Q36_SQL,
     "q37_range_join": Q37_SQL,
+    "q43_revenue_rollup": Q43_SQL,
+    "q44_semi_anti": Q44_SQL,
 }
