@@ -1,0 +1,65 @@
+"""Storage-layout contracts: partition pruning prunes, bucketing removes
+the join exchange. These assert on the PHYSICAL PLAN, not just results —
+the 100 TB behavior is the plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_stock_dbt_spark.sinks.layout import (
+    write_bucketed_table,
+    write_partitioned,
+)
+from snowflake_stock_dbt_spark.sources.tables import load_table
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_on_date(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.to_date("l_shipdate")
+    )
+    path = str(tmp_path / "fct")
+    write_partitioned(li, path, ["ship_date"])
+
+    one_day = li.select("ship_date").distinct().orderBy("ship_date").first()[0]
+    back = spark.read.parquet(path).where(F.col("ship_date") == F.lit(one_day))
+
+    plan = _physical(back)
+    assert "PartitionFilters: [" in plan
+    # The pruning filter must actually reference the partition column…
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ship_date" in pf
+    # …and the values must round-trip.
+    expected = li.where(F.col("ship_date") == F.lit(one_day)).count()
+    assert back.count() == expected > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        write_bucketed_table(
+            o.select("o_orderkey", "o_custkey", "o_totalprice"),
+            "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"],
+        )
+        write_bucketed_table(
+            c.select("c_custkey", "c_name"),
+            "customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"],
+        )
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _physical(joined)
+        assert "Exchange hashpartitioning" not in plan
+        # Same answer as the unbucketed join.
+        expected = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert joined.count() == expected > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
