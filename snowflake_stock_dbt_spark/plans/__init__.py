@@ -4,6 +4,7 @@ from .llm_text import LLM_TEXT_ORACLES, LLM_TEXT_QUERIES
 from .multimodal_plans import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
+from .scale import SCALE_ORACLES, SCALE_QUERIES
 from .streaming_plans import STREAMING_ORACLES, STREAMING_QUERIES
 from .vectors import VECTOR_ORACLES, VECTOR_QUERIES
 
@@ -17,6 +18,7 @@ ALL_QUERIES = {
     **STREAMING_QUERIES,
     **RELATIONAL_QUERIES,
     **MULTIMODAL_QUERIES,
+    **SCALE_QUERIES,
 }
 
 #: DuckDB oracle SQL for each query (omitted => driver does rows-only check).
@@ -29,6 +31,7 @@ ALL_ORACLES = {
     **STREAMING_ORACLES,
     **RELATIONAL_ORACLES,
     **MULTIMODAL_ORACLES,
+    **SCALE_ORACLES,
 }
 
 __all__ = [

@@ -1,0 +1,88 @@
+"""[EXT] Scale-path query variants: exact quantiles and sketch-based
+distinct counts.
+
+SURVEY.md §2.4 flags ``approx_count_distinct`` as the 100 TB-friendly
+variant of the trend query's COUNT(DISTINCT) (A2): the exact form shuffles
+every distinct value, the HyperLogLog++ sketch is a fixed-size mergeable
+state. q46 carries the sketch INSIDE an oracle-checked contract by
+asserting its documented accuracy instead of its raw estimate.
+
+q45's percentiles interpolate identically in Spark (`percentile`) and
+DuckDB (`quantile_cont`) — linear interpolation over the sorted values in
+IEEE double — verified bit-exact on the corpus, so it ships with a full
+value oracle. At 100 TB you'd swap in `approx_percentile` (t-digest /
+KLL-style sketch) exactly like q46 swaps in HLL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+APPROX_RSD = 0.01
+APPROX_TOLERANCE = 0.02
+
+
+def q45_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+Q45_SQL = """
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS min_price,
+       quantile_cont(l_extendedprice, 0.5)  AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       quantile_cont(l_extendedprice, 0.99) AS p99_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q46_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs HLL++ distinct users per event type. The sketch estimate
+    itself is engine-local, so the contract column is the ACCURACY CLAIM:
+    the oracle pins ``approx_within_tol = true``, and a sketch drifting
+    past the tolerance fails the hash-compare."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", APPROX_RSD).alias("approx_users"),
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (rel_err <= APPROX_TOLERANCE).alias("approx_within_tol"),
+    )
+
+
+Q46_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
+SCALE_QUERIES = {
+    "q45_quantiles": q45_quantiles,
+    "q46_approx_distinct": q46_approx_distinct,
+}
+
+SCALE_ORACLES = {
+    "q45_quantiles": Q45_SQL,
+    "q46_approx_distinct": Q46_SQL,
+}

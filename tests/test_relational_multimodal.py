@@ -109,3 +109,22 @@ def test_grouping_totals_consistent(spark, sf_dir):
     ).collect()[0]
     assert total[0]["n_items"] == flat["n"]
     assert total[0]["sum_qty"] == flat["s"]
+
+
+def test_scale_queries_match_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+
+    for name in sorted(SCALE_QUERIES):
+        n, _ = compare_query(
+            spark, oracle_sf_dir, SCALE_QUERIES[name], SCALE_ORACLES[name], name
+        )
+        assert n > 0
+
+
+def test_hll_accuracy_gate(spark, oracle_sf_dir):
+    """Every group's HLL estimate must sit inside the declared tolerance —
+    the invariant the q46 oracle pins."""
+    from snowflake_stock_dbt_spark.plans.scale import q46_approx_distinct
+
+    rows = q46_approx_distinct(spark, oracle_sf_dir).collect()
+    assert rows and all(r["approx_within_tol"] for r in rows)
