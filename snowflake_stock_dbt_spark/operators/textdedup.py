@@ -26,7 +26,7 @@ plans/llm_text.py do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_parallelism
@@ -209,6 +209,57 @@ def minhash_lsh_pairs(
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, shingle) — k-word shingles WITH positions and WITHOUT
+    dedup (winnowing needs the full positional sequence)."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(t)
+    arr = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]).alias(
+                "shingle"
+            ),
+        ),
+    )
+    return (
+        ensure_min_parallelism(df, F.col(id_col))
+        .where(n >= k)
+        .select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("s"))
+        .select("doc_id", "s.pos", "s.shingle")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash the k-gram at
+    every position, slide a w-wide window, keep each window's minimum hash,
+    dedupe. Guarantees any match of length ≥ w+k-1 tokens shares a
+    fingerprint, with a sampled (≈2/(w+1)) signature size.
+
+    Pure relational rolling-window formulation: one shuffle on doc_id for
+    the ordered window, min-over-frame in codegen. Documents shorter than
+    one full window contribute the min of what they have.
+    """
+    ps = positional_shingles(df, id_col, text_col, k)
+    hashed = ps.select("doc_id", "pos", hash60(F.col("shingle")).alias("hv"))
+    wframe = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    wall = Window.partitionBy("doc_id")
+    return (
+        hashed.withColumn("wmin", F.min("hv").over(wframe))
+        .withColumn("maxpos", F.max("pos").over(wall))
+        .where(F.col("pos") <= F.greatest(F.lit(1), F.col("maxpos") - (w - 1)))
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
     )
 
 

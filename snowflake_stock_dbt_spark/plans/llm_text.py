@@ -37,6 +37,7 @@ from ..operators.textdedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signatures,
+    winnowing_fingerprints,
 )
 from ..sources.tables import load_table
 
@@ -383,6 +384,42 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 # ---------------------------------------------------------------------------
+# Q47 — winnowing fingerprints (MOSS): positional k-gram hashes → w-window
+# minima → distinct. The rolling-hash fingerprint of the north-star list.
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4
+
+
+def q47_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text", k=3, w=WINNOW_W)
+
+
+Q47_SQL = rf"""
+WITH {_SQL_TOKS},
+psh AS (
+    SELECT doc_id, CAST(i + 1 AS INT) AS pos,
+           concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+    FROM toks CROSS JOIN range(0, 4000) r(i)
+    WHERE i <= len(t) - 3
+),
+h AS (
+    SELECT doc_id, pos, {_SQL_HASH60.format(x='shingle')} AS hv FROM psh
+),
+m AS (
+    SELECT doc_id, pos,
+           MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+           MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+    FROM h
+)
+SELECT DISTINCT doc_id, wmin AS fp
+FROM m WHERE pos <= GREATEST(1, maxpos - {WINNOW_W - 1})
+"""
+
+
+# ---------------------------------------------------------------------------
 
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
@@ -394,6 +431,7 @@ LLM_TEXT_QUERIES = {
     "q22_minhash_lsh_pairs": q22_minhash_lsh_pairs,
     "q23_simhash": q23_simhash,
     "q24_simhash_pairs": q24_simhash_pairs,
+    "q47_winnowing": q47_winnowing,
 }
 
 LLM_TEXT_ORACLES = {
@@ -406,4 +444,5 @@ LLM_TEXT_ORACLES = {
     "q22_minhash_lsh_pairs": Q22_SQL,
     "q23_simhash": Q23_SQL,
     "q24_simhash_pairs": Q24_SQL,
+    "q47_winnowing": Q47_SQL,
 }

@@ -92,14 +92,46 @@ GROUP BY user_id
 """
 
 
+def q48_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — the streaming analog of
+    J1's fct⋈dim), aggregated per nation in complete mode. Final state
+    equals the batch join+rollup, which the oracle checks."""
+    from ..sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    return run_streaming_query(spark, agg, output_mode="complete")
+
+
+Q48_SQL = """
+SELECT c_nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,
     "q41_stateful_totals": q41_stateful_totals,
+    "q48_stream_static_join": q48_stream_static_join,
 }
 
 STREAMING_ORACLES = {
     "q29_streaming_window": Q29_SQL,
     "q30_streaming_dedup": Q30_SQL,
     "q41_stateful_totals": Q41_SQL,
+    "q48_stream_static_join": Q48_SQL,
 }

@@ -40,3 +40,28 @@ def test_lsh_candidates_superset_of_exact_pairs(spark, oracle_sf_dir):
     assert exact, "expected planted near-dups"
     missing = exact - cand
     assert not missing, f"LSH missed high-jaccard pairs: {missing}"
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's core property: two documents sharing a run of at least
+    w + k - 1 tokens must share at least one fingerprint; disjoint-vocab
+    documents share none."""
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens >= w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} nine ten eleven"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
