@@ -5,6 +5,7 @@ from .multimodal_plans import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
 from .scale import SCALE_ORACLES, SCALE_QUERIES
+from .sql_api import SQL_API_ORACLES, SQL_API_QUERIES
 from .streaming_plans import STREAMING_ORACLES, STREAMING_QUERIES
 from .vectors import VECTOR_ORACLES, VECTOR_QUERIES
 
@@ -19,6 +20,7 @@ ALL_QUERIES = {
     **RELATIONAL_QUERIES,
     **MULTIMODAL_QUERIES,
     **SCALE_QUERIES,
+    **SQL_API_QUERIES,
 }
 
 #: DuckDB oracle SQL for each query (omitted => driver does rows-only check).
@@ -32,6 +34,7 @@ ALL_ORACLES = {
     **RELATIONAL_ORACLES,
     **MULTIMODAL_ORACLES,
     **SCALE_ORACLES,
+    **SQL_API_ORACLES,
 }
 
 __all__ = [

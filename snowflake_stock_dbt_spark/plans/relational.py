@@ -16,7 +16,7 @@ compares it directly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_SUM, dec_sum
@@ -361,6 +361,93 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q49 — full outer join: daily click vs purchase activity; days with only
+# one side survive with NULLs. Completes the outer-join surface (the
+# reference uses inner joins only).
+# ---------------------------------------------------------------------------
+
+
+def q49_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = lambda t: (  # noqa: E731
+        ev.where(F.col("event_type") == t)
+        .groupBy(F.to_date("ts").alias("day"), F.col("user_id"))
+        .agg(F.count("*").alias(f"n_{t}"))
+    )
+    clicks, purchases = daily("click"), daily("purchase")
+    return (
+        clicks.join(purchases, ["day", "user_id"], "full_outer")
+        .select(
+            "day",
+            "user_id",
+            F.coalesce("n_click", F.lit(0)).alias("n_click"),
+            F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+        )
+    )
+
+
+Q49_SQL = """
+WITH c AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+           COUNT(*) AS n_click
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+           COUNT(*) AS n_purchase
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(c.day, p.day) AS day,
+       COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(n_click, 0) AS n_click,
+       COALESCE(n_purchase, 0) AS n_purchase
+FROM c FULL OUTER JOIN p ON c.day = p.day AND c.user_id = p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q50 — ranking-window trio: rank, dense_rank, ntile over a unique order
+# key (o_totalprice ties broken by o_orderkey ⇒ deterministic on every
+# engine). One shuffle on the partition key.
+# ---------------------------------------------------------------------------
+
+
+def q50_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .where(F.col("rnk") <= 100)
+    )
+
+
+Q50_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
+)
+WHERE rnk <= 100
+"""
+
+
 RELATIONAL_QUERIES = {
     "q31_rollup": q31_rollup,
     "q32_cube": q32_cube,
@@ -371,6 +458,8 @@ RELATIONAL_QUERIES = {
     "q37_range_join": q37_range_join,
     "q43_revenue_rollup": q43_revenue_rollup,
     "q44_semi_anti": q44_semi_anti,
+    "q49_full_outer": q49_full_outer,
+    "q50_ranking": q50_ranking,
 }
 
 RELATIONAL_ORACLES = {
@@ -383,4 +472,6 @@ RELATIONAL_ORACLES = {
     "q37_range_join": Q37_SQL,
     "q43_revenue_rollup": Q43_SQL,
     "q44_semi_anti": Q44_SQL,
+    "q49_full_outer": Q49_SQL,
+    "q50_ranking": Q50_SQL,
 }

@@ -1,0 +1,47 @@
+"""[EXT] SQL-string entry path: the engine's ``spark.sql`` surface.
+
+The reference's users write SQL worksheets (reference
+sql/03_analytics_queries.sql); this module proves the engine accepts the
+same contract: register the corpus as views (sources/tables.py:
+register_views) and run SQL text — including constructs the DataFrame
+queries don't exercise: a scalar subquery, an IN-subquery, and a
+correlated EXISTS. Catalyst compiles them to the same joins/aggregates as
+the DataFrame API (scalar subquery → broadcast, IN → left-semi), so the
+SQL door costs nothing at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+
+#: Orders that beat their priority class's average price, from customers in
+#: nations that actually have suppliers. Dialect-portable: runs verbatim on
+#: Spark and DuckDB.
+Q51_TEXT = """
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders o2
+        WHERE o2.o_orderpriority = o.o_orderpriority
+      )
+  AND o.o_custkey IN (
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+      )
+  AND EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+      )
+"""
+
+
+def q51_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(Q51_TEXT)
+
+
+SQL_API_QUERIES = {"q51_sql_surface": q51_sql_surface}
+SQL_API_ORACLES = {"q51_sql_surface": Q51_TEXT}
