@@ -31,15 +31,43 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from snowflake_stock_dbt_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # Recycle the whole JVM every RECYCLE_EVERY queries: long single-JVM
+    # suites accumulate state (broadcast blocks, streaming state stores,
+    # generated classes) that measurably inflates late queries — a context
+    # restart alone is not enough because the degradation lives in the JVM,
+    # not the SparkContext. Gateway restart costs ~10 s and keeps each
+    # query's time a function of its plan, not its suite position.
+    RECYCLE_EVERY = 10
 
+    def fresh_session():
+        s = get_spark(app_name="bench")
+        # Warm up codegen/IO on the smallest corpus so the first timed
+        # query doesn't pay session start-up.
+        next(iter(entry_mod.queries().values()))(
+            s, "/root/testdata/sf0.001"
+        ).collect()
+        return s
+
+    def restart_jvm(s):
+        from pyspark import SparkContext
+
+        s.stop()
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+        os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+        return fresh_session()
+
+    spark = fresh_session()
     qs = entry_mod.queries()
-    # Warm up the JVM/codegen path on the smallest corpus so per-query times
-    # measure the plan, not session start-up.
-    next(iter(qs.values()))(spark, "/root/testdata/sf0.001").collect()
 
     times: dict[str, float] = {}
-    for name in sorted(qs):
+    for i, name in enumerate(sorted(qs)):
+        if i > 0 and i % RECYCLE_EVERY == 0:
+            spark = restart_jvm(spark)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 4)

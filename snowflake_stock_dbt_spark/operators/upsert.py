@@ -70,3 +70,38 @@ def merge_upsert_write(
         merged.count()
         merged.write.mode("overwrite").parquet(path)
         merged.unpersist()
+
+
+def delta_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str | list[str],
+) -> None:
+    """MERGE INTO on a Delta table — the transactional upsert used when
+    delta-spark is on the classpath (capability-gated: this environment
+    ships plain Parquet, so the partition-scoped strategy above is the
+    production path here). Matched rows update every column, unmatched
+    insert — the reference's MERGE contract (sql/02_load_data.sql:115-163).
+    """
+    try:
+        from delta.tables import DeltaTable  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "delta-spark is not installed; use merge_upsert_write "
+            "(partition-scoped Parquet overwrite) instead"
+        ) from exc
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if not DeltaTable.isDeltaTable(spark, path):
+        source.write.format("delta").mode("overwrite").save(path)
+        return
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
