@@ -53,13 +53,17 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("long")
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles (array<string>); empty array when < k tokens.
+def shingles_from_tokens(tok_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles from a PRE-MATERIALIZED token-array column.
 
-    Word-level (not character-level) shingling: character n-grams collide
-    catastrophically on natural text, exploding the candidate-pair join.
+    The token array must be its own projected column (not an inlined
+    ``split(...)`` expression): higher-order-function lambdas defeat
+    common-subexpression elimination, so an inlined split would be
+    re-evaluated for every ``element_at`` — k copies per shingle position,
+    an O(n·k) re-tokenize per row that also bloats the generated code
+    (~3× slower end-to-end, measured on the documents corpus).
     """
-    t = tokens(col)
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     n = F.size(t)
     idx = F.sequence(F.lit(1), n - (k - 1))
     joined = F.transform(
@@ -68,6 +72,18 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(joined)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (array<string>); empty array when < k tokens.
+
+    Word-level (not character-level) shingling: character n-grams collide
+    catastrophically on natural text, exploding the candidate-pair join.
+
+    Prefer tokenizing into a real column and calling
+    :func:`shingles_from_tokens` in hot paths — see that docstring.
+    """
+    return shingles_from_tokens(tokens(col), k)
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_parallelism
-from ..functions.text import fingerprint, hash60, word_shingles
+from ..functions.text import fingerprint, hash60, shingles_from_tokens, tokens
 
 # MinHash configuration: 64 permutations in 16 bands of 4.
 MINHASH_SEEDS = 64
@@ -83,10 +83,13 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
     # upstream file count (locally: one parquet file) would otherwise pin
     # the entire tokenize/shingle/hash pipeline to those few tasks. The
     # pre-explode shuffle moves only (id, text) rows — cheap relative to
-    # the k-gram blow-up it parallelizes.
-    return ensure_min_parallelism(df, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    # the k-gram blow-up it parallelizes. Tokenize in its own projection so
+    # the split runs once per row (see shingles_from_tokens docstring).
+    toks = ensure_min_parallelism(df, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    return toks.select(
+        "doc_id", F.explode(shingles_from_tokens("t", k)).alias("shingle")
     )
 
 
@@ -196,9 +199,14 @@ def minhash_lsh_pairs(
         )
         for band in range(bands)
     ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    # Persist the banded signatures: the self-join references them on both
+    # sides, and without the persist the whole shingle→hash→64-min pipeline
+    # would execute twice (once per join input).
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+        .persist()
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -217,7 +225,12 @@ def positional_shingles(
 ) -> DataFrame:
     """(doc_id, pos, shingle) — k-word shingles WITH positions and WITHOUT
     dedup (winnowing needs the full positional sequence)."""
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Materialize the token array first — an inlined split would re-run per
+    # element_at inside the lambda (see shingles_from_tokens docstring).
+    toks = ensure_min_parallelism(df, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    t = F.col("t")
     n = F.size(t)
     arr = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -229,9 +242,8 @@ def positional_shingles(
         ),
     )
     return (
-        ensure_min_parallelism(df, F.col(id_col))
-        .where(n >= k)
-        .select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("s"))
+        toks.where(n >= k)
+        .select("doc_id", F.explode(arr).alias("s"))
         .select("doc_id", "s.pos", "s.shingle")
     )
 
@@ -268,25 +280,34 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash): classic SimHash — every token occurrence votes ±1
     on each signature bit according to its hash60 bit; bit is 1 when the sum
-    is positive. Explodes tokens × bits, one shuffle on (doc_id, bit), then
-    reassembles the signature with shiftleft/sum."""
+    is positive.
+
+    One aggregation pass, no bit-explode: each of the ``bits`` vote sums is
+    its own conditional-SUM aggregate column over the token hashes (the same
+    shape as the 64-min MinHash aggregate). Map-side partial aggregation
+    reduces the shuffle to |docs| × bits partial sums, vs the tokens × bits
+    row blow-up an explode-on-bit formulation would push through the
+    exchange (≈60× more shuffled rows)."""
     toks = ensure_min_parallelism(df, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
     hashed = toks.select("doc_id", hash60(F.col("tok")).alias("h"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = hashed.select("doc_id", "h", bit).select(
-        "doc_id",
-        "bit",
-        F.when((F.expr("shiftright(h, bit)") % 2) == 1, 1).otherwise(-1).alias("vote"),
-    )
-    bitsums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    return bitsums.groupBy("doc_id").agg(
+    votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), s).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{s}")
+        for s in range(bits)
+    ]
+    bitsums = hashed.groupBy("doc_id").agg(*votes)
+    sig = None
+    for s in range(bits):
+        term = F.when(F.col(f"s{s}") > 0, F.lit(1 << s).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return bitsums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -321,9 +342,13 @@ def simhash_pairs(
         )
         for i in range(bands)
     ]
-    banded = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*slices)).alias("b")
-    ).select("doc_id", "simhash", "b.band_id", "b.slice")
+    # Persist before the self-join — both sides read it, and recomputing
+    # the token-explode + bit-vote pipeline twice would dominate the cost.
+    banded = (
+        sig.select("doc_id", "simhash", F.explode(F.array(*slices)).alias("b"))
+        .select("doc_id", "simhash", "b.band_id", "b.slice")
+        .persist()
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
