@@ -7,9 +7,10 @@ Runs every headline query from ``__spark_entry__.queries()`` against
     {"metric": "...", "value": total_sec, "unit": "sec",
      "queries": {"q01...": sec, ...}, "sf": 0.1}
 
-Each query is timed to full materialization (collect) after a warm-up pass
-of the session (first query pays JVM/codegen warm-up; order is fixed so
-run-to-run numbers are comparable).
+Each query is timed to full materialization (collect) after warm-up passes
+that exercise every runtime path (codegen, streaming state store,
+Arrow/pandas workers) at the smallest corpus; order is fixed so run-to-run
+numbers are comparable.
 """
 
 from __future__ import annotations
@@ -31,43 +32,28 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from snowflake_stock_dbt_spark.session import get_spark
 
-    # Recycle the whole JVM every RECYCLE_EVERY queries: long single-JVM
-    # suites accumulate state (broadcast blocks, streaming state stores,
-    # generated classes) that measurably inflates late queries — a context
-    # restart alone is not enough because the degradation lives in the JVM,
-    # not the SparkContext. Gateway restart costs ~10 s and keeps each
-    # query's time a function of its plan, not its suite position.
-    RECYCLE_EVERY = 10
+    #: Queries whose first execution warms a whole runtime path (plain
+    #: codegen+scan, Structured Streaming + state store, Arrow/pandas
+    #: workers, text explode, wide aggregate codegen) — run once at the
+    #: smallest corpus so timed queries measure the plan, not cold-start.
+    WARMUP = [
+        "q01_top_by_metric",
+        "q29_streaming_window",
+        "q41_stateful_totals",
+        "q38_media_decode",
+        "q21_minhash_signatures",
+        "q23_simhash",
+    ]
 
-    def fresh_session():
-        s = get_spark(app_name="bench")
-        # Warm up codegen/IO on the smallest corpus so the first timed
-        # query doesn't pay session start-up.
-        next(iter(entry_mod.queries().values()))(
-            s, "/root/testdata/sf0.001"
-        ).collect()
-        return s
-
-    def restart_jvm(s):
-        from pyspark import SparkContext
-
-        s.stop()
-        gw = SparkContext._gateway
-        if gw is not None:
-            gw.shutdown()
-        SparkContext._gateway = None
-        SparkContext._jvm = None
-        os.environ.pop("PYSPARK_GATEWAY_PORT", None)
-        os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
-        return fresh_session()
-
-    spark = fresh_session()
+    spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
+    for w in WARMUP:
+        if w in qs:
+            qs[w](spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
-    for i, name in enumerate(sorted(qs)):
-        if i > 0 and i % RECYCLE_EVERY == 0:
-            spark = restart_jvm(spark)
+    for name in sorted(qs):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 4)
