@@ -57,6 +57,14 @@ def get_spark(
         # Spark parquet reader rejects by default; read as long and convert
         # in sources/tables.py (truncating ns->us exactly like DuckDB's cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Drive-to-completion streams (Trigger.AvailableNow-style) don't
+        # benefit from background state-store snapshot maintenance, and
+        # stopped queries' providers linger until maintenance unloads them —
+        # keep the interval beyond job lifetime and retain minimal batches
+        # so finished streams leave no background I/O behind.
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

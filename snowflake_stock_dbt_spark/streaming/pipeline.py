@@ -108,4 +108,9 @@ def run_streaming_query(
     finally:
         q.stop()
         q.awaitTermination()
-    return spark.table(name)
+    # Detach the result from the memory sink: localCheckpoint materializes
+    # the rows, so the sink's temp view (and its driver-held buffer) can be
+    # dropped instead of accumulating across queries in a long session.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
