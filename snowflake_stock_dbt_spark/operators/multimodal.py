@@ -93,6 +93,89 @@ def decode_media(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+#: Output schema of the resize stage.
+RESIZE_SCHEMA = (
+    "media_id long, out_w int, out_h int, n_bytes long, resized_sha string"
+)
+
+#: Output schema of the frame-sampling stage (flat-map: 1 row in, k out).
+FRAME_SCHEMA = "media_id long, frame_idx int, n_bytes long, frame_sha string"
+
+
+def resize_media(df: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """mapInPandas resize stage: every payload becomes an ``out_w×out_h``
+    "image". The resample kernel is STUBBED as a deterministic prefix crop
+    (first ``out_w*out_h`` bytes) — a real implementation decodes pixels and
+    interpolates (PIL ``Image.resize``) behind the exact same batch
+    interface. Narrow pass, no shuffle; output size is bounded by
+    ``out_w*out_h`` per row regardless of input payload size, which is the
+    property that matters for a 100 TB image corpus (the stage only ever
+    shrinks the data it forwards).
+    """
+    import hashlib
+
+    target = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                (p if p is not None else b"")[:target] for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes": [len(r) for r in resized],
+                    "resized_sha": [
+                        hashlib.sha256(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_k: int = 4
+) -> DataFrame:
+    """mapInPandas frame-sampling stage (video → every k-th frame).
+
+    Payloads are treated as a sequence of fixed-size ``frame_bytes`` chunks
+    (a real implementation would ffmpeg-demux; same flat-map shape). One
+    input row fans out to ``ceil(len/frame_bytes)/every_k`` frame rows —
+    the canonical video-corpus reduction: sample early, so downstream
+    stages never see the unsampled frame stream.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            shas: list[str] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    chunk = p[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Per-modality rollup of payload sizes (pure JVM aggregation)."""
     return (

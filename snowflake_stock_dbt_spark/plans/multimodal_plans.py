@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import decode_media, media_stats
+from ..operators.multimodal import (
+    decode_media,
+    media_stats,
+    resize_media,
+    sample_frames,
+)
 from ..sources.tables import load_table
 
 _MODALITY = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
@@ -79,12 +84,62 @@ GROUP BY 1
 """
 
 
+RESIZE_W = RESIZE_H = 64
+FRAME_BYTES = 256
+FRAME_EVERY_K = 4
+
+
+def q52_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize over the image rows. The stub kernel is a
+    prefix crop, so the oracle can replay it byte-for-byte with substr —
+    the corpus is ASCII, where DuckDB's char-substr equals a byte-substr."""
+    media = documents_as_media(spark, sf_dir).where(F.col("modality") == "image")
+    return resize_media(media, RESIZE_W, RESIZE_H)
+
+
+Q52_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST({RESIZE_W} AS INT) AS out_w,
+       CAST({RESIZE_H} AS INT) AS out_h,
+       CAST(octet_length(encode(substr(text, 1, {RESIZE_W * RESIZE_H}))) AS BIGINT)
+           AS n_bytes,
+       sha256(substr(text, 1, {RESIZE_W * RESIZE_H})) AS resized_sha
+FROM documents
+WHERE {_MODALITY} = 'image'
+"""
+
+
+def q53_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-map frame sampling over the video rows: every {k}-th
+    {frame_bytes}-byte chunk. One input row fans out to many frame rows —
+    the mapInPandas generator shape a real demuxer would use."""
+    media = documents_as_media(spark, sf_dir).where(F.col("modality") == "video")
+    return sample_frames(media, FRAME_BYTES, FRAME_EVERY_K)
+
+
+Q53_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(octet_length(encode(substr(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})))
+            AS BIGINT) AS n_bytes,
+       sha256(substr(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})) AS frame_sha
+FROM documents,
+     LATERAL UNNEST(range(0,
+         CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT))) AS u(i)
+WHERE {_MODALITY} = 'video' AND i % {FRAME_EVERY_K} = 0
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q38_media_decode": q38_media_decode,
     "q39_media_stats": q39_media_stats,
+    "q52_media_resize": q52_media_resize,
+    "q53_frame_sample": q53_frame_sample,
 }
 
 MULTIMODAL_ORACLES = {
     "q38_media_decode": Q38_SQL,
     "q39_media_stats": Q39_SQL,
+    "q52_media_resize": Q52_SQL,
+    "q53_frame_sample": Q53_SQL,
 }

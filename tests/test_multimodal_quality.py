@@ -10,6 +10,8 @@ from snowflake_stock_dbt_spark.operators.multimodal import (
     decode_media,
     media_stats,
     require_real_decoder,
+    resize_media,
+    sample_frames,
 )
 from snowflake_stock_dbt_spark.quality.checks import (
     accepted_range,
@@ -55,6 +57,40 @@ def test_media_stats_rollup(media_df):
 def test_decoder_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         require_real_decoder()
+
+
+def test_resize_bounds_output(media_df):
+    out = {r["media_id"]: r for r in resize_media(media_df, 4, 2).collect()}
+    assert all(r["out_w"] == 4 and r["out_h"] == 2 for r in out.values())
+    # output never exceeds out_w*out_h bytes regardless of input size
+    assert out[1]["n_bytes"] == 8
+    assert out[4]["n_bytes"] == 0  # NULL payload
+    import hashlib
+
+    assert out[3]["resized_sha"] == hashlib.sha256(b"RIFF fak").hexdigest()
+
+
+def test_frame_sample_reassembles(media_df):
+    # every_k=1 keeps every frame: concatenating them must rebuild the
+    # payload exactly (the flat-map loses nothing).
+    frames = sample_frames(media_df, frame_bytes=5, every_k=1).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    import hashlib
+
+    p1 = b"\x89PNG fake payload 1"
+    got = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in got] == list(range(4))
+    assert [r["frame_sha"] for r in got] == [
+        hashlib.sha256(p1[i * 5 : (i + 1) * 5]).hexdigest() for i in range(4)
+    ]
+    assert sum(r["n_bytes"] for r in got) == len(p1)
+    assert 4 not in by_id  # NULL payload -> no frames
+    # every_k=2 keeps frames 0,2
+    sampled = sample_frames(media_df, frame_bytes=5, every_k=2).collect()
+    idxs = sorted(r["frame_idx"] for r in sampled if r["media_id"] == 1)
+    assert idxs == [0, 2]
 
 
 def test_quality_checks_pass_and_fail(spark):
