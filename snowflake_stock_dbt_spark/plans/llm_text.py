@@ -420,6 +420,65 @@ FROM m WHERE pos <= GREATEST(1, maxpos - {WINNOW_W - 1})
 
 
 # ---------------------------------------------------------------------------
+# Q54 — Near-dup cluster formation: connected components over the MinHash-
+# LSH candidate pairs (operators/graph.py label propagation). The oracle
+# replays the clustering with a recursive transitive-closure CTE — the
+# iterative distributed algorithm and the SQL recursion must agree exactly.
+# ---------------------------------------------------------------------------
+
+
+def q54_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import neardup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3)
+    return neardup_components(pairs, docs, id_col="doc_id")
+
+
+Q54_SQL = rf"""
+WITH RECURSIVE {_SQL_TOKS}, {_SQL_SHINGLES},
+{_params_values_sql(64)},
+hashed AS (
+    SELECT doc_id, {_SQL_BASE31} AS h FROM sh
+),
+sig AS (
+    SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+    FROM hashed CROSS JOIN params
+    GROUP BY doc_id, seed
+),
+banded AS (
+    SELECT doc_id, seed // 4 AS band_id,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+    FROM sig
+    GROUP BY doc_id, seed // 4
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (
+    SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+),
+sizes AS (
+    SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT comp.doc_id, comp.component, sizes.cluster_size,
+       comp.doc_id = comp.component AS is_keeper
+FROM comp JOIN sizes USING (component)
+"""
+
 
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
@@ -432,6 +491,7 @@ LLM_TEXT_QUERIES = {
     "q23_simhash": q23_simhash,
     "q24_simhash_pairs": q24_simhash_pairs,
     "q47_winnowing": q47_winnowing,
+    "q54_neardup_groups": q54_neardup_groups,
 }
 
 LLM_TEXT_ORACLES = {
@@ -445,4 +505,5 @@ LLM_TEXT_ORACLES = {
     "q23_simhash": Q23_SQL,
     "q24_simhash_pairs": Q24_SQL,
     "q47_winnowing": Q47_SQL,
+    "q54_neardup_groups": Q54_SQL,
 }

@@ -1,0 +1,53 @@
+"""Tests for the connected-components / near-dup-grouping operator."""
+
+from __future__ import annotations
+
+from snowflake_stock_dbt_spark.operators.graph import (
+    connected_components,
+    neardup_components,
+)
+
+
+def _cc_dict(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_two_components_and_chain(spark):
+    # 1-2-3 chained (diameter > 1 forces multiple propagation rounds),
+    # 10-11 separate.
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (10, 11)], "src long, dst long"
+    )
+    got = _cc_dict(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # path 0-1-2-...-9: worst-case diameter for label propagation.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    got = _cc_dict(connected_components(edges))
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_isolated_vertices_keep_own_label(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (7,)], "id long")
+    got = _cc_dict(connected_components(edges, vertices=verts))
+    assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_neardup_components_keeper_contract(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    rows = {r["doc_id"]: r for r in neardup_components(pairs, docs).collect()}
+    assert rows[1]["component"] == 1 and rows[1]["cluster_size"] == 3
+    assert rows[3]["component"] == 1 and not rows[3]["is_keeper"]
+    assert rows[5]["component"] == 5 and rows[5]["cluster_size"] == 2
+    assert rows[4]["cluster_size"] == 1 and rows[4]["is_keeper"]
+    # exactly one keeper per cluster
+    keepers = [r for r in rows.values() if r["is_keeper"]]
+    assert sorted(r["component"] for r in keepers) == [1, 4, 5, 7]
