@@ -95,3 +95,56 @@ def test_stateful_totals_across_microbatches(spark, tmp_path):
     # At least one user must have been emitted in both micro-batches.
     multi = out.groupBy("user_id").count().where("count > 1").count()
     assert multi > 0
+
+
+def test_foreach_batch_upsert_sink(spark, tmp_path):
+    """foreachBatch upsert: two micro-batches land as one deduped table;
+    replaying a batch (at-least-once delivery) leaves the table unchanged."""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.streaming.sink import start_upsert_stream
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10, 100), (2, "b", 10, 100), (1, "a", 20, 101)],
+        "k long, s string, v long, ver long",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 30, 200), (3, "c", 30, 200)],
+        "k long, s string, v long, ver long",
+    )
+    b1.coalesce(1).write.parquet(str(land / "f1"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k long, s string, v long, ver long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{land}/*")
+        )
+        q = start_upsert_stream(
+            stream, target, keys=["k"], order_by=["ver", "v"],
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got1 == {1: ("a", 20), 2: ("b", 10)}  # latest-wins within batch
+
+    b2.coalesce(1).write.parquet(str(land / "f2"))
+    drain()
+    got2 = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got2 == {1: ("a", 20), 2: ("b2", 30), 3: ("c", 30)}
+
+    # Replay batch 2 with a FRESH checkpoint (simulated redelivery): the
+    # key-MERGE makes it a no-op.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    drain()
+    got3 = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got3 == got2
