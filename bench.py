@@ -52,14 +52,22 @@ def main() -> None:
             qs[w](spark, "/root/testdata/sf0.001").collect()
     spark.catalog.clearCache()
 
+    # Two timed runs per query, report the min: single-shot timings on a
+    # shared host mix plan cost with CPU-contention noise (observed 10-40x
+    # spikes on identical plans); the min of two runs is the steady-state
+    # number the plan actually costs.
+    RUNS = 2
     times: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
-        # Isolate queries: drop any persisted intermediates so one query's
-        # cache (or memory pressure) can't distort the next one's time.
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            # Isolate runs: drop persisted intermediates so one query's
+            # cache (or memory pressure) can't distort the next timing.
+            spark.catalog.clearCache()
+        times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     print(
