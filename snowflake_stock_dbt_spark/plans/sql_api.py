@@ -43,5 +43,33 @@ def q51_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q51_TEXT)
 
 
-SQL_API_QUERIES = {"q51_sql_surface": q51_sql_surface}
-SQL_API_ORACLES = {"q51_sql_surface": Q51_TEXT}
+#: Latest order per customer, written with Snowflake's QUALIFY — the
+#: reference's dedup idiom (reference sql/02_load_data.sql:109-112) as its
+#: users would type it. Spark SQL has no QUALIFY; the engine rewrites it
+#: (sqldialect.rewrite_qualify). DuckDB supports QUALIFY natively, so the
+#: oracle runs the SAME text verbatim — dialect parity end to end.
+Q55_TEXT = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC
+        ) = 1
+"""
+
+
+def q55_qualify_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqldialect import rewrite_qualify
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_qualify(Q55_TEXT))
+
+
+SQL_API_QUERIES = {
+    "q51_sql_surface": q51_sql_surface,
+    "q55_qualify_surface": q55_qualify_surface,
+}
+SQL_API_ORACLES = {
+    "q51_sql_surface": Q51_TEXT,
+    "q55_qualify_surface": Q55_TEXT,
+}

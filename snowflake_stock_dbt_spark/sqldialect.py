@@ -1,0 +1,161 @@
+"""Snowflake-dialect SQL preprocessing: QUALIFY rewrite.
+
+The reference's SQL leans on Snowflake's ``QUALIFY`` for window-filter
+dedup (reference sql/02_load_data.sql:109-112); OSS Spark SQL has no
+QUALIFY, so the engine's SQL-string surface rewrites it into standard
+form before ``spark.sql`` (SURVEY.md §7.3: "any SQL-string surface we
+offer must rewrite QUALIFY or not accept it"):
+
+    SELECT <sel> FROM <rest> QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+    →
+    SELECT * [EXCEPT (__q0, ...)] FROM (
+        SELECT <sel> [, <window-expr> AS __q0, ...] FROM <rest>
+    ) WHERE <pred with window-exprs replaced by __qN>
+    [ORDER BY ...] [LIMIT n]
+
+Window expressions appearing directly in the predicate are hoisted into
+the inner projection (hidden behind ``* EXCEPT``); predicates that only
+reference select-list aliases need no helpers. The scanner respects
+single-quoted strings, double-quoted identifiers, and nesting, so
+subqueries and literals containing the word "qualify" are untouched.
+
+Supported subset: one top-level QUALIFY per statement (Snowflake allows
+exactly that), predicate window functions of the form
+``name( args ) OVER ( spec )``. Deliberately NOT a full SQL parser — the
+rewrite refuses (raises) rather than guessing when it cannot find the
+top-level SELECT/FROM structure it needs.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _scan_top_level(sql: str, word: str) -> list[int]:
+    """Offsets where ``word`` appears as a token at paren-depth 0, outside
+    string/identifier quotes."""
+    out = []
+    depth = 0
+    i, n = 0, len(sql)
+    wlen = len(word)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and (sql[i] != "'" or (i + 1 < n and sql[i + 1] == "'")):
+                i += 2 if sql[i] == "'" else 1
+        elif c == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and sql[i : i + wlen].upper() == word:
+            before = sql[i - 1] if i > 0 else " "
+            after = sql[i + wlen] if i + wlen < n else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                out.append(i)
+                i += wlen
+                continue
+        i += 1
+    return out
+
+
+def _match_paren(sql: str, open_idx: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``open_idx``."""
+    depth = 0
+    i, n = open_idx, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _extract_window_exprs(pred: str) -> tuple[str, list[str]]:
+    """Replace every ``fn(args) OVER (spec)`` in ``pred`` with ``__qN``;
+    return (rewritten predicate, hoisted expressions in order)."""
+    exprs: list[str] = []
+    while True:
+        m = re.search(r"\bOVER\s*\(", pred, re.IGNORECASE)
+        if not m:
+            break
+        over_open = pred.index("(", m.start())
+        end = _match_paren(pred, over_open)
+        # Walk back from OVER across the window-function call: ')' of the
+        # arg list, its matching '(', then the function name.
+        j = m.start() - 1
+        while j >= 0 and pred[j].isspace():
+            j -= 1
+        if j < 0 or pred[j] != ")":
+            raise ValueError(
+                "QUALIFY rewrite: expected 'fn(args) OVER (spec)' in "
+                f"predicate near: {pred[max(0, m.start() - 40) : m.start()]!r}"
+            )
+        depth = 0
+        k = j
+        while k >= 0:
+            if pred[k] == ")":
+                depth += 1
+            elif pred[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        k -= 1
+        while k >= 0 and (pred[k].isalnum() or pred[k] in "_$"):
+            k -= 1
+        start = k + 1
+        exprs.append(pred[start:end])
+        pred = pred[:start] + f"__q{len(exprs) - 1}" + pred[end:]
+    return pred, exprs
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite one top-level QUALIFY into standard Spark SQL; statements
+    without QUALIFY pass through unchanged."""
+    hits = _scan_top_level(sql, "QUALIFY")
+    if not hits:
+        return sql
+    if len(hits) > 1:
+        raise ValueError("multiple top-level QUALIFY clauses")
+    q = hits[0]
+    head = sql[:q].rstrip()
+    tail = sql[q + len("QUALIFY") :]
+
+    # Split trailing top-level ORDER BY / LIMIT off the predicate.
+    trail_at = len(tail)
+    for word in ("ORDER", "LIMIT"):
+        for off in _scan_top_level(tail, word):
+            trail_at = min(trail_at, off)
+    pred, trailing = tail[:trail_at].strip(), tail[trail_at:].strip()
+
+    pred, hoisted = _extract_window_exprs(pred)
+
+    if hoisted:
+        froms = _scan_top_level(head, "FROM")
+        if not froms:
+            raise ValueError("QUALIFY rewrite: no top-level FROM in statement")
+        f = froms[0]
+        helpers = ", ".join(
+            f"{e} AS __q{i}" for i, e in enumerate(hoisted)
+        )
+        inner = f"{head[:f].rstrip()}, {helpers} {head[f:]}"
+        except_list = ", ".join(f"__q{i}" for i in range(len(hoisted)))
+        outer = f"SELECT * EXCEPT ({except_list}) FROM (\n{inner}\n) WHERE {pred}"
+    else:
+        outer = f"SELECT * FROM (\n{head}\n) WHERE {pred}"
+    return f"{outer}\n{trailing}" if trailing else outer
