@@ -171,6 +171,150 @@ def cosine_topk_fast(
     )
 
 
+#: Random-hyperplane LSH configuration: 16 sign bits in 4 bands of 4.
+LSH_ANN_BITS = 16
+LSH_ANN_BANDS = 4
+
+
+def lsh_hyperplanes(dim: int, bits: int = LSH_ANN_BITS) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplanes: sign of plane ``b`` at
+    position ``p`` = parity of md5(f"{b}:{p}"). Engine-independent by
+    construction — the same literals embed in the Spark plan and the SQL
+    oracle, so signatures are reproducible anywhere."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{b}:{p}".encode()).hexdigest()[:15], 16) % 2
+            else -1
+            for p in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def _lsh_banded(
+    df: DataFrame,
+    id_alias: str,
+    vec_col: str,
+    planes: list[list[int]],
+    bands: int,
+) -> DataFrame:
+    """(id, band_id, band_val): sign-bit signature sliced into integer band
+    values. Bits are exact-decimal signed sums (dot with a ±1 literal
+    array), so the signature — and therefore the candidate set — is
+    bit-identical on every engine."""
+    bits = len(planes)
+    rows = bits // bands
+    bit_cols = [
+        (
+            dot_exact(
+                F.col(vec_col), F.array(*[F.lit(float(s)) for s in plane])
+            )
+            > 0
+        ).alias(f"b{b}")
+        for b, plane in enumerate(planes)
+    ]
+    sig = df.select(F.col(id_alias), *bit_cols)
+    band_structs = []
+    for band in range(bands):
+        val: F.Column | None = None
+        for j in range(rows):
+            term = F.when(F.col(f"b{band * rows + j}"), F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            val = term if val is None else val + term
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band_id"), val.cast("int").alias("band_val")
+            )
+        )
+    return sig.select(
+        id_alias, F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_alias, "bd.band_id", "bd.band_val")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = LSH_ANN_BITS,
+    bands: int = LSH_ANN_BANDS,
+) -> DataFrame:
+    """LSH-bucketed ANN (the second scale path next to IVF): candidates =
+    vectors sharing ≥ 1 signature band with the query, re-ranked by exact
+    cosine, top-k per query.
+
+    Unlike IVF (data-dependent centroids → rows-only check), every stage
+    here is deterministic cross-engine — fixed hyperplanes, exact-decimal
+    sign sums, integer band buckets, exact-decimal re-rank — so the whole
+    ANN pipeline is oracle-checkable.
+
+    At 100 TB: the corpus is banded once (4 narrow rows per vector,
+    persistable next to the embeddings); a query probes only its bucket
+    collisions — never the full corpus. The re-rank joins vectors back by
+    id (shuffle bounded by the candidate count, which banding parameters
+    control).
+    """
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    planes = lsh_hyperplanes(dim, bits)
+    qb = _lsh_banded(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+        vec_col,
+        planes,
+        bands,
+    )
+    cb = _lsh_banded(
+        ensure_min_parallelism(corpus, F.col(id_col)).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+        ),
+        "neighbor_id",
+        vec_col,
+        planes,
+        bands,
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band_id", "band_val"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -12,7 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_neardup_pairs, cosine_topk_exact, ivf_topk
+from ..operators.similarity import (
+    LSH_ANN_BITS,
+    LSH_ANN_BANDS,
+    cosine_neardup_pairs,
+    cosine_topk_exact,
+    ivf_topk,
+    lsh_hyperplanes,
+    lsh_topk,
+)
 from ..sources.tables import load_table
 
 N_QUERY_VECS = 5
@@ -119,14 +127,95 @@ FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """
 
 
+def q56_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: fixed random-hyperplane signatures → band-bucket
+    candidates → exact-cosine re-rank. Fully deterministic, so unlike IVF
+    (q26) this approximate path carries a complete value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = lsh_topk(queries, emb, k=TOP_K)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+def _planes_values_sql() -> str:
+    """The ±1 hyperplane matrix as a VALUES table — the same literals the
+    Spark plan embeds (operators/similarity.py:lsh_hyperplanes)."""
+    planes = lsh_hyperplanes(64, LSH_ANN_BITS)
+    rows = ", ".join(
+        f"({b}, {p}, {s})"
+        for b, plane in enumerate(planes)
+        for p, s in enumerate(plane)
+    )
+    return f"planes(bit, pos, s) AS (VALUES {rows})"
+
+
+_BAND_ROWS = LSH_ANN_BITS // LSH_ANN_BANDS
+
+Q56_SQL = f"""
+WITH {_planes_values_sql()},
+u AS (
+    SELECT vec_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(embedding)
+),
+bits AS (
+    SELECT vec_id, bit,
+           SUM(CAST(v * s AS DECIMAL(38,18))) > 0 AS b
+    FROM u JOIN planes USING (pos)
+    GROUP BY vec_id, bit
+),
+banded AS (
+    SELECT vec_id, bit // {_BAND_ROWS} AS band_id,
+           CAST(SUM(CASE WHEN b THEN 1 << (bit % {_BAND_ROWS}) ELSE 0 END) AS INT)
+               AS band_val
+    FROM bits GROUP BY vec_id, bit // {_BAND_ROWS}
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM banded q
+    JOIN banded c ON q.band_id = c.band_id AND q.band_val = c.band_val
+    WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+),
+n AS (
+    SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nn
+    FROM u GROUP BY vec_id
+),
+dots AS (
+    SELECT query_id, neighbor_id,
+           CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM cand
+    JOIN u a ON a.vec_id = query_id
+    JOIN u b ON b.vec_id = neighbor_id AND a.pos = b.pos
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           dot / NULLIF(nq.nn * nc.nn, 0.0) AS cosine
+    FROM dots
+    JOIN n nq ON nq.vec_id = query_id
+    JOIN n nc ON nc.vec_id = neighbor_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 9) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
     "q40_embedding_neardup": q40_embedding_neardup,
+    "q56_ann_lsh": q56_ann_lsh,
 }
 
 VECTOR_ORACLES = {
     "q25_cosine_topk": Q25_SQL,
     # q26_ann_ivf intentionally absent: approximate float-path operator.
     "q40_embedding_neardup": Q40_SQL,
+    "q56_ann_lsh": Q56_SQL,
 }

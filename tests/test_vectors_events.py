@@ -98,3 +98,33 @@ def test_sessionize_sessions_are_disjoint(spark, sf_dir):
             assert a["session_end_us"] < b["session_start_us"]
             # the defining property: gap between sessions exceeds 30 min
             assert b["session_start_us"] - a["session_end_us"] > 1800 * 1_000_000
+
+def test_lsh_ann_bands_degenerate_to_exact(spark, oracle_sf_dir):
+    """With 1-bit bands every vector shares a band value with every query
+    (a bit is 0 or 1 → 2 buckets/band, 16 bands), so the candidate set is
+    total and LSH top-k must equal the exact operator."""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.operators.similarity import lsh_topk
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in q25_cosine_topk(spark, oracle_sf_dir).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in lsh_topk(queries, emb, k=3, bits=16, bands=16).collect()
+    }
+    assert exact == full
+
+
+def test_lsh_hyperplanes_deterministic():
+    from snowflake_stock_dbt_spark.operators.similarity import lsh_hyperplanes
+
+    a = lsh_hyperplanes(8, 4)
+    assert a == lsh_hyperplanes(8, 4)
+    assert all(s in (-1, 1) for plane in a for s in plane)
+    assert len(a) == 4 and all(len(p) == 8 for p in a)
