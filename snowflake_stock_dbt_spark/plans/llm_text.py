@@ -480,6 +480,82 @@ FROM comp JOIN sizes USING (component)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q58 — TF-IDF distinctive terms: top-3 terms per document by a rational
+# idf score. Uses (N+1)/(df+1) instead of ln((N+1)/(df+1)) so the score is
+# a quotient of exact integers — bit-identical IEEE division on every
+# engine; ln would be libm-dependent (documented swap for production
+# ranking, where 1-ulp drift doesn't matter).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_TERMS = 3
+
+
+def q58_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    nd = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            (
+                (F.col("tf") * (F.col("n") + 1)).cast("double")
+                / (F.col("doc_freq") + 1).cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tf", "doc_freq", "score", "rank")
+    )
+
+
+Q58_SQL = rf"""
+WITH tk AS (
+    SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM tk WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+    SELECT doc_id, term, tf, doc_freq,
+           CAST(tf * (n + 1) AS DOUBLE) / CAST(doc_freq + 1 AS DOUBLE) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, score, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_TERMS}
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -492,6 +568,7 @@ LLM_TEXT_QUERIES = {
     "q24_simhash_pairs": q24_simhash_pairs,
     "q47_winnowing": q47_winnowing,
     "q54_neardup_groups": q54_neardup_groups,
+    "q58_tfidf_terms": q58_tfidf_terms,
 }
 
 LLM_TEXT_ORACLES = {
@@ -506,4 +583,5 @@ LLM_TEXT_ORACLES = {
     "q24_simhash_pairs": Q24_SQL,
     "q47_winnowing": Q47_SQL,
     "q54_neardup_groups": Q54_SQL,
+    "q58_tfidf_terms": Q58_SQL,
 }

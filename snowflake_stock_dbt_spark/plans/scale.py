@@ -68,6 +68,52 @@ def q46_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACCURACY = 10000
+APPROX_PCT_TOLERANCE = 0.005
+
+
+def q57_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (the 100 TB path for q45): Spark's
+    approx_percentile keeps a bounded summary per group instead of sorting
+    every value. Same contract shape as q46 — the estimate itself is
+    engine-local, so the checked columns are the exact percentiles plus
+    the ACCURACY CLAIM (relative error within tolerance), which the oracle
+    pins to true."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = APPROX_PCT_ACCURACY
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_exact"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})").alias("a50"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.95, {acc})").alias("a95"),
+    )
+    tol = APPROX_PCT_TOLERANCE
+
+    def within(a: str, e: str) -> F.Column:
+        return (F.abs(F.col(a) - F.col(e)) / F.col(e) <= tol).alias(
+            f"{e.split('_')[0]}_within_tol"
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        "p95_exact",
+        within("a50", "p50_exact"),
+        within("a95", "p95_exact"),
+    )
+
+
+Q57_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5)  AS p50_exact,
+       quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 Q46_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_users,
@@ -80,9 +126,11 @@ GROUP BY event_type
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
+    "q57_approx_quantiles": q57_approx_quantiles,
 }
 
 SCALE_ORACLES = {
     "q45_quantiles": Q45_SQL,
     "q46_approx_distinct": Q46_SQL,
+    "q57_approx_quantiles": Q57_SQL,
 }
