@@ -279,6 +279,43 @@ ORDER BY event_type
 """
 
 # ---------------------------------------------------------------------------
+# Q59 — from_json with an explicit schema (the declared-schema counterpart
+# to q13's get_json_object path, SURVEY.md §2.8 note): parse props into a
+# typed struct once, then aggregate on the extracted field. At scale the
+# schema-on-read parse happens in one codegen pass; malformed documents
+# null out (non-ANSI), they don't fail the job — the TRY_TO_* loading
+# contract applied to JSON.
+# ---------------------------------------------------------------------------
+
+
+def q59_from_json_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = events.select(
+        "event_type", F.from_json(F.col("props"), schema).alias("p")
+    )
+    return (
+        parsed.select("event_type", (F.col("p.k") / 10).cast("long").alias("k_decile"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type", "k_decile")
+    )
+
+
+Q59_SQL = """
+SELECT event_type,
+       CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+           AS k_decile,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, k_decile
+ORDER BY event_type, k_decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q14 — MERGE upsert semantics (reference sql/02_load_data.sql:78-165, J6):
 # matched rows replaced wholesale from source, unmatched inserted. Source =
 # every 7th order re-priced; result = anti-join + union, the exact relational
@@ -362,6 +399,7 @@ PIPELINE_QUERIES = {
     "q11_filter_sort_limit": q11_filter_sort_limit,
     "q12_distinct_options": q12_distinct_options,
     "q13_json_props": q13_json_props,
+    "q59_from_json_histogram": q59_from_json_histogram,
     "q14_upsert_merge": q14_upsert_merge,
     "q15_pricing_summary": q15_pricing_summary,
 }
@@ -375,6 +413,7 @@ PIPELINE_ORACLES = {
     "q11_filter_sort_limit": Q11_SQL,
     "q12_distinct_options": Q12_SQL,
     "q13_json_props": Q13_SQL,
+    "q59_from_json_histogram": Q59_SQL,
     "q14_upsert_merge": Q14_SQL,
     "q15_pricing_summary": Q15_SQL,
 }
