@@ -17,6 +17,7 @@ from ..functions.numeric import SQL_DEC_SUM
 from ..streaming.pipeline import (
     run_streaming_query,
     stream_events,
+    stream_stream_interval_join,
     streaming_dedup,
     streaming_tumbling_agg,
 )
@@ -122,11 +123,39 @@ GROUP BY c_nationkey
 """
 
 
+ATTRIBUTION_WINDOW_S = 600
+
+
+def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase attribution
+    within 10 minutes); drained output equals the batch interval join."""
+    ev = stream_events(spark, sf_dir)
+    joined = stream_stream_interval_join(ev, window_s=ATTRIBUTION_WINDOW_S)
+    return run_streaming_query(spark, joined, output_mode="append")
+
+
+Q60_SQL = f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP)
+     <= CAST(c.ts AS TIMESTAMP) + INTERVAL {ATTRIBUTION_WINDOW_S} SECOND
+"""
+
+
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,
     "q41_stateful_totals": q41_stateful_totals,
     "q48_stream_static_join": q48_stream_static_join,
+    "q60_stream_stream_join": q60_stream_stream_join,
 }
 
 STREAMING_ORACLES = {
@@ -134,4 +163,5 @@ STREAMING_ORACLES = {
     "q30_streaming_dedup": Q30_SQL,
     "q41_stateful_totals": Q41_SQL,
     "q48_stream_static_join": Q48_SQL,
+    "q60_stream_stream_join": Q60_SQL,
 }

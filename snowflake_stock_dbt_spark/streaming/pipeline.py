@@ -91,6 +91,55 @@ def streaming_dedup(
     )
 
 
+def stream_stream_interval_join(
+    events: DataFrame, window_s: int = 600, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a prior click
+    by the same user within ``window_s`` seconds.
+
+    The canonical watermarked two-stream join: both sides carry a
+    watermark AND the join condition bounds event time on both sides, so
+    Spark can size the join state and evict rows older than
+    watermark + interval — without the time bound the state would grow
+    forever. Drained to completion the output equals the batch interval
+    join, which is how it is oracle-checked.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + interval {window_s} seconds
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
+    )
+
+
 def run_streaming_query(
     spark: SparkSession, df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
