@@ -46,6 +46,38 @@ def read_raw_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_raw_json(
+    spark: SparkSession, path: str, multiline: bool = True
+) -> DataFrame:
+    """Landing JSON file(s) -> bronze DataFrame, same shape and metadata
+    contract as :func:`read_raw_csv`.
+
+    The scraper emits both CSV and JSON (reference scraper/scrape.py:
+    183-197, S3/S4); this is the JSON side of the same COPY INTO
+    replacement. ``multiline=True`` (default) reads the scraper's
+    indented-array form; pass False for JSON-lines landing files (the
+    splittable form you want at scale — an array file is one task).
+    Schema is declared, never inferred (SURVEY.md §1.2); FAILFAST aborts
+    on malformed documents like ON_ERROR = ABORT_STATEMENT.
+    """
+    raw = (
+        spark.read.schema(RAW_CSV_SCHEMA)
+        .option("mode", "FAILFAST")
+        .option("multiLine", multiline)
+        .json(path)
+    )
+    w = Window.partitionBy(F.input_file_name()).orderBy(
+        F.monotonically_increasing_id()
+    )
+    return raw.select(
+        F.expr("uuid()").alias("load_id"),
+        F.input_file_name().alias("source_file_name"),
+        F.row_number().over(w).cast("long").alias("source_row_number"),
+        *SCRAPE_COLUMNS,
+        F.current_timestamp().alias("ingested_at"),
+    )
+
+
 def raw_quality_metrics(bronze: DataFrame) -> DataFrame:
     """Strict post-load aggregate (reference sql/02_load_data.sql:66-73):
     row count, missing identity fields, unparseable numerics."""

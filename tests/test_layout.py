@@ -63,3 +63,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact on its partition column against a
+    filtered dim must inject a dynamic-pruning subquery into the fact scan
+    (Snowflake micro-partition pruning analog for join-derived filters)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.sinks.layout import write_partitioned
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    path = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(orders, path, ["o_orderpriority"])
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority").distinct()
+        .withColumn("keep", F.col("o_orderpriority").startswith("1"))
+    )
+    joined = fact.join(
+        F.broadcast(dim.where(F.col("keep"))), "o_orderpriority"
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower()
+    got = joined.select("o_orderkey").count()
+    want = orders.where(F.col("o_orderpriority").startswith("1")).count()
+    assert got == want

@@ -112,3 +112,62 @@ def test_delta_gate_is_explicit(spark, tmp_path):
     src = spark.range(3).withColumnRenamed("id", "k")
     with pytest.raises(NotImplementedError, match="delta-spark"):
         delta_merge_upsert(spark, str(tmp_path / "t"), src, "k")
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(min_value=0, max_value=5)),
+        min_size=1,
+        max_size=12,
+    ),
+    n_salts=st.integers(min_value=1, max_value=4),
+)
+def test_salted_join_equals_plain_join(spark, rows, n_salts):
+    """salted_join must be row-for-row identical to the plain equi-join
+    for any key multiset (duplicates on both sides included)."""
+    from snowflake_stock_dbt_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(k, v * 10) for k, v in rows[: len(rows) // 2 + 1]],
+        "k long, rv long",
+    )
+    got = sorted(
+        tuple(r) for r in salted_join(left, right, ["k"], n_salts).collect()
+    )
+    want = sorted(tuple(r) for r in left.join(right, ["k"]).collect())
+    assert got == want
+
+
+_words = st.sampled_from(["a", "b", "c", "d"])
+
+
+@_SETTINGS
+@given(
+    doc_a=st.lists(_words, min_size=6, max_size=14),
+    doc_b=st.lists(_words, min_size=6, max_size=14),
+    insert_at=st.integers(min_value=0, max_value=6),
+)
+def test_winnowing_guarantee_on_shared_run(spark, doc_a, doc_b, insert_at):
+    """MOSS property: two documents sharing a token run of length
+    >= w + k - 1 must share at least one fingerprint. Construct the
+    overlap by splicing a fixed run into both random docs."""
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    run = ["x1", "x2", "x3", "x4", "x5", "x6"]  # length w + k - 1 = 6
+    a = doc_a[:insert_at] + run + doc_a[insert_at:]
+    b = run + doc_b
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b))], "doc_id long, text string"
+    )
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    by_doc: dict[int, set] = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], (a, b)

@@ -164,3 +164,22 @@ def test_serving_layer_on_star_schema(spark, bronze):
     assert len(top) == 5
     vols = [r["volume"] for r in top]
     assert vols == sorted(vols, reverse=True)
+
+
+def test_json_bronze_matches_csv_bronze(spark, landing_csv):
+    """The scraper's JSON sink read back through read_raw_json must yield
+    the same bronze rows (minus per-load audit columns) as the CSV path —
+    S3/S4 are two serializations of one snapshot."""
+    from snowflake_stock_dbt_spark.sources.csv_bronze import read_raw_json
+
+    json_path = landing_csv.replace(".csv", ".json")
+    jb = read_raw_json(spark, json_path)
+    cb = read_raw_csv(spark, landing_csv)
+    data_cols = [
+        c for c in jb.columns
+        if c not in ("load_id", "ingested_at", "source_file_name")
+    ]
+    jrows = sorted(tuple(r) for r in jb.select(*data_cols).collect())
+    crows = sorted(tuple(r) for r in cb.select(*data_cols).collect())
+    assert jrows == crows
+    assert {r["source_row_number"] for r in jb.collect()} == set(range(1, 101))
