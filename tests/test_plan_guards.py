@@ -1,0 +1,71 @@
+"""Library-wide physical-plan guards.
+
+Sweeps EVERY query in the driver contract and asserts the scale
+invariants PLANS.md documents, so a refactor that silently degrades a
+plan (a lost broadcast hint turning into a cartesian product, a Python
+UDF sneaking into a relational path) fails CI instead of surfacing at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+#: Queries allowed to contain BroadcastNestedLoopJoin: 1-row global-stats
+#: broadcasts (z-score two-pass) and deliberate query-set×corpus scoring
+#: broadcasts (similarity search).
+BNL_ALLOWED = {
+    "q03_zscore_outliers",
+    "q25_cosine_topk",
+    "q26_ann_ivf",
+    "q56_ann_lsh",
+    "q58_tfidf_terms",
+}
+
+#: Queries whose plan is ALLOWED to cross into Python — the sanctioned
+#: Arrow-batched seams only (mapInPandas / applyInPandasWithState).
+PANDAS_ALLOWED = {
+    "q38_media_decode",
+    "q52_media_resize",
+    "q53_frame_sample",
+    "q41_stateful_totals",
+}
+
+#: Streaming queries materialize through a memory sink before returning,
+#: so the returned DataFrame's plan is the sink scan, not the stream —
+#: nothing to guard here (their semantics are oracle-checked instead).
+STREAM_MATERIALIZED = {
+    "q29_streaming_window",
+    "q30_streaming_dedup",
+    "q41_stateful_totals",
+    "q48_stream_static_join",
+    "q60_stream_stream_join",
+}
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_plan_guards(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = _plan(spark, df)
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNL_ALLOWED and name not in STREAM_MATERIALIZED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join"
+        )
+    # Row-at-a-time Python evaluation is banned everywhere.
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in PANDAS_ALLOWED and name not in STREAM_MATERIALIZED:
+        for op in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
+            assert op not in plan, f"{name}: unexpected Python seam {op}"
