@@ -428,18 +428,23 @@ def q50_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
             F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cdist"),
         )
         .where(F.col("rnk") <= 100)
     )
 
 
 Q50_SQL = """
-SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, quartile,
+       pct_rank, cdist
 FROM (
     SELECT o_orderpriority, o_orderkey, o_totalprice,
            CAST(RANK() OVER w AS INT) AS rnk,
            CAST(DENSE_RANK() OVER w AS INT) AS drnk,
-           CAST(NTILE(4) OVER w AS INT) AS quartile
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cdist
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
