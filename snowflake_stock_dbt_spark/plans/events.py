@@ -183,14 +183,75 @@ GROUP BY user_id, session_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Q61 — Inter-event gap profile per user: LEAD for the next event time,
+# running FIRST_VALUE / frame-to-end LAST_VALUE for the journey endpoints
+# (completing the window-function family next to q05's LAG and q50's
+# ranking trio). Gaps stay integer microseconds — sums and counts are
+# exact, no cross-engine float drift.
+# ---------------------------------------------------------------------------
+
+
+def q61_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rows = ev.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.last("event_id").over(wfull).alias("last_event_id"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("gap_us"),
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.min("first_event_id").alias("first_event_id"),
+            F.min("last_event_id").alias("last_event_id"),
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q61_SQL = """
+WITH r AS (
+    SELECT user_id,
+           FIRST_VALUE(event_id) OVER w AS first_event_id,
+           LAST_VALUE(event_id) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_event_id,
+           epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w)
+               - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT user_id,
+       MIN(first_event_id) AS first_event_id,
+       MIN(last_event_id) AS last_event_id,
+       COUNT(gap_us) AS n_gaps,
+       SUM(gap_us) AS sum_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM r
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
     "q42_session_window": q42_session_window,
+    "q61_event_gaps": q61_event_gaps,
 }
 
 EVENT_ORACLES = {
     "q27_sessionize": Q27_SQL,
     "q28_tumbling_window": Q28_SQL,
     "q42_session_window": Q42_SQL,
+    "q61_event_gaps": Q61_SQL,
 }

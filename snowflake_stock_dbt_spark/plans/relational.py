@@ -453,6 +453,93 @@ WHERE rnk <= 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Q62 — UNPIVOT (the inverse of q35's pivot): wide per-priority metrics to
+# long (priority, metric, value) via stack() — Spark's generator runs in
+# the project, no shuffle beyond the source aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q62_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'sum_price', sum_price, "
+            "'max_price', max_price) AS (metric, value)"
+        ),
+    ).orderBy("o_orderpriority", "metric")
+
+
+Q62_SQL = f"""
+WITH wide AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           {SQL_DEC_SUM.format(x='o_totalprice')} AS sum_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value FROM (
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+)
+ORDER BY o_orderpriority, metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q63 — Date-spine gap fill (the dbt calendar-spine pattern): a complete
+# daily spine from min to max order date via sequence+explode, left-joined
+# to the daily counts so quiet days appear as 0 instead of vanishing —
+# what a trend chart or window over days needs. The spine is tiny (one row
+# per day) and broadcast; the fact side aggregates before the join.
+# ---------------------------------------------------------------------------
+
+
+def q63_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+        .orderBy("day")
+    )
+
+
+Q63_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+),
+spine AS (
+    SELECT UNNEST(generate_series(
+        (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders),
+        (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),
+        INTERVAL 1 DAY))::DATE AS day
+)
+SELECT spine.day, COALESCE(daily.n_orders, 0) AS n_orders
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+ORDER BY spine.day
+"""
+
+
 RELATIONAL_QUERIES = {
     "q31_rollup": q31_rollup,
     "q32_cube": q32_cube,
@@ -465,6 +552,8 @@ RELATIONAL_QUERIES = {
     "q44_semi_anti": q44_semi_anti,
     "q49_full_outer": q49_full_outer,
     "q50_ranking": q50_ranking,
+    "q62_unpivot": q62_unpivot,
+    "q63_date_spine": q63_date_spine,
 }
 
 RELATIONAL_ORACLES = {
@@ -479,4 +568,6 @@ RELATIONAL_ORACLES = {
     "q44_semi_anti": Q44_SQL,
     "q49_full_outer": Q49_SQL,
     "q50_ranking": Q50_SQL,
+    "q62_unpivot": Q62_SQL,
+    "q63_date_spine": Q63_SQL,
 }
