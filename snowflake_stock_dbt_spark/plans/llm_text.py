@@ -21,6 +21,7 @@ from ..functions.text import (
     QUALITY_STOPWORDS,
     bpe_ish_token_count,
     fingerprint,
+    hash60,
     lang_id,
     punct_count,
     quality_score,
@@ -556,6 +557,110 @@ FROM ranked WHERE rank <= {TFIDF_TOP_TERMS}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q64 — Document chunking with overlap: fixed-size token windows with a
+# stride, the canonical pre-tokenization step of an LLM training pipeline.
+# Pure array ops (slice over the materialized token column, one explode) —
+# no Python, output bounded at tokens/stride chunks per doc.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q64_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    n = F.size("t")
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / _STRIDE).cast("int"))
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(starts).alias("chunk_idx"),
+    ).where(F.col("chunk_idx") * _STRIDE < n)
+    chunk = F.slice(
+        F.col("t"), F.col("chunk_idx") * _STRIDE + 1, CHUNK_TOKENS
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.sha2(F.concat_ws(" ", chunk), 256).alias("chunk_sha"),
+    )
+
+
+Q64_SQL = rf"""
+WITH {_SQL_TOKS},
+idx AS (
+    SELECT doc_id, t, CAST(j AS INT) AS chunk_idx
+    FROM toks CROSS JOIN range(0, 4000) r(j)
+    WHERE j * {_STRIDE} < len(t)
+),
+c AS (
+    SELECT doc_id, chunk_idx,
+           t[chunk_idx * {_STRIDE} + 1 :
+             LEAST(chunk_idx * {_STRIDE} + {CHUNK_TOKENS}, len(t))] AS chunk
+    FROM idx
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       sha256(array_to_string(chunk, ' ')) AS chunk_sha
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q65 — Deterministic hash split + sampling: train/val/test assignment by
+# a stable content-independent hash of the document id (80/10/10), plus a
+# 10% hash sample per stratum. THE scalable sampling idiom: no RNG state,
+# no shuffle, reproducible on any engine, stable under re-partitioning —
+# rows join back to their split by recomputing the hash.
+# ---------------------------------------------------------------------------
+
+
+def q65_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            (h % 10 == 0).alias("in_10pct_sample"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("in_10pct_sample"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+Q65_SQL = f"""
+WITH h AS (
+    SELECT lang,
+           {_SQL_HASH60.format(x='CAST(doc_id AS VARCHAR)')} % 100 AS hv
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN hv < 80 THEN 'train'
+            WHEN hv < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hv % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM h
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -569,6 +674,8 @@ LLM_TEXT_QUERIES = {
     "q47_winnowing": q47_winnowing,
     "q54_neardup_groups": q54_neardup_groups,
     "q58_tfidf_terms": q58_tfidf_terms,
+    "q64_chunking": q64_chunking,
+    "q65_hash_split": q65_hash_split,
 }
 
 LLM_TEXT_ORACLES = {
@@ -584,4 +691,6 @@ LLM_TEXT_ORACLES = {
     "q47_winnowing": Q47_SQL,
     "q54_neardup_groups": Q54_SQL,
     "q58_tfidf_terms": Q58_SQL,
+    "q64_chunking": Q64_SQL,
+    "q65_hash_split": Q65_SQL,
 }
