@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_parallelism
-from ..functions.vectors import cosine_fast, dot_exact, norm_exact
+from ..functions.vectors import cosine_exact, cosine_fast, dot_exact, norm_exact
 
 def cosine_topk_exact(
     queries: DataFrame,
@@ -159,6 +159,89 @@ def cosine_topk_fast(
             "query_id",
             "neighbor_id",
             cosine_fast(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def ivf_topk_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN, deterministic profile: centroids are exact-decimal means
+    (per-dimension DECIMAL sums / counts — partitioning- and
+    order-independent), probe ranking and candidate re-rank use the
+    exact-decimal cosine. Same pruning shape as :func:`ivf_topk` (search
+    only the ``nprobe`` buckets closest to the query), but every number is
+    bit-reproducible on any engine, so the whole approximate pipeline
+    carries a full value oracle (plans/vectors.py Q26_SQL)."""
+    cent = (
+        corpus.select(
+            F.col(bucket_col).alias("bucket"),
+            F.posexplode(vec_col).alias("pos", "v"),
+        )
+        .groupBy("bucket", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(30,18)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select(
+            "bucket",
+            F.transform(F.col("s"), lambda x: x["cv"]).alias("centroid"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc_nulls_last(), F.col("bucket")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_vec",
+            "bucket",
+            cosine_exact(F.col("q_vec"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "q_vec", "bucket")
+    )
+    c = ensure_min_parallelism(corpus, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(norm_exact(F.col("q_vec")) * F.col("cn"), F.lit(0.0))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1,10 +1,12 @@
 """[EXT] Embedding similarity-search queries over the ``embeddings`` table.
 
-q25 is the oracle-checked exact brute-force top-k (decimal-exact dot
-products — deterministic across engines). q26 is the IVF-style approximate
-variant on the fused fast path; its scores are engine-local floating point,
-so it ships without a SQL oracle (driver records a rows-only check) and its
-recall is gated in tests against the exact operator.
+q25 is the exact brute-force top-k (decimal-exact dot products —
+deterministic across engines). q26 (IVF) and q56 (random-hyperplane LSH)
+are the two approximate scale paths; both run a deterministic
+exact-decimal profile so even the pruning pipelines are hash-checked
+against full SQL oracles. The float fast path (ivf_topk/cosine_fast) is
+the production profile and is recall-gated in tests against exact brute
+force.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from ..operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk_exact,
     ivf_topk,
+    ivf_topk_exact,
     lsh_hyperplanes,
     lsh_topk,
 )
@@ -82,11 +85,90 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+IVF_NPROBE = 2
+
+
 def q26_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (fast float path; no SQL oracle — rows-only)."""
+    """IVF approximate top-k, deterministic profile: exact-decimal
+    centroids + exact-cosine probe/re-rank make the whole pruning pipeline
+    bit-reproducible, so even this approximate operator carries a full
+    value oracle (the float fast path, ivf_topk, stays available and is
+    recall-gated against exact brute force in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    return ivf_topk(queries, emb, k=TOP_K, nprobe=2)
+    out = ivf_topk_exact(queries, emb, k=TOP_K, nprobe=IVF_NPROBE)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+Q26_SQL = f"""
+WITH u AS (
+    SELECT vec_id, label, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(embedding)
+),
+cent AS (
+    SELECT label AS bucket, pos,
+           CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cv
+    FROM u GROUP BY 1, 2
+),
+centn AS (
+    SELECT bucket,
+           sqrt(CAST(SUM(CAST(cv * cv AS DECIMAL(38,18))) AS DOUBLE)) AS cnn
+    FROM cent GROUP BY bucket
+),
+qe AS (
+    SELECT vec_id AS query_id, pos, v FROM u WHERE vec_id < {N_QUERY_VECS}
+),
+qn AS (
+    SELECT query_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS qnn
+    FROM qe GROUP BY query_id
+),
+pd AS (
+    SELECT query_id, bucket,
+           CAST(SUM(CAST(qe.v * cent.cv AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM qe JOIN cent USING (pos) GROUP BY 1, 2
+),
+probes AS (
+    SELECT query_id, bucket FROM (
+        SELECT pd.query_id, pd.bucket,
+               ROW_NUMBER() OVER (PARTITION BY pd.query_id
+                   ORDER BY pd.dot / NULLIF(qn.qnn * centn.cnn, 0.0)
+                            DESC NULLS LAST, pd.bucket) AS pr
+        FROM pd
+        JOIN qn ON qn.query_id = pd.query_id
+        JOIN centn ON centn.bucket = pd.bucket
+    ) WHERE pr <= {IVF_NPROBE}
+),
+cn AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS cnn
+    FROM u GROUP BY vec_id
+),
+dots AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM probes p
+    JOIN u c ON c.label = p.bucket AND c.vec_id <> p.query_id
+    JOIN qe q ON q.query_id = p.query_id AND q.pos = c.pos
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT dots.query_id, dots.neighbor_id,
+           dots.dot / NULLIF(qn.qnn * cn.cnn, 0.0) AS cosine
+    FROM dots
+    JOIN qn ON qn.query_id = dots.query_id
+    JOIN cn ON cn.vec_id = dots.neighbor_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 9) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,7 +297,7 @@ VECTOR_QUERIES = {
 
 VECTOR_ORACLES = {
     "q25_cosine_topk": Q25_SQL,
-    # q26_ann_ivf intentionally absent: approximate float-path operator.
+    "q26_ann_ivf": Q26_SQL,
     "q40_embedding_neardup": Q40_SQL,
     "q56_ann_lsh": Q56_SQL,
 }
