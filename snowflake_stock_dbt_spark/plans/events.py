@@ -242,11 +242,120 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q66 — Retention cohort matrix (the product-analytics staple): users
+# cohorted by first-activity day, activity counted per week offset. Two
+# keyed aggregations and one join — every step shuffles on user/cohort
+# keys, no window over the full corpus.
+# ---------------------------------------------------------------------------
+
+
+def q66_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+Q66_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+    FROM events
+),
+first AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT days.user_id) AS n_users
+FROM days JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q67 — Ordered funnel (signup → click after it → purchase after that):
+# per-step keyed min-aggregations chained by join, then three 1-row counts
+# composed by broadcast cross join (the sanctioned scalar-stats shape).
+# ---------------------------------------------------------------------------
+
+
+def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_signup_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+Q67_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s AS (
+    SELECT user_id, MIN(ts) AS s_ts FROM e
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS c_ts
+    FROM e JOIN s USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s.s_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_signup_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
     "q42_session_window": q42_session_window,
     "q61_event_gaps": q61_event_gaps,
+    "q66_retention_cohorts": q66_retention_cohorts,
+    "q67_funnel": q67_funnel,
 }
 
 EVENT_ORACLES = {
@@ -254,4 +363,6 @@ EVENT_ORACLES = {
     "q28_tumbling_window": Q28_SQL,
     "q42_session_window": Q42_SQL,
     "q61_event_gaps": Q61_SQL,
+    "q66_retention_cohorts": Q66_SQL,
+    "q67_funnel": Q67_SQL,
 }

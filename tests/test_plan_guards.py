@@ -18,6 +18,7 @@ import __spark_entry__ as entry_mod
 #: broadcasts (similarity search).
 BNL_ALLOWED = {
     "q03_zscore_outliers",
+    "q67_funnel",
     "q25_cosine_topk",
     "q26_ann_ivf",
     "q56_ann_lsh",
