@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import SQL_DEC_SUM as SQL_DEC_SUM_X
 from ..sources.tables import load_table
 
 APPROX_RSD = 0.01
@@ -123,14 +124,71 @@ GROUP BY event_type
 """
 
 
+GROUPED_Z_THRESHOLD = 1.7  # price is near-uniform (max |z| ~ sqrt(3))
+
+
+def q68_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (the grouped form of q03's global
+    z-score): group stats as ONE exact-decimal aggregation, broadcast-
+    joined back — never a stats window over each group's full partition.
+    This is the shape that survives a skewed 100 TB group layout: the
+    stats frame is |groups| rows regardless of data size."""
+    from ..functions.numeric import dec_std_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n, s1, s2 = dec_std_columns("l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        n.alias("n"), s1.alias("s1"), s2.alias("s2")
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    z = (F.col("l_extendedprice") - mean) / F.nullif(std, F.lit(0.0))
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.round(z, 9).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) >= GROUPED_Z_THRESHOLD)
+    )
+
+
+Q68_SQL = f"""
+WITH stats AS (
+    SELECT l_returnflag,
+           CAST(COUNT(l_extendedprice) AS DOUBLE) AS n,
+           {SQL_DEC_SUM_X.format(x='l_extendedprice')} AS s1,
+           {SQL_DEC_SUM_X.format(x='l_extendedprice * l_extendedprice')} AS s2
+    FROM lineitem GROUP BY l_returnflag
+),
+scored AS (
+    SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
+           li.l_extendedprice,
+           round((li.l_extendedprice - s1 / n)
+                 / NULLIF(sqrt((s2 - s1 * s1 / n) / (n - 1)), 0.0), 9)
+               AS zscore
+    FROM lineitem li JOIN stats USING (l_returnflag)
+)
+SELECT * FROM scored WHERE abs(zscore) >= {GROUPED_Z_THRESHOLD}
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
     "q57_approx_quantiles": q57_approx_quantiles,
+    "q68_grouped_zscore": q68_grouped_zscore,
 }
 
 SCALE_ORACLES = {
     "q45_quantiles": Q45_SQL,
     "q46_approx_distinct": Q46_SQL,
     "q57_approx_quantiles": Q57_SQL,
+    "q68_grouped_zscore": Q68_SQL,
 }
