@@ -316,6 +316,65 @@ ORDER BY event_type, k_decile
 
 
 # ---------------------------------------------------------------------------
+# Q69 — Column profiling: per-column count / nulls / min / max / exact avg
+# for the numeric measures, computed in ONE aggregation pass (all metrics
+# as aggregate columns) and unpivoted to long form — the df.summary()
+# analog a warehouse's data-profiler runs, kept deterministic via the
+# exact-decimal average recipe.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q69_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dec_avg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            dec_avg(c).alias(f"{c}__avg"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__min, {c}__max, {c}__avg"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked}) "
+            "AS (column_name, n, n_nulls, min_v, max_v, avg_v)"
+        )
+    ).orderBy("column_name")
+
+
+def _profile_sql() -> str:
+    from ..functions.numeric import SQL_DEC_AVG
+
+    parts = [
+        f"""
+SELECT '{c}' AS column_name,
+       COUNT({c}) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       MIN({c}) AS min_v,
+       MAX({c}) AS max_v,
+       {SQL_DEC_AVG.format(x=c)} AS avg_v
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+Q69_SQL = _profile_sql()
+
+
+# ---------------------------------------------------------------------------
 # Q14 — MERGE upsert semantics (reference sql/02_load_data.sql:78-165, J6):
 # matched rows replaced wholesale from source, unmatched inserted. Source =
 # every 7th order re-priced; result = anti-join + union, the exact relational
@@ -400,6 +459,7 @@ PIPELINE_QUERIES = {
     "q12_distinct_options": q12_distinct_options,
     "q13_json_props": q13_json_props,
     "q59_from_json_histogram": q59_from_json_histogram,
+    "q69_profile": q69_profile,
     "q14_upsert_merge": q14_upsert_merge,
     "q15_pricing_summary": q15_pricing_summary,
 }
@@ -414,6 +474,7 @@ PIPELINE_ORACLES = {
     "q12_distinct_options": Q12_SQL,
     "q13_json_props": Q13_SQL,
     "q59_from_json_histogram": Q59_SQL,
+    "q69_profile": Q69_SQL,
     "q14_upsert_merge": Q14_SQL,
     "q15_pricing_summary": Q15_SQL,
 }
