@@ -183,3 +183,16 @@ def test_json_bronze_matches_csv_bronze(spark, landing_csv):
     crows = sorted(tuple(r) for r in cb.select(*data_cols).collect())
     assert jrows == crows
     assert {r["source_row_number"] for r in jb.collect()} == set(range(1, 101))
+
+
+def test_failfast_aborts_on_malformed_json(spark, tmp_path):
+    """ON_ERROR = ABORT_STATEMENT parity: a malformed landing document must
+    fail the load loudly, not load partially."""
+    import pytest as _pytest
+
+    from snowflake_stock_dbt_spark.sources.csv_bronze import read_raw_json
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('[{"symbol": "AAA", "price": "1.0"}, {broken')
+    with _pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        read_raw_json(spark, str(bad)).collect()
