@@ -16,6 +16,7 @@ otherwise fail on events.parquet with PARQUET_TYPE_ILLEGAL.
 from __future__ import annotations
 
 import functools
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,14 +30,24 @@ _REQUIRED_RUNTIME_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+#: Conf keys _ensure_confs could not apply, with the error — kept so a
+#: wrong-result investigation can see which required conf was refused
+#: instead of silently running with the session owner's value.
+CONF_FAILURES: dict[str, str] = {}
+
 
 def _ensure_confs(spark: SparkSession) -> None:
     for k, v in _REQUIRED_RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
-        except Exception:
-            pass  # a locked-down conf is the session owner's choice
+        except Exception as exc:  # locked conf: record loudly, keep going
+            CONF_FAILURES[k] = repr(exc)
+            print(
+                f"[spark_entry] WARNING: required conf {k}={v} could not be "
+                f"applied ({exc!r}); results may diverge from the oracle",
+                file=sys.stderr,
+            )
 
 
 def _wrap(

@@ -104,7 +104,11 @@ def range_join_buckets(
     the exact predicate runs. Column name collisions are the caller's to
     avoid (alias before calling).
     """
-    bucket = lambda c: (F.col(c) / F.lit(span)).cast("long")  # noqa: E731
+    # floor, not truncate-toward-zero: for negative times truncation would
+    # misassign boundary rows to the wrong bucket and silently drop
+    # qualifying pairs. floor(x/span) on doubles is exact while |x| < 2^53
+    # (epoch-µs ~1.7e15 is well inside).
+    bucket = lambda c: F.floor(F.col(c) / F.lit(span)).cast("long")  # noqa: E731
     l = left.withColumn(
         "__bk", F.explode(F.array(bucket(left_time), bucket(left_time) + 1))
     )

@@ -23,6 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Cap on the partition-scoped rewrite set. Date-partitioned upsert batches
+#: touch a handful of partitions; thousands means the driver-side isin()
+#: list and the rewrite itself are the wrong tool (use Delta/Iceberg MERGE).
+_MAX_REWRITE_PARTITIONS = 10_000
+
 
 def merge_upsert(target: DataFrame, source: DataFrame, key: str | list[str]) -> DataFrame:
     """MERGE semantics as a pure transform (matched→replace, else insert)."""
@@ -58,11 +63,54 @@ def merge_upsert_write(
         return
 
     if partition_col:
-        parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+        keys = [key] if isinstance(key, str) else list(key)
+        # Rewrite set = source partitions PLUS partitions holding matched
+        # keys: a matched key whose partition value changed must be removed
+        # from its OLD partition, or the table ends up with the key twice.
+        src_parts = source.select(partition_col).distinct()
+        matched_parts = (
+            target.join(source.select(*keys).distinct(), keys, "left_semi")
+            .select(partition_col)
+            .distinct()
+        )
+        parts = [
+            r[0] for r in src_parts.union(matched_parts).distinct().collect()
+        ]
+        if len(parts) > _MAX_REWRITE_PARTITIONS:
+            raise ValueError(
+                f"merge_upsert_write: batch touches {len(parts)} partitions "
+                f"(> {_MAX_REWRITE_PARTITIONS}); a rewrite set this large "
+                "means the partition column is wrong for this workload — "
+                "repartition the table or use delta_merge_upsert"
+            )
         scoped_target = target.where(F.col(partition_col).isin(parts))
         merged = merge_upsert(scoped_target, source, key)
+        # Materialize before overwriting the path we are reading from, and
+        # so the surviving-partition check below reuses the cached result.
+        merged.cache()
+        surviving = {r[0] for r in merged.select(partition_col).distinct().collect()}
+        vanished = [p for p in parts if p not in surviving]
+        if vanished:
+            # Dynamic overwrite only replaces partitions it writes — it
+            # cannot delete one whose rows all moved away. Rare: fall back
+            # to a full rewrite so no stale rows survive.
+            full = merge_upsert(target, source, key)
+            full.cache()
+            full.count()
+            merged.unpersist()
+            full.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+            full.unpersist()
+            return
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        merged.unpersist()
     else:
         merged = merge_upsert(target, source, key)
         # Break the read-then-overwrite cycle on the same path.

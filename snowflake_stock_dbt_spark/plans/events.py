@@ -188,7 +188,10 @@ GROUP BY user_id, session_idx
 # running FIRST_VALUE / frame-to-end LAST_VALUE for the journey endpoints
 # (completing the window-function family next to q05's LAG and q50's
 # ranking trio). Gaps stay integer microseconds — sums and counts are
-# exact, no cross-engine float drift.
+# exact, no cross-engine float drift. The oracle casts SUM to BIGINT:
+# DuckDB's SUM(BIGINT) yields HUGEINT, which pandas renders as float64
+# ("5.0" vs Spark's "5" under a stringifying value-hash) — this was the
+# round-1 driver hash mismatch (CORRECTNESS_r01.json q61).
 # ---------------------------------------------------------------------------
 
 
@@ -234,7 +237,7 @@ SELECT user_id,
        MIN(first_event_id) AS first_event_id,
        MIN(last_event_id) AS last_event_id,
        COUNT(gap_us) AS n_gaps,
-       SUM(gap_us) AS sum_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
        MAX(gap_us) AS max_gap_us
 FROM r
 GROUP BY user_id

@@ -54,8 +54,7 @@ toks AS (
 _SQL_SHINGLES = r"""
 sh AS (
     SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
-    FROM toks CROSS JOIN range(0, 4000) r(i)
-    WHERE i <= len(t) - 3
+    FROM toks, UNNEST(range(0, GREATEST(len(t) - 2, 0))) AS r(i)
 )
 """
 

@@ -297,7 +297,12 @@ def q59_from_json_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.from_json(F.col("props"), schema).alias("p")
     )
     return (
-        parsed.select("event_type", (F.col("p.k") / 10).cast("long").alias("k_decile"))
+        # Integer `div`, not double /10 + cast: exact for |k| > 2^53 and
+        # truncates toward zero exactly like DuckDB's `//` (verified for
+        # negatives: both give -7//10 = 0, -17//10 = -1).
+        parsed.select(
+            "event_type", F.expr("p.k div 10").cast("long").alias("k_decile")
+        )
         .groupBy("event_type", "k_decile")
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type", "k_decile")

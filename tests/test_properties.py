@@ -20,7 +20,9 @@ _SETTINGS = settings(
 )
 
 keys = st.integers(min_value=0, max_value=2)
-times = st.integers(min_value=0, max_value=20)
+# Negative times included deliberately: bucket assignment must floor, not
+# truncate toward zero (round-1 ADVICE on range_join_buckets).
+times = st.integers(min_value=-20, max_value=20)
 
 
 @_SETTINGS

@@ -143,6 +143,56 @@ def test_upsert_writer_idempotent(spark, bronze, tmp_path):
     assert out.select("observation_sk").distinct().count() == 100
 
 
+def test_upsert_partitioned_matched_key_moves_partition(spark, tmp_path):
+    """A matched key whose partition value changed must leave its OLD
+    partition (round-1 ADVICE: the scoped anti-join previously kept the old
+    row, duplicating the key)."""
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(k, "a" if k % 2 == 0 else "b", float(k)) for k in range(10)],
+        "k long, p string, v double",
+    )
+    merge_upsert_write(spark, path, target, "k", partition_col="p")
+    # keys 0,2 move partition a->b; key 3 stays in b; keys 10,11 are new
+    source = spark.createDataFrame(
+        [(0, "b", 100.0), (2, "b", 102.0), (3, "b", 103.0),
+         (10, "a", 110.0), (11, "b", 111.0)],
+        "k long, p string, v double",
+    )
+    merge_upsert_write(spark, path, source, "k", partition_col="p")
+    out = spark.read.parquet(path)
+    assert out.count() == 12
+    assert out.select("k").distinct().count() == 12
+    moved = {r["p"] for r in out.where("k in (0, 2)").collect()}
+    assert moved == {"b"}
+    assert out.where("k = 0").first()["v"] == 100.0
+
+
+def test_upsert_partitioned_vanishing_partition_fallback(spark, tmp_path):
+    """If every row of a partition is matched away, the partition must not
+    survive (dynamic overwrite cannot delete it; the writer falls back to a
+    full rewrite)."""
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "c", 2.0)], "k long, p string, v double"
+    )
+    merge_upsert_write(spark, path, target, "k", partition_col="p")
+    source = spark.createDataFrame([(2, "a", 20.0)], "k long, p string, v double")
+    merge_upsert_write(spark, path, source, "k", partition_col="p")
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    assert {r["p"] for r in out.collect()} == {"a"}
+
+
+def test_upsert_partitioned_restores_overwrite_mode(spark, tmp_path):
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    df = spark.createDataFrame([(1, "a", 1.0)], "k long, p string, v double")
+    path = str(tmp_path / "t")
+    merge_upsert_write(spark, path, df, "k", partition_col="p")
+    merge_upsert_write(spark, path, df, "k", partition_col="p")
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", None) == prior
+
+
 def test_serving_layer_on_star_schema(spark, bronze):
     from snowflake_stock_dbt_spark.serving import apply_filters, distinct_options
 
