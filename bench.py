@@ -81,6 +81,44 @@ def main() -> None:
             }
         )
     )
+    compare_to_previous_round(times)
+
+
+def compare_to_previous_round(times: dict[str, float]) -> None:
+    """Per-query regression report against the latest BENCH_r{N}.json.
+
+    The acceptance bar is "within 2x of the previous round per query"; a
+    suite total hides a single regressed plan, so name each one (ratio > 2x
+    and absolute slowdown > 0.5 s — tiny queries are timer noise). Written
+    to stderr so the stdout contract stays one JSON line.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not rounds:
+        return
+    try:
+        with open(rounds[-1]) as f:
+            prev = json.load(f).get("queries", {})
+    except Exception as exc:
+        print(f"[bench] cannot read {rounds[-1]}: {exc!r}", file=sys.stderr)
+        return
+    regressed = []
+    for name, sec in sorted(times.items()):
+        base = prev.get(name)
+        if base and base > 0 and sec / base > 2.0 and sec - base > 0.5:
+            regressed.append((name, base, sec, sec / base))
+    label = os.path.basename(rounds[-1])
+    if regressed:
+        print(f"[bench] REGRESSIONS vs {label}:", file=sys.stderr)
+        for name, base, sec, ratio in regressed:
+            print(
+                f"[bench]   {name}: {base:.2f}s -> {sec:.2f}s ({ratio:.1f}x)",
+                file=sys.stderr,
+            )
+    else:
+        print(f"[bench] no per-query regressions vs {label}", file=sys.stderr)
 
 
 if __name__ == "__main__":

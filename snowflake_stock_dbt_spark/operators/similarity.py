@@ -326,6 +326,7 @@ def lsh_topk(
     k: int = 3,
     bits: int = LSH_ANN_BITS,
     bands: int = LSH_ANN_BANDS,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN (the second scale path next to IVF): candidates =
     vectors sharing ≥ 1 signature band with the query, re-ranked by exact
@@ -342,7 +343,11 @@ def lsh_topk(
     id (shuffle bounded by the candidate count, which banding parameters
     control).
     """
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim is None:
+        # Fallback only: array length isn't in the schema, so this costs a
+        # driver-side job. Callers that know the embedding width should pass
+        # ``dim`` and skip it.
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     planes = lsh_hyperplanes(dim, bits)
     qb = _lsh_banded(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
@@ -411,7 +416,6 @@ def ivf_topk(
     closest to the query. Centroids = per-bucket mean vectors (computed here;
     persist them in a real pipeline). Approximate: recall depends on the
     quantizer quality; see tests for the recall gate."""
-    dim_probe = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     cent = (
         corpus.select(F.col(bucket_col).alias("bucket"), F.posexplode(vec_col).alias("pos", "v"))
         .groupBy("bucket", "pos")

@@ -28,6 +28,9 @@ from ..sources.tables import load_table
 
 N_QUERY_VECS = 5
 TOP_K = 3
+#: Embedding width of the test corpus (TESTDATA embeddings.parquet); passed
+#: to LSH so plan construction needs no driver-side probe job.
+EMBED_DIM = 64
 NEARDUP_THRESHOLD = 0.3
 
 
@@ -215,7 +218,7 @@ def q56_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q26) this approximate path carries a complete value oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    out = lsh_topk(queries, emb, k=TOP_K)
+    out = lsh_topk(queries, emb, k=TOP_K, dim=EMBED_DIM)
     return out.withColumn("cosine", F.round(F.col("cosine"), 9))
 
 

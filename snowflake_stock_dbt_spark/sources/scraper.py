@@ -84,6 +84,36 @@ def normalize_quote(quote: dict, scraped_at: str) -> dict:
     }
 
 
+def synthetic_feed(
+    n_symbols: int = TARGET_ROW_COUNT,
+) -> Callable[[int, int], list[dict]]:
+    """Deterministic offline screener feed — the engine's stand-in for the
+    reference's offline snapshot (app/streamlit_app.py:275-284 falls back to
+    a bundled CSV; here the fallback is a reproducible generator so the whole
+    pipeline runs with zero network)."""
+
+    def fetch(start: int, count: int) -> list[dict]:
+        quotes = []
+        for i in range(start, min(start + count, n_symbols)):
+            quotes.append(
+                {
+                    "symbol": f"SYM{i:04d}",
+                    "longName": f"Synthetic Corp {i}",
+                    "typeDisp": "EQUITY" if i % 3 else "ETF",
+                    "region": ["US", "GB", "DE"][i % 3],
+                    "fullExchangeName": "NasdaqGS" if i % 2 else "NYSE",
+                    "currency": "USD",
+                    "regularMarketPrice": 10.0 + i * 0.25,
+                    "marketCap": int(1e9 + i * 5e8),
+                    "regularMarketVolume": 1_000_000 + i * 10_000,
+                    "averageDailyVolume3Month": 900_000 + i * 9_000,
+                }
+            )
+        return quotes
+
+    return fetch
+
+
 def fetch_page_http(start: int, count: int = PAGE_SIZE) -> list[dict]:
     """One screener page over HTTP with the reference's retry budget."""
     params = urllib.parse.urlencode(

@@ -33,6 +33,12 @@ PARITY = [
     "2024-01-01 10:00:00.123456", "2024-01-01 10:00:00+02:00",
     "2024-13-01", "2024-01-32", "01/02/2024", "today", "1718000000",
     "inf", "-inf", "NaN",
+    # Adversarial whitespace / separators / exponent / sign forms that the
+    # engines agree on (round-2 hardening):
+    "\t42\n", "1e+308", "1e309", "-1e309",  # overflow -> double inf, both
+    ".", "+", "-", "-.", "e5", ".e5", "5e", "5e+",  # degenerate numerics
+    "0o17", "²", "+ 5", "5 5",  # octal prefix, superscript, inner spaces
+    ",1", "1,", "1,00", "1.000,5", "(42)", "$42", "42%",  # locale-ish forms
 ]
 
 #: Exotic class: pinned per-engine expectations for (BIGINT, DECIMAL, TS)
@@ -47,7 +53,21 @@ KNOWN_LONG_DIVERGENCE = {
     "1e5": (None, 100000),
     "1E-3": (None, 0),
     "0x10": (None, 16),
+    # Round-2 additions — DuckDB's BIGINT parser accepts exponent forms,
+    # leading-dot with sign, binary/underscore literals; Spark does not:
+    " +1.5e2 ": (None, 150),
+    "1e-999": (None, 0),
+    "+.5": (None, 1),
+    "0b101": (None, 5),
+    "1_000": (None, 1000),
+    "4.2e1": (None, 42),
+    "42e0": (None, 42),
 }
+
+#: Inputs where the DOUBLE cast diverges too (DuckDB parses underscore
+#: separators everywhere; Spark nowhere), so the doubles-agree clause of the
+#: pinning test is asserted per-engine instead.
+DOUBLE_ALSO_DIVERGES = {"1_000": (None, 1000.0)}
 
 
 def _spark_casts(spark, values):
@@ -95,11 +115,23 @@ def test_known_divergences_are_pinned(spark):
     for v, (spark_l, duck_l) in KNOWN_LONG_DIVERGENCE.items():
         assert s[v][1] == spark_l, f"Spark BIGINT cast of {v!r} moved: {s[v][1]}"
         assert d[v][1] == duck_l, f"DuckDB BIGINT cast of {v!r} moved: {d[v][1]}"
-        # Doubles and decimals still agree on these inputs.
-        assert _eq(s[v][0], d[v][0]) and s[v][2] == d[v][2]
+        if v in DOUBLE_ALSO_DIVERGES:
+            sd, dd = DOUBLE_ALSO_DIVERGES[v]
+            assert s[v][0] == sd and d[v][0] == dd, f"DOUBLE pin moved for {v!r}"
+        else:
+            # Doubles and decimals still agree on these inputs.
+            assert _eq(s[v][0], d[v][0]) and s[v][2] == d[v][2]
 
 
 def test_unicode_digit_and_infinity_divergence(spark):
-    s, d = _spark_casts(spark, ["١٢٣", "Infinity"]), _duck_casts(["١٢٣", "Infinity"])
+    vals = ["١٢٣", "１２３", "Infinity", "00042"]
+    s, d = _spark_casts(spark, vals), _duck_casts(vals)
+    # Non-ASCII decimal digits (Arabic-Indic and full-width): Spark's
+    # DECIMAL parser accepts them, DuckDB's rejects.
     assert s["١٢٣"][2] == "123.0000" and d["١٢٣"][2] is None
+    assert s["１２３"][2] == "123.0000" and d["１２３"][2] is None
     assert s["Infinity"][3] is None and d["Infinity"][3] == "infinity"
+    # Zero-padded integers: Spark's TIMESTAMP parser reads '00042' as year
+    # 42; DuckDB refuses. The BIGINT casts agree (both 42).
+    assert s["00042"][3] == "0042-01-01 00:00:00" and d["00042"][3] is None
+    assert s["00042"][1] == d["00042"][1] == 42

@@ -108,9 +108,21 @@ def test_latest_wins_keeps_exactly_the_max(spark, rows):
     assert got == expect
 
 
-def test_delta_gate_is_explicit(spark, tmp_path):
-    """Without delta-spark the Delta MERGE path must refuse loudly, not
-    corrupt anything."""
+def test_delta_merge_capability():
+    """Visibility marker: SKIPPED in environments without delta-spark, so
+    the gated Delta MERGE path (operators/upsert.py:delta_merge_upsert)
+    shows up in the test report instead of being invisible."""
+    pytest.importorskip("delta", reason="delta-spark not installed; Delta MERGE path untestable here")
+    pytest.fail("delta-spark appeared; replace this marker with real MERGE coverage")
+
+
+def test_delta_merge_upsert_without_delta_refuses(spark, tmp_path):
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed; the loud-refusal path is moot")
+    except ImportError:
+        pass
     src = spark.range(3).withColumnRenamed("id", "k")
     with pytest.raises(NotImplementedError, match="delta-spark"):
         delta_merge_upsert(spark, str(tmp_path / "t"), src, "k")
