@@ -84,6 +84,46 @@ def main() -> None:
     compare_to_previous_round(times)
 
 
+def _extract_queries(path: str) -> dict[str, float] | None:
+    """Per-query seconds from a BENCH_r{N}.json, whatever its shape.
+
+    The driver wraps bench.py's stdout line as {"tail": "<truncated line>",
+    "parsed": ...}; the raw shape is the line itself. The tail may be cut
+    mid-JSON, so the queries object is brace-matched out of the string
+    rather than parsed as a document.
+    """
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception as exc:
+        print(f"[bench] cannot read {path}: {exc!r}", file=sys.stderr)
+        return None
+    if not isinstance(data, dict):
+        return None
+    for candidate in (data, data.get("parsed")):
+        if isinstance(candidate, dict) and isinstance(
+            candidate.get("queries"), dict
+        ):
+            return candidate["queries"]
+    tail = data.get("tail")
+    if isinstance(tail, str):
+        m = re.search(r'"queries"\s*:\s*\{', tail)
+        if m:
+            start = m.end() - 1
+            depth = 0
+            for i in range(start, len(tail)):
+                if tail[i] == "{":
+                    depth += 1
+                elif tail[i] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        try:
+                            return json.loads(tail[start : i + 1])
+                        except Exception:
+                            return None
+    return None
+
+
 def compare_to_previous_round(times: dict[str, float]) -> None:
     """Per-query regression report against the latest BENCH_r{N}.json.
 
@@ -98,11 +138,13 @@ def compare_to_previous_round(times: dict[str, float]) -> None:
     rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if not rounds:
         return
-    try:
-        with open(rounds[-1]) as f:
-            prev = json.load(f).get("queries", {})
-    except Exception as exc:
-        print(f"[bench] cannot read {rounds[-1]}: {exc!r}", file=sys.stderr)
+    prev = _extract_queries(rounds[-1])
+    if prev is None:
+        print(
+            f"[bench] no per-query baseline parseable from {rounds[-1]}; "
+            "regression check skipped",
+            file=sys.stderr,
+        )
         return
     regressed = []
     for name, sec in sorted(times.items()):

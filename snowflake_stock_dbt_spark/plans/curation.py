@@ -1,0 +1,388 @@
+"""Corpus-curation queries (q70-q74): the operations a training-data
+pipeline runs between "raw crawl" and "training mix" — repetition filtering,
+stratified sampling, vocabulary profiling, benchmark decontamination, and
+dedup survivor selection. No reference counterpart (the reference is a
+stock dashboard); these extend the LLM-pipeline surface the same way
+plans/llm_text.py does, with full DuckDB value oracles.
+
+Scale shapes (100 TB):
+- q70/q72 are explode -> keyed agg with map-side partial aggregation; the
+  shuffle key includes doc_id/source so no reducer sees more than one
+  document/source worth of token counts.
+- q71 is a scan-only projection + small agg (the sampling decision is a
+  deterministic hash per row — no shuffle to decide membership).
+- q73 broadcasts the benchmark shingle set (benchmarks are tiny next to a
+  crawl) into a semi-join against the train side's shingles.
+- q74 reuses the q54 component labels (label propagation, one join + one
+  min-agg per round) and adds one keyed agg on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.partitioning import ensure_min_parallelism
+from ..functions.text import hash60, hash60_sql, shingles_from_tokens, tokens
+from ..operators.textdedup import minhash_lsh_pairs
+from ..sources.tables import load_table
+from .llm_text import _SQL_SHINGLES, _SQL_TOKS, Q54_CTES
+
+# ---------------------------------------------------------------------------
+# Q70 — Repetition signals (the Gopher/C4 quality-filter family): per-doc
+# duplicate-token ratio, most-frequent-token share, most-frequent-bigram
+# share. All ratios are quotients of exact integers, so the doubles are
+# bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+#: A doc is flagged repetitive when its top bigram covers > 20% of bigram
+#: slots or fewer than 30% of its tokens are distinct (Gopher-style cutoffs).
+REP_TOP_BIGRAM_MAX = 0.20
+REP_DISTINCT_MIN = 0.30
+
+
+def q70_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Pre-spread + persist: the token array feeds three branches (sizes,
+    # unigram counts, bigram counts); tokenization should run once.
+    toks = (
+        ensure_min_parallelism(docs, F.col("doc_id"))
+        .select("doc_id", tokens("text").alias("t"))
+        .persist()
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+    )
+    top_uni = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_n"))
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    top_bi = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    out = (
+        base.join(top_uni, "doc_id")
+        .join(top_bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("top_token_n") / F.col("n_tokens")).alias("top_token_frac"),
+            (F.col("top_bigram_n") / (F.col("n_tokens") - 1)).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .withColumn(
+            "is_repetitive",
+            (F.col("top_bigram_frac") > REP_TOP_BIGRAM_MAX)
+            | (F.col("distinct_ratio") < REP_DISTINCT_MIN),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+Q70_SQL = rf"""
+WITH {_SQL_TOKS},
+base AS (
+    SELECT doc_id, len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct
+    FROM toks
+),
+uni AS (
+    SELECT doc_id, MAX(c) AS top_token_n FROM (
+        SELECT doc_id, u.tok, COUNT(*) AS c
+        FROM toks, UNNEST(t) AS u(tok)
+        GROUP BY doc_id, u.tok
+    ) GROUP BY doc_id
+),
+bi AS (
+    SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+        SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg, COUNT(*) AS c
+        FROM toks, UNNEST(range(0, GREATEST(len(t) - 1, 0))) AS r(i)
+        GROUP BY doc_id, bg
+    ) GROUP BY doc_id
+)
+SELECT base.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST(top_token_n AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
+       (CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1) > {REP_TOP_BIGRAM_MAX}
+        OR CAST(n_distinct AS DOUBLE) / n_tokens < {REP_DISTINCT_MIN})
+           AS is_repetitive
+FROM base JOIN uni USING (doc_id) JOIN bi USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q71 — Stratified sampling: rebalance the language mix with per-language
+# keep rates decided by a deterministic per-row hash (no shuffle, no RNG
+# state, reproducible across engines and re-runs).
+# ---------------------------------------------------------------------------
+
+#: Keep-rate percent per language; the catch-all rate downsamples the tail.
+STRATUM_RATES = {"en": 80, "es": 40, "de": 40}
+STRATUM_DEFAULT_RATE = 10
+
+
+def q71_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(STRATUM_DEFAULT_RATE)
+    for lang, pct in STRATUM_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    keep = (hash60(F.col("doc_id").cast("string")) % 100) < rate
+    return (
+        docs.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .withColumn("kept_frac", F.col("n_kept") / F.col("n_docs"))
+        .orderBy("lang")
+    )
+
+
+_RATE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in STRATUM_RATES.items()
+)
+
+Q71_SQL = f"""
+WITH h AS (
+    SELECT lang,
+           {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100
+               < (CASE {_RATE_CASE} ELSE {STRATUM_DEFAULT_RATE} END) AS keep
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS kept_frac
+FROM h
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q72 — Per-source vocabulary profile: corpus-mix reporting (docs, token
+# volume, exact distinct vocabulary, type-token ratio) grouped by source.
+# countDistinct is exact here (profiling); q46 carries the HLL sketch twin
+# for the approximate-at-scale path.
+# ---------------------------------------------------------------------------
+
+
+def q72_source_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.countDistinct("tok").alias("vocab_size"),
+        )
+        .join(
+            docs.groupBy("source").agg(F.count("*").alias("n_docs")), "source"
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            (F.col("vocab_size") / F.col("total_tokens")).alias("type_token_ratio"),
+            (F.col("total_tokens") / F.col("n_docs")).alias("avg_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+Q72_SQL = rf"""
+WITH {_SQL_TOKS},
+flat AS (
+    SELECT d.source, u.tok
+    FROM toks JOIN documents d USING (doc_id), UNNEST(t) AS u(tok)
+),
+agg AS (
+    SELECT source, COUNT(*) AS total_tokens,
+           COUNT(DISTINCT tok) AS vocab_size
+    FROM flat GROUP BY source
+),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT source, n_docs, total_tokens, vocab_size,
+       CAST(vocab_size AS DOUBLE) / total_tokens AS type_token_ratio,
+       CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens
+FROM agg JOIN nd USING (source)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q73 — Benchmark decontamination: fraction of each training document's
+# 3-word shingles that appear anywhere in the "benchmark" partition
+# (source = src0 stands in for an eval set). The benchmark shingle set is
+# broadcast — benchmarks are KBs-to-MBs next to a crawl — so the check adds
+# no extra shuffle over the train corpus.
+# ---------------------------------------------------------------------------
+
+BENCH_SOURCE = "src0"
+CONTAM_THRESHOLD = 0.5
+
+
+def q73_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Spread before the shingle fan-out (single-file inputs pin parallelism)
+    # and persist the exploded frame: it feeds three branches (bench set,
+    # per-doc sizes, the semi-join probe) and the tokenize/shingle HOFs are
+    # the dominant cost — recomputing them per branch measured 33 s vs 2 s
+    # at sf0.1.
+    toks = ensure_min_parallelism(docs, F.col("doc_id")).select(
+        "doc_id", "source", tokens("text").alias("t")
+    )
+    sh_flat = toks.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_from_tokens("t")).alias("s"),
+    ).persist()
+    bench_set = (
+        sh_flat.where(F.col("source") == BENCH_SOURCE).select("s").distinct()
+    )
+    train_sh = sh_flat.where(F.col("source") != BENCH_SOURCE)
+    base = train_sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    hits = (
+        train_sh.join(F.broadcast(bench_set), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")
+            ).alias("overlap_frac"),
+        )
+        .withColumn(
+            "is_contaminated", F.col("overlap_frac") >= CONTAM_THRESHOLD
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q73_SQL = rf"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES},
+src AS (SELECT doc_id, source FROM documents),
+bench AS (
+    SELECT DISTINCT shingle FROM sh JOIN src USING (doc_id)
+    WHERE src.source = '{BENCH_SOURCE}'
+),
+train AS (
+    SELECT sh.doc_id, sh.shingle FROM sh JOIN src USING (doc_id)
+    WHERE src.source <> '{BENCH_SOURCE}'
+),
+counts AS (
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM bench)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM train GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_frac,
+       CAST(n_overlap AS DOUBLE) / n_shingles >= {CONTAM_THRESHOLD}
+           AS is_contaminated
+FROM counts
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q74 — Dedup survivor report: aggregate the q54 near-dup components into
+# per-cluster rows (keeper, members dropped, bytes saved) — the number a
+# curation run actually reports ("dedup removed N docs / M bytes").
+# ---------------------------------------------------------------------------
+
+
+def q74_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import neardup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3)
+    comp = neardup_components(pairs, docs, id_col="doc_id")
+    return (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum(F.when(~F.col("is_keeper"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .where(F.col("cluster_size") > 1)
+        .select(
+            F.col("component").alias("keeper_doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+            "chars_dropped",
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+Q74_SQL = (
+    Q54_CTES
+    + """
+SELECT comp.component AS keeper_doc_id,
+       CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+       CAST(sizes.cluster_size - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN comp.doc_id <> comp.component THEN d.n_chars
+                     ELSE 0 END) AS BIGINT) AS chars_dropped
+FROM comp
+JOIN documents d USING (doc_id)
+JOIN sizes USING (component)
+WHERE sizes.cluster_size > 1
+GROUP BY comp.component, sizes.cluster_size
+ORDER BY keeper_doc_id
+"""
+)
+
+
+CURATION_QUERIES = {
+    "q70_repetition_signals": q70_repetition_signals,
+    "q71_stratified_sample": q71_stratified_sample,
+    "q72_source_vocabulary": q72_source_vocabulary,
+    "q73_decontamination": q73_decontamination,
+    "q74_dedup_survivors": q74_dedup_survivors,
+}
+
+CURATION_ORACLES = {
+    "q70_repetition_signals": Q70_SQL,
+    "q71_stratified_sample": Q71_SQL,
+    "q72_source_vocabulary": Q72_SQL,
+    "q73_decontamination": Q73_SQL,
+    "q74_dedup_survivors": Q74_SQL,
+}

@@ -435,7 +435,9 @@ def q54_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(pairs, docs, id_col="doc_id")
 
 
-Q54_SQL = rf"""
+# CTE block shared with q74 (plans/curation.py): everything up to the
+# per-doc component + cluster-size relations.
+Q54_CTES = rf"""
 WITH RECURSIVE {_SQL_TOKS}, {_SQL_SHINGLES},
 {_params_values_sql(64)},
 hashed AS (
@@ -474,10 +476,16 @@ comp AS (
 sizes AS (
     SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
 )
+"""
+
+Q54_SQL = (
+    Q54_CTES
+    + """
 SELECT comp.doc_id, comp.component, sizes.cluster_size,
        comp.doc_id = comp.component AS is_keeper
 FROM comp JOIN sizes USING (component)
 """
+)
 
 
 # ---------------------------------------------------------------------------
