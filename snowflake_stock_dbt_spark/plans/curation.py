@@ -371,12 +371,53 @@ ORDER BY keeper_doc_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Q76 — Per-domain contribution cap (the C4/RefinedWeb "no domain dominates
+# the mix" rule): keep at most DOMAIN_CAP docs per source, chosen by
+# deterministic hash order so the subset is reproducible and unbiased by
+# doc_id assignment. One ranking window per source partition — the shuffle
+# key is the domain, exactly the cardinality that needs balancing.
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 20
+
+
+def q76_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("kept", F.col("rk") <= DOMAIN_CAP)
+        .orderBy("doc_id")
+    )
+
+
+Q76_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk, rk <= {DOMAIN_CAP} AS kept
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
     "q72_source_vocabulary": q72_source_vocabulary,
     "q73_decontamination": q73_decontamination,
     "q74_dedup_survivors": q74_dedup_survivors,
+    "q76_domain_cap": q76_domain_cap,
 }
 
 CURATION_ORACLES = {
@@ -385,4 +426,5 @@ CURATION_ORACLES = {
     "q72_source_vocabulary": Q72_SQL,
     "q73_decontamination": Q73_SQL,
     "q74_dedup_survivors": Q74_SQL,
+    "q76_domain_cap": Q76_SQL,
 }

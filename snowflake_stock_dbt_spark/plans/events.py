@@ -352,6 +352,93 @@ SELECT (SELECT COUNT(*) FROM s) AS n_signup,
 """
 
 
+# ---------------------------------------------------------------------------
+# Q75 — SCD2 state history from an event log: collapse each user's
+# consecutive runs of the same event_type into validity ranges
+# (valid_from/valid_to in epoch-µs, NULL valid_to = current) — the dbt
+# snapshot shape derived from a log instead of periodic batches (the batch
+# maintenance operator is operators/scd2.py). Change detection is one LAG,
+# run numbering one cumulative SUM, then a keyed agg + one LEAD — three
+# user-partitioned windows, no global window.
+# ---------------------------------------------------------------------------
+
+
+def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    w_us = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.withColumn("run_id", F.sum("chg").over(w_us))
+    # event_type is constant within a run (chg splits on every change), so
+    # plain MIN is a deterministic way to carry it through the agg.
+    seg = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wseg = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        seg.select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            F.lead("valid_from_us").over(wseg).alias("valid_to_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+Q75_SQL = """
+WITH base AS (
+    SELECT user_id, event_type, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+runs AS (
+    SELECT *, SUM(chg) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS run_id
+    FROM base
+),
+seg AS (
+    SELECT user_id, run_id,
+           MIN(event_type) AS event_type,
+           MIN(us) AS valid_from_us,
+           COUNT(*) AS n_events
+    FROM runs
+    GROUP BY user_id, run_id
+)
+SELECT user_id, event_type, valid_from_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+           AS valid_to_us,
+       n_events
+FROM seg
+ORDER BY user_id, valid_from_us
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
@@ -359,6 +446,7 @@ EVENT_QUERIES = {
     "q61_event_gaps": q61_event_gaps,
     "q66_retention_cohorts": q66_retention_cohorts,
     "q67_funnel": q67_funnel,
+    "q75_scd2_history": q75_scd2_history,
 }
 
 EVENT_ORACLES = {
@@ -368,4 +456,5 @@ EVENT_ORACLES = {
     "q61_event_gaps": Q61_SQL,
     "q66_retention_cohorts": Q66_SQL,
     "q67_funnel": Q67_SQL,
+    "q75_scd2_history": Q75_SQL,
 }

@@ -24,11 +24,18 @@ from ..streaming.pipeline import (
 
 WINDOW_S = 300
 
+#: State-store partition count for the drain-to-completion profile (small
+#: corpus, one micro-batch): per-partition state setup dominates, so fewer
+#: is faster. A production stream sizes this to the cluster instead.
+STATE_PARTITIONS = 8
+
 
 def q29_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     agg = streaming_tumbling_agg(ev, window_s=WINDOW_S)
-    return run_streaming_query(spark, agg, output_mode="complete")
+    return run_streaming_query(
+        spark, agg, output_mode="complete", state_partitions=STATE_PARTITIONS
+    )
 
 
 Q29_SQL = f"""
@@ -45,7 +52,9 @@ GROUP BY 1, 2
 def q30_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     deduped = streaming_dedup(ev, keys=["user_id", "event_type"])
-    out = run_streaming_query(spark, deduped, output_mode="append")
+    out = run_streaming_query(
+        spark, deduped, output_mode="append", state_partitions=STATE_PARTITIONS
+    )
     # Survivor payload depends on encounter order; the key set does not.
     return (
         out.groupBy("user_id", "event_type")
@@ -73,7 +82,10 @@ def q41_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = stream_events(spark, sf_dir)
     out = run_streaming_query(
-        spark, stateful_user_totals(ev), output_mode="update"
+        spark,
+        stateful_user_totals(ev),
+        output_mode="update",
+        state_partitions=STATE_PARTITIONS,
     )
     # Keep the final emission per user (n_events is monotone across
     # emissions of one user).
@@ -111,7 +123,9 @@ def q48_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
-    return run_streaming_query(spark, agg, output_mode="complete")
+    return run_streaming_query(
+        spark, agg, output_mode="complete", state_partitions=STATE_PARTITIONS
+    )
 
 
 Q48_SQL = """
@@ -131,7 +145,9 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 10 minutes); drained output equals the batch interval join."""
     ev = stream_events(spark, sf_dir)
     joined = stream_stream_interval_join(ev, window_s=ATTRIBUTION_WINDOW_S)
-    return run_streaming_query(spark, joined, output_mode="append")
+    return run_streaming_query(
+        spark, joined, output_mode="append", state_partitions=STATE_PARTITIONS
+    )
 
 
 Q60_SQL = f"""
