@@ -94,3 +94,47 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     got = joined.select("o_orderkey").count()
     want = orders.where(F.col("o_orderpriority").startswith("1")).count()
     assert got == want
+
+
+def test_compact_path_reduces_file_count_preserving_rows(spark, tmp_path):
+    from snowflake_stock_dbt_spark.sinks.layout import compact_path, describe_files
+
+    path = str(tmp_path / "t")
+    df = spark.range(100_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    before, _ = describe_files(spark, path)
+    assert before == 64
+    b, after = compact_path(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert b == 64 and after < 64
+    out = spark.read.parquet(path)
+    assert out.count() == 100_000
+    assert out.agg(F.sum("v")).first()[0] == 2 * (99_999 * 100_000 // 2)
+
+
+def test_compact_path_sorted_clusters_ranges(spark, tmp_path):
+    """sort_cols compaction range-partitions files: per-file id ranges must
+    not overlap (the min/max-pruning property)."""
+    from snowflake_stock_dbt_spark.sinks.layout import compact_path
+
+    path = str(tmp_path / "t")
+    spark.range(200_000).withColumn("v", F.rand(5)).repartition(32).write.parquet(path)
+    compact_path(spark, path, target_file_bytes=400 * 1024, sort_cols=["id"])
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) > 1
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b
+
+
+def test_compact_path_skips_already_compact(spark, tmp_path):
+    from snowflake_stock_dbt_spark.sinks.layout import compact_path
+
+    path = str(tmp_path / "t")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    before, after = compact_path(spark, path)
+    assert (before, after) == (1, 1)
