@@ -61,23 +61,30 @@ def connected_components(
         # Labels flowing across edges: neighbor's current component.
         flowed = (
             sym.join(labels, sym.b == labels.id)
-            .select(F.col("a").alias("id"), "component")
+            .select(F.col("a").alias("id"), "component", F.lit(False).alias("is_old"))
         )
-        new_labels = (
-            labels.select("id", "component")
+        # The vertex's previous label rides along tagged is_old, so the same
+        # min-aggregation yields both the new label and the old one —
+        # convergence detection costs a scan of the checkpointed frame, not
+        # an extra |V|⋈|V| join per round.
+        merged = (
+            labels.select("id", "component", F.lit(True).alias("is_old"))
             .union(flowed)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_old"), F.col("component"))).alias(
+                    "old_component"
+                ),
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
+            merged.where(F.col("component") != F.col("old_component"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = merged.select("id", "component")
         if changed == 0:
             break
     sym.unpersist()

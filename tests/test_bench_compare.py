@@ -1,0 +1,40 @@
+"""bench.py regression-comparator baseline extraction: all three shapes the
+driver has produced (raw line, parsed wrapper, truncated tail)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import _extract_queries
+
+
+def test_extracts_raw_shape(tmp_path):
+    p = tmp_path / "BENCH_r01.json"
+    p.write_text(json.dumps({"metric": "s", "queries": {"q01": 1.5}}))
+    assert _extract_queries(str(p)) == {"q01": 1.5}
+
+
+def test_extracts_parsed_wrapper(tmp_path):
+    p = tmp_path / "BENCH_r01.json"
+    p.write_text(json.dumps({"parsed": {"queries": {"q01": 2.0}}, "tail": ""}))
+    assert _extract_queries(str(p)) == {"q01": 2.0}
+
+
+def test_extracts_truncated_tail(tmp_path):
+    line = json.dumps({"metric": "s", "value": 1, "queries": {"q01": 1.0, "q02": 2.0}, "sf": 0.1})
+    p = tmp_path / "BENCH_r01.json"
+    p.write_text(json.dumps({"tail": line[10:], "parsed": None}))  # cut mid-JSON
+    assert _extract_queries(str(p)) == {"q01": 1.0, "q02": 2.0}
+
+
+def test_tail_cut_inside_queries_returns_none(tmp_path):
+    line = '{"queries": {"q01": 1.0, "q02"'
+    p = tmp_path / "BENCH_r01.json"
+    p.write_text(json.dumps({"tail": line, "parsed": None}))
+    assert _extract_queries(str(p)) is None
+
+
+def test_unreadable_returns_none(tmp_path):
+    p = tmp_path / "BENCH_r01.json"
+    p.write_text("not json")
+    assert _extract_queries(str(p)) is None
