@@ -161,3 +161,29 @@ def lang_id(col: Column | str) -> Column:
             out
         )
     return out
+
+
+#: PII detector regexes, deliberately restricted to the Java∩RE2 subset
+#: (no lookaround/backrefs) so the Spark expressions and the DuckDB oracle
+#: match the same spans. Keys are the scrub-report category names.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII category (long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def redact_pii(col: Column | str, replacement: str = "[PII]") -> Column:
+    """All PII categories replaced with ``replacement`` — one
+    regexp_replace per category, chained (JVM-side, codegen-friendly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c

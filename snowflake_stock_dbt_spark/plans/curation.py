@@ -23,7 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_parallelism
-from ..functions.text import hash60, hash60_sql, shingles_from_tokens, tokens
+from ..functions.text import (
+    PII_PATTERNS,
+    hash60,
+    hash60_sql,
+    pii_count,
+    redact_pii,
+    shingles_from_tokens,
+    tokens,
+)
 from ..operators.textdedup import minhash_lsh_pairs
 from ..sources.tables import load_table
 from .llm_text import _SQL_SHINGLES, _SQL_TOKS, Q54_CTES
@@ -411,6 +419,86 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q77 — PII scrub report: per-source counts of each PII category plus the
+# redaction byte delta. The synthetic corpus carries no PII, so the query
+# plants a deterministic probe suffix on a doc_id-keyed subset — both
+# engines build the identical text, making the regex-engine parity (Java vs
+# RE2, restricted to their common subset) the thing actually under test.
+# Per-row regexp_count/replace is embarrassingly parallel; the only shuffle
+# is the final per-source rollup.
+# ---------------------------------------------------------------------------
+
+
+def q77_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    probe = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" host 10.0.0."), (F.col("doc_id") % 256).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    probed = docs.select("source", probe.alias("t"))
+    return (
+        probed.groupBy("source")
+        .agg(
+            F.sum(pii_count("t", "email")).cast("long").alias("n_emails"),
+            F.sum(pii_count("t", "phone")).cast("long").alias("n_phones"),
+            F.sum(pii_count("t", "ipv4")).cast("long").alias("n_ips"),
+            F.sum(pii_count("t", "ssn")).cast("long").alias("n_ssns"),
+            F.sum(F.length("t") - F.length(redact_pii("t")))
+            .cast("long")
+            .alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pii_probe_sql() -> str:
+    return """text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                ELSE '' END"""
+
+
+def _pii_redact_sql(expr: str) -> str:
+    for pat in PII_PATTERNS.values():
+        expr = f"regexp_replace({expr}, '{pat}', '[PII]', 'g')"
+    return expr
+
+
+Q77_SQL = f"""
+WITH probed AS (SELECT source, {_pii_probe_sql()} AS t FROM documents)
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(t, '{PII_PATTERNS["email"]}'))) AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}'))) AS BIGINT) AS n_phones,
+       CAST(SUM(len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}'))) AS BIGINT) AS n_ips,
+       CAST(SUM(len(regexp_extract_all(t, '{PII_PATTERNS["ssn"]}'))) AS BIGINT) AS n_ssns,
+       CAST(SUM(len(t) - len({_pii_redact_sql("t")})) AS BIGINT) AS chars_redacted
+FROM probed
+GROUP BY source
+ORDER BY source
+"""
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
@@ -418,6 +506,7 @@ CURATION_QUERIES = {
     "q73_decontamination": q73_decontamination,
     "q74_dedup_survivors": q74_dedup_survivors,
     "q76_domain_cap": q76_domain_cap,
+    "q77_pii_scan": q77_pii_scan,
 }
 
 CURATION_ORACLES = {
@@ -427,4 +516,5 @@ CURATION_ORACLES = {
     "q73_decontamination": Q73_SQL,
     "q74_dedup_survivors": Q74_SQL,
     "q76_domain_cap": Q76_SQL,
+    "q77_pii_scan": Q77_SQL,
 }

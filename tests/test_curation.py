@@ -93,3 +93,31 @@ def test_repetition_flags_planted_repetitive_doc(spark, oracle_sf_dir):
         C.load_table = orig
     assert flagged[1] is True
     assert flagged[2] is False
+
+
+def test_pii_functions_detect_and_redact(spark):
+    from snowflake_stock_dbt_spark.functions.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or call 555-123-4567"),
+            (2, "server 192.168.1.100 ssn 123-45-6789"),
+            (3, "nothing sensitive here, just 12345 and v1.2.3"),
+        ],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        pii_count("t", "email").alias("e"),
+        pii_count("t", "phone").alias("p"),
+        pii_count("t", "ipv4").alias("ip"),
+        pii_count("t", "ssn").alias("s"),
+        redact_pii("t").alias("r"),
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert (rows[1]["e"], rows[1]["p"]) == (1, 1)
+    assert (rows[2]["ip"], rows[2]["s"]) == (1, 1)
+    assert (rows[3]["e"], rows[3]["p"], rows[3]["ip"], rows[3]["s"]) == (0, 0, 0, 0)
+    assert "jane" not in rows[1]["r"] and "[PII]" in rows[1]["r"]
+    assert "123-45-6789" not in rows[2]["r"] and "192.168" not in rows[2]["r"]
+    assert rows[3]["r"] == "nothing sensitive here, just 12345 and v1.2.3"
