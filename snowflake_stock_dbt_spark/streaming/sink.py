@@ -52,12 +52,20 @@ def start_upsert_stream(
     spark = stream_df.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        src = latest_wins(batch_df, keys=keys, order_by=order_by)
-        merge_upsert_write(
-            spark, path, src, list(keys), partition_col=partition_col
-        )
+        # foreachBatch hands over a LAZY frame: every action below would
+        # otherwise re-scan the micro-batch's source files (observed: a
+        # 3-row batch reporting 6 input rows — isEmpty + the merge's jobs
+        # each re-read). Persist once per batch.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            src = latest_wins(batch_df, keys=keys, order_by=order_by)
+            merge_upsert_write(
+                spark, path, src, list(keys), partition_col=partition_col
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:

@@ -130,15 +130,22 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
             checkpoint_dir=ckpt,
         )
         q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
 
     drain()
     got1 = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got1 == {1: ("a", 20), 2: ("b", 10)}  # latest-wins within batch
 
     b2.coalesce(1).write.parquet(str(land / "f2"))
-    drain()
+    rows_second = drain()
     got2 = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got2 == {1: ("a", 20), 2: ("b2", 30), 3: ("c", 30)}
+    # The checkpoint resumes past batch 1: only f2's rows are re-read.
+    assert rows_second == 2
+
+    # Restart with the checkpoint intact and nothing new: zero rows read —
+    # the exactly-once-resume contract, not just idempotent replay.
+    assert drain() == 0
 
     # Replay batch 2 with a FRESH checkpoint (simulated redelivery): the
     # key-MERGE makes it a no-op.
