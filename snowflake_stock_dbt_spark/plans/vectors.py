@@ -291,11 +291,87 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q78 — Scalar (int8) embedding quantization profile: per-dimension
+# min/max ranges, uint8 codes, and reconstruction error — the storage-
+# reduction pass a 100 TB embedding store runs before serving (4× smaller
+# than float32, re-ranked with full precision where it matters). Two keyed
+# aggs + one broadcast join-back of the 64-row stats frame; the error
+# average uses the exact-decimal recipe so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q78_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = (
+        ensure_min_parallelism(emb, F.col("vec_id"))
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    stats = u.groupBy("pos").agg(
+        F.min("v").alias("dmin"), F.max("v").alias("dmax")
+    )
+    j = u.join(F.broadcast(stats), "pos")
+    span = F.nullif(F.col("dmax") - F.col("dmin"), F.lit(0.0))
+    code = F.floor((F.col("v") - F.col("dmin")) / span * 255)
+    dq = F.col("dmin") + code * (F.col("dmax") - F.col("dmin")) / 255
+    err = F.abs(F.col("v") - dq)
+    return (
+        j.select("pos", "dmin", "dmax", err.alias("err"))
+        .groupBy("pos")
+        .agg(
+            F.min("dmin").alias("dmin"),
+            F.min("dmax").alias("dmax"),
+            F.count("*").alias("n_vecs"),
+            # Same 1-ulp decimal->double note as q25: round for the
+            # cross-engine contract only.
+            F.round(
+                F.sum(F.col("err").cast("decimal(38,18)")).cast("double")
+                / F.count("*").cast("double"),
+                9,
+            ).alias("mean_abs_err"),
+            F.max("err").alias("max_abs_err"),
+        )
+        .withColumn("pos", F.col("pos").cast("int"))
+        .orderBy("pos")
+    )
+
+
+Q78_SQL = """
+WITH u AS (
+    SELECT vec_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(embedding)
+),
+stats AS (
+    SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM u GROUP BY pos
+),
+coded AS (
+    SELECT u.pos, stats.dmin, stats.dmax,
+           abs(v - (stats.dmin
+               + floor((v - stats.dmin) / NULLIF(stats.dmax - stats.dmin, 0) * 255)
+                 * (stats.dmax - stats.dmin) / 255)) AS err
+    FROM u JOIN stats USING (pos)
+)
+SELECT pos, MIN(dmin) AS dmin, MIN(dmax) AS dmax,
+       COUNT(*) AS n_vecs,
+       round(CAST(SUM(CAST(err AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE), 9) AS mean_abs_err,
+       MAX(err) AS max_abs_err
+FROM coded
+GROUP BY pos
+ORDER BY pos
+"""
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
     "q40_embedding_neardup": q40_embedding_neardup,
     "q56_ann_lsh": q56_ann_lsh,
+    "q78_embedding_quantize": q78_embedding_quantize,
 }
 
 VECTOR_ORACLES = {
@@ -303,4 +379,5 @@ VECTOR_ORACLES = {
     "q26_ann_ivf": Q26_SQL,
     "q40_embedding_neardup": Q40_SQL,
     "q56_ann_lsh": Q56_SQL,
+    "q78_embedding_quantize": Q78_SQL,
 }
