@@ -38,3 +38,25 @@ def test_unreadable_returns_none(tmp_path):
     p = tmp_path / "BENCH_r01.json"
     p.write_text("not json")
     assert _extract_queries(str(p)) is None
+
+
+def test_ensure_confs_records_failures():
+    """__spark_entry__._ensure_confs must record a refused conf loudly
+    (round-1 VERDICT: the silent swallow masked the q61 investigation)."""
+    import __spark_entry__ as E
+
+    class LockedConf:
+        def get(self, k, default=None):
+            return None
+
+        def set(self, k, v):
+            raise RuntimeError("conf is locked")
+
+    class FakeSession:
+        conf = LockedConf()
+
+    E.CONF_FAILURES.clear()
+    E._ensure_confs(FakeSession())
+    assert set(E.CONF_FAILURES) == set(E._REQUIRED_RUNTIME_CONFS)
+    assert "locked" in next(iter(E.CONF_FAILURES.values()))
+    E.CONF_FAILURES.clear()

@@ -54,6 +54,20 @@ def _plan(spark, df) -> str:
     )
 
 
+#: Load-bearing plan properties pinned per query: losing these wouldn't
+#: fail the generic guards but would silently degrade the 100 TB story.
+PINNED_PATTERNS = {
+    # The benchmark shingle set must broadcast into the semi-join — a lost
+    # hint turns the decontamination scan into an extra full shuffle.
+    "q73_decontamination": ["BroadcastHashJoin"],
+    # The 64-row per-dim stats frame must broadcast back, not shuffle-join.
+    "q78_embedding_quantize": ["BroadcastHashJoin"],
+    # Top-K must stay a per-partition heap, not a global sort.
+    "q01_top_by_metric": ["TakeOrderedAndProject"],
+    "q76_domain_cap": ["Window"],
+}
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_plan_guards(spark, name):
     fn = entry_mod.queries()[name]
@@ -70,3 +84,5 @@ def test_plan_guards(spark, name):
     if name not in PANDAS_ALLOWED and name not in STREAM_MATERIALIZED:
         for op in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
             assert op not in plan, f"{name}: unexpected Python seam {op}"
+    for pattern in PINNED_PATTERNS.get(name, []):
+        assert pattern in plan, f"{name}: lost pinned plan property {pattern}"
