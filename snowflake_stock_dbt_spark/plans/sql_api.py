@@ -59,10 +59,13 @@ QUALIFY ROW_NUMBER() OVER (
 
 
 def q55_qualify_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sqldialect import rewrite_qualify
+    # The full worksheet door (scalar rewrites + QUALIFY); this statement
+    # only exercises QUALIFY, but routing it through compile_snowflake_sql
+    # keeps q55 pinning the whole dialect path.
+    from ..sqldialect import compile_snowflake_sql
 
     register_views(spark, sf_dir)
-    return spark.sql(rewrite_qualify(Q55_TEXT))
+    return spark.sql(compile_snowflake_sql(Q55_TEXT))
 
 
 SQL_API_QUERIES = {

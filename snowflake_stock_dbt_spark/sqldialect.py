@@ -159,3 +159,119 @@ def rewrite_qualify(sql: str) -> str:
     else:
         outer = f"SELECT * FROM (\n{head}\n) WHERE {pred}"
     return f"{outer}\n{trailing}" if trailing else outer
+
+
+# ---------------------------------------------------------------------------
+# Snowflake scalar-function rewrites. The reference's worksheets call
+# TRY_TO_NUMBER / TRY_TO_DECIMAL / TRY_TO_TIMESTAMP_TZ / TO_VARCHAR / IFF /
+# ZEROIFNULL (reference sql/02_load_data.sql:70-107); Spark SQL spells these
+# differently. TRY_TO_NUMBER maps to DECIMAL(38,0), not BIGINT: Snowflake
+# ROUNDS fractional text ('12.5' -> 13), which TRY_CAST AS DECIMAL
+# reproduces and TRY_CAST AS BIGINT does not.
+# ---------------------------------------------------------------------------
+
+
+def _fn_try_to_number(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"TRY_CAST({args[0]} AS DECIMAL(38,0))"
+    if len(args) == 3:
+        return f"TRY_CAST({args[0]} AS DECIMAL({args[1]},{args[2]}))"
+    raise ValueError(f"TRY_TO_NUMBER arity {len(args)} unsupported")
+
+
+def _fn_try_to_timestamp(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ValueError("TRY_TO_TIMESTAMP_TZ with format unsupported")
+    return f"TRY_CAST({args[0]} AS TIMESTAMP)"
+
+
+_FN_REWRITES = {
+    "TRY_TO_NUMBER": _fn_try_to_number,
+    "TRY_TO_DECIMAL": _fn_try_to_number,
+    "TRY_TO_TIMESTAMP_TZ": _fn_try_to_timestamp,
+    "TO_VARCHAR": lambda a: f"CAST({a[0]} AS STRING)",
+    "IFF": lambda a: f"IF({a[0]}, {a[1]}, {a[2]})",
+    "ZEROIFNULL": lambda a: f"COALESCE({a[0]}, 0)",
+}
+
+
+def _split_top_args(s: str) -> list[str]:
+    """Split on top-level commas, respecting parens and quotes."""
+    args, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif c == '"':
+            i += 1
+            while i < n and s[i] != '"':
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    last = s[start:].strip()
+    if last:
+        args.append(last)
+    return args
+
+
+def _find_fn_call(sql: str) -> tuple[int, str, int] | None:
+    """(name_start, NAME, open_paren_idx) of the first rewritable call at
+    any depth, outside quotes; None when there is none."""
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+            i += 1
+            continue
+        if c == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+            i += 1
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] in "_$"):
+                j += 1
+            name = sql[i:j].upper()
+            if name in _FN_REWRITES:
+                k = j
+                while k < n and sql[k].isspace():
+                    k += 1
+                if k < n and sql[k] == "(":
+                    return i, name, k
+            i = j
+            continue
+        i += 1
+    return None
+
+
+def rewrite_snowflake_functions(sql: str) -> str:
+    """Replace every supported Snowflake scalar call (innermost-first, so
+    nested calls inside argument lists are handled) with its Spark form."""
+    while True:
+        hit = _find_fn_call(sql)
+        if hit is None:
+            return sql
+        start, name, open_idx = hit
+        end = _match_paren(sql, open_idx)
+        inner = rewrite_snowflake_functions(sql[open_idx + 1 : end - 1])
+        repl = _FN_REWRITES[name](_split_top_args(inner))
+        sql = sql[:start] + repl + sql[end:]
+
+
+def compile_snowflake_sql(sql: str) -> str:
+    """Full worksheet-dialect door: scalar-function rewrites + the QUALIFY
+    rewrite, ready for ``spark.sql``."""
+    return rewrite_qualify(rewrite_snowflake_functions(sql))
