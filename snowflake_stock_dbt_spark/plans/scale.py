@@ -179,11 +179,140 @@ SELECT * FROM scored WHERE abs(zscore) >= {GROUPED_Z_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q79 — Pairwise Pearson correlation over lineitem measures, from ONE
+# aggregation pass: sums / sums-of-squares / cross-products as exact-decimal
+# aggregate columns, correlations assembled driver-free from the 1-row
+# frame. The df.stat.corr analog that scales: one shuffle of a dozen
+# partial sums regardless of row count, and bit-identical cross-engine
+# (every aggregate is decimal-exact; the final arithmetic is fixed-order
+# IEEE on both sides, rounded to 9 dp for the 1-ulp sqrt boundary).
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q79_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("double").cast("decimal(38,12)")  # noqa: E731
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum((dec(c) * dec(c)).cast("decimal(38,12)")).cast("double").alias(f"ss_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(
+                F.sum((dec(a) * dec(b)).cast("decimal(38,12)"))
+                .cast("double")
+                .alias(f"sp_{a}_{b}")
+            )
+    # Persist the 1-row stats frame: the per-pair selects below are separate
+    # plan branches, and without this each one re-scans lineitem for its own
+    # copy of the aggregation (observed: 6 scans in the unpersisted plan).
+    stats = li.agg(*aggs).persist()
+
+    pairs = None
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            n = F.col("n")
+            cov = F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / n
+            va = F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / n
+            vb = F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / n
+            row = stats.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(cov / F.nullif(F.sqrt(va * vb), F.lit(0.0)), 9).alias("pearson_r"),
+            )
+            pairs = row if pairs is None else pairs.unionByName(row)
+    return pairs.orderBy("col_a", "col_b")
+
+
+def _corr_oracle() -> str:
+    dec = lambda c: f"CAST(CAST({c} AS DOUBLE) AS DECIMAL(38,12))"  # noqa: E731
+    sums = ["COUNT(*)::DOUBLE AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM({dec(c)}) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({dec(c)} * {dec(c)} AS DECIMAL(38,12))) AS DOUBLE) AS ss_{c}"
+        )
+    selects = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            sums.append(
+                f"CAST(SUM(CAST({dec(a)} * {dec(b)} AS DECIMAL(38,12))) AS DOUBLE) AS sp_{a}_{b}"
+            )
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"round((sp_{a}_{b} - s_{a} * s_{b} / n) / "
+                f"NULLIF(sqrt((ss_{a} - s_{a} * s_{a} / n) * (ss_{b} - s_{b} * s_{b} / n)), 0.0), 9)"
+                f" AS pearson_r FROM stats"
+            )
+    union = " UNION ALL ".join(selects)
+    return (
+        f"WITH stats AS (SELECT {', '.join(sums)} FROM lineitem)\n"
+        f"SELECT * FROM ({union}) ORDER BY col_a, col_b"
+    )
+
+
+Q79_SQL = _corr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q80 — Fixed-width numeric histogram of events.value: min/max pass →
+# bucket assignment → keyed count. Two scans, two tiny shuffles; the
+# profiling histogram every column-stats page shows. Bucket edges are exact
+# integer math over floor()'d doubles, so both engines bin identically.
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 20
+
+
+def q80_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    lohi = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(lohi)).select(
+        F.least(
+            F.lit(HIST_BUCKETS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+                * HIST_BUCKETS
+            ),
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("bucket")
+    )
+
+
+Q80_SQL = f"""
+WITH base AS (
+    SELECT value FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+lohi AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM base)
+SELECT LEAST({HIST_BUCKETS - 1},
+             CAST(floor((value - lo) / NULLIF(hi - lo, 0.0) * {HIST_BUCKETS}) AS BIGINT))
+           AS bucket,
+       COUNT(*) AS n_rows
+FROM base CROSS JOIN lohi
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
     "q57_approx_quantiles": q57_approx_quantiles,
     "q68_grouped_zscore": q68_grouped_zscore,
+    "q79_correlation": q79_correlation,
+    "q80_value_histogram": q80_value_histogram,
 }
 
 SCALE_ORACLES = {
@@ -191,4 +320,6 @@ SCALE_ORACLES = {
     "q46_approx_distinct": Q46_SQL,
     "q57_approx_quantiles": Q57_SQL,
     "q68_grouped_zscore": Q68_SQL,
+    "q79_correlation": Q79_SQL,
+    "q80_value_histogram": Q80_SQL,
 }

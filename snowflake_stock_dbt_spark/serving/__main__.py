@@ -129,6 +129,8 @@ def run_report(
     min_threshold: float,
     limit: int | None,
     out=None,
+    llm_summary: bool = False,
+    export_csv: str | None = None,
 ) -> DataFrame:
     """Filters → results → insights → summary, printed as text panels."""
     out = out if out is not None else sys.stdout
@@ -164,6 +166,31 @@ def run_report(
 
     print("== Summary ==", file=out)
     print("  " + build_summary_text(results), file=out)
+
+    if llm_summary:
+        # Reference Section 6 (LLM summary demo, app/streamlit_app.py:472-489):
+        # the mapInPandas seam with the deterministic demo model.
+        from .summarize import summarize_rows_with_llm
+
+        summarized = summarize_rows_with_llm(
+            results.withColumn(
+                "row_text",
+                F.concat_ws(
+                    " ", *[F.col(c).cast("string") for c in ("symbol", "entity_name")]
+                ),
+            ),
+            text_col="row_text",
+        )
+        print("== LLM summaries (demo model) ==", file=out)
+        for r in summarized.select("symbol", "summary").collect()[:5]:
+            print(f"  {r['symbol']}: {r['summary']}", file=out)
+
+    if export_csv:
+        # Reference: CSV download from the results table (:446-449).
+        results.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            export_csv
+        )
+        print(f"[serving] results exported to {export_csv}", file=out)
     results.unpersist()
     return results
 
@@ -183,6 +210,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     p.add_argument("--metric", choices=["market_cap", "volume", "price"], default="market_cap")
     p.add_argument("--min-threshold", type=float, default=0.0)
     p.add_argument("--limit", default="20", help="row limit or 'All'")
+    p.add_argument("--llm-summary", action="store_true", help="per-row demo-model summaries (Section 6)")
+    p.add_argument("--export-csv", default=None, help="write the result table as CSV to this path")
     args = p.parse_args(argv)
     limit = None if str(args.limit) == "All" else int(args.limit)
 
@@ -204,6 +233,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         metric=args.metric,
         min_threshold=args.min_threshold,
         limit=limit,
+        llm_summary=args.llm_summary,
+        export_csv=args.export_csv,
     )
     return 0
 

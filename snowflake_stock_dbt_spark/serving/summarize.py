@@ -55,7 +55,14 @@ def summarize_rows_with_llm(
         ]
 
     fn = model_fn or demo_model
-    out_schema = df.schema.add(batch_col, "string")
+    # Copy, don't StructType.add on df.schema: pyspark caches the schema
+    # object, and add() mutates in place — the input frame would then claim
+    # a column it doesn't have and mapInPandas fails resolving it.
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField(batch_col, T.StringType())]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

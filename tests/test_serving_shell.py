@@ -45,6 +45,30 @@ def test_serving_cli_full_loop_offline(spark, tmp_path, capsys):
     assert (tmp_path / "landing" / "raw_data.json").exists()
 
 
+def test_serving_llm_summary_and_csv_export(spark, tmp_path, capsys):
+    data_dir = str(tmp_path / "landing")
+    csv_out = str(tmp_path / "export")
+    rc = main(
+        [
+            "--mode", "offline",
+            "--data-dir", data_dir,
+            "--refresh",
+            "--metric", "volume",
+            "--limit", "5",
+            "--llm-summary",
+            "--export-csv", csv_out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "== LLM summaries (demo model) ==" in out
+    assert "[demo summary]" in out
+    exported = spark.read.option("header", True).csv(csv_out)
+    assert exported.count() == 5
+    assert "symbol" in exported.columns
+
+
 def test_serving_auto_mode_falls_back_offline(spark, tmp_path):
     """auto + unreadable warehouse → offline dataset (reference
     get_dataset :275-284)."""
