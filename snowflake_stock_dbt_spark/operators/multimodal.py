@@ -187,3 +187,60 @@ def media_stats(df: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+#: Output schema of the audio feature stage (flat-map: 1 row in, one row
+#: per analysis frame out).
+AUDIO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, rms double, zero_crossings long"
+)
+
+
+def audio_features(df: DataFrame, frame_samples: int = 512) -> DataFrame:
+    """Per-frame RMS energy + zero-crossing counts over 16-bit PCM payloads.
+
+    Unlike the image/video stages this one is NOT a codec stub: raw PCM
+    needs no decoder, so the DSP here (numpy-vectorized inside the Arrow
+    batch) is the real computation a silence-trimming / voice-activity
+    pass runs over an audio corpus. Rows fan out one-per-frame; at 100 TB
+    the stage is a narrow mapInPandas pass whose output is a few doubles
+    per frame — the corpus reduction happens here, before any shuffle.
+
+    Odd trailing bytes are dropped (PCM16 alignment); empty/None payloads
+    produce no frames.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            rms: list[float] = []
+            zc: list[int] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                samples = np.frombuffer(p[: len(p) - (len(p) % 2)], dtype="<i2")
+                n_frames = len(samples) // frame_samples
+                if not n_frames:
+                    continue
+                frames = samples[: n_frames * frame_samples].reshape(
+                    n_frames, frame_samples
+                )
+                x = frames.astype(np.float64) / 32768.0
+                frame_rms = np.sqrt((x * x).mean(axis=1))
+                signs = np.signbit(frames)
+                crossings = (signs[:, 1:] != signs[:, :-1]).sum(axis=1)
+                ids.extend([mid] * n_frames)
+                idxs.extend(range(n_frames))
+                rms.extend(frame_rms.tolist())
+                zc.extend(int(c) for c in crossings)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)

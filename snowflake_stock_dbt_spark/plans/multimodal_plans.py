@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    audio_features,
     decode_media,
     media_stats,
     resize_media,
@@ -130,14 +131,37 @@ WHERE {_MODALITY} = 'video' AND i % {FRAME_EVERY_K} = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q81 — Audio frame features over the audio rows: per-frame RMS energy and
+# zero-crossing counts from int16 PCM interpretation of the payload — the
+# silence-trim / voice-activity primitive, and the one multimodal stage
+# whose DSP is REAL (raw PCM needs no codec). Byte-level int16 extraction
+# is not reasonably SQL-expressible, so this query is registered WITHOUT an
+# oracle (the driver records the rows-only check); the numeric contract is
+# pinned by tests/test_multimodal_quality.py on synthetic PCM with known
+# RMS and crossing counts.
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME_SAMPLES = 64
+
+
+def q81_audio_features(spark, sf_dir):
+    media = documents_as_media(spark, sf_dir).where(F.col("modality") == "audio")
+    return audio_features(media, frame_samples=AUDIO_FRAME_SAMPLES).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 MULTIMODAL_QUERIES = {
     "q38_media_decode": q38_media_decode,
+    "q81_audio_features": q81_audio_features,
     "q39_media_stats": q39_media_stats,
     "q52_media_resize": q52_media_resize,
     "q53_frame_sample": q53_frame_sample,
 }
 
 MULTIMODAL_ORACLES = {
+    # q81_audio_features: deliberately absent — rows-only check (binary DSP).
     "q38_media_decode": Q38_SQL,
     "q39_media_stats": Q39_SQL,
     "q52_media_resize": Q52_SQL,

@@ -109,3 +109,43 @@ def test_quality_checks_pass_and_fail(spark):
 
     with pytest.raises(AssertionError, match="unique\\(id\\)"):
         run_checks([unique(df, "id")])
+
+
+def test_audio_features_known_pcm(spark):
+    """RMS and zero-crossings on constructed int16 PCM with known answers:
+    a constant-amplitude square wave alternating every sample."""
+    import struct
+
+    from snowflake_stock_dbt_spark.operators.multimodal import audio_features
+
+    amp = 16384  # 2^14 -> rms = 0.5 exactly after /32768 scaling
+    n = 128
+    square = struct.pack(f"<{n}h", *([amp, -amp] * (n // 2)))
+    silence = struct.pack(f"<{n}h", *([0] * n))
+    short = b"\x01\x02\x03"  # 1 sample + odd byte: below a frame, no rows
+    df = spark.createDataFrame(
+        [(1, square), (2, silence), (3, short), (4, None)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in audio_features(df, frame_samples=64).collect()
+    }
+    # 128 samples / 64 per frame = 2 frames for the full payloads.
+    assert set(rows) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    for k in [(1, 0), (1, 1)]:
+        assert rows[k]["rms"] == 0.5
+        assert rows[k]["zero_crossings"] == 63  # alternates every sample
+    for k in [(2, 0), (2, 1)]:
+        assert rows[k]["rms"] == 0.0
+        assert rows[k]["zero_crossings"] == 0
+
+
+def test_q81_audio_features_shape(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans.multimodal_plans import q81_audio_features
+
+    out = q81_audio_features(spark, oracle_sf_dir)
+    rows = out.collect()
+    assert rows  # audio rows exist and are long enough for >= 1 frame
+    assert {r["media_id"] % 3 for r in rows} == {1}  # audio modality only
+    assert all(0.0 <= r["rms"] <= 1.0 for r in rows)

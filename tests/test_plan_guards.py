@@ -33,6 +33,7 @@ PANDAS_ALLOWED = {
     "q52_media_resize",
     "q53_frame_sample",
     "q41_stateful_totals",
+    "q81_audio_features",  # PCM DSP — the one non-stub Python stage
 }
 
 #: Streaming queries materialize through a memory sink before returning,
