@@ -98,3 +98,45 @@ def test_q75_history_ranges_chain_per_user(spark, oracle_sf_dir):
         # Consecutive segments always change state (runs are maximal).
         for a, b in zip(segs, segs[1:]):
             assert a["event_type"] != b["event_type"]
+
+
+def test_scd2_random_batch_sequence_invariants(spark):
+    """Randomized multi-step apply: after any sequence of batches, every
+    key has exactly one current row, validity ranges chain without gaps or
+    overlaps, and the current row equals the last-applied state."""
+    import random
+
+    rng = random.Random(7)
+    keys = [1, 2, 3]
+    colors = ["red", "green", "blue", None]
+    months = [f"2024-{m:02d}-01 00:00:00" for m in range(1, 10)]
+
+    hist = None
+    last_state: dict = {}
+    for step, ts in enumerate(months):
+        batch_rows = [
+            (k, rng.choice(colors), "S", ts)
+            for k in keys
+            if rng.random() < 0.7  # keys may be absent from a batch
+        ]
+        if not batch_rows:
+            continue
+        b = _batch(spark, batch_rows)
+        if hist is None:
+            hist = scd2_initial(b, "ts")
+        else:
+            hist = scd2_apply(hist, b, "k", ["color", "size"], "ts")
+        for k, color, _, _ in batch_rows:
+            last_state[k] = color
+    rows = hist.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        current = [r for r in versions if r["is_current"]]
+        assert len(current) == 1, f"key {k}: {len(current)} current rows"
+        assert current[0]["color"] == last_state[k]
+        versions.sort(key=lambda r: str(r["valid_from"]))
+        for a, b2 in zip(versions, versions[1:]):
+            assert a["valid_to"] == b2["valid_from"], f"key {k}: range gap"
+        assert versions[-1]["valid_to"] is None
