@@ -26,6 +26,7 @@ from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
 _REQUIRED_RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -398,10 +398,14 @@ def q47_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q47_SQL = rf"""
 WITH {_SQL_TOKS},
+pidx AS (
+    -- bounded by the document's own token count (no fixed position cap)
+    SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i FROM toks
+),
 psh AS (
     SELECT doc_id, CAST(i + 1 AS INT) AS pos,
            concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
-    FROM toks CROSS JOIN range(0, 4000) r(i)
+    FROM pidx
     WHERE i <= len(t) - 3
 ),
 h AS (
@@ -601,9 +605,15 @@ def q64_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q64_SQL = rf"""
 WITH {_SQL_TOKS},
+jidx AS (
+    -- bounded by the document's own token count (no fixed position cap)
+    SELECT doc_id, t,
+           unnest(generate_series(0, (len(t) - 1) // {_STRIDE})) AS j
+    FROM toks WHERE len(t) > 0
+),
 idx AS (
     SELECT doc_id, t, CAST(j AS INT) AS chunk_idx
-    FROM toks CROSS JOIN range(0, 4000) r(j)
+    FROM jidx
     WHERE j * {_STRIDE} < len(t)
 ),
 c AS (

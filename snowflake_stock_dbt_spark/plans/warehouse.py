@@ -1,0 +1,363 @@
+"""Classic warehouse analytics (q82-q87): the TPC-H-shaped query family over
+the ``lineitem``/``orders``/``customer``/``supplier``/``part``/``nation``/
+``region`` star. The reference's analytics layer (sql/03_analytics_queries.sql)
+is a single-fact dashboard; this module exercises the multi-fact shapes a
+warehouse engine must also serve — wide aggregate scans, 3-way big-table
+joins with dimension broadcasts, semi-join EXISTS, and argmax-by-aggregate.
+
+Scale shapes (100 TB):
+- q82 is a pure scan + 8-column hash aggregate over 6 groups: map-side
+  partial aggregation reduces each task to a handful of rows; the shuffle is
+  bytes, not gigabytes. The shipdate filter is pushed to the parquet scan.
+- q83/q84 shuffle-join lineitem⋈orders on orderkey (the two big tables);
+  customer joins on the already-shuffled custkey; nation/region broadcast.
+  Selective date/segment filters are pushed below every join.
+- q85 aggregates per supplier first (shuffle on suppkey), then finds the
+  max revenue with a single-row broadcast join — no global sort.
+- q86 is one conditional aggregate over a month of shipments (scan-only).
+- q87 is a left-semi join (EXISTS): the probe side never materializes
+  matched lineitem rows, and both sides are filtered before the join.
+
+All money aggregates use the exact-decimal recipe
+(:mod:`..functions.numeric`) so values are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import SQL_DEC_AVG, SQL_DEC_SUM, dec_avg, dec_sum
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q82 — pricing summary report (TPC-H Q1 shape): returnflag/linestatus
+# rollup of quantity, gross/discounted/charged revenue, and means, over
+# everything shipped up to a cutoff.
+# ---------------------------------------------------------------------------
+
+_Q82_CUTOFF = "1999-12-01 00:00:00"
+
+
+def q82_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit(_Q82_CUTOFF)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(charge).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q82_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {SQL_DEC_SUM.format(x='l_quantity')} AS sum_qty,
+       {SQL_DEC_SUM.format(x='l_extendedprice')} AS sum_base_price,
+       {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')}
+           AS sum_disc_price,
+       {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')}
+           AS sum_charge,
+       {SQL_DEC_AVG.format(x='l_quantity')} AS avg_qty,
+       {SQL_DEC_AVG.format(x='l_extendedprice')} AS avg_price,
+       {SQL_DEC_AVG.format(x='l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q82_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q83 — shipping priority (TPC-H Q3 shape): top-10 unshipped-revenue orders
+# for one market segment around a pivot date.
+# ---------------------------------------------------------------------------
+
+_Q83_SEGMENT = "BUILDING"
+_Q83_DATE = "1998-06-01 00:00:00"
+
+
+def q83_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pivot = F.to_timestamp(F.lit(_Q83_DATE))
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+        "rev"
+    )
+    return (
+        li.where(F.col("l_shipdate") > pivot)
+        .join(
+            o.where(F.col("o_orderdate") < pivot),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            # The filtered segment is 1/5 of an already-small dimension —
+            # broadcast it so the big join output never reshuffles.
+            F.broadcast(c.where(F.col("c_mktsegment") == _Q83_SEGMENT)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", revenue)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum("rev").alias("revenue"))
+        # l_orderkey is unique per group: a deterministic LIMIT tiebreaker.
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q83_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{_Q83_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_Q83_DATE}'
+  AND l_shipdate  > TIMESTAMP '{_Q83_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q84 — local supplier volume (TPC-H Q5 shape): revenue where customer and
+# supplier share a nation, rolled up by nation within one region and one
+# order-year.
+# ---------------------------------------------------------------------------
+
+_Q84_REGION = "ASIA"
+_Q84_FROM = "1996-01-01 00:00:00"
+_Q84_TO = "1997-01-01 00:00:00"
+
+
+def q84_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+        "rev"
+    )
+    return (
+        li.join(
+            o.where(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit(_Q84_FROM)))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit(_Q84_TO)))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        # supplier is dimension-sized here; the local-supplier condition
+        # (c_nationkey = s_nationkey) rides on the broadcast equi-join.
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == _Q84_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_name", revenue)
+        .groupBy("n_name")
+        .agg(dec_sum("rev").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q84_SQL = f"""
+SELECT n_name,
+       {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q84_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q84_FROM}'
+  AND o_orderdate <  TIMESTAMP '{_Q84_TO}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q85 — top supplier(s) (TPC-H Q15 shape): suppliers whose shipped revenue
+# in a quarter equals the maximum. The argmax is a 1-row broadcast join
+# against the per-supplier aggregate — no global sort, no window over the
+# whole table.
+# ---------------------------------------------------------------------------
+
+_Q85_FROM = "1997-01-01 00:00:00"
+_Q85_TO = "1997-04-01 00:00:00"
+
+
+def q85_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q85_FROM)))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q85_TO)))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q85_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')}
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q85_FROM}'
+      AND l_shipdate <  TIMESTAMP '{_Q85_TO}'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q86 — promotion revenue share (TPC-H Q14 shape): percent of one month's
+# discounted revenue attributable to PROMO-type parts. One conditional
+# aggregate; part joins by broadcast.
+# ---------------------------------------------------------------------------
+
+_Q86_FROM = "1998-03-01 00:00:00"
+_Q86_TO = "1998-04-01 00:00:00"
+
+
+def q86_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q86_FROM)))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q86_TO)))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dec_sum(promo) / dec_sum(disc)).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q86_SQL = f"""
+SELECT 100.0 * {SQL_DEC_SUM.format(
+    x="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"
+)}
+     / {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')}
+       AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{_Q86_FROM}'
+  AND l_shipdate <  TIMESTAMP '{_Q86_TO}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q87 — late-shipment priority backlog (TPC-H Q4 shape): orders in a
+# quarter having at least one line shipped more than 60 days after the
+# order date, counted by priority. The EXISTS is a left-semi join: matched
+# lineitem rows are never materialized.
+# ---------------------------------------------------------------------------
+
+_Q87_FROM = "1996-07-01 00:00:00"
+_Q87_TO = "1996-10-01 00:00:00"
+_Q87_LATE_DAYS = 60
+
+
+def q87_priority_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = o.where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(_Q87_FROM)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(_Q87_TO)))
+    )
+    late = window.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q87_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q87_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{_Q87_FROM}'
+  AND o_orderdate <  TIMESTAMP '{_Q87_TO}'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q87_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+WAREHOUSE_QUERIES = {
+    "q82_pricing_summary": q82_pricing_summary,
+    "q83_shipping_priority": q83_shipping_priority,
+    "q84_local_supplier_volume": q84_local_supplier_volume,
+    "q85_top_supplier": q85_top_supplier,
+    "q86_promo_revenue": q86_promo_revenue,
+    "q87_priority_backlog": q87_priority_backlog,
+}
+
+WAREHOUSE_ORACLES = {
+    "q82_pricing_summary": Q82_SQL,
+    "q83_shipping_priority": Q83_SQL,
+    "q84_local_supplier_volume": Q84_SQL,
+    "q85_top_supplier": Q85_SQL,
+    "q86_promo_revenue": Q86_SQL,
+    "q87_priority_backlog": Q87_SQL,
+}

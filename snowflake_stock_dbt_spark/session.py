@@ -57,6 +57,11 @@ def get_spark(
         # Spark parquet reader rejects by default; read as long and convert
         # in sources/tables.py (truncating ns->us exactly like DuckDB's cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Corpora regenerated with TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # would otherwise surface as TIMESTAMP_NTZ; read them as TIMESTAMP
+        # (session TZ is UTC, so the instant is identical to DuckDB's naive
+        # reading) so every downstream instant function keeps working.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Drive-to-completion streams (Trigger.AvailableNow-style) don't
         # benefit from background state-store snapshot maintenance, and
         # stopped queries' providers linger until maintenance unloads them —

@@ -24,8 +24,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (``{sf_dir}/{name}.parquet``)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLUMNS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        df = normalize_instant(df, c)
+    return df
+
+
+def normalize_instant(df: DataFrame, c: str) -> DataFrame:
+    """Normalize a timestamp column to TimestampType UTC instants.
+
+    The corpus has shipped the events ``ts`` column as both TIMESTAMP(NANOS)
+    (surfaced as bigint under nanosAsLong; ns->us division truncates exactly
+    like DuckDB's TIMESTAMP_NS->TIMESTAMP cast) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ if the inferTimestampNTZ
+    conf could not be applied; the session TZ is UTC so an NTZ->LTZ cast is
+    instant-preserving). Handle every surfaced type so the engine does not
+    depend on which corpus generation it runs against.
+    """
+    dtype = dict(df.dtypes).get(c)
+    if dtype == "bigint":
+        return df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

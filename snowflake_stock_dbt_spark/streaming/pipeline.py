@@ -28,34 +28,30 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-#: Explicit read schema for the events stream; ts is the raw parquet
-#: TIMESTAMP(NANOS) surfaced as long (session sets nanosAsLong).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
+from ..sources.tables import normalize_instant
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (ts converted to µs instants)."""
+    """File-source stream of the events table (ts normalized to µs instants).
+
+    The stream schema is taken from the file footer via a static read (a
+    footer-only operation — no data scan), because the corpus has shipped
+    ``ts`` as both TIMESTAMP(NANOS) (surfaced as bigint under nanosAsLong)
+    and TIMESTAMP(MICROS) (surfaced as timestamp); hardcoding either breaks
+    the other. ``normalize_instant`` converts whatever surfaced to
+    TimestampType UTC instants.
+    """
     # The file source requires a directory (the landing-dir shape of
     # SURVEY.md §2.10); events.parquet is a single file inside sf_dir, so
     # stream the directory with a glob filter.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_instant(raw, "ts")
 
 
 def streaming_tumbling_agg(

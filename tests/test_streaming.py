@@ -46,11 +46,24 @@ def test_stateful_totals_across_microbatches(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from snowflake_stock_dbt_spark.sources.tables import load_table
-    from snowflake_stock_dbt_spark.streaming.pipeline import (
-        EVENTS_STREAM_SCHEMA,
-        run_streaming_query,
-    )
+    from pyspark.sql import types as T
+
+    from snowflake_stock_dbt_spark.streaming.pipeline import run_streaming_query
     from snowflake_stock_dbt_spark.streaming.stateful import stateful_user_totals
+
+    # This test writes its own ns-as-long landing files, so it declares the
+    # long-shaped schema locally (the production source derives its schema
+    # from the file footer).
+    ns_long_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     land = str(tmp_path / "landing")
@@ -66,7 +79,7 @@ def test_stateful_totals_across_microbatches(spark, tmp_path):
     ).selectExpr("event_id", "us * 1000 AS ts", "user_id", "event_type", "value", "props").coalesce(1).write.mode("append").parquet(land)
 
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(ns_long_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(land)
