@@ -19,7 +19,7 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_parallelism
@@ -499,6 +499,157 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q89 — Sequence packing: assign documents to fixed token-budget context
+# windows by running offset (offset-based packing — the throughput-oriented
+# scheme sequence trainers use when exact bin-packing isn't worth a global
+# sort). Deterministic: docs are laid out per source in doc_id order; a doc
+# belongs to the bin its starting offset falls in.
+#
+# Scale shape: one window cumsum per source partition (single shuffle on
+# source), then a keyed agg on (source, bin). No driver-side loop, no
+# global sort — at 100 TB each source's layout is an independent prefix sum.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 2048
+
+
+def q89_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = docs.select(
+        "source",
+        "doc_id",
+        token_count("text").alias("n_tok"),
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    binned = laid.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET_TOKENS)
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+Q89_SQL = f"""
+WITH laid AS (
+    SELECT source, doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tok
+    FROM documents
+),
+cums AS (
+    SELECT source, doc_id, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM laid
+)
+SELECT source,
+       CAST((cum - n_tok) // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cums
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q90 — Distribution-drift check (chi-square homogeneity): does the
+# event-type mix change between the first and second half of the month?
+# The two-snapshot contingency test a pipeline runs before accepting a new
+# data drop. Counts are exact integers; expected counts and the statistic
+# are the same double expression on both engines, so the result is
+# bit-identical.
+#
+# Scale shape: one keyed agg to the (period × type) contingency table
+# (tiny), then broadcast joins of the two margin aggregates — the 100 TB
+# cost is the first scan, everything after is constant-size.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+
+def q90_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.when(
+                F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT)), "before"
+            )
+            .otherwise("after")
+            .alias("period"),
+            "event_type",
+        )
+        .groupBy("period", "event_type")
+        .agg(F.count("*").alias("o"))
+    )
+    row_tot = cells.groupBy("period").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("event_type").agg(F.sum("o").alias("ct"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "period")
+        .join(F.broadcast(col_tot), "event_type")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return joined.agg(
+        F.sum(dev.cast("decimal(38,6)")).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("period") - F.lit(1))
+            * (F.countDistinct("event_type") - F.lit(1))
+        ).alias("dof"),
+        F.max("n").alias("n"),
+    )
+
+
+Q90_SQL = f"""
+WITH cells AS (
+    SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_DRIFT_SPLIT}'
+                THEN 'before' ELSE 'after' END AS period,
+           event_type, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT period, SUM(o) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT event_type, SUM(o) AS ct FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+SELECT CAST(SUM(CAST(
+           (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+       AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT cells.period) - 1)
+          * (COUNT(DISTINCT cells.event_type) - 1) AS BIGINT) AS dof,
+       MAX(n.n) AS n
+FROM cells, rt, ct, n
+WHERE cells.period = rt.period AND cells.event_type = ct.event_type
+"""
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
@@ -507,6 +658,8 @@ CURATION_QUERIES = {
     "q74_dedup_survivors": q74_dedup_survivors,
     "q76_domain_cap": q76_domain_cap,
     "q77_pii_scan": q77_pii_scan,
+    "q89_sequence_packing": q89_sequence_packing,
+    "q90_drift_chi2": q90_drift_chi2,
 }
 
 CURATION_ORACLES = {
@@ -517,4 +670,6 @@ CURATION_ORACLES = {
     "q74_dedup_survivors": Q74_SQL,
     "q76_domain_cap": Q76_SQL,
     "q77_pii_scan": Q77_SQL,
+    "q89_sequence_packing": Q89_SQL,
+    "q90_drift_chi2": Q90_SQL,
 }

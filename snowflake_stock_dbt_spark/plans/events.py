@@ -439,6 +439,120 @@ ORDER BY user_id, valid_from_us
 """
 
 
+# ---------------------------------------------------------------------------
+# Q88 — Gap-fill + interpolation: per-user daily purchase totals, re-gridded
+# onto each user's own active day range, with forward-fill and linear
+# interpolation for missing days. The canonical time-series repair operator
+# (reference app charts assume a dense date axis; this builds one).
+#
+# Scale shape: the spine is generated per key from that key's own min/max
+# day (no global-range cross join — a user active for a week costs 7 rows),
+# and the fill is two frame-bounded window passes over (user, day) — both
+# run inside one shuffle on user_id. At 100 TB the state per key is the
+# key's own day count, never the global calendar.
+# ---------------------------------------------------------------------------
+
+
+def q88_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(dec_sum("value").alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    grid = spine.join(daily, ["user_id", "day"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    filled = grid.select(
+        "user_id",
+        "day",
+        F.col("v").alias("observed"),
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("pd"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    interp = (
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        "observed",
+        F.col("pv").alias("ffill"),
+        interp.alias("interpolated"),
+    ).orderBy("user_id", "day")
+
+
+Q88_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+    SELECT user_id,
+           UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+),
+grid AS (
+    SELECT s.user_id, s.day, daily.v
+    FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id
+                                AND s.day = daily.day
+),
+w AS (
+    SELECT user_id, day, v,
+        last_value(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+    FROM grid
+)
+SELECT user_id, day, v AS observed, pv AS ffill,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                  / CAST(date_diff('day', pd, nd) AS DOUBLE))
+            ELSE COALESCE(pv, nv) END AS interpolated
+FROM w
+ORDER BY user_id, day
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
@@ -447,6 +561,7 @@ EVENT_QUERIES = {
     "q66_retention_cohorts": q66_retention_cohorts,
     "q67_funnel": q67_funnel,
     "q75_scd2_history": q75_scd2_history,
+    "q88_gap_fill": q88_gap_fill,
 }
 
 EVENT_ORACLES = {
@@ -457,4 +572,5 @@ EVENT_ORACLES = {
     "q66_retention_cohorts": Q66_SQL,
     "q67_funnel": Q67_SQL,
     "q75_scd2_history": Q75_SQL,
+    "q88_gap_fill": Q88_SQL,
 }

@@ -540,6 +540,66 @@ ORDER BY spine.day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q92 — Fuzzy (edit-distance) join with blocking: near-matching part names
+# within a blocking key. The standard entity-resolution shape: distinct
+# names first (dedup the entity table), equi-join on a cheap block key so
+# candidate pairs are bounded per block, then the expensive levenshtein
+# runs only inside blocks — never all-pairs. Both engines ship native
+# levenshtein, so the oracle is exact.
+#
+# Scale shape: distinct-agg (one shuffle) then a block-key equi-join whose
+# fan-out is the square of the block size, not the table size. At 100 TB
+# the block key (here: the trailing token) is what keeps this tractable —
+# the same pattern as the MinHash-LSH band join (q22).
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+
+def q92_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct().select(
+        F.col("p_name").alias("name"),
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where(
+            F.levenshtein(F.col("a.name"), F.col("b.name")) <= _FUZZY_MAX_DIST
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+            F.col("a.block").alias("block"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+Q92_SQL = f"""
+WITH names AS (
+    SELECT DISTINCT p_name AS name,
+           string_split(p_name, ' ')[-1] AS block
+    FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+       a.block AS block
+FROM names a JOIN names b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {_FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 RELATIONAL_QUERIES = {
     "q31_rollup": q31_rollup,
     "q32_cube": q32_cube,
@@ -554,6 +614,7 @@ RELATIONAL_QUERIES = {
     "q50_ranking": q50_ranking,
     "q62_unpivot": q62_unpivot,
     "q63_date_spine": q63_date_spine,
+    "q92_fuzzy_join": q92_fuzzy_join,
 }
 
 RELATIONAL_ORACLES = {
@@ -570,4 +631,5 @@ RELATIONAL_ORACLES = {
     "q50_ranking": Q50_SQL,
     "q62_unpivot": Q62_SQL,
     "q63_date_spine": Q63_SQL,
+    "q92_fuzzy_join": Q92_SQL,
 }

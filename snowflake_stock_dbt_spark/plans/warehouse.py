@@ -344,6 +344,50 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Q91 — Incremental aggregate maintenance: the per-type events aggregate is
+# maintained as BASE (history before the cutoff) merged with DELTA (the new
+# batch) — never re-scanning history. The oracle is the full recompute, so
+# a green row *proves* merge(base, delta) == full, bit-identical (exact
+# decimal sums make the merge batching-independent).
+# ---------------------------------------------------------------------------
+
+_Q91_CUTOFF = "2024-01-20 00:00:00"
+
+
+def q91_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit(_Q91_CUTOFF))
+    base = partial_aggregate(
+        ev.where(F.col("ts") < cutoff), ["event_type"], "value"
+    )
+    delta = partial_aggregate(
+        ev.where(F.col("ts") >= cutoff), ["event_type"], "value"
+    )
+    merged = merge_partials(["event_type"], base, delta)
+    return finalize(merged, ["event_type"]).orderBy("event_type")
+
+
+Q91_SQL = """
+SELECT event_type,
+       COUNT(value) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(COUNT(value) AS DOUBLE) AS mean,
+       MIN(value) AS min_val,
+       MAX(value) AS max_val
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -351,6 +395,7 @@ WAREHOUSE_QUERIES = {
     "q85_top_supplier": q85_top_supplier,
     "q86_promo_revenue": q86_promo_revenue,
     "q87_priority_backlog": q87_priority_backlog,
+    "q91_incremental_agg": q91_incremental_agg,
 }
 
 WAREHOUSE_ORACLES = {
@@ -360,4 +405,5 @@ WAREHOUSE_ORACLES = {
     "q85_top_supplier": Q85_SQL,
     "q86_promo_revenue": Q86_SQL,
     "q87_priority_backlog": Q87_SQL,
+    "q91_incremental_agg": Q91_SQL,
 }

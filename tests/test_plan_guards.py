@@ -24,6 +24,7 @@ BNL_ALLOWED = {
     "q56_ann_lsh",
     "q58_tfidf_terms",
     "q80_value_histogram",  # 1-row min/max stats broadcast (q03 pattern)
+    "q90_drift_chi2",  # 1-row grand-total broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
