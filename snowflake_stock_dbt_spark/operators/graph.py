@@ -115,3 +115,69 @@ def neardup_components(
             (F.col("id") == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) after ``iters`` synchronous PageRank iterations.
+
+    Per round: every vertex sends rank/outdegree along its out-edges; the
+    incoming contributions are summed and damped. One join + one keyed
+    aggregation per round (both shuffle on the vertex id, like connected
+    components above), with ``localCheckpoint`` truncating the lineage.
+
+    Determinism: the per-edge contribution (rank/outdegree, an IEEE double)
+    is quantized to a fixed 1e-12 grid with FLOOR before summing — floor of
+    a double is unambiguous on every engine (no decimal rounding-mode
+    dependence; a straight double->DECIMAL(38,18) cast differs by 1-2 ulp
+    between Spark and DuckDB because Spark casts via the double's shortest
+    string form), and the integer-grid sum is exact, so the incoming-sum is
+    order/partitioning independent and bit-identical across engines and
+    cluster sizes. The quantization error (≤1e-12 per edge) is far below
+    any ranking-relevant difference.
+
+    The vertex count is collected once at setup (one count job); a fixed
+    scalar beats re-deriving |V| with a broadcast join every round.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.persist()
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.u == ranks.id)
+            .join(deg, "u")
+            .select(
+                F.col("v"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        quantized = F.floor(F.col("c") * F.lit(1e12)).cast("decimal(38,0)")
+        in_sum = contrib.groupBy("v").agg(
+            (F.sum(quantized).cast("double") / F.lit(1e12)).alias("s")
+        )
+        ranks = (
+            nodes.join(in_sum, nodes.id == in_sum.v, "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks

@@ -388,6 +388,85 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q93 — PageRank over the customer–supplier trade graph (who-trades-with-
+# whom influence): the second iterative-algorithm family next to connected
+# components (q54). Fixed 3 synchronous iterations, damping 0.85, on the
+# symmetrized bipartite graph from lineitem⋈orders. The oracle unrolls the
+# same three iterations as chained CTEs — contributions are FLOOR-
+# quantized to a 1e-12 grid and summed exactly on both engines, so ranks
+# are bit-identical (operators/graph.py:pagerank explains why a plain
+# double->decimal cast is not).
+#
+# Scale shape: each iteration is one equi-join (edges ⋈ ranks on the
+# vertex id) + one keyed agg — the same shuffle pattern as any keyed
+# aggregation, repeated `iters` times with localCheckpoint lineage cuts.
+# Nothing is collected but the vertex count (once, at setup).
+# ---------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def q93_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    # Node ids: even = customer, odd = supplier (disjoint id spaces).
+    trade = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = trade.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    ranks = pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
+    return ranks.select(F.col("id").alias("node_id"), "rank").orderBy("node_id")
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT nodes.id,
+           (CAST(1.0 AS DOUBLE) - CAST({_PR_DAMPING} AS DOUBLE))
+               / (SELECT n FROM nn)
+           + CAST({_PR_DAMPING} AS DOUBLE) * COALESCE(s.x, CAST(0.0 AS DOUBLE))
+               AS rank
+    FROM nodes LEFT JOIN (
+        SELECT e.v AS id,
+               CAST(SUM(CAST(FLOOR({prev}.rank / deg.deg * 1e12)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS x
+        FROM e JOIN {prev} ON e.u = {prev}.id JOIN deg ON e.u = deg.u
+        GROUP BY e.v
+    ) s ON nodes.id = s.id
+)"""
+
+
+Q93_SQL = f"""
+WITH trade AS (
+    SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+    SELECT cust AS u, supp AS v FROM trade
+    UNION
+    SELECT supp AS u, cust AS v FROM trade
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+nodes AS (SELECT DISTINCT u AS id FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+    SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+),{_pr_iter_sql('r0', 'r1')},{_pr_iter_sql('r1', 'r2')},{_pr_iter_sql('r2', 'r3')}
+SELECT id AS node_id, rank FROM r3 ORDER BY node_id
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -396,6 +475,7 @@ WAREHOUSE_QUERIES = {
     "q86_promo_revenue": q86_promo_revenue,
     "q87_priority_backlog": q87_priority_backlog,
     "q91_incremental_agg": q91_incremental_agg,
+    "q93_pagerank": q93_pagerank,
 }
 
 WAREHOUSE_ORACLES = {
@@ -406,4 +486,5 @@ WAREHOUSE_ORACLES = {
     "q86_promo_revenue": Q86_SQL,
     "q87_priority_backlog": Q87_SQL,
     "q91_incremental_agg": Q91_SQL,
+    "q93_pagerank": Q93_SQL,
 }
