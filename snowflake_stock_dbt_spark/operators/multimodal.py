@@ -244,3 +244,108 @@ def audio_features(df: DataFrame, frame_samples: int = 512) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)
+
+
+#: dHash geometry: 65 segment means -> 64 neighbor-comparison bits,
+#: banded 4×16 for the pigeonhole candidate join (catches every pair
+#: within Hamming distance 3: 4 bands can absorb at most 3 flipped bits
+#: without one band staying identical).
+PHASH_SEGMENTS = 65
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+
+
+def phash_bands(media: DataFrame, min_bytes: int = PHASH_SEGMENTS) -> DataFrame:
+    """Perceptual-hash bands per media row (dHash family, Arrow-batched).
+
+    A real image pHash resizes decoded pixels to a fixed grid and compares
+    neighboring cells; with the container's codec stub, the "decode" is the
+    payload byte array itself: 65 contiguous near-equal segments (numpy
+    ``array_split`` geometry), segment means compared pairwise -> 64 bits,
+    packed into 4×16-bit band integers. Payloads shorter than ``min_bytes``
+    are dropped (an empty segment has no mean).
+
+    Runs in ``mapInPandas`` — the same per-executor batch seam a real
+    decoder would occupy — and everything downstream (band join, Hamming
+    re-rank) is native JVM columns.
+    """
+    import numpy as np
+
+    n_seg, n_bands, band_bits = PHASH_SEGMENTS, PHASH_BANDS, PHASH_BAND_BITS
+    schema = "media_id long, " + ", ".join(
+        f"b{i} long" for i in range(n_bands)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(band_bits, dtype=np.int64)
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = arr.shape[0]
+                l, r = divmod(n, n_seg)
+                idx = np.arange(n)
+                # np.array_split geometry: first r segments take l+1 bytes.
+                seg = np.where(
+                    idx < r * (l + 1),
+                    idx // (l + 1),
+                    r + (idx - r * (l + 1)) // max(l, 1),
+                )
+                sums = np.bincount(seg, weights=arr, minlength=n_seg)
+                counts = np.bincount(seg, minlength=n_seg)
+                means = sums / counts
+                bits = (means[:-1] > means[1:]).astype(np.int64)
+                bands = tuple(
+                    int((bits[b * band_bits : (b + 1) * band_bits] << shifts).sum())
+                    for b in range(n_bands)
+                )
+                rows.append((int(mid), *bands))
+            yield pd.DataFrame(
+                rows, columns=["media_id"] + [f"b{i}" for i in range(n_bands)]
+            )
+
+    return (
+        media.where(F.length("payload") >= min_bytes)
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema)
+    )
+
+
+def phash_neardup_pairs(bands: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Near-duplicate media pairs from pHash bands.
+
+    Candidate generation is a per-band equi self-join (the LSH pigeonhole:
+    any pair within ``max_dist`` <= 3 shares at least one exact band), so
+    the pair space is bounded by band-bucket sizes — never all-pairs. The
+    exact Hamming distance re-ranks candidates with JVM ``bit_count``.
+    """
+    cols = [f"b{i}" for i in range(PHASH_BANDS)]
+    a = bands.alias("a")
+    b = bands.alias("b")
+    parts = []
+    for c in cols:
+        parts.append(
+            a.join(
+                b,
+                (F.col(f"a.{c}") == F.col(f"b.{c}"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            ).select(
+                F.col("a.media_id").alias("ma"),
+                F.col("b.media_id").alias("mb"),
+                *[F.col(f"a.{x}").alias(f"a_{x}") for x in cols],
+                *[F.col(f"b.{x}").alias(f"b_{x}") for x in cols],
+            )
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.distinct()
+    hamming = None
+    for c in cols:
+        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_dist)
+        .select("ma", "mb", "hamming")
+    )

@@ -152,12 +152,127 @@ def q81_audio_features(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Q94 — Perceptual-hash near-dup pairs over the image corpus (dHash
+# family): Arrow-batched hash extraction (the real-decoder seam), banded
+# 4×16 pigeonhole candidate join, exact Hamming re-rank in JVM bit_count.
+# The deterministic byte-"decode" means the whole pipeline — segment
+# means, bits, bands, pairs — replays in SQL, so this sketch path gets a
+# FULL value oracle (the corpus is ASCII: ord(char) == byte).
+#
+# The synthetic corpus has no near-identical byte payloads, so the query
+# plants deterministic near-dups from the same input: every 30th doc gets
+# a same-length twin with its first byte overwritten (id + 1e7) — only
+# segment 0's mean moves, so twin distance ≤ 1 bit and the pair machinery
+# has real work to find. The oracle replays the same construction.
+#
+# Scale shape: per-band equi-join on the band value (the q22/q24 LSH
+# shape); candidates are bounded by band-bucket sizes, never all-pairs;
+# the Python seam touches each image once, before any shuffle.
+# ---------------------------------------------------------------------------
+
+PHASH_MAX_DIST = 3
+_PHASH_TWIN_OFFSET = 10_000_000
+
+
+def q94_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_bands, phash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = docs.where(F.expr(_MODALITY) == "image").select(
+        F.col("doc_id").alias("media_id"), "doc_id", "text"
+    )
+    twins = imgs.where(F.col("doc_id") % 30 == 0).select(
+        (F.col("media_id") + _PHASH_TWIN_OFFSET).alias("media_id"),
+        "doc_id",
+        F.concat(F.lit("z"), F.expr("substr(text, 2)")).alias("text"),
+    )
+    media = (
+        imgs.unionByName(twins)
+        .select("media_id", F.col("text").cast("binary").alias("payload"))
+    )
+    return phash_neardup_pairs(
+        phash_bands(media), max_dist=PHASH_MAX_DIST
+    ).orderBy("ma", "mb")
+
+
+_PHASH_SEG_SQL = f"""
+base AS (
+    SELECT doc_id, doc_id AS media_id, text
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+),
+corpus AS (
+    SELECT media_id, text FROM base
+    UNION ALL
+    SELECT media_id + {_PHASH_TWIN_OFFSET} AS media_id,
+           'z' || substr(text, 2) AS text
+    FROM base WHERE doc_id % 30 = 0
+),
+imgs AS (
+    SELECT media_id, text, length(text) AS n
+    FROM corpus WHERE length(text) >= 65
+),
+pos AS (
+    SELECT media_id, text, n,
+           unnest(generate_series(0, n - 1)) AS p
+    FROM imgs
+),
+segmented AS (
+    SELECT media_id,
+           CASE WHEN p < (n % 65) * (n // 65 + 1)
+                THEN p // (n // 65 + 1)
+                ELSE (n % 65) + (p - (n % 65) * (n // 65 + 1)) // (n // 65)
+           END AS s,
+           ord(substr(text, CAST(p + 1 AS INT), 1)) AS v
+    FROM pos
+),
+means AS (
+    SELECT media_id, s, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+    FROM segmented GROUP BY media_id, s
+),
+bits AS (
+    SELECT a.media_id, CAST(a.s AS BIGINT) AS i,
+           CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+    FROM means a JOIN means b ON a.media_id = b.media_id AND b.s = a.s + 1
+    WHERE a.s < 64
+),
+bands AS (
+    SELECT media_id, i // 16 AS band,
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(i % 16 AS INT)))
+                AS BIGINT) AS bv
+    FROM bits GROUP BY media_id, band
+),
+wide AS (
+    SELECT media_id,
+           MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+           MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+           MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+           MAX(CASE WHEN band = 3 THEN bv END) AS b3
+    FROM bands GROUP BY media_id
+)"""
+
+Q94_SQL = f"""
+WITH {_PHASH_SEG_SQL}
+SELECT a.media_id AS ma, b.media_id AS mb,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            AS INT) AS hamming
+FROM wide a JOIN wide b
+  ON a.media_id < b.media_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {PHASH_MAX_DIST}
+ORDER BY ma, mb
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q38_media_decode": q38_media_decode,
     "q81_audio_features": q81_audio_features,
     "q39_media_stats": q39_media_stats,
     "q52_media_resize": q52_media_resize,
     "q53_frame_sample": q53_frame_sample,
+    "q94_phash_neardup": q94_phash_neardup,
 }
 
 MULTIMODAL_ORACLES = {
@@ -166,4 +281,5 @@ MULTIMODAL_ORACLES = {
     "q39_media_stats": Q39_SQL,
     "q52_media_resize": Q52_SQL,
     "q53_frame_sample": Q53_SQL,
+    "q94_phash_neardup": Q94_SQL,
 }

@@ -149,3 +149,61 @@ def test_q81_audio_features_shape(spark, oracle_sf_dir):
     assert rows  # audio rows exist and are long enough for >= 1 frame
     assert {r["media_id"] % 3 for r in rows} == {1}  # audio modality only
     assert all(0.0 <= r["rms"] <= 1.0 for r in rows)
+
+
+def test_phash_near_dup_detection(spark):
+    """A few-byte perturbation of a payload must land within Hamming
+    distance 3 of the original and be found by the banded pair join; an
+    unrelated payload must not pair with either."""
+    import numpy as np
+
+    from snowflake_stock_dbt_spark.operators.multimodal import (
+        phash_bands,
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = bytes(rng.integers(0, 256, size=1300, dtype=np.uint8))
+    # Perturb one byte inside a single segment: at most one bit flips.
+    near = base[:10] + bytes([base[10] ^ 0xFF]) + base[11:]
+    other = bytes(rng.integers(0, 256, size=1300, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["media_id", "payload"]
+    )
+    pairs = {
+        (r["ma"], r["mb"]): r["hamming"]
+        for r in phash_neardup_pairs(phash_bands(media), max_dist=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(3 not in k for k in pairs)
+
+
+def test_phash_pigeonhole_guarantee(spark):
+    """Any pair within Hamming distance 3 shares at least one exact band,
+    so the banded candidate join cannot miss it — flip 3 bits spread over
+    3 different bands and the pair must still be found."""
+    import numpy as np
+
+    from snowflake_stock_dbt_spark.operators.multimodal import (
+        phash_bands,
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = bytes(rng.integers(0, 256, size=1300, dtype=np.uint8))
+    media = spark.createDataFrame([(1, base)], ["media_id", "payload"])
+    row = phash_bands(media).collect()[0]
+    # Forge a second hash row directly: flip one bit in three of the four
+    # 16-bit bands (distance exactly 3).
+    forged = (
+        2,
+        row["b0"] ^ 1,
+        row["b1"] ^ 4,
+        row["b2"] ^ 1024,
+        row["b3"],
+    )
+    bands = spark.createDataFrame(
+        [tuple(row), forged], ["media_id", "b0", "b1", "b2", "b3"]
+    )
+    got = phash_neardup_pairs(bands, max_dist=3).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 3

@@ -35,6 +35,7 @@ PANDAS_ALLOWED = {
     "q53_frame_sample",
     "q41_stateful_totals",
     "q81_audio_features",  # PCM DSP — the one non-stub Python stage
+    "q94_phash_neardup",  # perceptual-hash extraction (real-decoder seam)
 }
 
 #: Streaming queries materialize through a memory sink before returning,
