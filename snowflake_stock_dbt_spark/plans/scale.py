@@ -306,6 +306,93 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Q95 — Count-min sketch frequency estimation: per-user event counts read
+# from a 4x1024 counter grid instead of an exact per-key aggregation. The
+# sketch state is depth x width counters regardless of key cardinality,
+# merges by cell-wise addition, and its estimate is a deterministic
+# function of the data and the fixed md5 hash family — so unlike the HLL
+# (q46) / t-digest (q57) contracts, the ENTIRE estimate is value-checked
+# cross-engine, not just an accuracy claim. Exact counts ride along to
+# exhibit the overcount (always >= 0).
+#
+# Scale shape: one explode(depth) -> map-side-combined count builds the
+# sketch (shuffle bounded by depth x width cells per task); estimation
+# broadcasts the tiny sketch into the probe join — the exact side exists
+# here only because the oracle needs it.
+# ---------------------------------------------------------------------------
+
+
+def q95_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.col("user_id").cast("string").alias("user_key"))
+    sketch = cms_sketch(keyed, "user_key")
+    exact = keyed.groupBy("user_key").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(sketch, exact.select("user_key"), "user_key")
+    return (
+        exact.join(est, "user_key")
+        .select(
+            "user_key",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("user_key")
+    )
+
+
+def _cms_cells_sql() -> str:
+    from ..operators.sketch import CMS_DEPTH, cms_bucket_sql
+
+    selects = [
+        f"SELECT {j} AS j, {cms_bucket_sql('CAST(user_id AS VARCHAR)', j)}"
+        f" AS bucket FROM events"
+        for j in range(CMS_DEPTH)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def _cms_probes_sql() -> str:
+    from ..operators.sketch import CMS_DEPTH, cms_bucket_sql
+
+    selects = [
+        f"SELECT user_key, {j} AS j,"
+        f" {cms_bucket_sql('user_key', j)} AS bucket FROM exact"
+        for j in range(CMS_DEPTH)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+Q95_SQL = f"""
+WITH exact AS (
+    SELECT CAST(user_id AS VARCHAR) AS user_key, COUNT(*) AS exact_n
+    FROM events GROUP BY 1
+),
+cells AS (
+{_cms_cells_sql()}
+),
+sketch AS (
+    SELECT j, bucket, COUNT(*) AS c FROM cells GROUP BY j, bucket
+),
+probes AS (
+{_cms_probes_sql()}
+),
+est AS (
+    SELECT user_key, MIN(c) AS cms_n
+    FROM probes JOIN sketch USING (j, bucket)
+    GROUP BY user_key
+)
+SELECT exact.user_key,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_n AS BIGINT) AS cms_n,
+       CAST(cms_n - exact_n AS BIGINT) AS overcount
+FROM exact JOIN est ON exact.user_key = est.user_key
+ORDER BY exact.user_key
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -313,6 +400,7 @@ SCALE_QUERIES = {
     "q68_grouped_zscore": q68_grouped_zscore,
     "q79_correlation": q79_correlation,
     "q80_value_histogram": q80_value_histogram,
+    "q95_cms_frequency": q95_cms_frequency,
 }
 
 SCALE_ORACLES = {
@@ -322,4 +410,5 @@ SCALE_ORACLES = {
     "q68_grouped_zscore": Q68_SQL,
     "q79_correlation": Q79_SQL,
     "q80_value_histogram": Q80_SQL,
+    "q95_cms_frequency": Q95_SQL,
 }

@@ -467,6 +467,178 @@ SELECT id AS node_id, rank FROM r3 ORDER BY node_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q96 — bilateral trade volume (TPC-H Q7 shape): shipped revenue between
+# two nations, both directions, by ship-year. Two nation-filtered
+# dimension broadcasts bracket the lineitem⋈orders shuffle join.
+# ---------------------------------------------------------------------------
+
+_Q96_NATION_A = "NATION_1"
+_Q96_NATION_B = "NATION_2"
+
+
+def q96_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = n.where(F.col("n_name").isin(_Q96_NATION_A, _Q96_NATION_B))
+    supp = s.join(
+        F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = c.join(
+        F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+            (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(dec_sum("rev").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Q96_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{_Q96_NATION_A}', '{_Q96_NATION_B}')
+  AND n2.n_name IN ('{_Q96_NATION_A}', '{_Q96_NATION_B}')
+  AND n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q97 — returned-item revenue report (TPC-H Q10 shape): customers ranked
+# by revenue lost to returns in one quarter, top 20 with their nation.
+# ---------------------------------------------------------------------------
+
+_Q97_FROM = "1997-04-01 00:00:00"
+_Q97_TO = "1997-07-01 00:00:00"
+
+
+def q97_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit(_Q97_FROM)))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit(_Q97_TO)))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("rev"),
+        )
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(dec_sum("rev").alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q97_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')}
+           AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{_Q97_FROM}'
+  AND o_orderdate <  TIMESTAMP '{_Q97_TO}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q98 — large-volume orders (TPC-H Q18 shape): orders whose total quantity
+# exceeds a threshold, with their customer. The HAVING runs on the
+# pre-join aggregate of lineitem (groupBy orderkey), so only qualifying
+# orderkeys reach the join — the aggregate-then-join ordering that matters
+# at 100 TB.
+# ---------------------------------------------------------------------------
+
+_Q98_MIN_QTY = 250.0
+
+
+def q98_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > _Q98_MIN_QTY)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+Q98_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey,
+           {SQL_DEC_SUM.format(x='l_quantity')} AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING {SQL_DEC_SUM.format(x='l_quantity')} > {_Q98_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -476,6 +648,9 @@ WAREHOUSE_QUERIES = {
     "q87_priority_backlog": q87_priority_backlog,
     "q91_incremental_agg": q91_incremental_agg,
     "q93_pagerank": q93_pagerank,
+    "q96_bilateral_trade": q96_bilateral_trade,
+    "q97_returned_items": q97_returned_items,
+    "q98_large_orders": q98_large_orders,
 }
 
 WAREHOUSE_ORACLES = {
@@ -487,4 +662,7 @@ WAREHOUSE_ORACLES = {
     "q87_priority_backlog": Q87_SQL,
     "q91_incremental_agg": Q91_SQL,
     "q93_pagerank": Q93_SQL,
+    "q96_bilateral_trade": Q96_SQL,
+    "q97_returned_items": Q97_SQL,
+    "q98_large_orders": Q98_SQL,
 }
