@@ -113,3 +113,89 @@ def compact_path(
     df.unpersist()
     after, _ = describe_files(spark, path)
     return before, after
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+) -> DataFrame:
+    """Append an interleaved-bit Z-order key column (``_zkey``).
+
+    Each clustering column is scaled to a ``bits``-wide integer rank using
+    the column's min/max (one tiny stats aggregate, broadcast back — the
+    sanctioned 1-row-stats cross join), then the ranks' bits are
+    interleaved: bit ``i`` of column ``j`` lands at position
+    ``i * len(cols) + j``. Sorting by ``_zkey`` places rows that are close
+    in EVERY clustering dimension into the same parquet row groups, so
+    min/max row-group stats prune point/range queries on ANY of the
+    columns — the multi-dimensional upgrade of ``compact_path``'s
+    single-prefix range clustering.
+
+    All integer bit arithmetic in JVM expressions; no UDFs, no shuffle
+    beyond the stats aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    stats = df.agg(
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    max_rank = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        span = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        scaled = F.when(span > 0,
+            F.floor(
+                (F.col(c).cast("double") - F.col(f"_min_{c}"))
+                / span
+                * max_rank
+            )
+        ).otherwise(F.lit(0))
+        ranks.append(F.least(scaled, F.lit(max_rank)).cast("long"))
+    zkey = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, rank in enumerate(ranks):
+            zkey = zkey + (
+                F.shiftleft(
+                    F.shiftright(rank, i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    return out.withColumn("_zkey", zkey).drop(
+        *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols]
+    )
+
+
+def zorder_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` Z-order-clustered on ``cols`` into ``n_files`` files.
+
+    repartitionByRange on the z-key assigns contiguous z-ranges to files;
+    the within-partition sort tightens row-group min/max bounds inside
+    each file. Queries filtering any clustered column then skip files and
+    row groups whose stats exclude the predicate — parquet readers get
+    this from footer stats alone.
+    """
+    keyed = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -138,3 +138,63 @@ def test_compact_path_skips_already_compact(spark, tmp_path):
     spark.range(1000).coalesce(1).write.parquet(path)
     before, after = compact_path(spark, path)
     assert (before, after) == (1, 1)
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering on (user_id, value) must bound per-file min/max
+    spans in BOTH dimensions: a linear sort on user_id alone leaves every
+    file spanning most of the value range (measured ~0.77 of it on this
+    corpus), so value predicates prune nothing; the Z-order layout must
+    cut that span sharply while keeping user_id spans bounded — that is
+    the multi-dimensional pruning trade the layout buys."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from snowflake_stock_dbt_spark.sinks.layout import zorder_write
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    n_files = 8
+
+    linear = str(tmp_path / "linear")
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(spark, ev, zpath, ["user_id", "value"], n_files)
+
+    def span_fraction(path: str, colidx: int) -> float:
+        """Mean per-file [min,max] width relative to the global range."""
+        spans, lo, hi = [], [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = [
+                md.row_group(i).column(colidx).statistics.min
+                for i in range(md.num_row_groups)
+            ]
+            maxs = [
+                md.row_group(i).column(colidx).statistics.max
+                for i in range(md.num_row_groups)
+            ]
+            spans.append(max(maxs) - min(mins))
+            lo.append(min(mins))
+            hi.append(max(maxs))
+        return (sum(spans) / len(spans)) / (max(hi) - min(lo))
+
+    lin_value = span_fraction(linear, 1)
+    z_value = span_fraction(zpath, 1)
+    z_user = span_fraction(zpath, 0)
+    # Value-dimension pruning must improve sharply (measured 0.77 -> 0.35)
+    assert z_value < 0.6 * lin_value
+    # ...while user-dimension spans stay bounded (z-order trade-off; a
+    # linear user sort gives 1/8, z-order must stay under 1/2).
+    assert z_user < 0.5
+
+    # And the clustered copy is still the same data.
+    a = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
+    b = sorted(tuple(r) for r in ev.collect())
+    assert a == b
