@@ -31,6 +31,13 @@ def test_relational_match_oracle(spark, oracle_sf_dir, name):
 
 @pytest.mark.parametrize("name", sorted(MULTIMODAL_QUERIES))
 def test_multimodal_match_oracle(spark, oracle_sf_dir, name):
+    if name not in MULTIMODAL_ORACLES:
+        # Rows-only contract (q81 binary DSP): the driver records the same
+        # weaker check; the numeric content is pinned by
+        # tests/test_multimodal_quality.py on synthetic PCM.
+        n = MULTIMODAL_QUERIES[name](spark, oracle_sf_dir).count()
+        assert n > 0
+        return
     n, _ = compare_query(
         spark, oracle_sf_dir, MULTIMODAL_QUERIES[name], MULTIMODAL_ORACLES[name], name
     )
