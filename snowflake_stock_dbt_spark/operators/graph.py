@@ -123,6 +123,8 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    broadcast_max_nodes: int = 5_000_000,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(id, rank) after ``iters`` synchronous PageRank iterations.
 
@@ -144,32 +146,43 @@ def pagerank(
     The vertex count is collected once at setup (one count job); a fixed
     scalar beats re-deriving |V| with a broadcast join every round.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not edges_distinct:
+        # Skip when the caller guarantees distinctness — this is a full
+        # shuffle of the edge table.
+        e = e.distinct()
     e = e.persist()
     deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    # Attach the out-degree to each edge ONCE — the per-round work is then
+    # a single join (weighted edges ⋈ ranks), not two.
+    ew = e.join(deg, "u").persist()
     nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.count()
+    # The rank and incoming-sum frames are |V| rows. When |V| is known
+    # (we just counted it) to be broadcast-sized, ship them to the edges
+    # instead of shuffling the edge table every round — the per-round cost
+    # drops to one map-side-combined aggregation. Past the threshold the
+    # joins fall back to ordinary shuffles (the general-scale path).
+    small = n <= broadcast_max_nodes
+    bcast = F.broadcast if small else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     teleport = (1.0 - damping) / n
     for _ in range(iters):
-        contrib = (
-            e.join(ranks, e.u == ranks.id)
-            .join(deg, "u")
-            .select(
-                F.col("v"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-            )
+        contrib = ew.join(bcast(ranks), ew.u == ranks.id).select(
+            F.col("v"),
+            (F.col("rank") / F.col("deg")).alias("c"),
         )
         quantized = F.floor(F.col("c") * F.lit(1e12)).cast("decimal(38,0)")
         in_sum = contrib.groupBy("v").agg(
             (F.sum(quantized).cast("double") / F.lit(1e12)).alias("s")
         )
         ranks = (
-            nodes.join(in_sum, nodes.id == in_sum.v, "left")
+            nodes.join(bcast(in_sum), nodes.id == in_sum.v, "left")
             .select(
                 "id",
                 (
@@ -180,4 +193,5 @@ def pagerank(
             .localCheckpoint()
         )
     e.unpersist()
+    ew.unpersist()
     return ranks

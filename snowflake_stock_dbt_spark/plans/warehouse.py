@@ -425,7 +425,11 @@ def q93_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = trade.select(
         F.col("cust").alias("src"), F.col("supp").alias("dst")
     ).union(trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-    ranks = pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
+    # `trade` is distinct and the two direction unions are disjoint, so the
+    # symmetrized edge set is distinct by construction — skip the shuffle.
+    ranks = pagerank(
+        edges, iters=_PR_ITERS, damping=_PR_DAMPING, edges_distinct=True
+    )
     return ranks.select(F.col("id").alias("node_id"), "rank").orderBy("node_id")
 
 

@@ -168,3 +168,87 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
     drain()
     got3 = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got3 == got2
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics: an event arriving in a later micro-batch,
+    older than the watermark established by the previous batch, must be
+    DROPPED from the windowed aggregate (the bounded-state contract — at
+    100 TB the watermark is what lets window state be evicted)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.streaming.pipeline import (
+        run_streaming_query,
+        streaming_tumbling_agg,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    base = 1_700_000_100  # epoch seconds; divisible by 900 (window-aligned)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, r_ts, 1, "t", v, None)
+                for i, (r_ts, v) in enumerate(rows)
+            ],
+            "event_id long, sec long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds("sec").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    # Batch 1: one event in window W0 = [base, base+900), one 31 min later
+    # (advances the watermark past W0's end: wm = base+1860 - 600 > base+900).
+    mk([(base + 10, 1.0), (base + 1860, 2.0)]).coalesce(1).write.parquet(
+        str(land / "f1")
+    )
+    time.sleep(1.1)  # file-source ordering is by modification time
+    # Batch 2: a LATE event back in W0 — must be dropped — plus an
+    # on-time one in the latest window — must be counted.
+    mk([(base + 20, 100.0), (base + 1870, 4.0)]).coalesce(1).write.parquet(
+        str(land / "f2")
+    )
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{land}/*")
+    )
+    agg = streaming_tumbling_agg(raw, window_s=900, watermark="10 minutes")
+    out = run_streaming_query(spark, agg, output_mode="update")
+    # update-mode: take each window's LAST emission.
+    from pyspark.sql import Window as W
+
+    rows = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("window_start_us").orderBy(
+                    F.monotonically_increasing_id().desc()
+                )
+            ),
+        )
+        .where("rn = 1")
+        .select("window_start_us", "n_events", "total_value")
+        .collect()
+    )
+    by_start = {
+        r["window_start_us"] // 1_000_000: (r["n_events"], r["total_value"])
+        for r in rows
+    }
+    # W0 keeps only the batch-1 event: the late 100.0 never lands.
+    assert by_start[base] == (1, 1.0)
+    # The on-time batch-2 event was aggregated with its window partner.
+    assert by_start[base + 1800] == (2, 6.0)
