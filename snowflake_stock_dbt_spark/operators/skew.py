@@ -43,3 +43,42 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
     return l.join(r, [*on, "__salt"], how).drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: dict,
+    merge_aggs: dict,
+    n_salts: int = 8,
+    salt_col=None,
+) -> DataFrame:
+    """Two-stage (salted) aggregation for hot grouping keys.
+
+    Stage 1 groups by (keys, salt) so a hot key's rows spread over
+    ``n_salts`` reducers; stage 2 merges the per-salt partials by key.
+    ``partial_aggs`` maps output name -> aggregate Column over the input
+    (e.g. ``{"n": F.count("*")}``); ``merge_aggs`` maps the same names to
+    a merge function applied to the partial column (e.g. ``F.sum``).
+
+    For algebraic aggregates (count/sum/min/max) this is semantically
+    identical to a direct groupBy — which Spark's map-side partial
+    aggregation already exploits; explicit salting matters when the
+    aggregation is paired with windows/joins that pin the partitioning, or
+    when per-reducer state (exact distincts, large collect buffers) is
+    what skews. The salt defaults to a deterministic row hash; pass
+    ``salt_col`` to override.
+    """
+    salt = (
+        salt_col
+        if salt_col is not None
+        else F.abs(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()))
+        % n_salts
+    )
+    staged = df.withColumn("__salt", salt.cast("int"))
+    partial = staged.groupBy(*keys, "__salt").agg(
+        *[col.alias(f"__p_{name}") for name, col in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[fn(f"__p_{name}").alias(name) for name, fn in merge_aggs.items()]
+    )

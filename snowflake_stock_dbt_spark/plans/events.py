@@ -363,8 +363,10 @@ SELECT (SELECT COUNT(*) FROM s) AS n_signup,
 # ---------------------------------------------------------------------------
 
 
-def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def scd2_history_from(ev: DataFrame) -> DataFrame:
+    """Run-length SCD2 history of ``event_type`` per user (q75's core,
+    reusable over any filtered event frame): one row per run with
+    [valid_from_us, valid_to_us) interval and the run's event count."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
@@ -393,16 +395,18 @@ def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
     )
     wseg = Window.partitionBy("user_id").orderBy("run_id")
-    return (
-        seg.select(
-            "user_id",
-            "event_type",
-            "valid_from_us",
-            F.lead("valid_from_us").over(wseg).alias("valid_to_us"),
-            "n_events",
-        )
-        .orderBy("user_id", "valid_from_us")
+    return seg.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wseg).alias("valid_to_us"),
+        "n_events",
     )
+
+
+def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history_from(ev).orderBy("user_id", "valid_from_us")
 
 
 Q75_SQL = """
@@ -553,6 +557,93 @@ ORDER BY user_id, day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q99 — Point-in-time (temporal) join: each purchase joined to the user's
+# activity state (SCD2 run of non-purchase event types) valid at purchase
+# time. The dimension-history join every warehouse needs for "what did the
+# record look like THEN" — done as a backward as-of join (union + one
+# window shuffle, operators/asof.py), never an interval cross join. The
+# oracle is the equivalent interval join over the same history CTE.
+# ---------------------------------------------------------------------------
+
+
+def q99_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    history = scd2_history_from(
+        ev.where(F.col("event_type") != "purchase")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from_us",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    out = asof_join(
+        purchases,
+        history,
+        on=["user_id"],
+        left_time="purchase_us",
+        right_time="valid_from_us",
+        right_payload=["state"],
+        tiebreak="valid_from_us",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        "state",
+        F.col("matched_valid_from_us").alias("state_since_us"),
+    ).orderBy("purchase_id")
+
+
+Q99_SQL = """
+WITH base AS (
+    SELECT user_id, event_type, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WHERE event_type <> 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+runs AS (
+    SELECT *, SUM(chg) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS run_id
+    FROM base
+),
+seg AS (
+    SELECT user_id, run_id,
+           MIN(event_type) AS state,
+           MIN(us) AS valid_from_us,
+           LEAD(MIN(us)) OVER (PARTITION BY user_id ORDER BY run_id)
+               AS valid_to_us
+    FROM runs
+    GROUP BY user_id, run_id
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT purchase_id, p.user_id, purchase_us, seg.state,
+       seg.valid_from_us AS state_since_us
+FROM purchases p
+LEFT JOIN seg
+  ON p.user_id = seg.user_id
+ AND seg.valid_from_us <= p.purchase_us
+ AND (seg.valid_to_us IS NULL OR p.purchase_us < seg.valid_to_us)
+ORDER BY purchase_id
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
@@ -562,6 +653,7 @@ EVENT_QUERIES = {
     "q67_funnel": q67_funnel,
     "q75_scd2_history": q75_scd2_history,
     "q88_gap_fill": q88_gap_fill,
+    "q99_point_in_time": q99_point_in_time,
 }
 
 EVENT_ORACLES = {
@@ -573,4 +665,5 @@ EVENT_ORACLES = {
     "q67_funnel": Q67_SQL,
     "q75_scd2_history": Q75_SQL,
     "q88_gap_fill": Q88_SQL,
+    "q99_point_in_time": Q99_SQL,
 }

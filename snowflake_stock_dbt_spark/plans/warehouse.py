@@ -643,6 +643,55 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Q100 — Salted two-stage aggregation: the hot-key rewrite (stage 1 groups
+# by (key, salt) to spread a skewed key over n reducers; stage 2 merges
+# partials by key), oracle-checked equal to the direct GROUP BY. The
+# decimal partial sums make the merge batching-independent, so salting
+# cannot change a single bit of the result — exactly the property that
+# makes the rewrite safe to deploy against skew at 100 TB. Measured
+# skew evidence lives in bench_skew.py; this query pins the semantics.
+# ---------------------------------------------------------------------------
+
+
+def q100_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import DEC
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        partial_aggs={
+            "n_events": F.count("*"),
+            "total_dec": F.sum(F.col("value").cast(DEC)),
+            "max_value": F.max("value"),
+        },
+        merge_aggs={
+            "n_events": F.sum,
+            "total_dec": F.sum,
+            "max_value": F.max,
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_dec").cast("double").alias("total_value"),
+        "max_value",
+    ).orderBy("event_type")
+
+
+Q100_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {SQL_DEC_SUM.format(x='value')} AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -655,6 +704,7 @@ WAREHOUSE_QUERIES = {
     "q96_bilateral_trade": q96_bilateral_trade,
     "q97_returned_items": q97_returned_items,
     "q98_large_orders": q98_large_orders,
+    "q100_salted_agg": q100_salted_agg,
 }
 
 WAREHOUSE_ORACLES = {
@@ -669,4 +719,5 @@ WAREHOUSE_ORACLES = {
     "q96_bilateral_trade": Q96_SQL,
     "q97_returned_items": Q97_SQL,
     "q98_large_orders": Q98_SQL,
+    "q100_salted_agg": Q100_SQL,
 }
