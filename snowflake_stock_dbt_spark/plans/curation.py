@@ -650,6 +650,132 @@ WHERE cells.period = rt.period AND cells.event_type = ct.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q101 — Curation verdict: the end-to-end per-document keep/drop decision a
+# training-data pipeline actually ships — length bounds, quality score,
+# repetition (distinct-token ratio), and PII (on the q77 planted probe so
+# the signal has real hits) composed into one verdict with a precedence-
+# ordered drop reason. Every signal is a native column expression computed
+# in ONE scan pass; the oracle replays the identical arithmetic.
+# ---------------------------------------------------------------------------
+
+VERDICT_MIN_TOKENS = 20
+VERDICT_MAX_TOKENS = 1000
+VERDICT_MIN_QUALITY = 0.5
+VERDICT_MIN_DISTINCT = 0.30
+
+
+def q101_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import pii_count, quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+    )
+    toks = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        (
+            F.size(F.array_distinct(tokens("text"))).cast("double")
+            / F.size(tokens("text")).cast("double")
+        ).alias("distinct_ratio"),
+        (
+            pii_count(probe, "email")
+            + pii_count(probe, "phone")
+            + pii_count(probe, "ipv4")
+            + pii_count(probe, "ssn")
+        ).alias("pii_total"),
+    )
+    reason = (
+        F.when(
+            (F.col("n_tokens") < VERDICT_MIN_TOKENS)
+            | (F.col("n_tokens") > VERDICT_MAX_TOKENS),
+            "length",
+        )
+        .when(F.col("quality") < VERDICT_MIN_QUALITY, "quality")
+        .when(F.col("distinct_ratio") < VERDICT_MIN_DISTINCT, "repetition")
+        .when(F.col("pii_total") > 0, "pii")
+    )
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "distinct_ratio",
+        F.col("pii_total").cast("long").alias("pii_total"),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
+def _q101_sql() -> str:
+    from ..functions.text import PII_PATTERNS, QUALITY_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    probe = (
+        "text || (CASE WHEN doc_id % 5 = 0 THEN ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)"
+        " || (CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END)"
+    )
+    pii = " + ".join(
+        f"len(regexp_extract_all(probe, '{PII_PATTERNS[k]}'))"
+        for k in ("email", "phone", "ipv4", "ssn")
+    )
+    return rf"""
+WITH base AS (
+    SELECT doc_id, text, {probe} AS probe,
+           string_split_regex(TRIM(text), '\s+') AS t,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(len(t) AS BIGINT) END AS n_tokens,
+           0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+           + 0.4 * least((CASE WHEN len(t) > 0 AND TRIM(text) <> ''
+                  THEN CAST(len(list_filter(t, x -> x IN ({sw}))) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END) * 4.0, 1.0)
+           + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                       / CAST(n_chars AS DOUBLE)
+                  ELSE 0.0 END) * 5.0, 1.0)) AS quality,
+           CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+               AS distinct_ratio,
+           CAST({pii} AS BIGINT) AS pii_total
+    FROM base
+)
+SELECT doc_id, n_tokens, quality, distinct_ratio, pii_total,
+       (CASE WHEN n_tokens < {VERDICT_MIN_TOKENS}
+               OR n_tokens > {VERDICT_MAX_TOKENS} THEN 'length'
+             WHEN quality < {VERDICT_MIN_QUALITY} THEN 'quality'
+             WHEN distinct_ratio < {VERDICT_MIN_DISTINCT} THEN 'repetition'
+             WHEN pii_total > 0 THEN 'pii' END) IS NULL AS keep,
+       CASE WHEN n_tokens < {VERDICT_MIN_TOKENS}
+              OR n_tokens > {VERDICT_MAX_TOKENS} THEN 'length'
+            WHEN quality < {VERDICT_MIN_QUALITY} THEN 'quality'
+            WHEN distinct_ratio < {VERDICT_MIN_DISTINCT} THEN 'repetition'
+            WHEN pii_total > 0 THEN 'pii' END AS drop_reason
+FROM sig
+ORDER BY doc_id
+"""
+
+
+Q101_SQL = _q101_sql()
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
@@ -660,6 +786,7 @@ CURATION_QUERIES = {
     "q77_pii_scan": q77_pii_scan,
     "q89_sequence_packing": q89_sequence_packing,
     "q90_drift_chi2": q90_drift_chi2,
+    "q101_curation_verdict": q101_curation_verdict,
 }
 
 CURATION_ORACLES = {
@@ -672,4 +799,5 @@ CURATION_ORACLES = {
     "q77_pii_scan": Q77_SQL,
     "q89_sequence_packing": Q89_SQL,
     "q90_drift_chi2": Q90_SQL,
+    "q101_curation_verdict": Q101_SQL,
 }
