@@ -175,12 +175,9 @@ def test_watermark_drops_late_data(spark, tmp_path):
     older than the watermark established by the previous batch, must be
     DROPPED from the windowed aggregate (the bounded-state contract — at
     100 TB the watermark is what lets window state be evicted)."""
-    import time
-
     from pyspark.sql import functions as F
 
     from snowflake_stock_dbt_spark.streaming.pipeline import (
-        run_streaming_query,
         streaming_tumbling_agg,
     )
 
@@ -210,12 +207,6 @@ def test_watermark_drops_late_data(spark, tmp_path):
     mk([(base + 10, 1.0), (base + 1860, 2.0)]).coalesce(1).write.parquet(
         str(land / "f1")
     )
-    time.sleep(1.1)  # file-source ordering is by modification time
-    # Batch 2: a LATE event back in W0 — must be dropped — plus an
-    # on-time one in the latest window — must be counted.
-    mk([(base + 20, 100.0), (base + 1870, 4.0)]).coalesce(1).write.parquet(
-        str(land / "f2")
-    )
 
     raw = (
         spark.readStream.schema(
@@ -223,11 +214,28 @@ def test_watermark_drops_late_data(spark, tmp_path):
             "value double, props string"
         )
         .format("parquet")
-        .option("maxFilesPerTrigger", "1")
         .load(f"{land}/*")
     )
     agg = streaming_tumbling_agg(raw, window_s=900, watermark="10 minutes")
-    out = run_streaming_query(spark, agg, output_mode="update")
+    # Two-phase drain: fully commit batch 1 (fixing the watermark) BEFORE
+    # the late file exists — file-source mtime ordering alone is racy.
+    name = "wm_late_drop"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk([(base + 20, 100.0), (base + 1870, 4.0)]).coalesce(1).write.parquet(
+            str(land / "f2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = spark.table(name).localCheckpoint()
     # update-mode: take each window's LAST emission.
     from pyspark.sql import Window as W
 
