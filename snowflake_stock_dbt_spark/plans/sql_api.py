@@ -68,11 +68,55 @@ def q55_qualify_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(compile_snowflake_sql(Q55_TEXT))
 
 
+# ---------------------------------------------------------------------------
+# Q102 — WITH RECURSIVE (Spark 4's recursive CTE): ancestor closure of a
+# deterministic binary-tree hierarchy over supplier ids (parent = id div
+# 2), depth-bounded by the tree height. The recursion is the fixpoint
+# operator the SQL surface gains in Spark 4 — each step is an ordinary
+# join/projection batch, so it scales like the iterative operators in
+# operators/graph.py. The DuckDB oracle runs the same recursion with its
+# own integer-division spelling (`//` vs Spark's `div`).
+# ---------------------------------------------------------------------------
+
+_Q102_SPARK = """
+WITH RECURSIVE anc AS (
+    SELECT s_suppkey AS node, s_suppkey AS ancestor, 0 AS depth
+    FROM supplier
+    UNION ALL
+    SELECT node, ancestor div 2 AS ancestor, depth + 1
+    FROM anc WHERE ancestor > 0
+)
+SELECT node, CAST(ancestor AS BIGINT) AS ancestor, CAST(depth AS INT) AS depth
+FROM anc
+ORDER BY node, depth
+"""
+
+Q102_TEXT = """
+WITH RECURSIVE anc AS (
+    SELECT s_suppkey AS node, s_suppkey AS ancestor, 0 AS depth
+    FROM supplier
+    UNION ALL
+    SELECT node, ancestor // 2 AS ancestor, depth + 1
+    FROM anc WHERE ancestor > 0
+)
+SELECT node, CAST(ancestor AS BIGINT) AS ancestor, CAST(depth AS INT) AS depth
+FROM anc
+ORDER BY node, depth
+"""
+
+
+def q102_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q102_SPARK)
+
+
 SQL_API_QUERIES = {
     "q51_sql_surface": q51_sql_surface,
     "q55_qualify_surface": q55_qualify_surface,
+    "q102_recursive_cte": q102_recursive_cte,
 }
 SQL_API_ORACLES = {
     "q51_sql_surface": Q51_TEXT,
     "q55_qualify_surface": Q55_TEXT,
+    "q102_recursive_cte": Q102_TEXT,
 }
