@@ -64,6 +64,29 @@ def main() -> None:
 
     plain = timed(lambda: agg(lt.join(rt, ["k"])))
     salted = timed(lambda: agg(salted_join(lt, rt, ["k"], n_salts=SALTS)))
+
+    # Skewed exact-distinct aggregation: the per-reducer state (distinct
+    # sets), not the row count, is what skews — the case salted_aggregate
+    # exists for. Compare a direct groupBy count_distinct against the
+    # two-stage salted form (stage 1 dedups (k, salt)-locally, stage 2
+    # merges per-salt partial distinct counts — exact because the salt is
+    # derived from the distinct-counted value, so equal values never split
+    # across salts).
+    from snowflake_stock_dbt_spark.operators.skew import salted_aggregate
+
+    plain_agg = timed(
+        lambda: lt.groupBy("k").agg(F.countDistinct("v").alias("d"))
+    )
+    salted_agg = timed(
+        lambda: salted_aggregate(
+            lt,
+            keys=["k"],
+            partial_aggs={"d": F.count_distinct(F.col("v"))},
+            merge_aggs={"d": F.sum},
+            n_salts=SALTS,
+            salt_col=F.abs(F.hash("v")) % SALTS,
+        )
+    )
     print(
         json.dumps(
             {
@@ -71,6 +94,9 @@ def main() -> None:
                 "plain": round(plain, 3),
                 "salted": round(salted, 3),
                 "speedup": round(plain / salted, 3),
+                "agg_plain": round(plain_agg, 3),
+                "agg_salted": round(salted_agg, 3),
+                "agg_speedup": round(plain_agg / salted_agg, 3),
                 "rows": N,
                 "hot_frac": HOT_FRAC,
                 "n_salts": SALTS,
