@@ -69,6 +69,17 @@ PINNED_PATTERNS = {
     # Top-K must stay a per-partition heap, not a global sort.
     "q01_top_by_metric": ["TakeOrderedAndProject"],
     "q76_domain_cap": ["Window"],
+    # Warehouse classics: dims must broadcast (losing the hint reshuffles
+    # the big join output), top-k stays a heap, EXISTS stays a semi-join.
+    "q83_shipping_priority": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "q84_local_supplier_volume": ["BroadcastHashJoin"],
+    "q87_priority_backlog": ["LeftSemi"],
+    "q96_bilateral_trade": ["BroadcastHashJoin"],
+    "q97_returned_items": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "q98_large_orders": ["TakeOrderedAndProject"],
+    # Fuzzy join: levenshtein must ride on the block-key equi-join (hash
+    # join at this size; the generic BNL/cartesian ban guards the rest).
+    "q92_fuzzy_join": ["HashJoin", "levenshtein"],
 }
 
 
