@@ -37,12 +37,18 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 25,
+    broadcast_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """(id, component) for every vertex; component = min vertex id in its
     connected component.
 
     ``vertices`` (optional) adds isolated vertices — rows whose id appears
     in no edge keep ``component = id``. Deterministic for any edge input.
+
+    The label frame is |V| rows; when the (driver-counted) vertex count is
+    broadcast-sized, each round ships labels to the edges instead of
+    shuffling the edge table — same adaptive choice as :func:`pagerank`.
+    Past the threshold the join falls back to an ordinary shuffle.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -56,11 +62,13 @@ def connected_components(
             vertices.select(F.col(id_col).alias("id"))
         ).distinct()
     labels = labels.withColumn("component", F.col("id")).localCheckpoint()
+    small = labels.count() <= broadcast_max_nodes
+    bcast = F.broadcast if small else (lambda df: df)
 
     for _ in range(max_iter):
         # Labels flowing across edges: neighbor's current component.
         flowed = (
-            sym.join(labels, sym.b == labels.id)
+            sym.join(bcast(labels), sym.b == labels.id)
             .select(F.col("a").alias("id"), "component", F.lit(False).alias("is_old"))
         )
         # The vertex's previous label rides along tagged is_old, so the same
