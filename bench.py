@@ -43,6 +43,8 @@ def main() -> None:
         "q38_media_decode",
         "q21_minhash_signatures",
         "q23_simhash",
+        # Iterative path (localCheckpoint machinery + its codegen).
+        "q93_pagerank",
     ]
 
     spark = get_spark(app_name="bench")
