@@ -692,6 +692,132 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q103 — customer order-count distribution (TPC-H Q13 shape): LEFT join so
+# zero-order customers count, then a distribution-of-counts second
+# aggregation. Two keyed aggregations, no window.
+# ---------------------------------------------------------------------------
+
+
+def q103_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q103_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q104 — small-quantity-order revenue (TPC-H Q17 shape): lineitems whose
+# quantity is under 20% of their part's average, summed. The per-part
+# average is a keyed aggregate joined back (the grouped twin of the 1-row
+# stats broadcast) — never a correlated subquery per row.
+# ---------------------------------------------------------------------------
+
+
+def q104_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        dec_avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.p_key)
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q104_SQL = f"""
+WITH avg_qty AS (
+    SELECT l_partkey AS p_key,
+           {SQL_DEC_AVG.format(x='l_quantity')} AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT {SQL_DEC_SUM.format(x='l_extendedprice')} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem JOIN avg_qty ON l_partkey = p_key
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q105 — dormant high-value customers (TPC-H Q22 shape): above-average-
+# balance customers with NO orders since a cutoff, counted by nation.
+# Global average via the 1-row broadcast; the "no recent orders" is a
+# left-anti join against the date-filtered orders (every customer in this
+# corpus has SOME order, so the classic no-orders-ever form is empty —
+# the dormancy window keeps the anti-join meaningful).
+# ---------------------------------------------------------------------------
+
+_Q105_SINCE = "2000-01-01 00:00:00"
+
+
+def q105_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    pos = c.where(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(dec_avg("c_acctbal").alias("avg_bal"))
+    recent = o.where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit(_Q105_SINCE))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q105_SQL = f"""
+SELECT n_name,
+       COUNT(*) AS numcust,
+       {SQL_DEC_SUM.format(x='c_acctbal')} AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+        SELECT {SQL_DEC_AVG.format(x='c_acctbal')}
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '{_Q105_SINCE}'
+      )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -705,6 +831,9 @@ WAREHOUSE_QUERIES = {
     "q97_returned_items": q97_returned_items,
     "q98_large_orders": q98_large_orders,
     "q100_salted_agg": q100_salted_agg,
+    "q103_order_distribution": q103_order_distribution,
+    "q104_small_qty_revenue": q104_small_qty_revenue,
+    "q105_prospects": q105_prospects,
 }
 
 WAREHOUSE_ORACLES = {
@@ -720,4 +849,7 @@ WAREHOUSE_ORACLES = {
     "q97_returned_items": Q97_SQL,
     "q98_large_orders": Q98_SQL,
     "q100_salted_agg": Q100_SQL,
+    "q103_order_distribution": Q103_SQL,
+    "q104_small_qty_revenue": Q104_SQL,
+    "q105_prospects": Q105_SQL,
 }
