@@ -25,6 +25,7 @@ BNL_ALLOWED = {
     "q58_tfidf_terms",
     "q80_value_histogram",  # 1-row min/max stats broadcast (q03 pattern)
     "q90_drift_chi2",  # 1-row grand-total broadcast (q03 pattern)
+    "q105_prospects",  # 1-row global-average broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
