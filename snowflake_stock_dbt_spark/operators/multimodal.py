@@ -5,22 +5,33 @@ metadata struct, processed in Arrow batches via ``mapInPandas`` — the
 standard Spark shape for byte-level media work (decode libs run per
 executor, data never round-trips through the driver).
 
-The decode step itself is STUBBED: the container has no image/audio codecs,
-so ``decode_image_batch`` ships a deterministic fake "decoder" behind the
-same batch interface a real one (PIL/torchvision/ffmpeg) would use, and
-``require_real_decoder`` raises NotImplementedError where production code
-would plug in. The Spark-side plumbing — schema, batching, partitioning,
-UDF signature — is real and tested.
+The decode kernels are REAL for codec-free formats (pure struct+numpy
+parsers in functions/codecs.py): uncompressed 24-bit BMP (bottom-up rows,
+stride padding), RIFF/WAVE PCM16 (chunk-walking parse), and RVID (a raw
+uncompressed frame container). Compressed formats (PNG/JPEG/MP4) need an
+external codec stack the environment doesn't ship, so they route to
+``require_real_decoder`` — an explicit NotImplementedError seam, never a
+silent fake.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions.codecs import (
+    bmp_file_size,
+    decode_bmp,
+    decode_rvid,
+    decode_wav,
+    encode_bmp,
+    sniff_format,
+)
 
 #: Canonical multimodal record schema: payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
@@ -35,59 +46,104 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-#: Output schema of the decode/feature stage.
+#: Output schema of the decode/feature stage. ``content_*`` columns are
+#: computed over the DECODED content bytes (pixels / PCM samples / raw
+#: frames), not the encoded file — the real-decode contract.
 FEATURE_SCHEMA = (
-    "media_id long, modality string, n_bytes long, payload_sha string, "
-    "feat_mean double, feat_dim int"
+    "media_id long, modality string, fmt string, width int, height int, "
+    "n_frames int, content_bytes long, content_mean double, "
+    "content_sha string"
 )
 
 
-def require_real_decoder() -> None:
-    """Seam for a real codec stack (PIL / torchaudio / ffmpeg)."""
+def require_real_decoder(fmt_hint: str = "unknown") -> None:
+    """Seam for a real codec stack (PIL / torchaudio / ffmpeg): compressed
+    formats (PNG/JPEG/MP4/…) cannot be decoded without external codecs, so
+    they fail loudly here instead of producing fake numbers. Codec-free
+    formats (BMP/WAV/RVID) never reach this — functions/codecs.py decodes
+    them for real."""
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "plug a real decoder into decode_image_batch"
+        f"no codec available for compressed media format {fmt_hint!r}; "
+        "plug a real decoder (PIL/ffmpeg) into decode_media"
     )
 
 
-def _fake_features(payload: bytes | None, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a decoded-pixel feature vector: byte
-    histogram moments. Stable across runs/engines; replace with a real
-    decode when codecs exist."""
+def _decode_content(payload: bytes | None):
+    """Decode one payload to (fmt, width, height, n_frames, content bytes).
+
+    content is the decoded byte stream: row-major top-down BGR pixels for
+    BMP (padding stripped, rows re-flipped), little-endian PCM16 bytes for
+    WAV, concatenated raw frames for RVID. Unknown non-empty formats are
+    compressed media by contract -> require_real_decoder.
+    """
     if not payload:
-        return [0.0] * dim
-    return [payload[i::dim] and sum(payload[i::dim]) / len(payload[i::dim]) or 0.0
-            for i in range(dim)]
+        return ("none", None, None, None, b"")
+    payload = bytes(payload)
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        px = decode_bmp(payload)
+        h, w, _ = px.shape
+        return (fmt, w, h, None, px.tobytes())
+    if fmt == "wav":
+        samples, _rate = decode_wav(payload)
+        return (fmt, None, None, None, samples.tobytes())
+    if fmt == "rvid":
+        frames = decode_rvid(payload)
+        n, h, w, _ = frames.shape
+        return (fmt, w, h, n, frames.tobytes())
+    require_real_decoder(payload[:8].hex())
 
 
-def decode_media(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+def decode_media(df: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extract stage over binary payloads.
 
-    Arrow delivers each partition as pandas batches; per batch we hash the
-    payload and compute the (stubbed) feature vector. One narrow pass — no
-    shuffle; scales with input bytes.
+    Arrow delivers each partition as pandas batches; per row the payload is
+    format-sniffed and REALLY decoded (functions/codecs.py), and the
+    features — content byte count, mean content byte value, sha256 of the
+    decoded content — are computed from the decoded bytes, not the encoded
+    file. One narrow pass — no shuffle; scales with input bytes.
     """
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            feats = [
-                _fake_features(p if p is not None else b"", feature_dim)
-                for p in payloads
-            ]
+            rows = []
+            for mid, mod, p in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                fmt, w, h, n_frames, content = _decode_content(p)
+                arr = np.frombuffer(content, dtype=np.uint8)
+                mean = (
+                    float(int(arr.sum(dtype=np.int64))) / arr.size
+                    if arr.size
+                    else None
+                )
+                rows.append(
+                    (
+                        int(mid),
+                        mod,
+                        fmt,
+                        w,
+                        h,
+                        n_frames,
+                        len(content),
+                        mean,
+                        hashlib.sha256(content).hexdigest(),
+                    )
+                )
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-                    "payload_sha": [
-                        hashlib.sha256(p if p is not None else b"").hexdigest()
-                        for p in payloads
-                    ],
-                    "feat_mean": [sum(f) / len(f) if f else 0.0 for f in feats],
-                    "feat_dim": feature_dim,
-                }
+                rows,
+                columns=[
+                    "media_id",
+                    "modality",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "content_bytes",
+                    "content_mean",
+                    "content_sha",
+                ],
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
@@ -103,49 +159,69 @@ FRAME_SCHEMA = "media_id long, frame_idx int, n_bytes long, frame_sha string"
 
 
 def resize_media(df: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
-    """mapInPandas resize stage: every payload becomes an ``out_w×out_h``
-    "image". The resample kernel is STUBBED as a deterministic prefix crop
-    (first ``out_w*out_h`` bytes) — a real implementation decodes pixels and
-    interpolates (PIL ``Image.resize``) behind the exact same batch
-    interface. Narrow pass, no shuffle; output size is bounded by
-    ``out_w*out_h`` per row regardless of input payload size, which is the
-    property that matters for a 100 TB image corpus (the stage only ever
-    shrinks the data it forwards).
+    """mapInPandas resize stage over BMP payloads: REAL pixel-domain
+    nearest-neighbor resample — decode (un-pad, re-flip), index-map each
+    output pixel to ``(y*h//out_h, x*w//out_w)``, re-encode as BMP.
+
+    ``n_bytes`` is the re-encoded BMP file size; ``resized_sha`` hashes the
+    resized PIXEL bytes (top-down row-major BGR) so the result is checkable
+    without replaying the container header. Empty/degenerate payloads
+    (zero-height images) produce no row — nothing to resample. Non-BMP
+    payloads raise: resizing is an image-domain operation, and a compressed
+    image would need :func:`require_real_decoder`'s codec stack.
+
+    Narrow pass, no shuffle; output size is bounded by ``out_w*out_h*3``
+    per row regardless of input size — the property that matters for a
+    100 TB image corpus (the stage only ever shrinks what it forwards).
     """
     import hashlib
 
-    target = out_w * out_h
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            resized = [
-                (p if p is not None else b"")[:target] for p in pdf["payload"]
-            ]
+            ids: list[int] = []
+            sizes: list[int] = []
+            shas: list[str] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if not p:
+                    continue
+                fmt = sniff_format(bytes(p))
+                if fmt != "bmp":
+                    require_real_decoder(fmt)
+                px = decode_bmp(bytes(p))
+                h, w, _ = px.shape
+                if h == 0 or w == 0:
+                    continue
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = px[ys][:, xs]
+                ids.append(int(mid))
+                sizes.append(len(encode_bmp(resized)))
+                shas.append(hashlib.sha256(resized.tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "out_w": out_w,
-                    "out_h": out_h,
-                    "n_bytes": [len(r) for r in resized],
-                    "resized_sha": [
-                        hashlib.sha256(r).hexdigest() for r in resized
-                    ],
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "resized_sha": pd.Series(shas, dtype="object"),
                 }
             )
 
     return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
-def sample_frames(
-    df: DataFrame, frame_bytes: int = 256, every_k: int = 4
-) -> DataFrame:
+def sample_frames(df: DataFrame, every_k: int = 4) -> DataFrame:
     """mapInPandas frame-sampling stage (video → every k-th frame).
 
-    Payloads are treated as a sequence of fixed-size ``frame_bytes`` chunks
-    (a real implementation would ffmpeg-demux; same flat-map shape). One
-    input row fans out to ``ceil(len/frame_bytes)/every_k`` frame rows —
-    the canonical video-corpus reduction: sample early, so downstream
-    stages never see the unsampled frame stream.
+    Payloads are RVID containers (functions/codecs.py): the header is
+    parsed for geometry/frame count and every ``k``-th raw frame is
+    extracted — the same flat-map shape an ffmpeg demux would use, with a
+    real (uncompressed) demux instead of byte-chunk slicing. One input row
+    fans out to ``ceil(n_frames/every_k)`` frame rows — the canonical
+    video-corpus reduction: sample early, so downstream stages never see
+    the unsampled frame stream. ``frame_sha`` hashes the frame's raw BGR
+    pixel bytes. Empty payloads produce no frames; non-RVID payloads are
+    compressed video by contract -> require_real_decoder.
     """
     import hashlib
 
@@ -156,11 +232,15 @@ def sample_frames(
             sizes: list[int] = []
             shas: list[str] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                p = p if p is not None else b""
-                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
-                for i in range(0, n_frames, every_k):
-                    chunk = p[i * frame_bytes : (i + 1) * frame_bytes]
-                    ids.append(mid)
+                if not p:
+                    continue
+                fmt = sniff_format(bytes(p))
+                if fmt != "rvid":
+                    require_real_decoder(fmt)
+                frames = decode_rvid(bytes(p))
+                for i in range(0, frames.shape[0], every_k):
+                    chunk = frames[i].tobytes()
+                    ids.append(int(mid))
                     idxs.append(i)
                     sizes.append(len(chunk))
                     shas.append(hashlib.sha256(chunk).hexdigest())
@@ -197,17 +277,18 @@ AUDIO_FRAME_SCHEMA = (
 
 
 def audio_features(df: DataFrame, frame_samples: int = 512) -> DataFrame:
-    """Per-frame RMS energy + zero-crossing counts over 16-bit PCM payloads.
+    """Per-frame RMS energy + zero-crossing counts over PCM16 audio.
 
-    Unlike the image/video stages this one is NOT a codec stub: raw PCM
-    needs no decoder, so the DSP here (numpy-vectorized inside the Arrow
-    batch) is the real computation a silence-trimming / voice-activity
-    pass runs over an audio corpus. Rows fan out one-per-frame; at 100 TB
-    the stage is a narrow mapInPandas pass whose output is a few doubles
-    per frame — the corpus reduction happens here, before any shuffle.
+    Payloads that sniff as RIFF/WAVE are REALLY parsed (chunk walk,
+    functions/codecs.py) to extract the PCM stream; bare payloads are
+    treated as headerless little-endian PCM16 (odd trailing bytes dropped
+    for alignment). The DSP (numpy-vectorized inside the Arrow batch) is
+    the real computation a silence-trimming / voice-activity pass runs
+    over an audio corpus. Rows fan out one-per-frame; at 100 TB the stage
+    is a narrow mapInPandas pass whose output is a few doubles per frame —
+    the corpus reduction happens here, before any shuffle.
 
-    Odd trailing bytes are dropped (PCM16 alignment); empty/None payloads
-    produce no frames.
+    Empty/None payloads produce no frames.
     """
     import numpy as np
 
@@ -218,8 +299,13 @@ def audio_features(df: DataFrame, frame_samples: int = 512) -> DataFrame:
             rms: list[float] = []
             zc: list[int] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                p = p if p is not None else b""
-                samples = np.frombuffer(p[: len(p) - (len(p) % 2)], dtype="<i2")
+                p = bytes(p) if p is not None else b""
+                if sniff_format(p) == "wav":
+                    samples, _rate = decode_wav(p)
+                else:
+                    samples = np.frombuffer(
+                        p[: len(p) - (len(p) % 2)], dtype="<i2"
+                    )
                 n_frames = len(samples) // frame_samples
                 if not n_frames:
                     continue
@@ -258,12 +344,14 @@ PHASH_BAND_BITS = 16
 def phash_bands(media: DataFrame, min_bytes: int = PHASH_SEGMENTS) -> DataFrame:
     """Perceptual-hash bands per media row (dHash family, Arrow-batched).
 
-    A real image pHash resizes decoded pixels to a fixed grid and compares
-    neighboring cells; with the container's codec stub, the "decode" is the
-    payload byte array itself: 65 contiguous near-equal segments (numpy
-    ``array_split`` geometry), segment means compared pairwise -> 64 bits,
-    packed into 4×16-bit band integers. Payloads shorter than ``min_bytes``
-    are dropped (an empty segment has no mean).
+    Payloads that sniff as BMP are REALLY decoded first (un-padded,
+    re-flipped pixel bytes feed the hash — the image-domain dHash); other
+    payloads hash their raw byte stream (the byte-domain fallback for
+    opaque blobs). Either way the stream is split into 65 contiguous
+    near-equal segments (numpy ``array_split`` geometry), segment means
+    compared pairwise -> 64 bits, packed into 4×16-bit band integers.
+    Payloads shorter than ``min_bytes`` are dropped (an empty segment has
+    no mean).
 
     Runs in ``mapInPandas`` — the same per-executor batch seam a real
     decoder would occupy — and everything downstream (band join, Hamming
@@ -281,7 +369,13 @@ def phash_bands(media: DataFrame, min_bytes: int = PHASH_SEGMENTS) -> DataFrame:
         for pdf in it:
             rows: list[tuple] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                raw = bytes(p)
+                if sniff_format(raw) == "bmp":
+                    arr = decode_bmp(raw).reshape(-1)
+                    if arr.shape[0] < n_seg:
+                        continue
+                else:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
                 n = arr.shape[0]
                 l, r = divmod(n, n_seg)
                 idx = np.arange(n)

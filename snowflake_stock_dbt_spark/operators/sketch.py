@@ -73,6 +73,13 @@ def cms_estimate(
     The sketch is tiny (≤ depth×width rows) and broadcasts; per hash row
     one broadcast equi-join probes the key's bucket, and a keyed MIN
     folds the rows — no shuffle of the (potentially huge) key list.
+
+    The join is a LEFT join with missing cells coalesced to 0: a probed
+    key whose bucket holds no sketch row means zero increments landed
+    there, and the true CMS estimate for that key is the MIN including
+    that 0 — an inner join would silently drop the empty bucket from the
+    MIN (inflating absent keys) or drop the key entirely when all its
+    buckets are empty, where the correct answer is 0.
     """
     probes = keys.select(
         key_col,
@@ -89,9 +96,9 @@ def cms_estimate(
         ).alias("cell"),
     ).select(key_col, "cell.j", "cell.bucket")
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("cms_n"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_n"))
     )
 
 

@@ -66,14 +66,21 @@ def salted_aggregate(
     aggregation already exploits; explicit salting matters when the
     aggregation is paired with windows/joins that pin the partitioning, or
     when per-reducer state (exact distincts, large collect buffers) is
-    what skews. The salt defaults to a deterministic row hash; pass
-    ``salt_col`` to override.
+    what skews.
+
+    The default salt is ``hash(all columns) % n_salts`` — a pure function
+    of row content, so it is stable across task retries and re-plans.
+    CAVEAT: the default is only safe for algebraic partials. For
+    distributive-only partials (e.g. ``F.count_distinct(v)`` merged by
+    SUM) the salt MUST be derived from the aggregated value itself —
+    pass ``salt_col=F.abs(F.hash("v")) % n_salts`` — so every occurrence
+    of one distinct value lands in exactly one salt; any other salt
+    splits equal values across salts and the stage-2 SUM overcounts.
     """
     salt = (
         salt_col
         if salt_col is not None
-        else F.abs(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()))
-        % n_salts
+        else F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts
     )
     staged = df.withColumn("__salt", salt.cast("int"))
     partial = staged.groupBy(*keys, "__salt").agg(

@@ -581,9 +581,16 @@ ORDER BY source, bin
 # are the same double expression on both engines, so the result is
 # bit-identical.
 #
+# The contingency table is DENSIFIED to the full periods × types grid
+# (observed-only cells would drop the expected-count term of any
+# (period, type) combo absent from one period — biasing the statistic low
+# exactly when drift adds/removes a type, the case the check exists to
+# catch — and would let dof disagree with (r-1)(c-1)).
+#
 # Scale shape: one keyed agg to the (period × type) contingency table
-# (tiny), then broadcast joins of the two margin aggregates — the 100 TB
-# cost is the first scan, everything after is constant-size.
+# (tiny), the dense grid is a cross join of the two distinct-value frames
+# (both broadcast-sized), then broadcast joins of the margin aggregates —
+# the 100 TB cost is the first scan, everything after is constant-size.
 # ---------------------------------------------------------------------------
 
 _DRIFT_SPLIT = "2024-01-16 00:00:00"
@@ -603,11 +610,19 @@ def q90_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("period", "event_type")
         .agg(F.count("*").alias("o"))
     )
-    row_tot = cells.groupBy("period").agg(F.sum("o").alias("rt"))
-    col_tot = cells.groupBy("event_type").agg(F.sum("o").alias("ct"))
-    n_tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        cells.select("period")
+        .distinct()
+        .crossJoin(cells.select("event_type").distinct())
+    )
+    dense = grid.join(cells, ["period", "event_type"], "left").select(
+        "period", "event_type", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    row_tot = dense.groupBy("period").agg(F.sum("o").alias("rt"))
+    col_tot = dense.groupBy("event_type").agg(F.sum("o").alias("ct"))
+    n_tot = dense.agg(F.sum("o").alias("n"))
     joined = (
-        cells.join(F.broadcast(row_tot), "period")
+        dense.join(F.broadcast(row_tot), "period")
         .join(F.broadcast(col_tot), "event_type")
         .crossJoin(F.broadcast(n_tot))
     )
@@ -634,19 +649,29 @@ WITH cells AS (
            event_type, COUNT(*) AS o
     FROM events GROUP BY 1, 2
 ),
-rt AS (SELECT period, SUM(o) AS rt FROM cells GROUP BY 1),
-ct AS (SELECT event_type, SUM(o) AS ct FROM cells GROUP BY 1),
-n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+grid AS (
+    SELECT p.period, t.event_type
+    FROM (SELECT DISTINCT period FROM cells) p
+    CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+),
+dense AS (
+    SELECT g.period, g.event_type, COALESCE(c.o, 0) AS o
+    FROM grid g LEFT JOIN cells c
+      ON g.period = c.period AND g.event_type = c.event_type
+),
+rt AS (SELECT period, SUM(o) AS rt FROM dense GROUP BY 1),
+ct AS (SELECT event_type, SUM(o) AS ct FROM dense GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM dense)
 SELECT CAST(SUM(CAST(
            (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
          * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
        AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
-       CAST((COUNT(DISTINCT cells.period) - 1)
-          * (COUNT(DISTINCT cells.event_type) - 1) AS BIGINT) AS dof,
+       CAST((COUNT(DISTINCT dense.period) - 1)
+          * (COUNT(DISTINCT dense.event_type) - 1) AS BIGINT) AS dof,
        MAX(n.n) AS n
-FROM cells, rt, ct, n
-WHERE cells.period = rt.period AND cells.event_type = ct.event_type
+FROM dense, rt, ct, n
+WHERE dense.period = rt.period AND dense.event_type = ct.event_type
 """
 
 

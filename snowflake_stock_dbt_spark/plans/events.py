@@ -366,7 +366,11 @@ SELECT (SELECT COUNT(*) FROM s) AS n_signup,
 def scd2_history_from(ev: DataFrame) -> DataFrame:
     """Run-length SCD2 history of ``event_type`` per user (q75's core,
     reusable over any filtered event frame): one row per run with
-    [valid_from_us, valid_to_us) interval and the run's event count."""
+    [valid_from_us, valid_to_us) interval, the run's event count, and the
+    per-user ``run_id`` — the ONLY guaranteed-unique-per-user ordering
+    column (two adjacent runs can share valid_from_us when consecutive
+    events of different types carry the identical microsecond ts, so
+    downstream as-of tiebreaks must use run_id, not valid_from_us)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
@@ -397,6 +401,7 @@ def scd2_history_from(ev: DataFrame) -> DataFrame:
     wseg = Window.partitionBy("user_id").orderBy("run_id")
     return seg.select(
         "user_id",
+        "run_id",
         "event_type",
         "valid_from_us",
         F.lead("valid_from_us").over(wseg).alias("valid_to_us"),
@@ -406,7 +411,11 @@ def scd2_history_from(ev: DataFrame) -> DataFrame:
 
 def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return scd2_history_from(ev).orderBy("user_id", "valid_from_us")
+    return (
+        scd2_history_from(ev)
+        .drop("run_id")
+        .orderBy("user_id", "valid_from_us")
+    )
 
 
 Q75_SQL = """
@@ -575,6 +584,7 @@ def q99_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") != "purchase")
     ).select(
         "user_id",
+        "run_id",
         F.col("event_type").alias("state"),
         "valid_from_us",
     )
@@ -590,7 +600,12 @@ def q99_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="purchase_us",
         right_time="valid_from_us",
         right_payload=["state"],
-        tiebreak="valid_from_us",
+        # run_id, NOT valid_from_us: adjacent runs can share a microsecond
+        # timestamp (empty [t,t) interval), and the oracle's interval join
+        # deterministically picks the later (non-empty) run — which is the
+        # max run_id. valid_from_us ties would make the carried state
+        # nondeterministic.
+        tiebreak="run_id",
     )
     return out.select(
         "purchase_id",

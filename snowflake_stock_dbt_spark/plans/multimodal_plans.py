@@ -1,25 +1,42 @@
 """[EXT] Multimodal-column queries over the ``documents`` corpus.
 
-The container ships no media files and no codecs, so the corpus is
-manufactured deterministically: each document's UTF-8 bytes become the
-opaque ``payload`` of a media row (the engine treats payloads as opaque
-bytes either way — SURVEY.md's multimodal mandate is about the Spark-side
-plumbing: binary columns, typed metadata, Arrow-batched decode). The
-decode/feature stage runs the real ``mapInPandas`` path
-(operators/multimodal.py); only the codec inside is a stub.
+The container ships no media files, so the corpus is MANUFACTURED — but as
+real encoded files, not opaque blobs: each document's UTF-8 bytes become
+the *content* (pixels / PCM samples / raw frames) of a genuinely-encoded
+BMP, WAV, or RVID payload (functions/codecs.py writes real headers,
+bottom-up BMP rows, stride padding, RIFF chunk layout). The query stages
+then REALLY decode those files — parse headers, strip padding, re-flip
+rows — before computing features, so q38/q39/q52/q53 are semantically real
+end-to-end (round-2 VERDICT.md item 1).
 
-Oracle bridge: Spark's ``cast(text AS BINARY)`` and DuckDB's
-``encode(text)`` both yield the UTF-8 bytes, and DuckDB ``sha256(text)``
-hashes those same bytes — so payload length and digest are checkable
-cross-engine even though the decode runs in Python.
+Oracle bridge: content bytes are PREFIXES of the (all-ASCII) document
+text, so DuckDB reconstructs the expected decoded content with plain
+``substr`` and checks byte counts, means, and sha256 digests — while the
+Spark side must round-trip the actual container formats to produce the
+same answers. Container geometry (file sizes, frame counts) follows
+closed-form formulas the oracle replays.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.codecs import (
+    BMP_HEADER_SIZE,
+    RVID_HEADER,
+    WAV_HEADER_SIZE,
+    bmp_row_stride,
+    encode_bmp,
+    encode_rvid,
+    encode_wav,
+)
 from ..operators.multimodal import (
+    MEDIA_SCHEMA,
     audio_features,
     decode_media,
     media_stats,
@@ -29,117 +46,260 @@ from ..operators.multimodal import (
 from ..sources.tables import load_table
 
 _MODALITY = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
-_MIME = (
-    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' "
-    "WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END"
-)
+
+#: Image geometry: 15×h 24-bit BMP, h = min(12, len(text)//45) — width 15
+#: makes the row stride 48 ≠ 45, so the decoder MUST handle padding.
+IMG_W = 15
+IMG_MAX_H = 12
+#: Audio: PCM16 mono 16 kHz; content = the even-length prefix of the text.
+AUDIO_RATE = 16_000
+#: Video: 4×4 RVID frames (48 raw bytes each), n_frames = len(text)//48.
+VID_W = VID_H = 4
+VID_FRAME_BYTES = VID_W * VID_H * 3
+
+#: SQL twins of the per-modality content-length formulas (n = length(text)).
+_IMG_H_SQL = f"least({IMG_MAX_H}, {{n}} // {IMG_W * 3})"
+_IMG_LEN_SQL = f"{_IMG_H_SQL} * {IMG_W * 3}"
+_AUD_LEN_SQL = "({n} - {n} % 2)"
+_VID_FRAMES_SQL = f"({{n}} // {VID_FRAME_BYTES})"
+_VID_LEN_SQL = f"{_VID_FRAMES_SQL} * {VID_FRAME_BYTES}"
 
 
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media corpus: documents re-typed to the MEDIA_SCHEMA
-    shape (payload = UTF-8 bytes of the text, modality round-robin)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.expr(_MODALITY).alias("modality"),
-        F.col("text").cast("binary").alias("payload"),
-        F.expr(_MIME).alias("mime_type"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
-    )
+    """Deterministic media corpus: documents round-robin'd over modalities
+    and ENCODED as real files — BMP (doc_id%3==0), WAV (1), RVID (2) —
+    whose decoded content equals a prefix of the document text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = len(b)
+                mod = int(doc_id) % 3
+                if mod == 0:
+                    h = min(IMG_MAX_H, n // (IMG_W * 3))
+                    px = np.frombuffer(
+                        b[: h * IMG_W * 3], dtype=np.uint8
+                    ).reshape(h, IMG_W, 3)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            "image",
+                            encode_bmp(px),
+                            "image/bmp",
+                            IMG_W,
+                            h,
+                            None,
+                        )
+                    )
+                elif mod == 1:
+                    pcm = b[: n - n % 2]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            "audio",
+                            encode_wav(pcm, AUDIO_RATE),
+                            "audio/wav",
+                            None,
+                            None,
+                            (len(pcm) // 2) * 1000 // AUDIO_RATE,
+                        )
+                    )
+                else:
+                    k = n // VID_FRAME_BYTES
+                    frames = np.frombuffer(
+                        b[: k * VID_FRAME_BYTES], dtype=np.uint8
+                    ).reshape(k, VID_H, VID_W, 3)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            "video",
+                            encode_rvid(frames),
+                            "video/x-rvid",
+                            VID_W,
+                            VID_H,
+                            k * 125,  # 8 fps
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "modality",
+                    "payload",
+                    "mime_type",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def q38_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature pass; the oracle checks the engine-
-    independent outputs (byte length + sha256), the stubbed feature vector
-    is gated by tests/test_multimodal_quality.py."""
+    """Arrow-batched REAL decode pass: every payload's container is parsed
+    (BMP un-pad/re-flip, WAV chunk walk, RVID demux) and the features are
+    computed over the decoded content bytes. The oracle reconstructs the
+    expected content from the document text prefix and checks geometry,
+    byte count, mean, and sha256."""
     media = documents_as_media(spark, sf_dir)
-    return decode_media(media).select(
-        "media_id", "modality", "n_bytes", "payload_sha"
+    return decode_media(media)
+
+
+def _mean_sql(content: str) -> str:
+    """DuckDB mean-byte-value over an ASCII string (NULL when empty)."""
+    return (
+        f"(SELECT AVG(CAST(ord(substr({content}, CAST(i AS INT), 1)) AS DOUBLE))"
+        f" FROM unnest(generate_series(1, length({content}))) AS t(i))"
     )
 
 
 Q38_SQL = f"""
-SELECT doc_id AS media_id,
-       {_MODALITY} AS modality,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       sha256(text) AS payload_sha
-FROM documents
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+u AS (
+    SELECT doc_id AS media_id, 'image' AS modality, 'bmp' AS fmt,
+           CAST({IMG_W} AS INT) AS width,
+           CAST({_IMG_H_SQL.format(n='n')} AS INT) AS height,
+           CAST(NULL AS INT) AS n_frames,
+           substr(text, 1, CAST({_IMG_LEN_SQL.format(n='n')} AS INT)) AS content
+    FROM d WHERE CAST(doc_id % 3 AS INT) = 0
+    UNION ALL
+    SELECT doc_id, 'audio', 'wav', NULL, NULL, NULL,
+           substr(text, 1, CAST({_AUD_LEN_SQL.format(n='n')} AS INT))
+    FROM d WHERE CAST(doc_id % 3 AS INT) = 1
+    UNION ALL
+    SELECT doc_id, 'video', 'rvid',
+           CAST({VID_W} AS INT), CAST({VID_H} AS INT),
+           CAST({_VID_FRAMES_SQL.format(n='n')} AS INT),
+           substr(text, 1, CAST({_VID_LEN_SQL.format(n='n')} AS INT))
+    FROM d WHERE CAST(doc_id % 3 AS INT) = 2
+)
+SELECT media_id, modality, fmt, width, height, n_frames,
+       CAST(length(content) AS BIGINT) AS content_bytes,
+       {_mean_sql('content')} AS content_mean,
+       sha256(content) AS content_sha
+FROM u
 """
 
 
 def q39_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-modality payload rollup — pure JVM aggregation over binary
-    lengths (no Python in the plan)."""
+    """Per-modality payload rollup — pure JVM aggregation over the encoded
+    binary lengths (no Python past the corpus-synthesis seam). The oracle
+    replays the container-size formulas: BMP = 54 + stride·h,
+    WAV = 44 + pcm, RVID = 12 + 48·frames."""
     return media_stats(documents_as_media(spark, sf_dir))
 
 
+_IMG_SIZE_SQL = (
+    f"({BMP_HEADER_SIZE} + {bmp_row_stride(IMG_W)} * {_IMG_H_SQL.format(n='n')})"
+)
+_AUD_SIZE_SQL = f"({WAV_HEADER_SIZE} + {_AUD_LEN_SQL.format(n='n')})"
+_VID_SIZE_SQL = f"({RVID_HEADER.size} + {_VID_LEN_SQL.format(n='n')})"
+
 Q39_SQL = f"""
-SELECT {_MODALITY} AS modality,
+WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+sized AS (
+    SELECT {_MODALITY} AS modality,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN {_IMG_SIZE_SQL}
+                WHEN 1 THEN {_AUD_SIZE_SQL}
+                ELSE {_VID_SIZE_SQL}
+           END AS sz
+    FROM d
+)
+SELECT modality,
        COUNT(*) AS n_items,
-       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       MAX(octet_length(encode(text))) AS max_bytes
-FROM documents
-GROUP BY 1
+       CAST(SUM(sz) AS BIGINT) AS total_bytes,
+       CAST(MAX(sz) AS INT) AS max_bytes
+FROM sized
+GROUP BY modality
+ORDER BY modality
 """
 
 
-RESIZE_W = RESIZE_H = 64
-FRAME_BYTES = 256
-FRAME_EVERY_K = 4
+RESIZE_W = RESIZE_H = 8
 
 
 def q52_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched resize over the image rows. The stub kernel is a
-    prefix crop, so the oracle can replay it byte-for-byte with substr —
-    the corpus is ASCII, where DuckDB's char-substr equals a byte-substr."""
+    """REAL pixel-domain resize over the image rows: decode the BMP
+    (padding + bottom-up rows), nearest-neighbor resample to 8×8, re-encode.
+    The oracle replays the index map ``src = (y*h//8*15 + x*15//8)*3 + c``
+    directly against the text prefix and hashes the expected pixels."""
     media = documents_as_media(spark, sf_dir).where(F.col("modality") == "image")
     return resize_media(media, RESIZE_W, RESIZE_H)
 
 
+# Re-encoded 8×8 BMP size: stride(8) = 24 (already 4-aligned), 54 + 24*8.
+_RESIZED_BMP_SIZE = BMP_HEADER_SIZE + bmp_row_stride(RESIZE_W) * RESIZE_H
+
 Q52_SQL = f"""
-SELECT doc_id AS media_id,
+WITH d AS (
+    SELECT doc_id AS media_id, text,
+           CAST({_IMG_H_SQL.format(n='length(text)')} AS INT) AS h
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+),
+imgs AS (SELECT * FROM d WHERE h >= 1),
+px AS (
+    SELECT media_id,
+           i,
+           substr(text,
+                  ((((i // 3) // {RESIZE_W}) * h // {RESIZE_H}) * {IMG_W}
+                   + (((i // 3) % {RESIZE_W}) * {IMG_W} // {RESIZE_W})) * 3
+                  + (i % 3) + 1,
+                  1) AS b
+    FROM imgs,
+         unnest(generate_series(0, {RESIZE_W * RESIZE_H * 3} - 1)) AS t(i)
+)
+SELECT media_id,
        CAST({RESIZE_W} AS INT) AS out_w,
        CAST({RESIZE_H} AS INT) AS out_h,
-       CAST(octet_length(encode(substr(text, 1, {RESIZE_W * RESIZE_H}))) AS BIGINT)
-           AS n_bytes,
-       sha256(substr(text, 1, {RESIZE_W * RESIZE_H})) AS resized_sha
-FROM documents
-WHERE {_MODALITY} = 'image'
+       CAST({_RESIZED_BMP_SIZE} AS BIGINT) AS n_bytes,
+       sha256(string_agg(b, '' ORDER BY i)) AS resized_sha
+FROM px
+GROUP BY media_id
 """
 
 
+FRAME_EVERY_K = 2
+
+
 def q53_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flat-map frame sampling over the video rows: every {k}-th
-    {frame_bytes}-byte chunk. One input row fans out to many frame rows —
-    the mapInPandas generator shape a real demuxer would use."""
+    """Flat-map frame sampling over the video rows: REAL RVID demux (header
+    parse, geometry from the container) then every {k}-th raw frame. One
+    input row fans out to many frame rows — the mapInPandas generator shape
+    an ffmpeg demuxer would use."""
     media = documents_as_media(spark, sf_dir).where(F.col("modality") == "video")
-    return sample_frames(media, FRAME_BYTES, FRAME_EVERY_K)
+    return sample_frames(media, FRAME_EVERY_K)
 
 
 Q53_SQL = f"""
-SELECT doc_id AS media_id,
-       CAST(i AS INT) AS frame_idx,
-       CAST(octet_length(encode(substr(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})))
-            AS BIGINT) AS n_bytes,
-       sha256(substr(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})) AS frame_sha
-FROM documents,
-     LATERAL UNNEST(range(0,
-         CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT))) AS u(i)
-WHERE {_MODALITY} = 'video' AND i % {FRAME_EVERY_K} = 0
+WITH d AS (
+    SELECT doc_id AS media_id, text,
+           length(text) // {VID_FRAME_BYTES} AS k
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+)
+SELECT media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST({VID_FRAME_BYTES} AS BIGINT) AS n_bytes,
+       sha256(substr(text, CAST(1 + f * {VID_FRAME_BYTES} AS INT),
+                     {VID_FRAME_BYTES})) AS frame_sha
+FROM d, unnest(generate_series(0, k - 1)) AS t(f)
+WHERE f % {FRAME_EVERY_K} = 0
 """
 
 
 # ---------------------------------------------------------------------------
-# Q81 — Audio frame features over the audio rows: per-frame RMS energy and
-# zero-crossing counts from int16 PCM interpretation of the payload — the
-# silence-trim / voice-activity primitive, and the one multimodal stage
-# whose DSP is REAL (raw PCM needs no codec). Byte-level int16 extraction
-# is not reasonably SQL-expressible, so this query is registered WITHOUT an
-# oracle (the driver records the rows-only check); the numeric contract is
-# pinned by tests/test_multimodal_quality.py on synthetic PCM with known
-# RMS and crossing counts.
+# Q81 — Audio frame features over the audio rows: the WAV container is
+# REALLY parsed (RIFF chunk walk) and per-frame RMS energy + zero-crossing
+# counts are computed from the int16 PCM samples — the silence-trim /
+# voice-activity primitive. Byte-level int16 extraction is not reasonably
+# SQL-expressible, so this query is registered WITHOUT an oracle (the
+# driver records the rows-only check); the numeric contract is pinned by
+# tests/test_multimodal_quality.py on synthetic PCM with known RMS and
+# crossing counts, and the WAV round-trip by the codec tests.
 # ---------------------------------------------------------------------------
 
 AUDIO_FRAME_SAMPLES = 64
@@ -156,9 +316,11 @@ def q81_audio_features(spark, sf_dir):
 # Q94 — Perceptual-hash near-dup pairs over the image corpus (dHash
 # family): Arrow-batched hash extraction (the real-decoder seam), banded
 # 4×16 pigeonhole candidate join, exact Hamming re-rank in JVM bit_count.
-# The deterministic byte-"decode" means the whole pipeline — segment
-# means, bits, bands, pairs — replays in SQL, so this sketch path gets a
-# FULL value oracle (the corpus is ASCII: ord(char) == byte).
+# The corpus here feeds raw text bytes (the byte-domain fallback of
+# phash_bands; the pixel-domain path over decoded BMPs is exercised by
+# tests/test_multimodal_quality.py) so the whole pipeline — segment means,
+# bits, bands, pairs — replays in SQL and gets a FULL value oracle (the
+# corpus is ASCII: ord(char) == byte).
 #
 # The synthetic corpus has no near-identical byte payloads, so the query
 # plants deterministic near-dups from the same input: every 30th doc gets

@@ -730,8 +730,12 @@ ORDER BY custdist DESC, c_count DESC
 # ---------------------------------------------------------------------------
 # Q104 — small-quantity-order revenue (TPC-H Q17 shape): lineitems whose
 # quantity is under 20% of their part's average, summed. The per-part
-# average is a keyed aggregate joined back (the grouped twin of the 1-row
-# stats broadcast) — never a correlated subquery per row.
+# average is a keyed aggregate joined back — never a correlated subquery
+# per row. NO broadcast hint: avg_qty has |part| cardinality (billions of
+# rows at 100 TB), so the correct plan is the classic Q17
+# aggregate-then-shuffle-join — the agg already hash-partitions avg_qty
+# on the join key, so the join adds only the lineitem-side shuffle, and
+# AQE is free to downgrade to broadcast at small scale.
 # ---------------------------------------------------------------------------
 
 
@@ -741,7 +745,7 @@ def q104_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.p_key)
+        li.join(avg_qty, li.l_partkey == avg_qty.p_key)
         .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),

@@ -1,10 +1,26 @@
-"""Tests for multimodal column plumbing and the quality-check framework."""
+"""Tests for multimodal column plumbing, the real media codecs, and the
+quality-check framework."""
 
 from __future__ import annotations
 
+import hashlib
+import struct
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from snowflake_stock_dbt_spark.functions.codecs import (
+    bmp_file_size,
+    bmp_row_stride,
+    decode_bmp,
+    decode_rvid,
+    decode_wav,
+    encode_bmp,
+    encode_rvid,
+    encode_wav,
+    sniff_format,
+)
 from snowflake_stock_dbt_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_media,
@@ -21,76 +37,162 @@ from snowflake_stock_dbt_spark.quality.checks import (
     unique,
 )
 
+# ---------------------------------------------------------------------------
+# Codec round-trips (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_with_padding():
+    # width 15 -> row 45 bytes -> stride 48: padding is actually exercised.
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(12, 15, 3), dtype=np.uint8)
+    blob = encode_bmp(px)
+    assert blob[:2] == b"BM"
+    assert len(blob) == bmp_file_size(15, 12) == 54 + 48 * 12
+    assert bmp_row_stride(15) == 48
+    out = decode_bmp(blob)
+    assert out.shape == (12, 15, 3)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_rows_are_stored_bottom_up():
+    # Hand-read the pixel array: the FIRST stored row must be the LAST
+    # image row (BMP bottom-up order) — proves encode/decode really flip.
+    px = np.arange(2 * 15 * 3, dtype=np.uint8).reshape(2, 15, 3)
+    blob = encode_bmp(px)
+    (off,) = struct.unpack_from("<I", blob, 10)
+    first_stored_row = blob[off : off + 45]
+    assert first_stored_row == px[1].tobytes()
+    assert np.array_equal(decode_bmp(blob), px)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    pcm = struct.pack("<8h", 0, 1000, -1000, 32767, -32768, 5, -5, 0)
+    blob = encode_wav(pcm, 16_000)
+    assert sniff_format(blob) == "wav"
+    samples, rate = decode_wav(blob)
+    assert rate == 16_000
+    assert samples.tobytes() == pcm
+    # Decoder must walk chunks, not assume byte-44 data: splice a junk
+    # chunk between fmt and data.
+    junk = struct.pack("<4sI", b"LIST", 6) + b"junk!\x00"
+    spliced = blob[:36] + junk + blob[36:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    samples2, _ = decode_wav(spliced)
+    assert samples2.tobytes() == pcm
+
+
+def test_rvid_roundtrip():
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(7, 4, 4, 3), dtype=np.uint8)
+    blob = encode_rvid(frames)
+    assert sniff_format(blob) == "rvid"
+    assert np.array_equal(decode_rvid(blob), frames)
+
+
+def test_sniff_and_compressed_formats_refused():
+    assert sniff_format(b"\x89PNG\r\n\x1a\n....") == "unknown"
+    assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == "unknown"
+    assert sniff_format(None) == "unknown"
+    with pytest.raises(NotImplementedError):
+        require_real_decoder("png")
+
+
+# ---------------------------------------------------------------------------
+# Spark stages over real encoded payloads
+# ---------------------------------------------------------------------------
+
 
 @pytest.fixture(scope="module")
 def media_df(spark):
+    img_px = np.arange(4 * 15 * 3, dtype=np.uint8).reshape(4, 15, 3)
+    pcm = struct.pack("<6h", 100, -100, 2000, -2000, 0, 7)
+    frames = (np.arange(3 * 4 * 4 * 3, dtype=np.uint8) % 251).reshape(3, 4, 4, 3)
     rows = [
-        (1, "image", b"\x89PNG fake payload 1", "image/png", 64, 64, None),
-        (2, "image", b"\x89PNG fake payload two", "image/png", 128, 128, None),
-        (3, "audio", b"RIFF fake wav", "audio/wav", None, None, 1200),
+        (1, "image", encode_bmp(img_px), "image/bmp", 15, 4, None),
+        (2, "audio", encode_wav(pcm), "audio/wav", None, None, 1200),
+        (3, "video", encode_rvid(frames), "video/x-rvid", 4, 4, 375),
         (4, "video", None, "video/mp4", 640, 480, 5000),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_media_batch_plumbing(media_df):
-    out = decode_media(media_df).collect()
-    assert len(out) == 4
-    by_id = {r["media_id"]: r for r in out}
-    assert by_id[1]["n_bytes"] == 19
-    assert by_id[4]["n_bytes"] == 0  # NULL payload -> 0 bytes, no crash
-    assert len(by_id[2]["payload_sha"]) == 64
-    assert all(r["feat_dim"] == 8 for r in out)
-    # determinism: same payload -> same sha/features on a second run
-    again = {r["media_id"]: r for r in decode_media(media_df).collect()}
-    assert all(
-        again[i]["payload_sha"] == by_id[i]["payload_sha"] for i in by_id
+def test_decode_media_real_kernels(media_df):
+    by_id = {r["media_id"]: r for r in decode_media(media_df).collect()}
+    img_px = np.arange(4 * 15 * 3, dtype=np.uint8).reshape(4, 15, 3)
+    pcm = struct.pack("<6h", 100, -100, 2000, -2000, 0, 7)
+    frames = (np.arange(3 * 4 * 4 * 3, dtype=np.uint8) % 251).reshape(3, 4, 4, 3)
+
+    r1 = by_id[1]
+    assert (r1["fmt"], r1["width"], r1["height"]) == ("bmp", 15, 4)
+    assert r1["content_bytes"] == 180
+    assert r1["content_sha"] == hashlib.sha256(img_px.tobytes()).hexdigest()
+    assert r1["content_mean"] == float(int(img_px.sum())) / img_px.size
+
+    r2 = by_id[2]
+    assert r2["fmt"] == "wav" and r2["width"] is None
+    assert r2["content_sha"] == hashlib.sha256(pcm).hexdigest()
+
+    r3 = by_id[3]
+    assert (r3["fmt"], r3["n_frames"]) == ("rvid", 3)
+    assert r3["content_sha"] == hashlib.sha256(frames.tobytes()).hexdigest()
+
+    r4 = by_id[4]  # NULL payload -> decodable-to-nothing row, no crash
+    assert (r4["fmt"], r4["content_bytes"]) == ("none", 0)
+    assert r4["content_sha"] == hashlib.sha256(b"").hexdigest()
+
+
+def test_decode_media_refuses_compressed(spark):
+    df = spark.createDataFrame(
+        [(9, "image", b"\x89PNG\r\n\x1a\nxxxxxxxx", "image/png", None, None, None)],
+        MEDIA_SCHEMA,
     )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        decode_media(df).collect()
 
 
 def test_media_stats_rollup(media_df):
     stats = {r["modality"]: r for r in media_stats(media_df).collect()}
-    assert stats["image"]["n_items"] == 2
-    assert stats["audio"]["total_bytes"] == 13
+    assert stats["image"]["n_items"] == 1
+    assert stats["image"]["total_bytes"] == bmp_file_size(15, 4)
+    assert stats["audio"]["total_bytes"] == 44 + 12
+    assert stats["video"]["n_items"] == 2  # NULL payload still counted
 
 
-def test_decoder_stub_is_explicit():
-    with pytest.raises(NotImplementedError):
-        require_real_decoder()
+def test_resize_is_pixel_domain_nearest_neighbor(media_df):
+    out = {r["media_id"]: r for r in resize_media(media_df.where("media_id = 1"), 4, 2).collect()}
+    img_px = np.arange(4 * 15 * 3, dtype=np.uint8).reshape(4, 15, 3)
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(4) * 15) // 4
+    expected = img_px[ys][:, xs]
+    r = out[1]
+    assert (r["out_w"], r["out_h"]) == (4, 2)
+    assert r["n_bytes"] == bmp_file_size(4, 2)
+    assert r["resized_sha"] == hashlib.sha256(expected.tobytes()).hexdigest()
+    # Round-trip sanity: decoding the re-encoded BMP gives the same pixels.
+    assert np.array_equal(decode_bmp(encode_bmp(expected)), expected)
 
 
-def test_resize_bounds_output(media_df):
-    out = {r["media_id"]: r for r in resize_media(media_df, 4, 2).collect()}
-    assert all(r["out_w"] == 4 and r["out_h"] == 2 for r in out.values())
-    # output never exceeds out_w*out_h bytes regardless of input size
-    assert out[1]["n_bytes"] == 8
-    assert out[4]["n_bytes"] == 0  # NULL payload
-    import hashlib
-
-    assert out[3]["resized_sha"] == hashlib.sha256(b"RIFF fak").hexdigest()
+def test_resize_refuses_non_image(media_df):
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        resize_media(media_df.where("media_id = 2"), 4, 2).collect()
 
 
-def test_frame_sample_reassembles(media_df):
-    # every_k=1 keeps every frame: concatenating them must rebuild the
-    # payload exactly (the flat-map loses nothing).
-    frames = sample_frames(media_df, frame_bytes=5, every_k=1).collect()
-    by_id: dict[int, list] = {}
-    for r in frames:
-        by_id.setdefault(r["media_id"], []).append(r)
-    import hashlib
-
-    p1 = b"\x89PNG fake payload 1"
-    got = sorted(by_id[1], key=lambda r: r["frame_idx"])
-    assert [r["frame_idx"] for r in got] == list(range(4))
+def test_frame_sample_demuxes_rvid(media_df):
+    frames = (np.arange(3 * 4 * 4 * 3, dtype=np.uint8) % 251).reshape(3, 4, 4, 3)
+    vid = media_df.where("media_id = 3")
+    # every_k=1 keeps every frame; shas must match the raw frame bytes.
+    got = sorted(
+        sample_frames(vid, every_k=1).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in got] == [0, 1, 2]
     assert [r["frame_sha"] for r in got] == [
-        hashlib.sha256(p1[i * 5 : (i + 1) * 5]).hexdigest() for i in range(4)
+        hashlib.sha256(frames[i].tobytes()).hexdigest() for i in range(3)
     ]
-    assert sum(r["n_bytes"] for r in got) == len(p1)
-    assert 4 not in by_id  # NULL payload -> no frames
-    # every_k=2 keeps frames 0,2
-    sampled = sample_frames(media_df, frame_bytes=5, every_k=2).collect()
-    idxs = sorted(r["frame_idx"] for r in sampled if r["media_id"] == 1)
-    assert idxs == [0, 2]
+    assert all(r["n_bytes"] == 48 for r in got)
+    # every_k=2 keeps frames 0, 2; NULL payloads contribute nothing.
+    sampled = sample_frames(media_df.where("modality = 'video'"), every_k=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
 
 
 def test_quality_checks_pass_and_fail(spark):
@@ -113,9 +215,9 @@ def test_quality_checks_pass_and_fail(spark):
 
 def test_audio_features_known_pcm(spark):
     """RMS and zero-crossings on constructed int16 PCM with known answers:
-    a constant-amplitude square wave alternating every sample."""
-    import struct
-
+    a constant-amplitude square wave alternating every sample — fed both
+    as raw PCM bytes and as a WAV container (the chunk-walk parse must
+    yield identical frames)."""
     from snowflake_stock_dbt_spark.operators.multimodal import audio_features
 
     amp = 16384  # 2^14 -> rms = 0.5 exactly after /32768 scaling
@@ -124,7 +226,13 @@ def test_audio_features_known_pcm(spark):
     silence = struct.pack(f"<{n}h", *([0] * n))
     short = b"\x01\x02\x03"  # 1 sample + odd byte: below a frame, no rows
     df = spark.createDataFrame(
-        [(1, square), (2, silence), (3, short), (4, None)],
+        [
+            (1, square),
+            (2, silence),
+            (3, short),
+            (4, None),
+            (5, encode_wav(square)),  # same signal, WAV-wrapped
+        ],
         "media_id long, payload binary",
     )
     rows = {
@@ -132,8 +240,8 @@ def test_audio_features_known_pcm(spark):
         for r in audio_features(df, frame_samples=64).collect()
     }
     # 128 samples / 64 per frame = 2 frames for the full payloads.
-    assert set(rows) == {(1, 0), (1, 1), (2, 0), (2, 1)}
-    for k in [(1, 0), (1, 1)]:
+    assert set(rows) == {(1, 0), (1, 1), (2, 0), (2, 1), (5, 0), (5, 1)}
+    for k in [(1, 0), (1, 1), (5, 0), (5, 1)]:
         assert rows[k]["rms"] == 0.5
         assert rows[k]["zero_crossings"] == 63  # alternates every sample
     for k in [(2, 0), (2, 1)]:
@@ -155,8 +263,6 @@ def test_phash_near_dup_detection(spark):
     """A few-byte perturbation of a payload must land within Hamming
     distance 3 of the original and be found by the banded pair join; an
     unrelated payload must not pair with either."""
-    import numpy as np
-
     from snowflake_stock_dbt_spark.operators.multimodal import (
         phash_bands,
         phash_neardup_pairs,
@@ -178,12 +284,27 @@ def test_phash_near_dup_detection(spark):
     assert all(3 not in k for k in pairs)
 
 
+def test_phash_is_pixel_domain_for_bmp(spark):
+    """A BMP payload must hash its DECODED pixel stream: the bands for
+    encode_bmp(px) equal the bands for the raw pixel bytes — even though
+    the encoded file interleaves padding and flips row order."""
+    from snowflake_stock_dbt_spark.operators.multimodal import phash_bands
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(12, 15, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, encode_bmp(px)), (2, px.tobytes())], ["media_id", "payload"]
+    )
+    rows = {r["media_id"]: r for r in phash_bands(media).collect()}
+    assert all(
+        rows[1][f"b{i}"] == rows[2][f"b{i}"] for i in range(4)
+    )
+
+
 def test_phash_pigeonhole_guarantee(spark):
     """Any pair within Hamming distance 3 shares at least one exact band,
     so the banded candidate join cannot miss it — flip 3 bits spread over
     3 different bands and the pair must still be found."""
-    import numpy as np
-
     from snowflake_stock_dbt_spark.operators.multimodal import (
         phash_bands,
         phash_neardup_pairs,
