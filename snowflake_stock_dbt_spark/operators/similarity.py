@@ -187,27 +187,7 @@ def ivf_topk_exact(
     only the ``nprobe`` buckets closest to the query), but every number is
     bit-reproducible on any engine, so the whole approximate pipeline
     carries a full value oracle (plans/vectors.py Q26_SQL)."""
-    cent = (
-        corpus.select(
-            F.col(bucket_col).alias("bucket"),
-            F.posexplode(vec_col).alias("pos", "v"),
-        )
-        .groupBy("bucket", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("double").cast("decimal(30,18)")).cast(
-                    "double"
-                )
-                / F.count("*")
-            ).alias("cv")
-        )
-        .groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
-        .select(
-            "bucket",
-            F.transform(F.col("s"), lambda x: x["cv"]).alias("centroid"),
-        )
-    )
+    cent = _centroids_of(corpus, vec_col, bucket_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -252,6 +232,157 @@ def ivf_topk_exact(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def _centroids_of(assigned: DataFrame, vec_col: str, bucket_col: str) -> DataFrame:
+    """Per-bucket exact-decimal mean vectors as packed arrays: (bucket,
+    centroid array<double>). Order/partitioning-independent (DECIMAL sums),
+    so the same buckets always produce bit-identical centroids."""
+    return (
+        assigned.select(
+            F.col(bucket_col).alias("bucket"),
+            F.posexplode(vec_col).alias("pos", "v"),
+        )
+        .groupBy("bucket", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(30,18)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select(
+            "bucket",
+            F.transform(F.col("s"), lambda x: x["cv"]).alias("centroid"),
+        )
+    )
+
+
+#: Fixed-point scale for k-means training: vector components are floor-
+#: quantized to 1e-9 units, so distances and centroid updates are EXACT
+#: integer arithmetic — bit-identical on any engine, any partitioning
+#: (the PageRank FLOOR-quantization trick, operators/graph.py, applied to
+#: clustering). 1e-9 granularity is far below any embedding's meaningful
+#: precision; it changes no assignment a float pipeline would care about.
+KMEANS_SCALE = 1_000_000_000
+
+
+def _quantized(vec_col: str):
+    """array<long> of floor(v * 1e9) — exact from the same doubles on
+    every engine (floor is unambiguous; the product double is identical)."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE)))
+    )
+
+
+def _sqdist_int(a, b_lit):
+    """Exact integer squared L2 distance between two quantized vectors, as
+    DECIMAL(38,0): per-element diffs are cast to decimal BEFORE squaring
+    (a diff of ~1.6e10 squares past int64), summed in an exact decimal
+    fold. Compared as decimals -> argmin can never be flipped by float
+    rounding. SQL twin: SUM(CAST(d AS HUGEINT) * d)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b_lit,
+            lambda x, c: (
+                (x - c).cast("decimal(19,0)") * (x - c).cast("decimal(19,0)")
+            ),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means: returns the corpus plus a
+    trained ``bucket`` column — the IVF coarse quantizer TRAINED from the
+    data instead of borrowed from a shipped label column (round-2
+    VERDICT.md item 2).
+
+    Training runs entirely in EXACT integer arithmetic over floor-
+    quantized components (see :data:`KMEANS_SCALE`), so every assignment
+    and every centroid is bit-identical on any engine and the whole
+    training run carries a full value oracle (plans/vectors.py Q106_SQL
+    unrolls the identical iterations in SQL):
+
+    - **init**: the ``k`` rows with the smallest md5-derived hash of their
+      id (a deterministic pseudo-random spread — pyspark.ml's KMeans uses
+      kmeans|| sampling + float tree-aggregation, neither reproducible
+      cross-engine, which is why Lloyd's is spelled out here);
+    - **assign**: argmin over exact integer squared distances, ties to the
+      smallest bucket id — a ``least()`` over k fused folds, a pure
+      projection;
+    - **update**: per-dimension ``SUM(v) div COUNT(*)`` — integral
+      division truncating toward zero on BOTH engines (Spark ``div``,
+      DuckDB ``//``; verified identical on negatives).
+
+    Scale shape: assignment is SHUFFLE-FREE — the k packed centroids are
+    bounded driver state (k×dim longs, like the convergence probe in
+    operators/graph.py) embedded as literals, so each row's argmin is a
+    tight JVM fold chain inside whole-stage codegen; the only shuffle per
+    iteration is the centroid-update agg, whose map-side partials bound
+    the exchange at k×dim cells per task. ``iters`` synchronous rounds —
+    the standard distributed k-means loop (MLlib's KMeans collects
+    per-round cluster sums to the driver the same way). Empty buckets drop
+    out deterministically on both engines.
+    """
+    from ..functions.text import hash60
+
+    seed_rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            _quantized(vec_col).alias("__q"),
+            hash60(
+                F.concat(F.lit("seed:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    cent: list[tuple[int, list[int]]] = [
+        (b, [int(v) for v in r["__q"]]) for b, r in enumerate(seed_rows)
+    ]
+
+    def assign_with(df: DataFrame, centroids) -> DataFrame:
+        q = _quantized(vec_col)
+        best = F.least(
+            *[
+                F.struct(
+                    _sqdist_int(
+                        q, F.array(*[F.lit(int(v)) for v in cv])
+                    ).alias("d"),
+                    F.lit(b).alias("bucket"),
+                )
+                for b, cv in centroids
+            ]
+        )
+        return df.withColumn("bucket", best["bucket"])
+
+    c = ensure_min_parallelism(corpus, F.col(id_col))
+    for _ in range(iters):
+        assigned = assign_with(c, cent)
+        cent_rows = (
+            assigned.select("bucket", F.posexplode(_quantized(vec_col)).alias("pos", "v"))
+            .groupBy("bucket", "pos")
+            .agg(F.expr("sum(v) div count(*)").alias("c9"))
+            .groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c9"))).alias("s"))
+            .select("bucket", F.transform(F.col("s"), lambda x: x["c9"]).alias("cq"))
+            .collect()
+        )
+        cent = sorted((r["bucket"], [int(v) for v in r["cq"]]) for r in cent_rows)
+    return assign_with(corpus, cent)
 
 
 #: Random-hyperplane LSH configuration: 16 sign bits in 4 bands of 4.

@@ -366,15 +366,172 @@ ORDER BY pos
 """
 
 
+# ---------------------------------------------------------------------------
+# Q106 — IVF ANN over a TRAINED coarse quantizer: deterministic distributed
+# Lloyd's k-means (operators/similarity.py:kmeans_assign — exact integer
+# arithmetic over floor-quantized components) buckets the corpus, then the
+# q26 probe/re-rank machinery searches the nprobe closest trained buckets.
+# The oracle UNROLLS the identical training iterations in SQL (seed hash →
+# assign → integer-mean update, repeated), then replays the q26 search over
+# the trained assignment — so even the trained pipeline is hash-checked
+# end-to-end. Recall vs exact brute force is gated in tests next to q26's.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q106_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = ivf_topk_exact(
+        queries, bucketed, bucket_col="bucket", k=TOP_K, nprobe=IVF_NPROBE
+    )
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+def _kmeans_unrolled_sql(k: int, iters: int) -> str:
+    """Generate the DuckDB twin of kmeans_assign: cent0 from hash-seeds,
+    then per iteration an exact-integer distance argmin + integer-mean
+    update, ending in the final assignment CTE ``asgf``."""
+    from ..functions.text import hash60_sql
+
+    seed_h = hash60_sql("'seed:' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""u AS (
+    SELECT vec_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(embedding)
+),
+ui AS (
+    SELECT vec_id, pos, CAST(FLOOR(v * 1000000000.0) AS BIGINT) AS v9 FROM u
+),
+sh AS (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY {seed_h}, vec_id) - 1 AS bucket
+    FROM embeddings
+),
+cent0 AS (
+    SELECT s.bucket, ui.pos, ui.v9 AS c9
+    FROM sh s JOIN ui ON ui.vec_id = s.vec_id WHERE s.bucket < {k}
+)"""
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 2):
+        last = t == iters + 1
+        asg = "asgf" if last else f"asg{t}"
+        parts.append(
+            f""",
+dist{t} AS (
+    SELECT ui.vec_id, c.bucket,
+           SUM(CAST(ui.v9 - c.c9 AS HUGEINT)
+             * CAST(ui.v9 - c.c9 AS HUGEINT)) AS d
+    FROM ui JOIN {prev} c USING (pos)
+    GROUP BY ui.vec_id, c.bucket
+),
+{asg} AS (
+    SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, bucket) AS rn
+        FROM dist{t}
+    ) WHERE rn = 1
+)"""
+        )
+        if not last:
+            parts.append(
+                f""",
+cent{t} AS (
+    SELECT a.bucket, ui.pos, SUM(ui.v9) // COUNT(*) AS c9
+    FROM asg{t} a JOIN ui USING (vec_id)
+    GROUP BY a.bucket, ui.pos
+)"""
+            )
+            prev = f"cent{t}"
+    return "".join(parts)
+
+
+Q106_SQL = f"""
+WITH {_kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS)},
+cent AS (
+    SELECT a.bucket, u.pos,
+           CAST(SUM(CAST(u.v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cv
+    FROM asgf a JOIN u USING (vec_id) GROUP BY 1, 2
+),
+centn AS (
+    SELECT bucket,
+           sqrt(CAST(SUM(CAST(cv * cv AS DECIMAL(38,18))) AS DOUBLE)) AS cnn
+    FROM cent GROUP BY bucket
+),
+qe AS (
+    SELECT vec_id AS query_id, pos, v FROM u WHERE vec_id < {N_QUERY_VECS}
+),
+qn AS (
+    SELECT query_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS qnn
+    FROM qe GROUP BY query_id
+),
+pd AS (
+    SELECT query_id, bucket,
+           CAST(SUM(CAST(qe.v * cent.cv AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM qe JOIN cent USING (pos) GROUP BY 1, 2
+),
+probes AS (
+    SELECT query_id, bucket FROM (
+        SELECT pd.query_id, pd.bucket,
+               ROW_NUMBER() OVER (PARTITION BY pd.query_id
+                   ORDER BY pd.dot / NULLIF(qn.qnn * centn.cnn, 0.0)
+                            DESC NULLS LAST, pd.bucket) AS pr
+        FROM pd
+        JOIN qn ON qn.query_id = pd.query_id
+        JOIN centn ON centn.bucket = pd.bucket
+    ) WHERE pr <= {IVF_NPROBE}
+),
+cn AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS cnn
+    FROM u GROUP BY vec_id
+),
+dots AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM probes p
+    JOIN asgf ac ON ac.bucket = p.bucket
+    JOIN u c ON c.vec_id = ac.vec_id AND c.vec_id <> p.query_id
+    JOIN qe q ON q.query_id = p.query_id AND q.pos = c.pos
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT dots.query_id, dots.neighbor_id,
+           dots.dot / NULLIF(qn.qnn * cn.cnn, 0.0) AS cosine
+    FROM dots
+    JOIN qn ON qn.query_id = dots.query_id
+    JOIN cn ON cn.vec_id = dots.neighbor_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 9) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
     "q40_embedding_neardup": q40_embedding_neardup,
     "q56_ann_lsh": q56_ann_lsh,
     "q78_embedding_quantize": q78_embedding_quantize,
+    "q106_ann_ivf_trained": q106_ann_ivf_trained,
 }
 
 VECTOR_ORACLES = {
+    "q106_ann_ivf_trained": Q106_SQL,
     "q25_cosine_topk": Q25_SQL,
     "q26_ann_ivf": Q26_SQL,
     "q40_embedding_neardup": Q40_SQL,
