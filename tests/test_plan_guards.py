@@ -26,16 +26,18 @@ BNL_ALLOWED = {
     "q80_value_histogram",  # 1-row min/max stats broadcast (q03 pattern)
     "q90_drift_chi2",  # 1-row grand-total broadcast (q03 pattern)
     "q105_prospects",  # 1-row global-average broadcast (q03 pattern)
+    "q106_ann_ivf_trained",  # k-row centroid probe broadcast (q26 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
 #: Arrow-batched seams only (mapInPandas / applyInPandasWithState).
 PANDAS_ALLOWED = {
     "q38_media_decode",
+    "q39_media_stats",  # corpus-synthesis encode seam (stats agg is JVM)
     "q52_media_resize",
     "q53_frame_sample",
     "q41_stateful_totals",
-    "q81_audio_features",  # PCM DSP — the one non-stub Python stage
+    "q81_audio_features",  # WAV parse + PCM DSP (real decode)
     "q94_phash_neardup",  # perceptual-hash extraction (real-decoder seam)
 }
 
@@ -81,6 +83,24 @@ PINNED_PATTERNS = {
     # Fuzzy join: levenshtein must ride on the block-key equi-join (hash
     # join at this size; the generic BNL/cartesian ban guards the rest).
     "q92_fuzzy_join": ["HashJoin", "levenshtein"],
+    # Dormant-customer check must stay an anti-join (a NOT-IN rewrite that
+    # materializes the subquery per row would be quadratic at scale).
+    "q105_prospects": ["LeftAnti"],
+}
+
+#: Shuffle-count ceilings for the round-2/3 additions (counted as
+#: "Exchange" occurrences in the formatted explain — the formatted mode
+#: lists each node twice, tree + details, so these are 2× the physical
+#: exchange count). A refactor that silently adds a shuffle stage past the
+#: recorded plan shape fails here.
+SHUFFLE_BUDGETS = {
+    "q100_salted_agg": 6,  # salted partial + keyed merge + ordered output
+    "q101_curation_verdict": 2,  # ONE scan pass; single doc_id exchange
+    "q102_recursive_cte": 2,
+    "q103_order_distribution": 8,
+    "q104_small_qty_revenue": 6,  # agg + join-back (Q17 shape), no more
+    "q105_prospects": 12,
+    "q106_ann_ivf_trained": 14,  # train updates + probe/re-rank machinery
 }
 
 
@@ -102,3 +122,10 @@ def test_plan_guards(spark, name):
             assert op not in plan, f"{name}: unexpected Python seam {op}"
     for pattern in PINNED_PATTERNS.get(name, []):
         assert pattern in plan, f"{name}: lost pinned plan property {pattern}"
+    budget = SHUFFLE_BUDGETS.get(name)
+    if budget is not None:
+        n = plan.count("Exchange")
+        assert n <= budget, (
+            f"{name}: {n} Exchange mentions exceed the recorded plan "
+            f"budget {budget} — a shuffle stage was added"
+        )
