@@ -1,0 +1,237 @@
+"""Worksheet door tests: the reference .sql files run verbatim.
+
+Covers the text preprocessors, the restricted COPY/MERGE compilers, the
+end-to-end load pipeline (01+02) with its validation selects, MERGE
+idempotency, and the determinism probes the q110–q114 oracle contract
+depends on (LIMIT-boundary strictness, z-score tolerance for the
+rows-only q112).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_stock_dbt_spark.plans.worksheets import (
+    CLOCK,
+    analytics_statements,
+    ensure_fixture_csv,
+    q110_ws_top_entities,
+    q112_ws_zscore,
+    q114_ws_watchlist,
+    run_load_worksheets,
+    worksheets_available,
+)
+from snowflake_stock_dbt_spark.worksheet import (
+    WorksheetError,
+    WorksheetRunner,
+    flatten_names,
+    map_type,
+    pin_clock,
+    split_statements,
+    strip_comments,
+)
+
+pytestmark = pytest.mark.skipif(
+    not worksheets_available(), reason="reference sql worksheets not on disk"
+)
+
+
+# --- text preprocessing ----------------------------------------------------
+
+
+def test_strip_comments_preserves_strings():
+    sql = "SELECT '--not a comment', x /* gone */ FROM t -- tail\nWHERE y"
+    out = strip_comments(sql)
+    assert "'--not a comment'" in out
+    assert "gone" not in out and "tail" not in out
+
+
+def test_split_statements_respects_quotes():
+    assert split_statements("SELECT 'a;b'; SELECT 2") == ["SELECT 'a;b'", "SELECT 2"]
+
+
+def test_flatten_names_three_part_only():
+    out = flatten_names("SELECT f.col FROM DB.S.T AS f JOIN @DB.S.STG ON a.b = c.d")
+    assert "FROM t AS f" in out and "@stg" in out and "f.col" in out and "a.b" in out
+
+
+def test_flatten_names_skips_string_literals():
+    out = flatten_names("SELECT 'a.b.c' FROM DB.S.T")
+    assert "'a.b.c'" in out and "FROM t" in out
+
+
+def test_pin_clock_and_uuid():
+    out = pin_clock("INSERT x CURRENT_TIMESTAMP(), CURRENT_TIMESTAMP, UUID_STRING()", "2024-06-01 00:00:00")
+    assert out.count("TIMESTAMP '2024-06-01 00:00:00'") == 2
+    assert "uuid()" in out
+
+
+def test_map_type():
+    assert map_type("NUMBER(18, 4)") == "decimal(18,4)"
+    assert map_type("NUMBER(38,0)") == "decimal(38,0)"
+    assert map_type("STRING") == "string"
+    assert map_type("TIMESTAMP_TZ") == "timestamp"
+    with pytest.raises(WorksheetError):
+        map_type("GEOGRAPHY")
+
+
+# --- end-to-end load pipeline (01 + 02 verbatim) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def load_run(spark, sf_dir):
+    return run_load_worksheets(spark, sf_dir)
+
+
+def test_load_worksheet_raw_counts(load_run, spark, sf_dir):
+    runner, selects = load_run
+    row = selects[0].collect()[0]
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    n_dups = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") % 50 == 0)
+        .count()
+    )
+    assert row["raw_row_count"] == n_cust + n_dups
+    assert row["missing_symbol_rows"] == 0
+    assert row["missing_entity_name_rows"] > 0
+    assert row["invalid_price_rows"] > 0
+
+
+def test_load_worksheet_dup_check_empty(load_run):
+    _, selects = load_run
+    # reference sql/02_load_data.sql:170-175 — duplicate observation keys
+    # after the MERGE must be zero rows.
+    assert selects[1].count() == 0
+
+
+def test_load_worksheet_clean_table(load_run, spark, sf_dir):
+    runner, selects = load_run
+    clean = runner.table("most_actives_clean")
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert clean.count() == n_cust  # dups collapsed by QUALIFY rn=1
+    row = selects[2].collect()[0]
+    assert row["clean_row_count"] == n_cust
+    assert row["missing_entity_sk_rows"] == 0
+    assert row["missing_scraped_date_rows"] > 0
+    # loaded_at is the pinned clock everywhere
+    ts = clean.select("loaded_at").distinct().collect()
+    assert len(ts) == 1 and str(ts[0][0]) == CLOCK
+
+
+def test_merge_idempotent_rerun(load_run, spark, sf_dir):
+    """Re-running the whole 02 worksheet MERGEs the same source again:
+    every row matches, contents must be unchanged (upsert semantics)."""
+    runner, _ = load_run
+    before = runner.table("most_actives_clean")
+    b_rows = {tuple(r) for r in before.drop("loaded_at").collect()}
+    runner2, _ = run_load_worksheets(spark, sf_dir)
+    # same runner state replayed: merge into the already-populated table
+    landing = ensure_fixture_csv(spark, sf_dir)
+    runner2.register_stage("most_actives_stage", landing)
+    with open(os.path.join(os.environ.get("SPARK_GRAFT_REFERENCE_SQL", "/root/reference/sql"), "02_load_data.sql")) as f:
+        results = runner2.run_script(f.read())
+    after = runner2.table("most_actives_clean")
+    a_rows = {tuple(r) for r in after.drop("loaded_at").collect()}
+    assert a_rows == b_rows
+    # and the second merge reports updates, not inserts
+    merge_stats = [r.df for r in results if r.kind == "merge"][0].collect()[0]
+    assert merge_stats["rows_inserted"] == 0
+    assert merge_stats["rows_updated"] == before.count()
+
+
+def test_copy_reports_rows_loaded(spark, sf_dir, load_run):
+    runner, _ = load_run
+    raw = runner.table("most_actives_raw")
+    # metadata columns filled per file, 1-based
+    mins = raw.agg(
+        F.min("source_row_number").alias("mn"),
+        F.countDistinct("source_file_name").alias("files"),
+    ).collect()[0]
+    assert mins["mn"] == 1 and mins["files"] >= 1
+    assert raw.where(F.col("ingested_at").isNull()).count() == 0
+
+
+# --- restricted-surface refusals ------------------------------------------
+
+
+def test_unsupported_statement_raises(spark):
+    r = WorksheetRunner(spark)
+    with pytest.raises(WorksheetError):
+        r.run_script("DELETE FROM t WHERE x = 1")
+
+
+def test_partial_merge_refused(spark):
+    r = WorksheetRunner(spark)
+    r.tables = {}
+    r.run_script("CREATE TABLE t (k STRING, a STRING, b STRING)")
+    stmt = """
+    MERGE INTO t AS tgt USING (SELECT 'x' AS k, 'y' AS a, 'z' AS b) AS src
+    ON tgt.k = src.k
+    WHEN MATCHED THEN UPDATE SET tgt.a = src.a
+    WHEN NOT MATCHED THEN INSERT (k, a, b) VALUES (src.k, src.a, src.b)
+    """
+    with pytest.raises(WorksheetError, match="not identically assigned"):
+        r.run_script(stmt)
+
+
+# --- q110–q114 determinism contracts --------------------------------------
+
+
+def test_analytics_worksheet_has_five_statements():
+    assert len(analytics_statements()) == 5
+
+
+def test_top10_boundary_strict(spark, sf_dir):
+    """Statement 1's LIMIT 10 must cut at a strict inequality — the
+    market_cap construction guarantees it; verify against live data."""
+    full = q110_ws_top_entities(spark, sf_dir)
+    vals = [r["latest_market_cap"] for r in full.collect()]
+    assert len(vals) == len(set(vals)), "top-10 metric values must be unique"
+
+
+def test_watchlist_boundary_strict(spark, sf_dir):
+    """Statement 5's LIMIT 50 boundary: the sort key (ratio, momentum)
+    of the last kept row must not tie with the first dropped row."""
+    df = q114_ws_watchlist(spark, sf_dir)
+    rows = df.collect()
+    if len(rows) < 50:
+        return  # no boundary at this SF
+    keys = {(r["volume_spike_ratio"], r["price_momentum_7d"]) for r in rows}
+    # strict requirement: the 50 kept keys are distinct, so no tie can
+    # straddle the boundary regardless of which duplicates were dropped
+    assert len(keys) == 50
+
+
+def test_zscore_matches_exact_two_pass(spark, sf_dir):
+    """q112 is rows-only for the driver; here we pin its values against
+    the deterministic two-pass z-score within 1e-9 relative tolerance."""
+    from snowflake_stock_dbt_spark.plans.worksheets import DIM_SQL, FCT_SQL
+    from snowflake_stock_dbt_spark.sources.tables import register_views
+
+    got = {
+        (r["symbol"], str(r["observation_date"])): r["volume_z_score"]
+        for r in q112_ws_zscore(spark, sf_dir).collect()
+    }
+    register_views(spark, sf_dir)
+    fct = spark.sql(FCT_SQL)
+    dim = spark.sql(DIM_SQL)
+    stats = fct.where(F.col("volume").isNotNull()).agg(
+        F.avg("volume").alias("mean"), F.stddev("volume").alias("std")
+    )
+    exact = (
+        fct.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dim), "entity_sk")
+        .withColumn("z", (F.col("volume") - F.col("mean")) / F.col("std"))
+        .where(F.abs("z") >= 3)
+        .select("symbol", "observation_date", "z")
+        .collect()
+    )
+    want = {(r["symbol"], str(r["observation_date"])): r["z"] for r in exact}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert math.isclose(got[k], v, rel_tol=1e-9), k
