@@ -122,7 +122,19 @@ def _extract_queries(path: str) -> dict[str, float] | None:
                         try:
                             return json.loads(tail[start : i + 1])
                         except Exception:
-                            return None
+                            break
+        # The driver may truncate the FRONT of the line (tail starts
+        # mid-object, no '"queries": {' marker). Scavenge whatever
+        # well-formed "qNN_name": seconds pairs survive — a partial
+        # baseline still catches regressions on the covered queries.
+        pairs = dict(
+            (k, float(v))
+            for k, v in re.findall(
+                r'"(q\d+[A-Za-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', tail
+            )
+        )
+        if pairs:
+            return pairs
     return None
 
 

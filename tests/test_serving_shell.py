@@ -140,3 +140,47 @@ def test_run_report_empty_filter_falls_back_to_dataset(spark, tmp_path):
     text = buf.getvalue()
     assert "Total market volume:" in text
     assert "No rows match" in text
+
+
+# --- chart layer (reference app/streamlit_app.py:451-471) ------------------
+
+
+def test_chart_spec_bar_and_line(spark):
+    from snowflake_stock_dbt_spark.serving.charts import CHART_TYPES, chart_spec
+
+    df = spark.createDataFrame(
+        [
+            ("AAA", 10.0, "Alpha", "Tech", "US"),
+            ("BBB", 20.0, "Beta", "Energy", "DE"),
+        ],
+        "symbol string, market_cap double, entity_name string, "
+        "category string, location string",
+    )
+    bar = chart_spec(df, "market_cap", "Bar")
+    assert bar.title == "Top results by market_cap (Bar)"
+    assert bar.x == "symbol" and bar.y == "market_cap" and not bar.markers
+    assert bar.hover == ["entity_name", "category", "location"]
+    assert {d["symbol"]: d["market_cap"] for d in bar.data} == {
+        "AAA": 10.0,
+        "BBB": 20.0,
+    }
+    line = chart_spec(df, "market_cap", "Line")
+    assert line.markers and line.chart_type == "Line"
+    assert set(CHART_TYPES) == {"Bar", "Line"}
+    d = bar.to_dict()
+    assert d["chart_type"] == "Bar" and len(d["data"]) == 2
+
+
+def test_chart_spec_guards(spark):
+    import pytest as _pytest
+
+    from snowflake_stock_dbt_spark.serving.charts import chart_spec
+
+    df = spark.createDataFrame([("A", 1.0)], "symbol string, v double")
+    with _pytest.raises(ValueError, match="chart_type"):
+        chart_spec(df, "v", "Pie", hover=[])
+    with _pytest.raises(ValueError, match="missing"):
+        chart_spec(df, "nope", "Bar", hover=[])
+    big = spark.range(30).selectExpr("CAST(id AS STRING) AS symbol", "CAST(id AS DOUBLE) AS v")
+    with _pytest.raises(ValueError, match="max_points"):
+        chart_spec(big, "v", "Bar", hover=[], max_points=10)
