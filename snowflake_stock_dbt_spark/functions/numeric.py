@@ -77,3 +77,86 @@ SQL_DEC_SUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 SQL_DEC_AVG = (
     "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT({x}) AS DOUBLE)"
 )
+
+
+def exact_grouped_percentiles(
+    df,
+    group_col: str,
+    value_col: str,
+    percentiles: dict[str, float],
+    window=None,
+):
+    """Exact interpolated percentiles per group, the DISTRIBUTED way.
+
+    ``F.expr("percentile(v, p)")`` buffers every raw value into one
+    final-aggregation task per group — with few groups that is a
+    parallelism ceiling of |groups| and an O(rows) single-task sort
+    (measured superlinear: 2.6 s -> 19.8 s for 4x rows at 3 groups,
+    tools/scale_probe.py). This formulation never materializes raw
+    values per task:
+
+    1. ``GROUP BY (group, value)`` with counts — map-side combinable,
+       output bounded by the DISTINCT value domain, not row count;
+    2. cumulative counts over the per-group value order (window over
+       distinct values only);
+    3. each percentile's flanking values selected by count range, then
+       interpolated with EXACTLY Spark's ``percentile`` formula
+       ``(higher - pos) * lower_v + (pos - lower) * higher_v`` so
+       results are bit-identical to the built-in (and to DuckDB's
+       ``quantile_cont``, which the q45 oracle pins).
+
+    Returns one row per group: (group, min, <named percentiles>, max).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wg = Window.partitionBy(group_col)
+    cum = (
+        counts.withColumn("cum_end", F.sum("cnt").over(w))
+        .withColumn("n", F.max("cum_end").over(wg))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+    )
+    aggs = [F.min(value_col).alias("min_value")]
+    post = []
+    for name, p in percentiles.items():
+        pos = F.lit(float(p)) * (F.col("n") - 1).cast("double")
+        fpos = F.floor(pos)
+        cpos = F.ceil(pos)
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("cum_start") <= fpos) & (fpos < F.col("cum_end")), v
+                )
+            ).alias(f"__lo_{name}")
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("cum_start") <= cpos) & (cpos < F.col("cum_end")), v
+                )
+            ).alias(f"__hi_{name}")
+        )
+        post.append((name, float(p)))
+    aggs.append(F.max(value_col).alias("max_value"))
+    aggs.append(F.max("n").alias("__n"))
+    out = cum.groupBy(group_col).agg(*aggs)
+    for name, p in post:
+        pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+        lower = F.floor(pos)
+        higher = F.ceil(pos)
+        lo_v, hi_v = F.col(f"__lo_{name}"), F.col(f"__hi_{name}")
+        out = out.withColumn(
+            name,
+            F.when(lower == higher, lo_v).otherwise(
+                (higher.cast("double") - pos) * lo_v
+                + (pos - lower.cast("double")) * hi_v
+            ),
+        )
+    keep = [group_col, "min_value", *[n for n, _ in post], "max_value"]
+    return out.select(*keep)

@@ -371,3 +371,75 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 3,
+) -> DataFrame:
+    """Passage-level (substring) duplication report: per document, the
+    merged token spans covered by k-word shingles occurring at least
+    ``min_count`` times corpus-wide.
+
+    The signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): document-level dedup misses boilerplate
+    passages repeated inside otherwise-unique documents. Their suffix-array
+    pass is re-expressed relationally so it distributes:
+
+    1. positional k-shingles (one explode, no dedup),
+    2. corpus-wide shingle frequency (keyed agg, map-side combinable),
+    3. equi-join positions back to frequent shingles (reuses the agg's
+       hash partitioning on the shingle key),
+    4. gaps-and-islands merge per document: a window over (doc_id, pos)
+       with a running max of span ends — positions whose shingle windows
+       overlap or touch fuse into one passage.
+
+    Returns (doc_id, span_start, span_end, n_shingles, max_occurrences)
+    with 1-based inclusive token indexes. All-integer output — exactly
+    reproducible on any engine/partitioning.
+
+    Scale: shuffles are keyed on shingle (frequency skew bounded by
+    min_count pruning happening IN the same agg) and doc_id (island
+    window + final group share one partitioning). Nothing is quadratic;
+    the frequent-shingle join output is |hot positions|, the quantity the
+    report exists to measure.
+    """
+    ps = positional_shingles(df, id_col, text_col, k)
+    freq = (
+        ps.groupBy("shingle")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    hot = ps.join(freq, "shingle").select(
+        "doc_id",
+        "pos",
+        (F.col("pos") + (k - 1)).alias("endpos"),
+        "cnt",
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hot.withColumn(
+        "brk",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("endpos").over(w_prev), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_run))
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.max("endpos").cast("long").alias("span_end"),
+        F.count("*").cast("long").alias("n_shingles"),
+        F.max("cnt").cast("long").alias("max_occurrences"),
+    ).drop("island")

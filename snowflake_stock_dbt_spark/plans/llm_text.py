@@ -29,6 +29,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.textdedup import (
+    repeated_passages,
     MINHASH_PRIME,
     _exploded_shingles,
     base_hash31,
@@ -678,6 +679,66 @@ ORDER BY lang, split
 """
 
 
+# ---------------------------------------------------------------------------
+# Q115 — repeated-passage report (substring-level dedup): merged token
+# spans covered by corpus-frequent k-shingles (Lee et al. 2022's
+# training-data signal, relational formulation in
+# operators/textdedup.py:repeated_passages). k=4/min_count=2 surfaces the
+# corpus's shared boilerplate without degenerating to whole-doc matches.
+# ---------------------------------------------------------------------------
+
+_RP_K = 4
+_RP_MIN_COUNT = 2
+
+
+def q115_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_passages(
+        docs, "doc_id", "text", k=_RP_K, min_count=_RP_MIN_COUNT
+    )
+
+
+_RP_SHINGLE = ", ".join(f"t[i+{j}]" for j in range(1, _RP_K + 1))
+
+Q115_SQL = rf"""
+WITH {_SQL_TOKS},
+pidx AS (
+    SELECT doc_id, t, unnest(generate_series(0, len(t) - {_RP_K})) AS i
+    FROM toks
+),
+sh AS (
+    SELECT doc_id, CAST(i + 1 AS INT) AS pos,
+           concat_ws(' ', {_RP_SHINGLE}) AS shingle
+    FROM pidx WHERE i <= len(t) - {_RP_K}
+),
+freq AS (
+    SELECT shingle, COUNT(*) AS cnt FROM sh
+    GROUP BY shingle HAVING COUNT(*) >= {_RP_MIN_COUNT}
+),
+hot AS (
+    SELECT s.doc_id, s.pos, s.pos + {_RP_K - 1} AS endpos, f.cnt
+    FROM sh s JOIN freq f USING (shingle)
+),
+flag AS (
+    SELECT *, CASE WHEN pos > COALESCE(MAX(endpos) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        THEN 1 ELSE 0 END AS brk
+    FROM hot
+),
+isl AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flag
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(endpos) AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(MAX(cnt) AS BIGINT) AS max_occurrences
+FROM isl GROUP BY doc_id, island
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -691,6 +752,7 @@ LLM_TEXT_QUERIES = {
     "q47_winnowing": q47_winnowing,
     "q54_neardup_groups": q54_neardup_groups,
     "q58_tfidf_terms": q58_tfidf_terms,
+    "q115_repeated_passages": q115_repeated_passages,
     "q64_chunking": q64_chunking,
     "q65_hash_split": q65_hash_split,
 }
@@ -708,6 +770,7 @@ LLM_TEXT_ORACLES = {
     "q47_winnowing": Q47_SQL,
     "q54_neardup_groups": Q54_SQL,
     "q58_tfidf_terms": Q58_SQL,
+    "q115_repeated_passages": Q115_SQL,
     "q64_chunking": Q64_SQL,
     "q65_hash_split": Q65_SQL,
 }

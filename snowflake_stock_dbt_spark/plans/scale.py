@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_SUM as SQL_DEC_SUM_X
+from ..functions.numeric import exact_grouped_percentiles
 from ..sources.tables import load_table
 
 APPROX_RSD = 0.01
@@ -27,13 +28,26 @@ APPROX_TOLERANCE = 0.02
 
 
 def q45_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles WITHOUT the built-in ``percentile``:
+    the builtin buffers all raw values into |groups| final tasks
+    (superlinear under scale, tools/scale_probe.py caught 2.6->19.8 s at
+    4x) — the value-counts formulation keeps every stage distributed and
+    reproduces the builtin's interpolation bit-for-bit
+    (functions/numeric.py:exact_grouped_percentiles)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.min("l_extendedprice").alias("min_price"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
-        F.max("l_extendedprice").alias("max_price"),
+    out = exact_grouped_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        {"p50_price": 0.5, "p95_price": 0.95, "p99_price": 0.99},
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("min_value").alias("min_price"),
+        "p50_price",
+        "p95_price",
+        "p99_price",
+        F.col("max_value").alias("max_price"),
     )
 
 

@@ -27,6 +27,7 @@ BNL_ALLOWED = {
     "q90_drift_chi2",  # 1-row grand-total broadcast (q03 pattern)
     "q105_prospects",  # 1-row global-average broadcast (q03 pattern)
     "q106_ann_ivf_trained",  # k-row centroid probe broadcast (q26 pattern)
+    "q112_ws_zscore",  # the worksheet's own CROSS JOIN volume_stats (1 row)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -86,6 +87,12 @@ PINNED_PATTERNS = {
     # Dormant-customer check must stay an anti-join (a NOT-IN rewrite that
     # materializes the subquery per row would be quadratic at scale).
     "q105_prospects": ["LeftAnti"],
+    # Worksheet-verbatim analytics must compile to the same physical
+    # shapes as their hand-built q01-q05 twins: dims broadcast, top-K
+    # stays a heap, the watchlist windows stay partitioned by entity.
+    "q110_ws_top_entities": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "q113_ws_geo_rollup": ["BroadcastHashJoin"],
+    "q114_ws_watchlist": ["TakeOrderedAndProject", "Window"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as

@@ -1,0 +1,182 @@
+"""Scaling-exponent probe for the iterative / state-heavy operators.
+
+Builds synthetic corpora at 1x / 2x / 4x the sf0.1 row counts (key-offset
+copies; document text is salted per copy so near-dup candidate structure
+stays realistic instead of forming cross-copy clique blowups), times the
+top-8 most expensive registry queries at each scale, and prints a
+rows-vs-seconds table with the fitted scaling exponent
+``log(t_4x / t_1x) / log 4``.
+
+An exponent near 1.0 means the plan is linear in input (what a 100 TB
+cluster needs); near 2.0 means an accidental quadratic that small-SF
+correctness tests would never catch. Results are recorded in PLANS.md §9.
+
+Usage: ``python tools/scale_probe.py [--factors 1,2,4] [--queries q93,...]``
+Corpora land under /tmp/spark_graft_scaleprobe (scratch; rebuilt when absent).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from snowflake_stock_dbt_spark.session import get_spark
+
+BASE_SF = os.environ.get("SPARK_GRAFT_PROBE_BASE", "/root/testdata/sf0.1")
+OUT_ROOT = "/tmp/spark_graft_scaleprobe"
+
+#: The queries VERDICT.md (round 2, item 4) asks to probe, i.e. the top-8
+#: most expensive in BENCH_r02.
+DEFAULT_QUERIES = [
+    "q93_pagerank",
+    "q41_stateful_totals",
+    "q74_dedup_survivors",
+    "q54_neardup_groups",
+    "q56_ann_lsh",
+    "q60_stream_stream_join",
+    "q57_approx_quantiles",
+    "q45_quantiles",
+]
+
+#: Tables those queries read, with the key columns to offset per copy.
+#: Offsets keep id spaces disjoint so joins/groups scale in KEYS (the way
+#: real data grows), not in per-key density.
+TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
+
+
+def _offsets(spark, base):
+    o = {}
+    o["orderkey"] = (
+        spark.read.parquet(f"{base}/orders.parquet").agg(F.max("o_orderkey")).first()[0]
+        + 1
+    )
+    o["custkey"] = (
+        spark.read.parquet(f"{base}/orders.parquet").agg(F.max("o_custkey")).first()[0]
+        + 1
+    )
+    o["event"] = (
+        spark.read.parquet(f"{base}/events.parquet").agg(F.max("event_id")).first()[0]
+        + 1
+    )
+    o["user"] = (
+        spark.read.parquet(f"{base}/events.parquet").agg(F.max("user_id")).first()[0]
+        + 1
+    )
+    o["doc"] = (
+        spark.read.parquet(f"{base}/documents.parquet").agg(F.max("doc_id")).first()[0]
+        + 1
+    )
+    o["vec"] = (
+        spark.read.parquet(f"{base}/embeddings.parquet").agg(F.max("vec_id")).first()[0]
+        + 1
+    )
+    return o
+
+
+def _copy(table, df, c, off):
+    """The c-th key-offset copy of one table."""
+    if table == "lineitem":
+        return df.withColumn("l_orderkey", F.col("l_orderkey") + c * off["orderkey"])
+    if table == "orders":
+        return df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + c * off["orderkey"]
+        ).withColumn("o_custkey", F.col("o_custkey") + c * off["custkey"])
+    if table == "events":
+        return df.withColumn(
+            "event_id", F.col("event_id") + c * off["event"]
+        ).withColumn("user_id", F.col("user_id") + c * off["user"])
+    if table == "documents":
+        # Salt the text per copy: clones keep realistic shingle statistics
+        # without forming cross-copy duplicate cliques (which would make
+        # near-dup pair counts scale quadratically BY CONSTRUCTION of the
+        # synthetic corpus, not by any property of the operator).
+        out = df.withColumn("doc_id", F.col("doc_id") + c * off["doc"])
+        if c > 0:
+            out = out.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" copytoken{c}"))
+            ).withColumn("n_chars", F.length("text"))
+        return out
+    if table == "embeddings":
+        return df.withColumn("vec_id", F.col("vec_id") + c * off["vec"])
+    raise ValueError(table)
+
+
+def build_corpus(spark, factor: int) -> str:
+    out = f"{OUT_ROOT}/x{factor}"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    off = _offsets(spark, BASE_SF)
+    for t in TABLES:
+        base = spark.read.parquet(f"{BASE_SF}/{t}.parquet")
+        parts = [_copy(t, base, c, off) for c in range(factor)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def main() -> int:
+    factors = [1, 2, 4]
+    queries = DEFAULT_QUERIES
+    for a in sys.argv[1:]:
+        if a.startswith("--factors"):
+            factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--queries"):
+            queries = [
+                n
+                for n in E.queries()
+                if any(n.startswith(p) for p in a.split("=", 1)[1].split(","))
+            ]
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("scale_probe")
+    qs = E.queries()
+
+    dirs = {k: build_corpus(spark, k) for k in factors}
+
+    def run(name: str, d: str) -> None:
+        # noop datasource: full materialization of every column. A bare
+        # .count() is WRONG here — Catalyst prunes unused aggregate
+        # expressions (counting q45's groups never computes the
+        # percentiles), which silently flattens the curve.
+        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+
+    # Warmup (JIT, codegen, state-store init) on the smallest corpus.
+    for name in queries:
+        run(name, dirs[factors[0]])
+
+    times: dict[str, dict[int, float]] = {}
+    for k in factors:
+        for name in queries:
+            t0 = time.monotonic()
+            run(name, dirs[k])
+            dt = time.monotonic() - t0
+            times.setdefault(name, {})[k] = dt
+            print(f"PROBE {name} x{k} {dt:.2f}s", flush=True)
+
+    lo, hi = factors[0], factors[-1]
+    print("\nquery            " + "".join(f"  x{k:<6}" for k in factors) + "  exponent")
+    summary = {}
+    for name in queries:
+        t = times[name]
+        exp = math.log(t[hi] / t[lo]) / math.log(hi / lo)
+        summary[name] = {"times": t, "exponent": round(exp, 2)}
+        row = "".join(f"  {t[k]:6.2f}" for k in factors)
+        print(f"{name:<18}{row}  {exp:5.2f}")
+    print("\nPROBE-JSON " + json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
