@@ -1,0 +1,119 @@
+"""Distributed BPE merge training (byte-pair encoding, Sennrich 2016).
+
+Tokenizer training is a first-class training-data-pipeline operation: the
+merge table IS the tokenizer. The classic algorithm is sequential
+(count adjacent symbol pairs → merge the most frequent → repeat); the
+distributed formulation keeps every heavy step relational:
+
+- the corpus collapses to DISTINCT words with counts (one keyed agg —
+  at 100 TB the word-count frame is bounded by vocabulary, not rows);
+- each round's pair statistics are one map-side-combinable aggregation
+  over the word frame (adjacent symbol pairs weighted by word count);
+- the argmax merge decision is a driver-side collect of ONE row per
+  round (the same bounded-probe pattern as operators/graph.py);
+- applying a merge is a map-only array fold per word — greedy
+  left-to-right, exactly the sequential algorithm's semantics (overlap
+  only matters for a==b runs, where the fold keeps odd occurrences).
+
+Per round: one shuffle (pair agg) + two 1-row collects. Lineage is
+truncated every few rounds with localCheckpoint so N rounds stay N
+shuffles, not a 2^N plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct words with corpus frequencies (the BPE working set)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _merge_fold(syms, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a||b — the fold
+    mirrors sequential BPE: a freshly-merged symbol is never reused as
+    the left side of an overlapping merge (for a==b runs this keeps the
+    1st, 3rd, ... occurrences)."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb)
+            # element_at(-1) of the PRE-merge acc could itself be a fresh
+            # merge; guard with a sentinel-free check: a merged last
+            # element equals a||b, which only collides with `a` when
+            # b == '' (impossible: symbols are non-empty).
+            ,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(la, lb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (round, left_sym, right_sym, pair_count, corpus_symbols_after).
+
+    Ties in pair frequency break deterministically to the
+    lexicographically smallest (left, right) pair, so the merge table is
+    engine- and partitioning-independent (all-integer/string output).
+    """
+    words = word_counts(df, text_col).withColumn(
+        "syms", F.expr("regexp_extract_all(word, '.', 0)")
+    )
+    rows = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("a"),
+                            F.element_at(F.col("syms"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.orderBy(
+            F.desc("pc"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b, pc = best[0]["a"], best[0]["b"], best[0]["pc"]
+        words = words.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+        if r % 3 == 0:
+            words = words.localCheckpoint(eager=False)
+        n_syms = words.agg(
+            F.sum(F.col("cnt") * F.size("syms")).alias("s")
+        ).collect()[0]["s"]
+        rows.append((r, a, b, int(pc), int(n_syms)))
+    return spark.createDataFrame(
+        rows,
+        "round int, left_sym string, right_sym string, "
+        "pair_count bigint, corpus_symbols_after bigint",
+    )

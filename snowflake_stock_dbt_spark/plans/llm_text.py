@@ -739,6 +739,97 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+# ---------------------------------------------------------------------------
+# Q116 — distributed BPE merge training (operators/bpe.py). The oracle
+# replays the SAME sequential algorithm in pure SQL with the rounds
+# unrolled as CTE chains (the q106 unrolled-k-means pattern): per round,
+# pair counts by positional self-join, deterministic argmax (count DESC,
+# pair ASC), greedy-left merge via run-parity (candidates grouped into
+# consecutive runs, odd ranks merge — provably identical to the engine's
+# left-to-right fold since overlapping candidates only arise for a==b).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def q116_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, "text", n_merges=_BPE_ROUNDS)
+
+
+def _bpe_round_ctes(r: int) -> str:
+    return f"""
+p{r} AS (
+    SELECT a.sym AS la, b.sym AS lb, SUM(a.cnt) AS pc
+    FROM q{r} a JOIN q{r} b ON a.word = b.word AND b.pos = a.pos + 1
+    GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (SELECT la, lb, pc FROM p{r} ORDER BY pc DESC, la, lb LIMIT 1),
+cand{r} AS (
+    SELECT a.word, a.pos
+    FROM q{r} a JOIN q{r} b ON a.word = b.word AND b.pos = a.pos + 1
+    JOIN best{r} x ON a.sym = x.la AND b.sym = x.lb
+),
+keep{r} AS MATERIALIZED (
+    SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+        FROM (
+            SELECT word, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+            FROM cand{r}
+        )
+    ) WHERE rn % 2 = 1
+),
+m{r} AS (
+    SELECT s.word, s.cnt, s.pos AS oldpos,
+           CASE WHEN k.pos IS NOT NULL THEN s.sym || ns.sym ELSE s.sym END AS sym
+    FROM q{r} s
+    LEFT JOIN keep{r} k ON s.word = k.word AND s.pos = k.pos
+    LEFT JOIN q{r} ns ON ns.word = s.word AND ns.pos = s.pos + 1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM keep{r} k2 WHERE k2.word = s.word AND k2.pos = s.pos - 1
+    )
+),
+q{r + 1} AS MATERIALIZED (
+    SELECT word, cnt,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY oldpos) AS pos, sym
+    FROM m{r}
+),
+tot{r} AS (SELECT SUM(cnt) AS n FROM q{r + 1})
+"""
+
+
+def _bpe_oracle_sql(n_rounds: int) -> str:
+    base = r"""
+WITH wtoks AS (
+    SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS word FROM documents
+),
+words AS (
+    SELECT word, COUNT(*) AS cnt FROM wtoks WHERE word <> '' GROUP BY 1
+),
+c0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS cs FROM words),
+s1 AS (
+    SELECT word, cnt, unnest(generate_series(1, len(cs))) AS pos, cs FROM c0
+),
+q1 AS MATERIALIZED (SELECT word, cnt, pos, cs[pos] AS sym FROM s1)
+"""
+    rounds = "".join("," + _bpe_round_ctes(r) for r in range(1, n_rounds + 1))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, la AS left_sym, lb AS right_sym,\n"
+        f"       CAST(pc AS BIGINT) AS pair_count,\n"
+        f"       CAST((SELECT n FROM tot{r}) AS BIGINT) AS corpus_symbols_after\n"
+        f"FROM best{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return base + rounds + "\n" + selects
+
+
+Q116_SQL = _bpe_oracle_sql(_BPE_ROUNDS)
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -753,6 +844,7 @@ LLM_TEXT_QUERIES = {
     "q54_neardup_groups": q54_neardup_groups,
     "q58_tfidf_terms": q58_tfidf_terms,
     "q115_repeated_passages": q115_repeated_passages,
+    "q116_bpe_merges": q116_bpe_merges,
     "q64_chunking": q64_chunking,
     "q65_hash_split": q65_hash_split,
 }
@@ -771,6 +863,7 @@ LLM_TEXT_ORACLES = {
     "q54_neardup_groups": Q54_SQL,
     "q58_tfidf_terms": Q58_SQL,
     "q115_repeated_passages": Q115_SQL,
+    "q116_bpe_merges": Q116_SQL,
     "q64_chunking": Q64_SQL,
     "q65_hash_split": Q65_SQL,
 }

@@ -157,10 +157,25 @@ def q107_ws_raw_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q108_ws_clean_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     runner, _ = run_load_worksheets(spark, sf_dir)
     # Everything deterministic in the clean table (loaded_at is the pinned
     # clock — excluded so the oracle need not model the runner's clock).
-    return runner.table("most_actives_clean").drop("loaded_at")
+    # DECIMAL columns are cast to driver-safe types for the comparator
+    # (tests/test_oracle_types.py: pandas mangles DECIMAL); the cast is
+    # exact for these value ranges.
+    clean = runner.table("most_actives_clean").drop("loaded_at")
+    return clean.select(
+        *[
+            F.col(c).cast("double").alias(c)
+            if c == "price"
+            else F.col(c).cast("bigint").alias(c)
+            if c in ("market_cap", "volume", "avg_volume_3m")
+            else F.col(c)
+            for c in clean.columns
+        ]
+    )
 
 
 def q109_ws_clean_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +235,11 @@ clean AS (
 Q108_SQL = f"""
 WITH {_CLEAN_CTE}
 SELECT observation_sk, entity_sk, symbol, entity_name, category, location,
-       exchange, currency, price, market_cap, volume, avg_volume_3m,
+       exchange, currency,
+       CAST(price AS DOUBLE) AS price,
+       CAST(market_cap AS BIGINT) AS market_cap,
+       CAST(volume AS BIGINT) AS volume,
+       CAST(avg_volume_3m AS BIGINT) AS avg_volume_3m,
        source_url, scraped_at, scraped_date
 FROM clean
 """

@@ -27,11 +27,21 @@ def test_extracts_truncated_tail(tmp_path):
     assert _extract_queries(str(p)) == {"q01": 1.0, "q02": 2.0}
 
 
-def test_tail_cut_inside_queries_returns_none(tmp_path):
+def test_tail_cut_inside_queries_scavenges_complete_pairs(tmp_path):
+    """A tail truncated mid-object still yields the complete pairs (the
+    driver has recorded front-truncated tails, BENCH_r02.json; a partial
+    baseline beats none)."""
     line = '{"queries": {"q01": 1.0, "q02"'
     p = tmp_path / "BENCH_r01.json"
     p.write_text(json.dumps({"tail": line, "parsed": None}))
-    assert _extract_queries(str(p)) is None
+    assert _extract_queries(str(p)) == {"q01": 1.0}
+
+
+def test_front_truncated_tail_scavenges(tmp_path):
+    line = '0.5, "q31_rollup": 1.7, "q32_cube": 0.48, "q33'
+    p = tmp_path / "BENCH_r01.json"
+    p.write_text(json.dumps({"tail": line}))
+    assert _extract_queries(str(p)) == {"q31_rollup": 1.7, "q32_cube": 0.48}
 
 
 def test_unreadable_returns_none(tmp_path):

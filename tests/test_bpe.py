@@ -1,0 +1,61 @@
+"""BPE merge-training operator tests (operators/bpe.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_stock_dbt_spark.operators.bpe import (
+    _merge_fold,
+    bpe_train,
+    word_counts,
+)
+
+
+def test_merge_fold_greedy_left(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["a", "b", "a", "b"],)],
+        "syms array<string>",
+    )
+    out = [
+        r[0]
+        for r in df.select(_merge_fold(F.col("syms"), "a", "a")).collect()
+    ]
+    assert out[0] == ["aa", "a"]  # odd run keeps the trailing singleton
+    assert out[1] == ["aa", "aa"]
+    assert out[2] == ["a", "b", "a", "b"]  # no (a,a) pair present
+    out2 = [
+        r[0]
+        for r in df.select(_merge_fold(F.col("syms"), "a", "b")).collect()
+    ]
+    assert out2[2] == ["ab", "ab"]  # non-overlapping merges both apply
+
+
+def test_word_counts(spark):
+    df = spark.createDataFrame(
+        [("the cat the hat",), ("  the  ",), ("",)], "text string"
+    )
+    got = {r["word"]: r["cnt"] for r in word_counts(df, "text").collect()}
+    assert got == {"the": 3, "cat": 1, "hat": 1}
+
+
+def test_bpe_train_deterministic_toy(spark):
+    """'low low lower': round 1 must merge ('l','o') — count 3, and ties
+    break lexicographically; subsequent merges follow the learned symbol."""
+    df = spark.createDataFrame([("low low lower",)], "text string")
+    merges = bpe_train(spark, df, "text", n_merges=2).collect()
+    r1 = merges[0]
+    assert (r1["left_sym"], r1["right_sym"]) == ("l", "o")
+    assert r1["pair_count"] == 3
+    # 3 words x len: low(3)+low(3)+lower(5)=11 symbols, minus one per merge
+    # occurrence: 11 - 3 = 8 after round 1
+    assert r1["corpus_symbols_after"] == 8
+    r2 = merges[1]
+    assert (r2["left_sym"], r2["right_sym"]) == ("lo", "w")
+    assert r2["pair_count"] == 3
+    assert r2["corpus_symbols_after"] == 5
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    merges = bpe_train(spark, df, "text", n_merges=4).collect()
+    assert merges == []  # single-char words have no adjacent pairs
