@@ -822,6 +822,63 @@ ORDER BY n_name
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q117 — per-node triangle counts on the supplier co-participation graph
+# (suppliers sharing an order). Degree-ordered orientation bounds the
+# wedge join at O(|E|^1.5) regardless of celebrity nodes
+# (operators/graph.py:triangle_counts); per-order supplier fan-out is
+# bounded (~7), so edge construction is linear in lineitem.
+# ---------------------------------------------------------------------------
+
+
+def q117_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy("node_id")
+
+
+Q117_SQL = """
+WITH pe AS (
+    SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+deg AS (
+    SELECT n, COUNT(*) AS deg FROM (
+        SELECT u AS n FROM pe UNION ALL SELECT v AS n FROM pe
+    ) GROUP BY n
+),
+rk AS (SELECT n, deg * 4294967296 + n AS r FROM deg),
+o AS (
+    SELECT CASE WHEN ru < rv THEN u ELSE v END AS lo,
+           CASE WHEN ru < rv THEN v ELSE u END AS hi,
+           GREATEST(ru, rv) AS rhi
+    FROM (
+        SELECT pe.u, pe.v, a.r AS ru, b.r AS rv
+        FROM pe JOIN rk a ON pe.u = a.n JOIN rk b ON pe.v = b.n
+    )
+),
+w AS (
+    SELECT a.lo AS s, a.hi AS x, b.hi AS y
+    FROM o a JOIN o b ON a.lo = b.lo AND a.rhi < b.rhi
+),
+t AS (SELECT w.s, w.x, w.y FROM w JOIN o ON w.x = o.lo AND w.y = o.hi),
+ex AS (SELECT unnest([s, x, y]) AS node_id FROM t)
+SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM ex GROUP BY node_id ORDER BY node_id
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -838,6 +895,7 @@ WAREHOUSE_QUERIES = {
     "q103_order_distribution": q103_order_distribution,
     "q104_small_qty_revenue": q104_small_qty_revenue,
     "q105_prospects": q105_prospects,
+    "q117_triangle_counts": q117_triangle_counts,
 }
 
 WAREHOUSE_ORACLES = {
@@ -856,4 +914,5 @@ WAREHOUSE_ORACLES = {
     "q103_order_distribution": Q103_SQL,
     "q104_small_qty_revenue": Q104_SQL,
     "q105_prospects": Q105_SQL,
+    "q117_triangle_counts": Q117_SQL,
 }

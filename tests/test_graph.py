@@ -51,3 +51,46 @@ def test_neardup_components_keeper_contract(spark):
     # exactly one keeper per cluster
     keepers = [r for r in rows.values() if r["is_keeper"]]
     assert sorted(r["component"] for r in keepers) == [1, 4, 5, 7]
+
+
+# --- triangle counting -----------------------------------------------------
+
+
+def test_triangle_counts_known_graphs(spark):
+    from snowflake_stock_dbt_spark.operators.graph import triangle_counts
+
+    # K4: every node sits in C(3,2)=3 triangles.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = {
+        r["node_id"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src bigint, dst bigint")
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # Path graph has no triangles.
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint")
+    assert triangle_counts(path).count() == 0
+
+    # Duplicate / reversed / self-loop edges are normalized away.
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (1, 2)],
+        "src bigint, dst bigint",
+    )
+    got2 = {
+        r["node_id"]: r["n_triangles"] for r in triangle_counts(messy).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_star_graph_no_quadratic_wedges(spark):
+    """Celebrity star: hub connected to 50 leaves, no triangles; the
+    degree orientation points every edge INTO the hub, so the hub's
+    out-degree is 0 and the wedge join emits nothing."""
+    from snowflake_stock_dbt_spark.operators.graph import triangle_counts
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 51)], "src bigint, dst bigint"
+    )
+    assert triangle_counts(star).count() == 0
