@@ -521,6 +521,69 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q118 — semantic dedup (SemDeDup, Abbas et al. 2023): trained k-means
+# clusters as the blocker, exact cosine within clusters, drop every
+# vector with a lower-id near-dup. Composes q106's trained quantizer with
+# q40's blocked exact scoring — all-pairs never happens; candidate volume
+# is per-cluster quadratic, the quantity the clustering bounds.
+# The oracle unrolls the identical k-means, replays the in-cluster pair
+# cosines with the DECIMAL(38,18) recipe, and applies the same keep rule.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_neardup_pairs, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    pairs = cosine_neardup_pairs(
+        bucketed, block_col="bucket", threshold=SEMDEDUP_THRESHOLD
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        bucketed.select("vec_id", "bucket")
+        .join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("_d").isNull().alias("kept"),
+        )
+    )
+
+
+Q118_SQL = f"""
+WITH {{KMEANS_CTES}},
+nrm AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nn
+    FROM u GROUP BY vec_id
+),
+pd AS (
+    SELECT a1.vec_id AS id_a, a2.vec_id AS id_b,
+           CAST(SUM(CAST(ua.v * ub.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM asgf a1
+    JOIN asgf a2 ON a1.bucket = a2.bucket AND a1.vec_id < a2.vec_id
+    JOIN u ua ON ua.vec_id = a1.vec_id
+    JOIN u ub ON ub.vec_id = a2.vec_id AND ub.pos = ua.pos
+    GROUP BY 1, 2
+),
+dropped AS (
+    SELECT DISTINCT id_b AS vec_id
+    FROM pd
+    JOIN nrm na ON na.vec_id = pd.id_a
+    JOIN nrm nb ON nb.vec_id = pd.id_b
+    WHERE pd.dot / NULLIF(na.nn * nb.nn, 0.0) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, CAST(a.bucket AS INT) AS bucket,
+       (d.vec_id IS NULL) AS kept
+FROM asgf a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+""".replace("{KMEANS_CTES}", _kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS))
+
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
@@ -528,10 +591,12 @@ VECTOR_QUERIES = {
     "q56_ann_lsh": q56_ann_lsh,
     "q78_embedding_quantize": q78_embedding_quantize,
     "q106_ann_ivf_trained": q106_ann_ivf_trained,
+    "q118_semantic_dedup": q118_semantic_dedup,
 }
 
 VECTOR_ORACLES = {
     "q106_ann_ivf_trained": Q106_SQL,
+    "q118_semantic_dedup": Q118_SQL,
     "q25_cosine_topk": Q25_SQL,
     "q26_ann_ivf": Q26_SQL,
     "q40_embedding_neardup": Q40_SQL,
