@@ -879,6 +879,335 @@ FROM ex GROUP BY node_id ORDER BY node_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q119 — supplier-count distribution per part attribute (TPC-H Q16 shape;
+# partsupp stands in as DISTINCT (l_partkey, l_suppkey) from lineitem).
+# The excluded-supplier subquery is a LEFT ANTI join (NOT EXISTS — never a
+# per-row NOT IN rewrite), part is broadcast.
+# ---------------------------------------------------------------------------
+
+_Q119_SIZES = [1, 9, 14, 19, 23, 36, 45, 49]
+
+
+def q119_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    excluded = sup.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    pf = p.where(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(_Q119_SIZES)
+    )
+    return (
+        ps.join(excluded, "l_suppkey", "left_anti")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q119_SQL = f"""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN ({", ".join(str(x) for x in _Q119_SIZES)})
+  AND NOT EXISTS (
+      SELECT 1 FROM supplier
+      WHERE s_suppkey = ps.l_suppkey AND s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q120 — disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
+# brand/size/quantity bands. Catalyst pushes the common part of the
+# disjunction into the broadcast join; revenue is the exact-decimal sum.
+# ---------------------------------------------------------------------------
+
+
+def q120_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.where(band).agg(
+        dec_sum(rev).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+Q120_SQL = f"""
+SELECT {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q121 — nation market share per year within a region (TPC-H Q8 shape):
+# both nation ROLES (supplier nation = numerator, customer nation filters
+# the region). Share = exact-decimal conditional sum / exact-decimal sum,
+# divided once in IEEE double.
+# ---------------------------------------------------------------------------
+
+_Q121_REGION = "ASIA"
+_Q121_NATION = "NATION_7"
+
+
+def q121_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == _Q121_REGION)),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .select(F.year("o_orderdate").alias("o_year"), "supp_nation", rev)
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            dec_sum(F.when(F.col("supp_nation") == _Q121_NATION, F.col("rev"))).alias(
+                "nation_rev"
+            ),
+            dec_sum("rev").alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            (F.coalesce(F.col("nation_rev"), F.lit(0.0)) / F.col("total_rev")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q121_SQL = f"""
+WITH base AS (
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           sn.n_name AS supp_nation,
+           l_extendedprice * (1.0 - l_discount) AS rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    WHERE r_name = '{_Q121_REGION}'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       COALESCE({SQL_DEC_SUM.format(x=f"CASE WHEN supp_nation = '{_Q121_NATION}' THEN rev END")}, 0.0)
+       / {SQL_DEC_SUM.format(x='rev')} AS mkt_share
+FROM base
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q122 — profit per supplier nation per year (TPC-H Q9 shape; cost
+# surrogate 0.1 * p_retailprice * l_quantity since the corpus has no
+# partsupp). Exact-decimal sum of a signed amount.
+# ---------------------------------------------------------------------------
+
+
+def q122_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    ).alias("amount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("n_name", F.year("o_orderdate").alias("o_year"), amount)
+        .groupBy("n_name", "o_year")
+        .agg(dec_sum("amount").alias("profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+Q122_SQL = f"""
+SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount) - 0.1 * p_retailprice * l_quantity')} AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q123 — shipping-delay distribution per priority class (TPC-H Q12 shape;
+# the corpus has no l_shipmode/l_commitdate, so the bins are ship-lag
+# days). COUNT_IF split into high/low priority, integer-exact.
+# ---------------------------------------------------------------------------
+
+
+def q123_ship_delay_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bin_col = (
+        F.when(lag <= 30, "0-30")
+        .when(lag <= 90, "31-90")
+        .otherwise("90+")
+        .alias("ship_lag_bin")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bin_col, high.alias("is_high"))
+        .groupBy("ship_lag_bin")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_lag_bin")
+    )
+
+
+Q123_SQL = """
+SELECT CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 30
+            THEN '0-30'
+            WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 90
+            THEN '31-90'
+            ELSE '90+' END AS ship_lag_bin,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY ship_lag_bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q124 — sole late supplier on multi-supplier orders (TPC-H Q21 shape;
+# lateness surrogate: shipped > 90 days after order date). Per-order
+# distinct/late supplier counts replace the correlated EXISTS / NOT
+# EXISTS pair — one keyed agg instead of two correlated scans.
+# ---------------------------------------------------------------------------
+
+
+def q124_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    ls = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .distinct()
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    return (
+        ls.where(F.col("is_late"))
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q124_SQL = """
+WITH ls AS (
+    SELECT DISTINCT l_orderkey, l_suppkey,
+           (CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 90) AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+    SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+    FROM ls GROUP BY 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM ls
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE ls.is_late AND per_order.n_supp > 1 AND per_order.n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -896,6 +1225,12 @@ WAREHOUSE_QUERIES = {
     "q104_small_qty_revenue": q104_small_qty_revenue,
     "q105_prospects": q105_prospects,
     "q117_triangle_counts": q117_triangle_counts,
+    "q119_supplier_distribution": q119_supplier_distribution,
+    "q120_disjunctive_revenue": q120_disjunctive_revenue,
+    "q121_market_share": q121_market_share,
+    "q122_nation_profit": q122_nation_profit,
+    "q123_ship_delay_bins": q123_ship_delay_bins,
+    "q124_sole_late_supplier": q124_sole_late_supplier,
 }
 
 WAREHOUSE_ORACLES = {
@@ -915,4 +1250,10 @@ WAREHOUSE_ORACLES = {
     "q104_small_qty_revenue": Q104_SQL,
     "q105_prospects": Q105_SQL,
     "q117_triangle_counts": Q117_SQL,
+    "q119_supplier_distribution": Q119_SQL,
+    "q120_disjunctive_revenue": Q120_SQL,
+    "q121_market_share": Q121_SQL,
+    "q122_nation_profit": Q122_SQL,
+    "q123_ship_delay_bins": Q123_SQL,
+    "q124_sole_late_supplier": Q124_SQL,
 }

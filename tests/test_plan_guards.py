@@ -87,6 +87,13 @@ PINNED_PATTERNS = {
     # Dormant-customer check must stay an anti-join (a NOT-IN rewrite that
     # materializes the subquery per row would be quadratic at scale).
     "q105_prospects": ["LeftAnti"],
+    # Round-3 warehouse classics: excluded suppliers stay an anti-join,
+    # dims broadcast, top-20 stays a heap.
+    "q119_supplier_distribution": ["LeftAnti", "BroadcastHashJoin"],
+    "q120_disjunctive_revenue": ["BroadcastHashJoin"],
+    "q121_market_share": ["BroadcastHashJoin"],
+    "q122_nation_profit": ["BroadcastHashJoin"],
+    "q124_sole_late_supplier": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     # Worksheet-verbatim analytics must compile to the same physical
     # shapes as their hand-built q01-q05 twins: dims broadcast, top-K
     # stays a heap, the watchlist windows stay partitioned by entity.
