@@ -443,3 +443,55 @@ def phash_neardup_pairs(bands: DataFrame, max_dist: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_dist)
         .select("ma", "mb", "hamming")
     )
+
+
+SCENE_SCHEMA = (
+    "media_id long, frame_idx int, abs_diff_sum long, is_cut boolean"
+)
+
+
+def scene_cuts(df: DataFrame, cut_threshold: int) -> DataFrame:
+    """Scene-cut detection over RVID video rows: per consecutive frame
+    pair, the exact sum of absolute per-byte differences; a pair whose
+    sum exceeds ``cut_threshold`` is a cut. The shot-boundary primitive
+    of video-corpus curation (sample per shot, not per frame).
+
+    All-integer output (sum of |a-b| over uint8 bytes), so the full
+    value oracle applies. One mapInPandas pass, numpy vectorized; frames
+    never leave the batch — only the per-pair statistic rows do.
+    ``frame_idx`` is the LATER frame of the pair (the first frame of the
+    new shot when ``is_cut``).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sums: list[int] = []
+            cuts: list[bool] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if not p:
+                    continue
+                fmt = sniff_format(bytes(p))
+                if fmt != "rvid":
+                    require_real_decoder(fmt)
+                frames = decode_rvid(bytes(p))
+                if frames.shape[0] < 2:
+                    continue
+                flat = frames.reshape(frames.shape[0], -1).astype(np.int64)
+                diffs = np.abs(flat[1:] - flat[:-1]).sum(axis=1)
+                for i, d in enumerate(diffs, start=1):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    sums.append(int(d))
+                    cuts.append(bool(d > cut_threshold))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "abs_diff_sum": pd.Series(sums, dtype="int64"),
+                    "is_cut": pd.Series(cuts, dtype="bool"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=SCENE_SCHEMA)

@@ -428,6 +428,53 @@ ORDER BY ma, mb
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q125 — scene-cut detection over the video rows (shot-boundary
+# primitive): consecutive-frame absolute byte-difference sums from the
+# REAL RVID demux, threshold split. All-integer statistic, so the DuckDB
+# oracle replays it exactly from the text-prefix frame bytes.
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_THRESHOLD = 1350
+
+
+def q125_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import scene_cuts
+
+    media = documents_as_media(spark, sf_dir).where(F.col("modality") == "video")
+    return scene_cuts(media, SCENE_CUT_THRESHOLD)
+
+
+Q125_SQL = f"""
+WITH d AS (
+    SELECT doc_id AS media_id, text,
+           length(text) // {VID_FRAME_BYTES} AS k
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+),
+fr AS (
+    SELECT media_id, CAST(t.f AS INT) AS f,
+           substr(text, CAST(1 + t.f * {VID_FRAME_BYTES} AS INT),
+                  {VID_FRAME_BYTES}) AS fb
+    FROM d, unnest(generate_series(0, k - 1)) t(f)
+),
+pairs AS (
+    SELECT a.media_id, b.f AS frame_idx, a.fb AS fa, b.fb AS fb2
+    FROM fr a JOIN fr b ON a.media_id = b.media_id AND b.f = a.f + 1
+),
+sums AS (
+    SELECT media_id, frame_idx,
+           SUM(ABS(ascii(substr(fa, CAST(i.i AS INT), 1))
+                   - ascii(substr(fb2, CAST(i.i AS INT), 1)))) AS s
+    FROM pairs, unnest(generate_series(1, {VID_FRAME_BYTES})) i(i)
+    GROUP BY 1, 2
+)
+SELECT media_id, frame_idx, CAST(s AS BIGINT) AS abs_diff_sum,
+       s > {SCENE_CUT_THRESHOLD} AS is_cut
+FROM sums
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q38_media_decode": q38_media_decode,
     "q81_audio_features": q81_audio_features,
@@ -435,10 +482,12 @@ MULTIMODAL_QUERIES = {
     "q52_media_resize": q52_media_resize,
     "q53_frame_sample": q53_frame_sample,
     "q94_phash_neardup": q94_phash_neardup,
+    "q125_scene_cuts": q125_scene_cuts,
 }
 
 MULTIMODAL_ORACLES = {
     # q81_audio_features: deliberately absent — rows-only check (binary DSP).
+    "q125_scene_cuts": Q125_SQL,
     "q38_media_decode": Q38_SQL,
     "q39_media_stats": Q39_SQL,
     "q52_media_resize": Q52_SQL,

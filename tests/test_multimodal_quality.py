@@ -328,3 +328,22 @@ def test_phash_pigeonhole_guarantee(spark):
     )
     got = phash_neardup_pairs(bands, max_dist=3).collect()
     assert len(got) == 1 and got[0]["hamming"] == 3
+
+
+def test_scene_cuts_known_video(spark):
+    """Two identical frames then a very different one: exactly one cut."""
+    import numpy as np
+
+    from snowflake_stock_dbt_spark.functions.codecs import encode_rvid
+    from snowflake_stock_dbt_spark.operators.multimodal import scene_cuts
+
+    same = np.zeros((4, 4, 3), dtype=np.uint8)
+    diff = np.full((4, 4, 3), 200, dtype=np.uint8)
+    vid = encode_rvid(np.stack([same, same, diff]))
+    df = spark.createDataFrame(
+        [(1, bytearray(vid))], "media_id long, payload binary"
+    )
+    rows = {r["frame_idx"]: r for r in scene_cuts(df, 1000).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["abs_diff_sum"] == 0 and not rows[1]["is_cut"]
+    assert rows[2]["abs_diff_sum"] == 200 * 48 and rows[2]["is_cut"]
