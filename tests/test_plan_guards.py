@@ -40,6 +40,7 @@ PANDAS_ALLOWED = {
     "q41_stateful_totals",
     "q81_audio_features",  # WAV parse + PCM DSP (real decode)
     "q94_phash_neardup",  # perceptual-hash extraction (real-decoder seam)
+    "q125_scene_cuts",  # RVID demux + frame-diff (real-decoder seam)
 }
 
 #: Streaming queries materialize through a memory sink before returning,
