@@ -824,18 +824,29 @@ ORDER BY n_name
 
 
 # ---------------------------------------------------------------------------
-# Q117 — per-node triangle counts on the supplier co-participation graph
-# (suppliers sharing an order). Degree-ordered orientation bounds the
-# wedge join at O(|E|^1.5) regardless of celebrity nodes
-# (operators/graph.py:triangle_counts); per-order supplier fan-out is
-# bounded (~7), so edge construction is linear in lineitem.
+# Q117 — per-node triangle counts on the recent supplier co-participation
+# graph (suppliers sharing an order shipped in one 6-month window).
+# Degree-ordered orientation bounds the wedge join at O(|E|^1.5)
+# regardless of celebrity nodes (operators/graph.py:triangle_counts);
+# per-order supplier fan-out is bounded (~7), so edge construction is
+# linear in the window's lineitems. The window matters for the GRAPH, not
+# just the cost: the all-time co-participation graph converges to a
+# complete graph as orders accumulate (every pair eventually co-occurs),
+# and triangle counts on K_n are a vacuous n-choose-2 statistic — the
+# windowed graph is the one whose triangles carry signal.
 # ---------------------------------------------------------------------------
+
+_Q117_FROM = "1996-01-01"
+_Q117_TO = "1996-07-01"
 
 
 def q117_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q117_FROM)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q117_TO)))
+    )
     a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
     b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
     edges = (
@@ -847,10 +858,15 @@ def q117_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).orderBy("node_id")
 
 
-Q117_SQL = """
-WITH pe AS (
+Q117_SQL = f"""
+WITH lw AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q117_FROM} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_Q117_TO} 00:00:00'
+),
+pe AS (
     SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-    FROM lineitem a JOIN lineitem b
+    FROM lw a JOIN lw b
       ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
 ),
 deg AS (

@@ -133,6 +133,9 @@ def ensure_fixture_csv(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_load_runs: dict[tuple[int, str], tuple[WorksheetRunner, list[DataFrame]]] = {}
+
+
 def run_load_worksheets(
     spark: SparkSession, sf_dir: str
 ) -> tuple[WorksheetRunner, list[DataFrame]]:
@@ -141,14 +144,22 @@ def run_load_worksheets(
     Returns (runner, [raw_validation, dup_check, clean_validation]) — the
     three SELECT results the load worksheet ends with
     (reference sql/02_load_data.sql:66-73, 170-175, 177-182).
+
+    q107/q108/q109 are three views of ONE worksheet session, so the run
+    is memoized per (SparkSession, sf_dir) — the tables stay lazy; only
+    the script parse and plan construction are shared.
     """
+    key = (id(spark), sf_dir)
+    if key in _load_runs:
+        return _load_runs[key]
     landing = ensure_fixture_csv(spark, sf_dir)
     runner = WorksheetRunner(spark, clock=CLOCK)
     runner.register_stage("most_actives_stage", landing)
     runner.run_script(_read_worksheet("01_create_tables.sql"))
     results = runner.run_script(_read_worksheet("02_load_data.sql"))
     selects = [r.df for r in results if r.kind == "select"]
-    return runner, selects
+    _load_runs[key] = (runner, selects)
+    return _load_runs[key]
 
 
 def q107_ws_raw_validation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,19 +123,27 @@ def test_load_worksheet_clean_table(load_run, spark, sf_dir):
     assert len(ts) == 1 and str(ts[0][0]) == CLOCK
 
 
-def test_merge_idempotent_rerun(load_run, spark, sf_dir):
+def test_merge_idempotent_rerun(spark, sf_dir):
     """Re-running the whole 02 worksheet MERGEs the same source again:
-    every row matches, contents must be unchanged (upsert semantics)."""
-    runner, _ = load_run
+    every row matches, contents must be unchanged (upsert semantics).
+    Uses a PRIVATE runner (run_load_worksheets memoizes per session, and
+    this test mutates its tables)."""
+    from snowflake_stock_dbt_spark.worksheet import WorksheetRunner
+
+    ref_dir = os.environ.get("SPARK_GRAFT_REFERENCE_SQL", "/root/reference/sql")
+    landing = ensure_fixture_csv(spark, sf_dir)
+    runner = WorksheetRunner(spark, clock=CLOCK)
+    runner.register_stage("most_actives_stage", landing)
+    with open(os.path.join(ref_dir, "01_create_tables.sql")) as f:
+        runner.run_script(f.read())
+    with open(os.path.join(ref_dir, "02_load_data.sql")) as f:
+        script02 = f.read()
+    runner.run_script(script02)
     before = runner.table("most_actives_clean")
     b_rows = {tuple(r) for r in before.drop("loaded_at").collect()}
-    runner2, _ = run_load_worksheets(spark, sf_dir)
-    # same runner state replayed: merge into the already-populated table
-    landing = ensure_fixture_csv(spark, sf_dir)
-    runner2.register_stage("most_actives_stage", landing)
-    with open(os.path.join(os.environ.get("SPARK_GRAFT_REFERENCE_SQL", "/root/reference/sql"), "02_load_data.sql")) as f:
-        results = runner2.run_script(f.read())
-    after = runner2.table("most_actives_clean")
+    # replay: second COPY doubles raw, the dedup MERGE must change nothing
+    results = runner.run_script(script02)
+    after = runner.table("most_actives_clean")
     a_rows = {tuple(r) for r in after.drop("loaded_at").collect()}
     assert a_rows == b_rows
     # and the second merge reports updates, not inserts
@@ -186,18 +194,26 @@ def test_analytics_worksheet_has_five_statements():
     assert len(analytics_statements()) == 5
 
 
-def test_top10_boundary_strict(spark, sf_dir):
+@pytest.fixture(params=["test", "oracle"], scope="module")
+def probe_sf_dir(request, sf_dir, oracle_sf_dir):
+    """Boundary-tie probes must hold at BOTH the test SF and the driver's
+    gate SF (sf0.01) — a corpus flip at either scale should fail here, in
+    one named test, before the driver sees a hash mismatch."""
+    return sf_dir if request.param == "test" else oracle_sf_dir
+
+
+def test_top10_boundary_strict(spark, probe_sf_dir):
     """Statement 1's LIMIT 10 must cut at a strict inequality — the
     market_cap construction guarantees it; verify against live data."""
-    full = q110_ws_top_entities(spark, sf_dir)
+    full = q110_ws_top_entities(spark, probe_sf_dir)
     vals = [r["latest_market_cap"] for r in full.collect()]
     assert len(vals) == len(set(vals)), "top-10 metric values must be unique"
 
 
-def test_watchlist_boundary_strict(spark, sf_dir):
+def test_watchlist_boundary_strict(spark, probe_sf_dir):
     """Statement 5's LIMIT 50 boundary: the sort key (ratio, momentum)
     of the last kept row must not tie with the first dropped row."""
-    df = q114_ws_watchlist(spark, sf_dir)
+    df = q114_ws_watchlist(spark, probe_sf_dir)
     rows = df.collect()
     if len(rows) < 50:
         return  # no boundary at this SF
