@@ -529,6 +529,10 @@ FROM ranked WHERE rank <= {TOP_K}
 # is per-cluster quadratic, the quantity the clustering bounds.
 # The oracle unrolls the identical k-means, replays the in-cluster pair
 # cosines with the DECIMAL(38,18) recipe, and applies the same keep rule.
+# SCALE CONTRACT (tools/scale_probe.py, PLANS.md): at FIXED k the
+# per-cluster pair count grows ~(n/k)^2 — production sets k ∝ n (SemDeDup
+# uses ~100k clusters) so cluster sizes stay constant; the fixed k=8 here
+# is the oracle's gate-scale contract, not the operator's limit.
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_THRESHOLD = 0.3

@@ -198,3 +198,49 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
     b = sorted(tuple(r) for r in ev.collect())
     assert a == b
+
+
+# --- interchange formats (sources/formats.py) ------------------------------
+
+
+def test_format_round_trips(spark, sf_dir, tmp_path):
+    from snowflake_stock_dbt_spark.sources.formats import read_table, write_table
+
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    want = sorted(tuple(r) for r in src.collect())
+    schema = src.schema
+    for fmt in ("parquet", "orc", "csv", "json"):
+        p = str(tmp_path / f"t_{fmt}")
+        write_table(src, p, fmt)
+        got = read_table(spark, p, fmt, schema=schema)
+        assert sorted(tuple(r) for r in got.collect()) == want, fmt
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from snowflake_stock_dbt_spark.sources.formats import read_table
+
+    for fmt in ("csv", "json"):
+        with _pytest.raises(ValueError, match="explicit schema"):
+            read_table(spark, str(tmp_path), fmt)
+
+
+def test_columnar_formats_push_filters(spark, sf_dir, tmp_path):
+    """Parquet AND ORC scans must expose predicate pushdown — a format
+    regression that silently drops PushedFilters fails here."""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.sources.formats import read_table, write_table
+
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / f"pf_{fmt}")
+        write_table(src, p, fmt)
+        df = read_table(spark, p, fmt).where(F.col("c_custkey") == 42).select(
+            "c_custkey", "c_name"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "c_custkey" in plan.split(
+            "PushedFilters"
+        )[1][:120], f"{fmt}: filter not pushed"
