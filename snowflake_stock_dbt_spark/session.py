@@ -76,3 +76,57 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    total_executor_cores: int,
+    shuffle_partition_factor: int = 2,
+    use_rocksdb: bool = True,
+) -> dict[str, str]:
+    """The engine's recommended conf for a REAL cluster (the local[]
+    factory above is the test harness; this is what `spark-submit` on a
+    1000-executor deployment sets). Returned as a dict so callers merge
+    it into ``get_spark(extra_conf=...)`` or a spark-defaults file.
+
+    Sizing rules, each tied to an operator family in PLANS.md:
+
+    - ``shuffle.partitions`` = 2-3x total executor cores: every keyed
+      agg/join in the library is one shuffle wide; post-shuffle tasks
+      should be ~128-256 MiB at the target SF.
+    - ``files.maxPartitionBytes`` 256 MiB: scan tasks sized so the
+      TPC-H-shaped fact scans keep every core busy without tiny-task
+      scheduling overhead.
+    - RocksDB state store: the streaming operators (stateful totals,
+      stream-stream joins) keep per-key state; HDFS-backed in-memory
+      state OOMs at cluster key cardinalities.
+    - dynamic allocation + shuffle tracking: the bench-style bursty
+      query mix releases executors between queries.
+    - ``autoBroadcastJoinThreshold`` raised to 64 MiB: every dimension
+      in the library is broadcast-shaped; at cluster memory sizes the
+      10 MiB default forces needless shuffle joins (AQE still downgrades
+      when runtime stats disagree).
+    """
+    conf = {
+        "spark.sql.shuffle.partitions": str(
+            total_executor_cores * shuffle_partition_factor
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.ansi.enabled": "false",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.shuffle.service.enabled": "false",
+    }
+    if use_rocksdb:
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    return conf

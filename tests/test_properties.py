@@ -201,3 +201,18 @@ def test_winnowing_guarantee_on_shared_run(spark, doc_a, doc_b, insert_at):
     for r in fps:
         by_doc[r["doc_id"]].add(r["fp"])
     assert by_doc[1] & by_doc[2], (a, b)
+
+
+def test_cluster_conf_profile():
+    from snowflake_stock_dbt_spark.session import cluster_conf
+
+    conf = cluster_conf(total_executor_cores=4000, shuffle_partition_factor=3)
+    assert conf["spark.sql.shuffle.partitions"] == "12000"
+    # The invariant confs of the engine must survive into the cluster
+    # profile — oracle parity depends on them.
+    assert conf["spark.sql.session.timeZone"] == "UTC"
+    assert conf["spark.sql.ansi.enabled"] == "false"
+    assert "RocksDBStateStoreProvider" in conf[
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+    assert "providerClass" not in str(cluster_conf(8, use_rocksdb=False))
