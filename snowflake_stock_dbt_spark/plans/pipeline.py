@@ -454,6 +454,53 @@ ORDER BY l_returnflag, l_linestatus
 
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# Q126 — VARIANT-typed semi-structured access (Spark 4's VARIANT):
+# parse_json once into the binary variant encoding, then typed path
+# extraction with try_variant_get — the modern engine path for JSON
+# columns (single parse, no per-path re-parse like get_json_object, and
+# the open-schema alternative to q59's fixed from_json struct). Exact
+# integer aggregates keep the full value oracle.
+# ---------------------------------------------------------------------------
+
+
+def q126_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.absent_field", "bigint")
+    return (
+        events.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("m").alias("n_with_absent_field"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q126_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       COUNT(TRY_CAST(json_extract_string(props, '$.absent_field') AS BIGINT))
+           AS n_with_absent_field
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 PIPELINE_QUERIES = {
     "q06_latest_wins_dedup": q06_latest_wins_dedup,
     "q07_surrogate_keys": q07_surrogate_keys,
@@ -467,6 +514,7 @@ PIPELINE_QUERIES = {
     "q69_profile": q69_profile,
     "q14_upsert_merge": q14_upsert_merge,
     "q15_pricing_summary": q15_pricing_summary,
+    "q126_variant_props": q126_variant_props,
 }
 
 PIPELINE_ORACLES = {
@@ -482,4 +530,5 @@ PIPELINE_ORACLES = {
     "q69_profile": Q69_SQL,
     "q14_upsert_merge": Q14_SQL,
     "q15_pricing_summary": Q15_SQL,
+    "q126_variant_props": Q126_SQL,
 }
