@@ -144,3 +144,75 @@ def test_plan_guards(spark, name):
             f"{name}: {n} Exchange mentions exceed the recorded plan "
             f"budget {budget} — a shuffle stage was added"
         )
+
+
+# --- user-facing plan linter (functions/planlint.py) ------------------------
+
+
+def test_lint_plan_flags_cartesian_and_clean_join(spark):
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.functions.planlint import (
+        assert_plan_clean,
+        lint_plan,
+    )
+
+    a = spark.range(10).withColumnRenamed("id", "a")
+    b = spark.range(10).withColumnRenamed("id", "b")
+    # hint forces a true CartesianProduct (small sides otherwise broadcast)
+    cart = a.hint("shuffle_replicate_nl").crossJoin(b)
+    findings = lint_plan(cart, allow_nested_loop=True)
+    assert any("cartesian" in f for f in findings)
+
+    clean = a.join(b, a.a == b.b)
+    assert lint_plan(clean) == []
+    assert_plan_clean(clean)
+
+
+def test_lint_plan_flags_row_python_and_budget(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from snowflake_stock_dbt_spark.functions.planlint import (
+        assert_plan_clean,
+        lint_plan,
+    )
+
+    bad_udf = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+    df = spark.range(10).select(bad_udf("id").alias("y"))
+    assert any("row-python" in f for f in lint_plan(df))
+
+    shuffly = (
+        spark.range(100)
+        .groupBy((F.col("id") % 10).alias("g"))
+        .count()
+        .orderBy("g")
+    )
+    assert any(
+        "shuffles" in f for f in lint_plan(shuffly, max_exchanges=1)
+    )
+    with _pytest.raises(AssertionError, match="plan lint failed"):
+        assert_plan_clean(shuffly, max_exchanges=1)
+
+
+def test_lint_plan_flags_nested_loop_and_python_seam(spark):
+    from snowflake_stock_dbt_spark.functions.planlint import lint_plan
+
+    a = spark.range(5).withColumnRenamed("id", "a")
+    stats = spark.range(1).withColumnRenamed("id", "s")
+    bnl = a.crossJoin(stats.limit(1))
+    fs = lint_plan(bnl)
+    assert any("nested-loop" in f or "cartesian" in f for f in fs)
+    assert lint_plan(bnl, allow_nested_loop=True) == [] or all(
+        "nested-loop" not in f for f in lint_plan(bnl, allow_nested_loop=True)
+    )
+
+    import pandas as pd
+
+    def ident(it):
+        yield from it
+
+    seam = spark.range(10).mapInPandas(ident, schema="id long")
+    assert any("python-seam" in f for f in lint_plan(seam, allow_python=False))
+    assert all("python-seam" not in f for f in lint_plan(seam))
