@@ -659,6 +659,69 @@ ORDER BY purchase_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q127 — behavioral transition matrix: per (prev_event_type, event_type)
+# bigram counts over each user's time-ordered stream, with per-source
+# totals for transition probabilities as an exact rational (count/total).
+# One window shuffle on user_id + one keyed agg — the Markov-flow
+# primitive behind funnel discovery and next-event models.
+# ---------------------------------------------------------------------------
+
+
+def q127_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_event"),
+        F.col("event_type").alias("next_event"),
+    ).where(F.col("prev_event").isNotNull())
+    counts = pairs.groupBy("prev_event", "next_event").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wsrc = Window.partitionBy("prev_event")
+    return (
+        counts.withColumn(
+            "src_total", F.sum("n_transitions").over(wsrc)
+        )
+        .select(
+            "prev_event",
+            "next_event",
+            "n_transitions",
+            "src_total",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("src_total").cast("double")
+            ).alias("p_transition"),
+        )
+        .orderBy("prev_event", "next_event")
+    )
+
+
+Q127_SQL = """
+WITH pairs AS (
+    SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_event,
+           event_type AS next_event
+    FROM events
+),
+counts AS (
+    SELECT prev_event, next_event, COUNT(*) AS n_transitions
+    FROM pairs WHERE prev_event IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_event, next_event, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY prev_event) AS BIGINT)
+           AS src_total,
+       CAST(n_transitions AS DOUBLE)
+           / CAST(SUM(n_transitions) OVER (PARTITION BY prev_event) AS DOUBLE)
+           AS p_transition
+FROM counts
+ORDER BY prev_event, next_event
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
@@ -669,6 +732,7 @@ EVENT_QUERIES = {
     "q75_scd2_history": q75_scd2_history,
     "q88_gap_fill": q88_gap_fill,
     "q99_point_in_time": q99_point_in_time,
+    "q127_event_transitions": q127_event_transitions,
 }
 
 EVENT_ORACLES = {
@@ -681,4 +745,5 @@ EVENT_ORACLES = {
     "q75_scd2_history": Q75_SQL,
     "q88_gap_fill": Q88_SQL,
     "q99_point_in_time": Q99_SQL,
+    "q127_event_transitions": Q127_SQL,
 }
