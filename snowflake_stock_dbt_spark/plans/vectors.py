@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    KMEANS_SCALE as _KMEANS_SCALE,
     LSH_ANN_BITS,
     LSH_ANN_BANDS,
     cosine_neardup_pairs,
@@ -393,10 +394,14 @@ def q106_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round(F.col("cosine"), 9))
 
 
-def _kmeans_unrolled_sql(k: int, iters: int) -> str:
+def _kmeans_unrolled_sql(k: int | str, iters: int) -> str:
     """Generate the DuckDB twin of kmeans_assign: cent0 from hash-seeds,
     then per iteration an exact-integer distance argmin + integer-mean
-    update, ending in the final assignment CTE ``asgf``."""
+    update, ending in the final assignment CTE ``asgf``.
+
+    ``k`` may be an int literal (q106's fixed IVF list count) or a SQL
+    scalar-subquery string (q118's size-derived SemDeDup cluster count) —
+    it only ever appears in the seed-cutoff predicate."""
     from ..functions.text import hash60_sql
 
     seed_h = hash60_sql("'seed:' || CAST(vec_id AS VARCHAR)")
@@ -407,7 +412,7 @@ def _kmeans_unrolled_sql(k: int, iters: int) -> str:
     FROM embeddings CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(embedding)
 ),
 ui AS (
-    SELECT vec_id, pos, CAST(FLOOR(v * 1000000000.0) AS BIGINT) AS v9 FROM u
+    SELECT vec_id, pos, CAST(FLOOR(v * {float(_KMEANS_SCALE)}) AS BIGINT) AS v9 FROM u
 ),
 sh AS (
     SELECT vec_id,
@@ -416,7 +421,7 @@ sh AS (
 ),
 cent0 AS (
     SELECT s.bucket, ui.pos, ui.v9 AS c9
-    FROM sh s JOIN ui ON ui.vec_id = s.vec_id WHERE s.bucket < {k}
+    FROM sh s JOIN ui ON ui.vec_id = s.vec_id WHERE s.bucket < ({k})
 )"""
     ]
     prev = "cent0"
@@ -529,20 +534,30 @@ FROM ranked WHERE rank <= {TOP_K}
 # is per-cluster quadratic, the quantity the clustering bounds.
 # The oracle unrolls the identical k-means, replays the in-cluster pair
 # cosines with the DECIMAL(38,18) recipe, and applies the same keep rule.
-# SCALE CONTRACT (tools/scale_probe.py, PLANS.md): at FIXED k the
-# per-cluster pair count grows ~(n/k)^2 — production sets k ∝ n (SemDeDup
-# uses ~100k clusters) so cluster sizes stay constant; the fixed k=8 here
-# is the oracle's gate-scale contract, not the operator's limit.
+# SCALE CONTRACT (tools/scale_probe.py, PLANS.md §9): k is SIZE-DERIVED —
+# k = ceil(n / SEMDEDUP_TARGET_CLUSTER), SemDeDup's actual contract
+# (Abbas et al. 2023 hold cluster SIZE roughly constant: ~100k clusters
+# over ~100M embeddings). Cluster sizes therefore stay ~constant as the
+# corpus grows, so in-cluster pair volume is n × target = LINEAR; the
+# round-3 (n/k)^2 hazard at fixed k=8 is gone by construction. At the
+# sf0.01 gate (n=500) the formula yields exactly k=8, so this change is
+# bit-identical to the previously-verified fixed-k registration. The one
+# count() is bounded driver state (MLlib's KMeans does the same).
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_THRESHOLD = 0.3
+#: Target in-cluster size for semantic dedup: k = ceil(n / this).
+SEMDEDUP_TARGET_CLUSTER = 64
 
 
 def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ..operators.similarity import cosine_neardup_pairs, kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    k = max(1, math.ceil(emb.count() / SEMDEDUP_TARGET_CLUSTER))
+    bucketed = kmeans_assign(emb, k=k, iters=KMEANS_ITERS)
     pairs = cosine_neardup_pairs(
         bucketed, block_col="bucket", threshold=SEMDEDUP_THRESHOLD
     )
@@ -584,7 +599,14 @@ dropped AS (
 SELECT a.vec_id, CAST(a.bucket AS INT) AS bucket,
        (d.vec_id IS NULL) AS kept
 FROM asgf a LEFT JOIN dropped d ON d.vec_id = a.vec_id
-""".replace("{KMEANS_CTES}", _kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS))
+""".replace(
+    "{KMEANS_CTES}",
+    _kmeans_unrolled_sql(
+        "SELECT CAST(CEIL(COUNT(*) / "
+        f"{float(SEMDEDUP_TARGET_CLUSTER)}) AS BIGINT) FROM embeddings",
+        KMEANS_ITERS,
+    ),
+)
 
 
 

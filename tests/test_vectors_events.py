@@ -165,6 +165,56 @@ def test_kmeans_assign_handles_more_clusters_than_structure(spark):
     assert by_parity[0] != by_parity[1]
 
 
+def test_semdedup_k_scales_with_corpus_and_bounds_pair_volume(
+    spark, oracle_sf_dir
+):
+    """The q118 k ∝ n scale contract (PLANS.md §'q118 at k ∝ n'): the
+    registered cluster count is size-derived, so doubling the corpus
+    doubles k and in-cluster candidate-pair volume stays LINEAR in n —
+    the quantity the round-3 fixed-k registration left quadratic. The
+    measured wall-clock exponent lives in PLANS.md (0.56 at 1x/2x/4x);
+    this assertion pins the structural half so a regression to fixed k
+    fails CI without needing a timing run."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.operators.similarity import kmeans_assign
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        KMEANS_ITERS,
+        SEMDEDUP_TARGET_CLUSTER,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    n1 = emb.count()
+    doubled = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    pair_volume = {}
+    for df, n in ((emb, n1), (doubled, 2 * n1)):
+        k = max(1, math.ceil(n / SEMDEDUP_TARGET_CLUSTER))
+        assert k == math.ceil(n / SEMDEDUP_TARGET_CLUSTER)
+        sizes = (
+            kmeans_assign(df, k=k, iters=KMEANS_ITERS)
+            .groupBy("bucket")
+            .count()
+            .agg(
+                F.sum(F.expr("count * (count - 1) / 2")).alias("pairs"),
+                F.max("count").alias("mx"),
+            )
+            .first()
+        )
+        pair_volume[n] = float(sizes["pairs"])
+        # no cluster degenerates to a quadratic blob: bounded multiple of
+        # the target size (duplicated points double co-located mass, so
+        # the doubled corpus legitimately doubles cluster sizes)
+        assert sizes["mx"] <= 8 * SEMDEDUP_TARGET_CLUSTER * (n // n1)
+    # pair volume grows ~linearly with n (well under the 4x a fixed-k
+    # quadratic would produce; duplicates make the constant > 2)
+    assert pair_volume[2 * n1] <= 3.5 * pair_volume[n1]
+
+
 def test_sessionize_sessions_are_disjoint(spark, sf_dir):
     df = EVENT_QUERIES["q27_sessionize"](spark, sf_dir)
     rows = df.orderBy("user_id", "session_idx").collect()
