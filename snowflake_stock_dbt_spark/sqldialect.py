@@ -271,7 +271,44 @@ def rewrite_snowflake_functions(sql: str) -> str:
         sql = sql[:start] + repl + sql[end:]
 
 
+def rewrite_qualify_deep(sql: str) -> str:
+    """Rewrite QUALIFY at the statement top level AND inside every
+    parenthesized body (CTE definitions, subqueries) — the reference's
+    dbt staging model puts its QUALIFY dedup inside a CTE
+    (dbt_project/models/stg_most_actives.sql:44-48), where it is
+    top-level *within that body*. Recursion bottom-up: inner paren
+    groups first, so each rewrite_qualify call still sees exactly one
+    top-level QUALIFY. Paren groups that are not query bodies (arg
+    lists, window specs) contain no top-level QUALIFY and pass through
+    unchanged."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and (sql[j] != "'" or (j + 1 < n and sql[j + 1] == "'")):
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n and sql[j] != '"':
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c == "(":
+            end = _match_paren(sql, i)
+            out.append("(" + rewrite_qualify_deep(sql[i + 1 : end - 1]) + ")")
+            i = end
+        else:
+            out.append(c)
+            i += 1
+    return rewrite_qualify("".join(out))
+
+
 def compile_snowflake_sql(sql: str) -> str:
     """Full worksheet-dialect door: scalar-function rewrites + the QUALIFY
-    rewrite, ready for ``spark.sql``."""
-    return rewrite_qualify(rewrite_snowflake_functions(sql))
+    rewrite (top-level and inside CTE/subquery bodies), ready for
+    ``spark.sql``."""
+    return rewrite_qualify_deep(rewrite_snowflake_functions(sql))
