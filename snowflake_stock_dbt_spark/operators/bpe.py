@@ -117,3 +117,74 @@ def bpe_train(
         "round int, left_sym string, right_sym string, "
         "pair_count bigint, corpus_symbols_after bigint",
     )
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Apply a trained merge list to a frame of distinct words: adds
+    ``syms`` (array<string>) — the word's BPE token sequence.
+
+    Exactly the sequential tokenizer's semantics: characters, then each
+    merge applied greedily left-to-right IN TRAINING ORDER (rank order
+    is what makes BPE encoding deterministic). The merge list is the
+    tokenizer artifact itself — bounded driver state (n_merges rows,
+    like MLlib model coefficients), embedded as literals in one chained
+    fold per merge, so encoding is a pure map-side projection: zero
+    shuffles over the vocabulary frame, whole-stage codegen end to end.
+    """
+    col = F.expr(f"regexp_extract_all({word_col}, '.', 0)")
+    for a, b in merges:
+        col = _merge_fold(col, a, b)
+    return words.withColumn("syms", col)
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a document corpus with a trained merge list; returns
+    (id, n_words, n_bpe_tokens, token_sha) — count plus an order-exact
+    sha256 digest of the token stream, so the full encoding (not just
+    its length) is value-checkable.
+
+    Scale shape: encode the DISTINCT-word vocabulary once (map-only,
+    vocabulary-bounded — the word_counts trick training already uses),
+    then one equi-join from the exploded word stream back to the
+    encoded vocabulary and one keyed agg per document. Two shuffles
+    total, both on high-cardinality keys (word, id); the join's build
+    side is vocabulary-sized and broadcastable when small.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("wpos", "word"),
+    ).where(F.col("word") != "")
+    vocab = bpe_encode_words(
+        words.select("word").distinct(), merges
+    ).select(
+        "word",
+        F.size("syms").alias("ntok"),
+        F.array_join("syms", " ").alias("toks_str"),
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("wpos", "toks_str"))
+                        ),
+                        lambda s: s["toks_str"],
+                    ),
+                    " ",
+                ),
+                256,
+            ).alias("token_sha"),
+        )
+    )

@@ -38,6 +38,8 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 25,
     broadcast_max_nodes: int = 5_000_000,
+    algorithm: str = "label-prop",
+    _stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex; component = min vertex id in its
     connected component.
@@ -45,11 +47,31 @@ def connected_components(
     ``vertices`` (optional) adds isolated vertices — rows whose id appears
     in no edge keep ``component = id``. Deterministic for any edge input.
 
+    ``algorithm``:
+
+    - ``"label-prop"`` (default): min-label propagation, rounds = graph
+      diameter — the right choice for near-dup graphs (dense cliques,
+      tiny diameter).
+    - ``"two-phase"``: alternating large-star/small-star (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+      O(log²) rounds on ANY topology, the escape hatch for pathological
+      diameters (a length-n chain needs n label-prop rounds but ~log²
+      two-phase rounds; measured in tests/test_graph.py and PLANS.md).
+
+    Both produce identical labels (min id per component). ``_stats``
+    (optional dict) receives ``{"rounds": N}`` for probe tests.
+
     The label frame is |V| rows; when the (driver-counted) vertex count is
     broadcast-sized, each round ships labels to the edges instead of
     shuffling the edge table — same adaptive choice as :func:`pagerank`.
     Past the threshold the join falls back to an ordinary shuffle.
     """
+    if algorithm == "two-phase":
+        return _cc_two_phase(
+            edges, src, dst, vertices, id_col, max_iter, _stats
+        )
+    if algorithm != "label-prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -97,6 +119,123 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def _cc_two_phase(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    vertices: DataFrame | None,
+    id_col: str,
+    max_iter: int,
+    _stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Per round (both stars are one keyed agg + one equi-join, shuffling
+    on the node id — the same primitives as label propagation, just a
+    different rewiring rule):
+
+    - **large-star**: every node u connects its strictly-LARGER
+      neighbors to m(u) = min(Γ(u) ∪ {u});
+    - **small-star**: with every edge oriented big→small, u connects its
+      (smaller) neighbors and itself to the minimum.
+
+    The edge set contracts toward flat stars rooted at each component's
+    minimum in O(log²) rounds regardless of diameter (Kiveris et al.
+    SoCC'14, Thm 2). Convergence = edge multiset unchanged, detected
+    with a count + hash-sum signature (one aggregation — no |E|⋈|E|
+    set-compare). Raises after ``max_iter`` non-converged rounds rather
+    than returning partial labels.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(d: DataFrame) -> DataFrame:
+        sym = d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    def small_star(d: DataFrame) -> DataFrame:
+        big = d.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = big.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            big.join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+        )
+        return rewired.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).distinct()
+
+    def signature(d: DataFrame):
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    rounds = 0
+    for _ in range(max_iter):
+        if sig[0] == 0:
+            break
+        e = small_star(large_star(e)).localCheckpoint()
+        rounds += 1
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"two-phase connected components did not converge in "
+            f"{max_iter} rounds"
+        )
+    if _stats is not None:
+        _stats["rounds"] = rounds
+
+    # Converged state: flat stars (child > center edges). Children label
+    # with their center; centers and isolated vertices label themselves.
+    child = e.select(
+        F.col("v").alias("id"), F.col("u").alias("component")
+    ).union(e.select(F.col("u").alias("id"), F.col("v").alias("component")))
+    child = (
+        child.groupBy("id").agg(F.min("component").alias("component"))
+        .where(F.col("component") < F.col("id"))
+    )
+    nodes = e.select(F.col("u").alias("id")).union(
+        e.select(F.col("v").alias("id"))
+    )
+    if vertices is not None:
+        nodes = nodes.union(vertices.select(F.col(id_col).alias("id")))
+    nodes = nodes.distinct()
+    return nodes.join(child, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def neardup_components(

@@ -802,8 +802,7 @@ tot{r} AS (SELECT SUM(cnt) AS n FROM q{r + 1})
 """
 
 
-def _bpe_oracle_sql(n_rounds: int) -> str:
-    base = r"""
+_BPE_BASE = r"""
 WITH wtoks AS (
     SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS word FROM documents
 ),
@@ -816,6 +815,10 @@ s1 AS (
 ),
 q1 AS MATERIALIZED (SELECT word, cnt, pos, cs[pos] AS sym FROM s1)
 """
+
+
+def _bpe_oracle_sql(n_rounds: int) -> str:
+    base = _BPE_BASE
     rounds = "".join("," + _bpe_round_ctes(r) for r in range(1, n_rounds + 1))
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS round, la AS left_sym, lb AS right_sym,\n"
@@ -828,6 +831,67 @@ q1 AS MATERIALIZED (SELECT word, cnt, pos, cs[pos] AS sym FROM s1)
 
 
 Q116_SQL = _bpe_oracle_sql(_BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Q132 — BPE ENCODING with the trained merge list (the pipeline step that
+# USES q116's tokenizer): the corpus is tokenized by applying the six
+# trained merges in rank order (operators/bpe.py:bpe_encode_docs — encode
+# the distinct-word vocabulary map-only, join the word stream back, agg
+# per doc). Output pins counts AND an order-exact sha256 of each doc's
+# token stream. The oracle replays the identical unrolled training CTEs
+# (q116's proven chain) — its final q7 frame IS the encoded vocabulary —
+# then aggregates the same digest per document.
+# ---------------------------------------------------------------------------
+
+_bpe_merges_cache: dict[tuple[int, str], list[tuple[str, str]]] = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Train-once-per-session merge list (n_merges rows of driver state —
+    the tokenizer artifact, same bounded-collect pattern as the per-round
+    argmax inside training)."""
+    key = (id(spark), sf_dir)
+    if key not in _bpe_merges_cache:
+        rows = q116_bpe_merges(spark, sf_dir).orderBy("round").collect()
+        _bpe_merges_cache[key] = [
+            (r["left_sym"], r["right_sym"]) for r in rows
+        ]
+    return _bpe_merges_cache[key]
+
+
+def q132_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_docs(docs, "text", _trained_merges(spark, sf_dir))
+
+
+def _bpe_encode_oracle_sql(n_rounds: int) -> str:
+    rounds = "".join("," + _bpe_round_ctes(r) for r in range(1, n_rounds + 1))
+    return rf"""{_BPE_BASE}{rounds},
+vocab AS MATERIALIZED (
+    SELECT word, COUNT(*) AS ntok,
+           string_agg(sym, ' ' ORDER BY pos) AS toks_str
+    FROM q{n_rounds + 1} GROUP BY word
+),
+dtoks AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents
+),
+dw AS (
+    SELECT doc_id, unnest(generate_series(1, len(t))) AS wpos, t FROM dtoks
+),
+dws AS (SELECT doc_id, wpos, t[wpos] AS word FROM dw WHERE t[wpos] <> '')
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.ntok) AS BIGINT) AS n_bpe_tokens,
+       sha256(string_agg(v.toks_str, ' ' ORDER BY d.wpos)) AS token_sha
+FROM dws d JOIN vocab v USING (word)
+GROUP BY d.doc_id
+"""
+
+
+Q132_SQL = _bpe_encode_oracle_sql(_BPE_ROUNDS)
 
 
 LLM_TEXT_QUERIES = {
@@ -845,6 +909,7 @@ LLM_TEXT_QUERIES = {
     "q58_tfidf_terms": q58_tfidf_terms,
     "q115_repeated_passages": q115_repeated_passages,
     "q116_bpe_merges": q116_bpe_merges,
+    "q132_bpe_encode": q132_bpe_encode,
     "q64_chunking": q64_chunking,
     "q65_hash_split": q65_hash_split,
 }
@@ -864,6 +929,7 @@ LLM_TEXT_ORACLES = {
     "q58_tfidf_terms": Q58_SQL,
     "q115_repeated_passages": Q115_SQL,
     "q116_bpe_merges": Q116_SQL,
+    "q132_bpe_encode": Q132_SQL,
     "q64_chunking": Q64_SQL,
     "q65_hash_split": Q65_SQL,
 }

@@ -59,3 +59,53 @@ def test_bpe_train_stops_when_no_pairs(spark):
     df = spark.createDataFrame([("a b c",)], "text string")
     merges = bpe_train(spark, df, "text", n_merges=4).collect()
     assert merges == []  # single-char words have no adjacent pairs
+
+
+def test_bpe_encode_roundtrip_and_toy(spark):
+    """Encoding must be lossless (tokens re-concatenate to the word) and
+    follow merge rank order: with merges [(l,o),(lo,w)], 'lower' encodes
+    as [low, e, r], 'slow' as [s, low]."""
+    from snowflake_stock_dbt_spark.operators.bpe import bpe_encode_words
+
+    words = spark.createDataFrame(
+        [("lower",), ("slow",), ("oo",)], "word string"
+    )
+    got = {
+        r["word"]: r["syms"]
+        for r in bpe_encode_words(words, [("l", "o"), ("lo", "w")]).collect()
+    }
+    assert got["lower"] == ["low", "e", "r"]
+    assert got["slow"] == ["s", "low"]
+    assert got["oo"] == ["o", "o"]  # untouched by unrelated merges
+    for w, syms in got.items():
+        assert "".join(syms) == w
+
+
+def test_bpe_encode_agrees_exactly_with_training_totals(spark, sf_dir):
+    """EXACT cross-operator gate: tokenizing the corpus with the trained
+    merge list must reproduce training's own bookkeeping — the final
+    round's corpus_symbols_after IS the total token count of the encoded
+    corpus (training applies the same merges to the same word frame).
+    Also pins the heuristic bpe_ish_token_count as a sane upper-ish
+    proxy, and encoding-without-merges == character count."""
+    from snowflake_stock_dbt_spark.operators.bpe import bpe_encode_docs
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merge_rows = bpe_train(spark, docs, "text", n_merges=4).collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    enc = bpe_encode_docs(docs, "text", merges)
+    total = enc.agg(F.sum("n_bpe_tokens")).first()[0]
+    assert total == merge_rows[-1]["corpus_symbols_after"]
+    # zero merges degenerates to per-word character counts
+    enc0 = bpe_encode_docs(docs, "text", [])
+    chars = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.sum(F.length("w")))
+        .first()[0]
+    )
+    assert enc0.agg(F.sum("n_bpe_tokens")).first()[0] == chars
+    # more merges never increases the token count, and words lower-bound it
+    words_total = enc.agg(F.sum("n_words")).first()[0]
+    assert words_total <= total <= chars

