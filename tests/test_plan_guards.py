@@ -28,6 +28,9 @@ BNL_ALLOWED = {
     "q105_prospects",  # 1-row global-average broadcast (q03 pattern)
     "q106_ann_ivf_trained",  # k-row centroid probe broadcast (q26 pattern)
     "q112_ws_zscore",  # the worksheet's own CROSS JOIN volume_stats (1 row)
+    # 1-row packed-centroid broadcast crossJoin (kmeans_assign ships the
+    # trained centroids as DATA, not plan literals — PLANS.md round-4).
+    "q118_semantic_dedup",
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -101,6 +104,18 @@ PINNED_PATTERNS = {
     "q110_ws_top_entities": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "q113_ws_geo_rollup": ["BroadcastHashJoin"],
     "q114_ws_watchlist": ["TakeOrderedAndProject", "Window"],
+    # Round-3/4 families (round-3 VERDICT item 6). q115: the shingle
+    # frequency agg must stay map-side-combinable and span merging stays
+    # a window, never a self-join. q127: transitions are one window +
+    # keyed aggs (budget below). q106/q118: the trained centroids must
+    # arrive via broadcast (losing it = literals in the plan or a
+    # shuffle). q132: the encoded vocabulary joins back broadcast-shaped
+    # at gate scale.
+    "q115_repeated_passages": ["Window", "partial_"],
+    "q127_event_transitions": ["Window", "partial_"],
+    "q106_ann_ivf_trained": ["BroadcastExchange"],
+    "q118_semantic_dedup": ["BroadcastExchange"],
+    "q132_bpe_encode": ["BroadcastHashJoin", "partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -115,7 +130,24 @@ SHUFFLE_BUDGETS = {
     "q103_order_distribution": 8,
     "q104_small_qty_revenue": 6,  # agg + join-back (Q17 shape), no more
     "q105_prospects": 12,
-    "q106_ann_ivf_trained": 14,  # train updates + probe/re-rank machinery
+    # Train updates + probe/re-rank machinery. Raised 14 -> 22 in round 4:
+    # the broadcast-data centroid rewrite adds one (cheap, k-row)
+    # BroadcastExchange per assignment pass — the price of keeping the
+    # plan O(1) in k (PLANS.md round-4 journal item 12).
+    "q106_ann_ivf_trained": 22,
+    "q115_repeated_passages": 8,  # shingle agg + freq join + islands window
+    "q118_semantic_dedup": 24,  # train + in-cluster pair scoring
+    "q127_event_transitions": 8,  # one window sort + keyed transition aggs
+    "q132_bpe_encode": 6,  # vocab distinct + word join-back + doc agg
+}
+
+#: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain
+#: lists each node twice). The media decoders must cross into Python
+#: exactly once, pre-shuffle; a second seam means bytes made a round trip.
+SEAM_BUDGETS = {
+    "q125_scene_cuts": 4,  # synth-encode seam + demux/diff seam
+    "q38_media_decode": 4,  # synth-encode seam + decode seam
+    "q52_media_resize": 4,
 }
 
 
@@ -144,6 +176,50 @@ def test_plan_guards(spark, name):
             f"{name}: {n} Exchange mentions exceed the recorded plan "
             f"budget {budget} — a shuffle stage was added"
         )
+    seams = SEAM_BUDGETS.get(name)
+    if seams is not None:
+        n = plan.count("MapInPandas")
+        assert 0 < n <= seams, (
+            f"{name}: {n} MapInPandas mentions vs recorded {seams} — "
+            "the Python seam count changed"
+        )
+
+
+def test_bpe_training_pair_agg_is_map_side_combined(spark):
+    """q116's registered query returns driver-assembled rows, so the
+    generic sweep can't see the TRAINING plan; pin it here: the
+    per-round pair-count aggregation must show a partial (map-side)
+    aggregate — losing it ships every (word, pair) row to the reducers
+    (round-3 VERDICT item 6)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.operators.bpe import word_counts
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = word_counts(docs, "text").withColumn(
+        "syms", F.expr("regexp_extract_all(word, '.', 0)")
+    )
+    pairs = (
+        words.where(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("a"),
+                        F.element_at(F.col("syms"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("pc"))
+    )
+    plan = _plan(spark, pairs)
+    assert "partial_sum" in plan, "pair agg lost its map-side combine"
+    assert "CartesianProduct" not in plan
 
 
 # --- user-facing plan linter (functions/planlint.py) ------------------------

@@ -184,3 +184,45 @@ def test_chart_spec_guards(spark):
     big = spark.range(30).selectExpr("CAST(id AS STRING) AS symbol", "CAST(id AS DOUBLE) AS v")
     with _pytest.raises(ValueError, match="max_points"):
         chart_spec(big, "v", "Bar", hover=[], max_points=10)
+
+
+def test_render_svg_bar_and_line(spark):
+    """The renderer half of the reference's chart block: well-formed SVG,
+    one mark per data row, value-proportional geometry, hover columns as
+    native <title> tooltips, deterministic output."""
+    import xml.etree.ElementTree as ET
+
+    from snowflake_stock_dbt_spark.serving.charts import chart_spec, render_svg
+
+    df = spark.createDataFrame(
+        [
+            ("AAA", 10.0, "Alpha", "Tech", "US"),
+            ("BBB", 40.0, "Beta", "Energy", "DE"),
+            ("CCC", 20.0, "Gamma", "Tech", "FR"),
+        ],
+        "symbol string, market_cap double, entity_name string, "
+        "category string, location string",
+    )
+    bar = chart_spec(df.orderBy("symbol"), "market_cap", "Bar")
+    svg = render_svg(bar)
+    assert svg == render_svg(bar)  # deterministic
+    root = ET.fromstring(svg)  # well-formed XML
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = root.findall(f"{ns}rect")
+    assert len(rects) == 3
+    heights = {
+        t.text.split(";")[0].split("=")[1].strip(): float(r.get("height"))
+        for r in rects
+        for t in r.findall(f"{ns}title")
+    }
+    # 40.0 bar is twice the 20.0 bar and four times the 10.0 bar
+    assert abs(heights["BBB"] / heights["CCC"] - 2.0) < 0.05
+    assert abs(heights["BBB"] / heights["AAA"] - 4.0) < 0.05
+    # hover columns surface in tooltips
+    assert "entity_name=Beta" in svg and "category=Energy" in svg
+
+    line = chart_spec(df.orderBy("symbol"), "market_cap", "Line")
+    lsvg = render_svg(line)
+    lroot = ET.fromstring(lsvg)
+    assert len(lroot.findall(f"{ns}polyline")) == 1
+    assert len(lroot.findall(f"{ns}circle")) == 3  # markers=True

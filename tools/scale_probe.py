@@ -49,7 +49,14 @@ DEFAULT_QUERIES = [
 #: Tables those queries read, with the key columns to offset per copy.
 #: Offsets keep id spaces disjoint so joins/groups scale in KEYS (the way
 #: real data grows), not in per-key density.
-TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
+TABLES = ["lineitem", "orders", "events", "documents", "embeddings", "customer"]
+
+#: Dimension-shaped tables copied verbatim (factor-independent) so every
+#: registry query — including the worksheet-verbatim family, which
+#:
+#: derives its scrape feed from `customer` and its star from
+#: supplier/nation/region — can run against a probe corpus.
+STATIC_TABLES = ["region", "nation", "supplier", "part"]
 
 
 def _offsets(spark, base):
@@ -76,6 +83,10 @@ def _offsets(spark, base):
     )
     o["vec"] = (
         spark.read.parquet(f"{base}/embeddings.parquet").agg(F.max("vec_id")).first()[0]
+        + 1
+    )
+    o["cust2"] = (
+        spark.read.parquet(f"{base}/customer.parquet").agg(F.max("c_custkey")).first()[0]
         + 1
     )
     return o
@@ -106,6 +117,8 @@ def _copy(table, df, c, off):
         return out
     if table == "embeddings":
         return df.withColumn("vec_id", F.col("vec_id") + c * off["vec"])
+    if table == "customer":
+        return df.withColumn("c_custkey", F.col("c_custkey") + c * off["cust2"])
     raise ValueError(table)
 
 
@@ -122,6 +135,10 @@ def build_corpus(spark, factor: int) -> str:
         for p in parts[1:]:
             df = df.unionByName(p)
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in STATIC_TABLES:
+        spark.read.parquet(f"{BASE_SF}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
     with open(marker, "w") as f:
         f.write("ok")
     return out
