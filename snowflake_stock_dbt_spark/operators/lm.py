@@ -1,0 +1,110 @@
+"""[EXT] N-gram language-model scoring — the CCNet-shape quality filter.
+
+Production pretraining pipelines score documents with a small language
+model and filter/bucket on the score (CCNet scores with KenLM
+perplexity; Gopher/RefinedWeb keep LM-likelihood heuristics in their
+rule sets). The distributed formulation is fully relational:
+
+- **train**: bigram counts over the corpus — one keyed aggregation,
+  bounded by the realized bigram vocabulary (≪ corpus size at 100 TB);
+  history counts are one more aggregation over the count frame, and
+  add-one smoothing needs just the distinct-token count;
+- **score**: the per-doc bigram stream joins the stats table on the
+  bigram key and aggregates per document — two keyed shuffles, the same
+  shape as TF-IDF (plans/llm_text.py q58).
+
+Determinism contract (why this is value-oracle-able where true log-space
+perplexity is not): every arithmetic step is either exact-integer or a
+single correctly-rounded IEEE operation — counts are ints, the smoothed
+probability (c+1)/(ch+V) is ONE double division of exactly-representable
+ints, the 1e9 quantization is ONE multiply + FLOOR, and all sums/ratios
+downstream are int64. ``ln``/``exp`` never appear: libm transcendentals
+are NOT guaranteed correctly rounded and differ across engines in the
+last ulp, which is exactly the cross-engine trap PLANS.md documents for
+STDDEV. The quantized mean conditional probability is monotone in the
+true per-doc geometric mean for fixed length and serves the same
+filter/bucket purpose; a production pipeline wanting real perplexity
+exponentiates offline from the same counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+#: Probability quantization grid: FLOOR(p * 1e9). p <= 1, so quantized
+#: values and any realistic corpus-wide sum stay far below 2^53/2^63.
+LM_Q_SCALE = 1_000_000_000
+
+
+def _bigram_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, a, b) for every adjacent token pair, built from the token
+    array in place — no self-join, no shuffle. Guarded with size >= 2:
+    Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty
+    (PLANS.md gotcha)."""
+    t = tokens(text_col)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("a"),
+                F.element_at(t, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, "p.a", "p.b")
+        .where((F.col("a") != "") & (F.col("b") != ""))
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score every document (with >= 2 tokens) by its mean add-one-
+    smoothed bigram probability under the corpus's own bigram model:
+    returns (id, n_bigrams, total_qprob, avg_qprob) with probabilities
+    on the FLOOR(p*1e9) integer grid — bit-identical on any engine.
+
+    p(b|a) = (c(a,b) + 1) / (ch(a) + V), ch(a) = Σ_b c(a,b) (history
+    occurrences), V = distinct corpus tokens. The stats table is keyed
+    (a, b); the scoring join is the only corpus-sized shuffle.
+    """
+    bg = _bigram_stream(df, id_col, text_col)
+    cnt = bg.groupBy("a", "b").agg(F.count("*").alias("c"))
+    hist = cnt.groupBy("a").agg(F.sum("c").alias("ch"))
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    stats = (
+        cnt.join(hist, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.lit(float(LM_Q_SCALE))
+                * (
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("ch") + F.col("v")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("qp"),
+        )
+    )
+    return (
+        bg.join(stats, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("qp").cast("long").alias("total_qprob"),
+            F.expr("sum(qp) div count(*)").cast("long").alias("avg_qprob"),
+        )
+    )

@@ -128,6 +128,64 @@ GROUP BY 1, 2
 """
 
 
+#: Hopping-window geometry: 5-minute windows advancing every minute —
+#: each event lands in exactly width/hop = 5 overlapping windows (the
+#: hop divides the width, so membership is total and the per-event
+#: window set is a closed-form k = 0..4 replication, which is what makes
+#: the oracle exact).
+HOP_S = 60
+HOP_FACTOR = WINDOW_S // HOP_S
+
+
+def q133_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute windows sliding every 60s via the streaming-compatible
+    ``F.window(ts, width, slide)`` — the overlapping-window flavor q28's
+    tumbling shape doesn't cover (trend smoothing / rate-limiting reads).
+    Scale: Spark expands each event to width/hop = 5 window rows before
+    the keyed agg — a constant-factor map-side explode, shuffling only
+    the aggregated (window, type) cells like q28."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{WINDOW_S} seconds", f"{HOP_S} seconds").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "active_users",
+            "total_value",
+        )
+    )
+
+
+Q133_SQL = f"""
+WITH hopped AS (
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {HOP_S * 1_000_000})
+             * {HOP_S * 1_000_000}
+             - k.k * {HOP_S * 1_000_000} AS window_start_us,
+           event_type, user_id, value
+    FROM events CROSS JOIN (
+        SELECT unnest(generate_series(0, {HOP_FACTOR - 1})) AS k
+    ) k
+)
+SELECT window_start_us, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS active_users,
+       {SQL_DEC_SUM.format(x='value')} AS total_value
+FROM hopped
+GROUP BY 1, 2
+"""
+
+
 def q42_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via Spark's native ``session_window``
     (streaming-compatible; merges events < gap apart). Semantics contract:
@@ -725,6 +783,7 @@ ORDER BY prev_event, next_event
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
+    "q133_hopping_window": q133_hopping_window,
     "q42_session_window": q42_session_window,
     "q61_event_gaps": q61_event_gaps,
     "q66_retention_cohorts": q66_retention_cohorts,
@@ -738,6 +797,7 @@ EVENT_QUERIES = {
 EVENT_ORACLES = {
     "q27_sessionize": Q27_SQL,
     "q28_tumbling_window": Q28_SQL,
+    "q133_hopping_window": Q133_SQL,
     "q42_session_window": Q42_SQL,
     "q61_event_gaps": Q61_SQL,
     "q66_retention_cohorts": Q66_SQL,

@@ -894,6 +894,54 @@ GROUP BY d.doc_id
 Q132_SQL = _bpe_encode_oracle_sql(_BPE_ROUNDS)
 
 
+# ---------------------------------------------------------------------------
+# Q134 — bigram language-model fluency scoring (operators/lm.py): the
+# CCNet-shape quality filter, trained on the corpus's own bigram counts
+# with add-one smoothing and scored as the mean conditional probability
+# on a FLOOR(p*1e9) integer grid — every step exact-int or one
+# correctly-rounded IEEE op, so the full model + scoring pipeline is
+# value-hash-checked (see operators/lm.py for why log-space perplexity
+# cannot be).
+# ---------------------------------------------------------------------------
+
+
+def q134_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text")
+
+
+Q134_SQL = rf"""
+WITH {_SQL_TOKS},
+bgx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+),
+bg AS (
+    SELECT doc_id, t[i] AS a, t[i + 1] AS b
+    FROM bgx WHERE t[i] <> '' AND t[i + 1] <> ''
+),
+cnt AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+hist AS (SELECT a, SUM(c) AS ch FROM cnt GROUP BY 1),
+vocab AS (
+    SELECT COUNT(DISTINCT w) AS v
+    FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> ''
+),
+stats AS (
+    SELECT cnt.a, cnt.b,
+           CAST(FLOOR(1000000000.0 *
+               (CAST(cnt.c + 1 AS DOUBLE) /
+                CAST(hist.ch + vocab.v AS DOUBLE))) AS BIGINT) AS qp
+    FROM cnt JOIN hist USING (a) CROSS JOIN vocab
+)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(qp) AS BIGINT) AS total_qprob,
+       CAST(SUM(qp) // COUNT(*) AS BIGINT) AS avg_qprob
+FROM bg JOIN stats USING (a, b)
+GROUP BY bg.doc_id
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -910,6 +958,7 @@ LLM_TEXT_QUERIES = {
     "q115_repeated_passages": q115_repeated_passages,
     "q116_bpe_merges": q116_bpe_merges,
     "q132_bpe_encode": q132_bpe_encode,
+    "q134_bigram_lm_scores": q134_bigram_lm_scores,
     "q64_chunking": q64_chunking,
     "q65_hash_split": q65_hash_split,
 }
@@ -930,6 +979,7 @@ LLM_TEXT_ORACLES = {
     "q115_repeated_passages": Q115_SQL,
     "q116_bpe_merges": Q116_SQL,
     "q132_bpe_encode": Q132_SQL,
+    "q134_bigram_lm_scores": Q134_SQL,
     "q64_chunking": Q64_SQL,
     "q65_hash_split": Q65_SQL,
 }

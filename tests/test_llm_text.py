@@ -65,3 +65,23 @@ def test_winnowing_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_bigram_lm_scores_properties(spark):
+    """Toy-model contract for the LM filter (operators/lm.py): quantized
+    probabilities stay on [0, 1e9]; a document whose bigrams are corpus-
+    frequent outscores one full of one-off bigrams (the filter's whole
+    purpose); docs with < 2 tokens don't appear."""
+    from snowflake_stock_dbt_spark.operators.lm import bigram_lm_scores
+
+    rows = [(i, "the cat sat") for i in range(5)]
+    rows += [(100, "zq xv kw"), (101, "one"), (102, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 100}  # 101/102 have no bigrams
+    for r in got.values():
+        assert 0 <= r["avg_qprob"] <= 1_000_000_000
+        assert r["total_qprob"] >= r["avg_qprob"] * r["n_bigrams"]
+    # 'the cat'/'cat sat' occur 5x each; 'zq xv'/'xv kw' once
+    assert got[0]["avg_qprob"] > got[100]["avg_qprob"]
+    assert got[0]["n_bigrams"] == 2

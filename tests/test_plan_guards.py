@@ -31,6 +31,7 @@ BNL_ALLOWED = {
     # 1-row packed-centroid broadcast crossJoin (kmeans_assign ships the
     # trained centroids as DATA, not plan literals — PLANS.md round-4).
     "q118_semantic_dedup",
+    "q134_bigram_lm_scores",  # 1-row vocab-size broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned

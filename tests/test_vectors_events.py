@@ -256,3 +256,36 @@ def test_lsh_hyperplanes_deterministic():
     assert a == lsh_hyperplanes(8, 4)
     assert all(s in (-1, 1) for plane in a for s in plane)
     assert len(a) == 4 and all(len(p) == 8 for p in a)
+
+
+def test_hopping_window_mass_conservation(spark, oracle_sf_dir):
+    """Each event lands in exactly width/hop = 5 hopping windows, so the
+    q133 event mass is exactly 5x the corpus and 5x q28's tumbling mass;
+    window starts are hop-aligned."""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.plans.events import (
+        HOP_FACTOR,
+        HOP_S,
+        q28_tumbling_window,
+        q133_hopping_window,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev_n = load_table(spark, oracle_sf_dir, "events").count()
+    hop = q133_hopping_window(spark, oracle_sf_dir)
+    agg = hop.agg(
+        F.sum("n_events").alias("mass"),
+        F.sum(
+            F.when(F.col("window_start_us") % (HOP_S * 1_000_000) != 0, 1)
+            .otherwise(0)
+        ).alias("misaligned"),
+    ).first()
+    assert agg["mass"] == HOP_FACTOR * ev_n
+    assert agg["misaligned"] == 0
+    tum_mass = (
+        q28_tumbling_window(spark, oracle_sf_dir)
+        .agg(F.sum("n_events"))
+        .first()[0]
+    )
+    assert tum_mass == ev_n
