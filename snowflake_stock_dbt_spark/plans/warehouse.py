@@ -1224,6 +1224,274 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Q135–Q138 — the four TPC-H shapes that closed out the 22 (round 4):
+# Q6, Q2, Q11, Q20. The corpus ships no ``partsupp`` table, so the three
+# catalog-shaped queries derive their part–supplier facts from lineitem
+# (unit cost = min extendedprice/quantity observed for the pair; availqty
+# analog = shipped quantity) — the SHAPES (decorrelated per-group argmin,
+# global-fraction HAVING, nested semi-join chains) are the TPC-H ones,
+# which is what the engine must prove it plans well.
+# ---------------------------------------------------------------------------
+
+_Q135_FROM = "1996-01-01 00:00:00"
+_Q135_TO = "1997-01-01 00:00:00"
+
+
+def q135_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discount forecasting — a pure
+    scan + one unconditional aggregate; every predicate (date range,
+    discount band, quantity cap) pushes to the parquet scan, and the
+    shuffle is one partial-aggregated row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q135_FROM)))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q135_TO)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+Q135_SQL = f"""
+SELECT {SQL_DEC_SUM.format(x='l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q135_FROM}'
+  AND l_shipdate < TIMESTAMP '{_Q135_TO}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+_Q136_REGION = "ASIA"
+_Q136_SIZE_MAX = 15
+
+
+def q136_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the cheapest supplier in one
+    region — the correlated MIN subquery DECORRELATED into one keyed
+    aggregation + an argmin join-back (min over struct(cost, suppkey):
+    exact lexicographic tie-break, no window over the whole catalog).
+    Unit cost is the pair's min observed extendedprice/quantity (both
+    engines evaluate the identical correctly-rounded division, so the
+    argmin is deterministic). Dims broadcast; the only big shuffle keys
+    on (partkey, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    rsup = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .where(F.col("r_name") == _Q136_REGION)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(rsup.select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_cost", "l_suppkey")).alias("m")
+    ).select(
+        "l_partkey",
+        F.col("m.unit_cost").alias("unit_cost"),
+        F.col("m.l_suppkey").alias("l_suppkey"),
+    )
+    return (
+        best.join(
+            F.broadcast(
+                pa.where(F.col("p_size") <= _Q136_SIZE_MAX).select(
+                    "p_partkey", "p_name", "p_size"
+                )
+            ),
+            best.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(rsup), best.l_suppkey == rsup.s_suppkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "unit_cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q136_SQL = f"""
+WITH rsup AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{_Q136_REGION}'
+),
+cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM rsup)
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT l_partkey, unit_cost, l_suppkey FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey
+        ) AS rn
+        FROM cost
+    ) WHERE rn = 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM best
+JOIN part ON p_partkey = l_partkey AND p_size <= {_Q136_SIZE_MAX}
+JOIN rsup ON s_suppkey = l_suppkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+_Q137_NATION = "NATION_3"
+_Q137_FRACTION = 0.002
+
+
+def q137_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value through one nation's
+    suppliers exceeds a fraction of that nation's total — a keyed
+    aggregate HAVING-filtered against a 1-row global aggregate
+    (broadcast, the q03 two-pass pattern; never a global window). Both
+    sides use the exact-decimal recipe so the threshold comparison is
+    bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    nsup = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .where(F.col("n_name") == _Q137_NATION)
+        .select("s_suppkey")
+    )
+    value = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    nli = li.join(F.broadcast(nsup), li.l_suppkey == nsup.s_suppkey)
+    per_part = nli.groupBy("l_partkey").agg(dec_sum(value).alias("part_value"))
+    total = nli.agg(dec_sum(value).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("part_value") > F.col("total_value") * F.lit(_Q137_FRACTION)
+        )
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_Q137_VALUE = "l_extendedprice * (1.0 - l_discount)"
+
+Q137_SQL = f"""
+WITH nsup AS (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{_Q137_NATION}'
+),
+nli AS (
+    SELECT l_partkey, {_Q137_VALUE} AS v
+    FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM nsup)
+),
+total AS (SELECT {SQL_DEC_SUM.format(x='v')} AS total_value FROM nli)
+SELECT l_partkey, {SQL_DEC_SUM.format(x='v')} AS part_value
+FROM nli
+GROUP BY l_partkey
+HAVING {SQL_DEC_SUM.format(x='v')} >
+       (SELECT total_value FROM total) * {_Q137_FRACTION}
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+_Q138_PREFIX = "small"
+_Q138_SHARE = 0.15
+
+
+def q138_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate supply of a name-filtered
+    part family (shipped > 15% of a part's corpus-wide quantity; this
+    corpus spreads suppliers near-uniformly, max pair share ≈0.23, so
+    Q20's 50% cut would be vacuous) — the nested IN/EXISTS chains
+    decorrelated into two keyed aggregations, a threshold join on
+    partkey, and a final LEFT-SEMI join onto supplier (+ its nation for
+    the report). Quantity sums are integral-valued doubles, so the
+    share comparison is exact everywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    fam = pa.where(F.col("p_name").startswith(_Q138_PREFIX)).select(
+        "p_partkey"
+    )
+    fam_li = li.join(F.broadcast(fam), li.l_partkey == fam.p_partkey)
+    per_pair = fam_li.groupBy("l_partkey", "l_suppkey").agg(
+        dec_sum("l_quantity").alias("pair_qty")
+    )
+    per_part = fam_li.groupBy("l_partkey").agg(
+        dec_sum("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        per_pair.join(per_part, "l_partkey")
+        .where(F.col("pair_qty") > F.col("part_qty") * F.lit(_Q138_SHARE))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(dominant, su.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q138_SQL = f"""
+WITH fam_li AS (
+    SELECT l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '{_Q138_PREFIX}%'
+    )
+),
+per_pair AS (
+    SELECT l_partkey, l_suppkey,
+           {SQL_DEC_SUM.format(x='l_quantity')} AS pair_qty
+    FROM fam_li GROUP BY 1, 2
+),
+per_part AS (
+    SELECT l_partkey, {SQL_DEC_SUM.format(x='l_quantity')} AS part_qty
+    FROM fam_li GROUP BY 1
+),
+dominant AS (
+    SELECT DISTINCT l_suppkey
+    FROM per_pair JOIN per_part USING (l_partkey)
+    WHERE pair_qty > part_qty * {_Q138_SHARE}
+)
+SELECT s_name, n_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -1247,6 +1515,10 @@ WAREHOUSE_QUERIES = {
     "q122_nation_profit": q122_nation_profit,
     "q123_ship_delay_bins": q123_ship_delay_bins,
     "q124_sole_late_supplier": q124_sole_late_supplier,
+    "q135_forecast_revenue": q135_forecast_revenue,
+    "q136_min_cost_supplier": q136_min_cost_supplier,
+    "q137_important_stock": q137_important_stock,
+    "q138_part_promotion": q138_part_promotion,
 }
 
 WAREHOUSE_ORACLES = {
@@ -1272,4 +1544,8 @@ WAREHOUSE_ORACLES = {
     "q122_nation_profit": Q122_SQL,
     "q123_ship_delay_bins": Q123_SQL,
     "q124_sole_late_supplier": Q124_SQL,
+    "q135_forecast_revenue": Q135_SQL,
+    "q136_min_cost_supplier": Q136_SQL,
+    "q137_important_stock": Q137_SQL,
+    "q138_part_promotion": Q138_SQL,
 }

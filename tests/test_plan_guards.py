@@ -32,6 +32,7 @@ BNL_ALLOWED = {
     # trained centroids as DATA, not plan literals — PLANS.md round-4).
     "q118_semantic_dedup",
     "q134_bigram_lm_scores",  # 1-row vocab-size broadcast (q03 pattern)
+    "q137_important_stock",  # 1-row nation-total broadcast (Q11's HAVING)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -117,6 +118,12 @@ PINNED_PATTERNS = {
     "q106_ann_ivf_trained": ["BroadcastExchange"],
     "q118_semantic_dedup": ["BroadcastExchange"],
     "q132_bpe_encode": ["BroadcastHashJoin", "partial_"],
+    # The closing TPC-H shapes (round 4): Q6's date/discount predicates
+    # must reach the parquet scan; Q2's dims broadcast and the top-100
+    # stays a heap; Q20's supplier filter stays a semi-join.
+    "q135_forecast_revenue": ["GreaterThanOrEqual(l_shipdate"],
+    "q136_min_cost_supplier": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "q138_part_promotion": ["LeftSemi", "BroadcastHashJoin"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
