@@ -158,7 +158,19 @@ def _cc_two_phase(
     )
 
     def large_star(d: DataFrame) -> DataFrame:
-        sym = d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # Symmetrize via a single-branch struct explode, NOT a union with
+        # a swapped self-projection — self-unions over the checkpointed
+        # loop state hit the shared-lineage attribute mis-binding
+        # documented in PLANS.md round-4 journal item 15 (k_core's
+        # degree computation was the observed casualty).
+        sym = d.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
         m = (
             sym.groupBy("u")
             .agg(F.min("v").alias("mn"))
@@ -235,6 +247,77 @@ def _cc_two_phase(
     nodes = nodes.distinct()
     return nodes.join(child, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree >= k (spam/bot-ring detection, community
+    seeding — the standard graph-mining density primitive).
+
+    Synchronous distributed peeling: each round removes EVERY node whose
+    current degree is below k (one keyed degree aggregation + two
+    semi-joins restricting the edge list), until no node qualifies. The
+    fixpoint is the canonical k-core — provably independent of removal
+    order — which is what makes a SQL replay oracle-exact: any unrolled
+    peeling that reaches convergence produces the identical node set.
+    Rounds are bounded by the longest peeling cascade (typically a
+    handful; the degree distribution collapses geometrically), each
+    round is 2 shuffles, and lineage is truncated per round. Returns
+    (node_id, core_degree) — degree WITHIN the core. Raises after
+    ``max_iter`` non-converged rounds rather than returning a
+    non-fixpoint."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(d: DataFrame) -> DataFrame:
+        # Single-branch endpoint explode (the triangle_counts idiom) —
+        # NOT a union with a swapped self-projection: self-unions over a
+        # checkpointed/semi-joined frame hit the shared-lineage attribute
+        # mis-binding of PLANS.md round-4 journal item 15 (observed here
+        # as degree(node1)=6 on a 4-clique and over-peeling to empty).
+        return (
+            d.select(F.explode(F.array("u", "v")).alias("n"))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+
+    rounds = 0
+    for _ in range(max_iter):
+        deg = degrees(e)
+        if deg.where(F.col("d") < k).limit(1).count() == 0:
+            break
+        # keep derives from e itself — checkpoint it BEFORE semi-joining
+        # back so the join's binding is unambiguous (same hazard family).
+        keep = (
+            deg.where(F.col("d") >= k)
+            .select(F.col("n").alias("u"))
+            .localCheckpoint()
+        )
+        e = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        rounds += 1
+    else:
+        raise RuntimeError(f"k-core did not converge in {max_iter} rounds")
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    return degrees(e).select(
+        F.col("n").alias("node_id"), F.col("d").cast("long").alias("core_degree")
     )
 
 

@@ -323,12 +323,79 @@ LIMIT 50
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Q140 — daily VWAP + trailing-7-day smoothing: the stock-dashboard
+# time-series op the reference's trend chart implies (volume-weighted
+# price instead of q02's plain mean, plus the moving average every
+# finance UI overlays). Determinism: VWAP = exact-decimal Σ(p·v)/Σ(v)
+# (one correctly-rounded division of identical doubles), then QUANTIZED
+# to a 1e-6 integer grid BEFORE the window — windowed AVG of doubles is
+# NOT cross-engine stable (DuckDB's segment-tree accumulates in a
+# different order than Spark's running frame), but windowed SUM of
+# int64 is exact in any order. The trailing window is unpartitioned by
+# design: it runs over the DATE-grain aggregate, a calendar-bounded
+# frame (≤ ~37k rows/century) — bounded state, not a scale hazard.
+# ---------------------------------------------------------------------------
+
+
+def q140_vwap_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = F.col("l_extendedprice") * F.col("l_quantity")
+    daily = li.groupBy(
+        F.to_date("l_shipdate").alias("observation_date")
+    ).agg(
+        dec_sum(pv).alias("pv"),
+        dec_sum("l_quantity").alias("total_volume"),
+    )
+    vq = F.floor(F.col("pv") / F.col("total_volume") * F.lit(1e6)).cast(
+        "long"
+    )
+    w = Window.orderBy("observation_date").rowsBetween(-6, 0)
+    keyed = daily.select("observation_date", "total_volume", vq.alias("vq"))
+    return keyed.select(
+        "observation_date",
+        (F.col("vq").cast("double") / F.lit(1e6)).alias("vwap"),
+        (
+            F.sum("vq").over(w).cast("double")
+            / F.count("*").over(w)
+            / F.lit(1e6)
+        ).alias("vwap_trail7"),
+        "total_volume",
+    ).orderBy("observation_date")
+
+
+Q140_SQL = f"""
+WITH daily AS (
+    SELECT CAST(l_shipdate AS DATE) AS observation_date,
+           {SQL_DEC_SUM.format(x='l_extendedprice * l_quantity')} AS pv,
+           {SQL_DEC_SUM.format(x='l_quantity')} AS total_volume
+    FROM lineitem
+    GROUP BY 1
+),
+keyed AS (
+    SELECT observation_date, total_volume,
+           CAST(FLOOR(pv / total_volume * 1000000.0) AS BIGINT) AS vq
+    FROM daily
+)
+SELECT observation_date,
+       CAST(vq AS DOUBLE) / 1000000.0 AS vwap,
+       CAST(SUM(vq) OVER w AS DOUBLE) / COUNT(*) OVER w / 1000000.0
+           AS vwap_trail7,
+       total_volume
+FROM keyed
+WINDOW w AS (ORDER BY observation_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY observation_date
+"""
+
+
 ANALYTICS_QUERIES = {
     "q01_top_by_metric": q01_top_by_metric,
     "q02_daily_trend": q02_daily_trend,
     "q03_zscore_outliers": q03_zscore_outliers,
     "q04_geo_rollup": q04_geo_rollup,
     "q05_risk_watchlist": q05_risk_watchlist,
+    "q140_vwap_trend": q140_vwap_trend,
 }
 
 ANALYTICS_ORACLES = {
@@ -337,4 +404,5 @@ ANALYTICS_ORACLES = {
     "q03_zscore_outliers": Q03_SQL,
     "q04_geo_rollup": Q04_SQL,
     "q05_risk_watchlist": Q05_SQL,
+    "q140_vwap_trend": Q140_SQL,
 }

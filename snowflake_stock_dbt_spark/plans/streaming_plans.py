@@ -19,10 +19,12 @@ from ..streaming.pipeline import (
     stream_events,
     stream_stream_interval_join,
     streaming_dedup,
+    streaming_hopping_agg,
     streaming_tumbling_agg,
 )
 
 WINDOW_S = 300
+HOP_S = 60
 
 #: State-store partition count for the drain-to-completion profile (small
 #: corpus, one micro-batch): per-partition state setup dominates, so fewer
@@ -45,6 +47,36 @@ SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {WINDOW_S * 1_000_000})
        COUNT(*) AS n_events,
        {SQL_DEC_SUM.format(x='value')} AS total_value
 FROM events
+GROUP BY 1, 2
+"""
+
+
+def q139_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q133's streaming twin: a real Structured Streaming job with
+    overlapping 5-min/60s windows; final complete-mode state equals the
+    batch hopping aggregation, so the closed-form k=0..4 replication
+    oracle applies verbatim."""
+    ev = stream_events(spark, sf_dir)
+    agg = streaming_hopping_agg(ev, window_s=WINDOW_S, hop_s=HOP_S)
+    return run_streaming_query(
+        spark, agg, output_mode="complete", state_partitions=STATE_PARTITIONS
+    )
+
+
+Q139_SQL = f"""
+WITH hopped AS (
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {HOP_S * 1_000_000})
+             * {HOP_S * 1_000_000}
+             - k.k * {HOP_S * 1_000_000} AS window_start_us,
+           event_type, value
+    FROM events CROSS JOIN (
+        SELECT unnest(generate_series(0, {WINDOW_S // HOP_S - 1})) AS k
+    ) k
+)
+SELECT window_start_us, event_type,
+       COUNT(*) AS n_events,
+       {SQL_DEC_SUM.format(x='value')} AS total_value
+FROM hopped
 GROUP BY 1, 2
 """
 
@@ -166,12 +198,97 @@ JOIN events p
 """
 
 
+_flush_landings: dict[str, str] = {}
+
+
+def _flush_events_landing(spark: SparkSession, sf_dir: str) -> str:
+    """events + two SENTINEL flush rows (click- and purchase-typed,
+    user_id = -1, ts = max(ts) + 2h) written to a scratch landing dir.
+
+    The sentinels exist to ADVANCE THE WATERMARK past every real click's
+    join window after the corpus drains, which is what lets the
+    left-outer interval join (q142) emit ALL its unmatched rows — the
+    standard production trick of a heartbeat topic keeping watermarks
+    moving through quiet periods, reproduced deterministically. user_id
+    -1 matches no real user; the query filters the sentinels' own rows
+    back out. Memoized per sf_dir (one write per process)."""
+    import hashlib
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from ..sources.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_louter_{tag}")
+    if path not in _flush_landings:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        mx = ev.agg(F.max("ts")).first()[0]
+        flush_ts = mx + timedelta(hours=2)
+        sent = spark.createDataFrame(
+            [
+                (-1, flush_ts, -1, "click", 0.0, None),
+                (-2, flush_ts, -1, "purchase", 0.0, None),
+            ],
+            ev.schema,
+        )
+        ev.unionByName(sent).write.mode("overwrite").parquet(path)
+        _flush_landings[path] = path
+    return path
+
+
+def q142_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q60's LEFT OUTER flavor: every click, attributed to a purchase
+    within 10 minutes or emitted with nulls once the watermark proves no
+    match can arrive. Drained over the sentinel-flushed landing, the
+    output equals the batch LEFT JOIN exactly — full value oracle."""
+    from ..sources.tables import normalize_instant
+
+    land = _flush_events_landing(spark, sf_dir)
+    schema = spark.read.parquet(land).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(land)
+    ev = normalize_instant(raw, "ts")
+    joined = stream_stream_interval_join(
+        ev, window_s=ATTRIBUTION_WINDOW_S, join_type="leftOuter"
+    )
+    out = run_streaming_query(
+        spark, joined, output_mode="append", state_partitions=STATE_PARTITIONS
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
+Q142_SQL = f"""
+WITH c AS (
+    SELECT user_id, event_id AS click_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS click_ts_us,
+           CAST(ts AS TIMESTAMP) AS cts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_ts_us,
+           CAST(ts AS TIMESTAMP) AS pts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts_us, p.purchase_ts_us
+FROM c
+LEFT JOIN p
+  ON p.user_id = c.user_id
+ AND p.pts >= c.cts
+ AND p.pts <= c.cts + INTERVAL {ATTRIBUTION_WINDOW_S} SECOND
+"""
+
+
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,
     "q41_stateful_totals": q41_stateful_totals,
     "q48_stream_static_join": q48_stream_static_join,
     "q60_stream_stream_join": q60_stream_stream_join,
+    "q139_streaming_hopping": q139_streaming_hopping,
+    "q142_stream_left_outer_join": q142_stream_left_outer_join,
 }
 
 STREAMING_ORACLES = {
@@ -180,4 +297,6 @@ STREAMING_ORACLES = {
     "q41_stateful_totals": Q41_SQL,
     "q48_stream_static_join": Q48_SQL,
     "q60_stream_stream_join": Q60_SQL,
+    "q139_streaming_hopping": Q139_SQL,
+    "q142_stream_left_outer_join": Q142_SQL,
 }

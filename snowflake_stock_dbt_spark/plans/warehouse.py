@@ -897,6 +897,82 @@ FROM ex GROUP BY node_id ORDER BY node_id
 
 
 # ---------------------------------------------------------------------------
+# Q141 — k-core decomposition of the co-supplier graph (q117's windowed
+# edges): the maximal subgraph where every supplier co-participates with
+# >= k others — the density primitive behind spam-ring/community mining.
+# Synchronous peeling (operators/graph.py:k_core); the k-core fixpoint is
+# removal-order independent, so the oracle unrolls a GENEROUS number of
+# peel rounds as materialized CTEs (extra rounds on a converged graph are
+# identities) and necessarily lands on the same canonical node set; the
+# engine raises if it ever needs more rounds than the oracle unrolls.
+# ---------------------------------------------------------------------------
+
+_Q141_K = 8
+_Q141_ORACLE_ROUNDS = 10
+
+
+def q141_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q117_FROM)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q117_TO)))
+    )
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return k_core(edges, k=_Q141_K, max_iter=_Q141_ORACLE_ROUNDS).orderBy(
+        "node_id"
+    )
+
+
+def _kcore_round_ctes(r: int, k: int) -> str:
+    return f""",
+d{r} AS (
+    SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM e{r - 1} UNION ALL SELECT v AS n FROM e{r - 1}
+    ) GROUP BY n
+),
+k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k}),
+e{r} AS MATERIALIZED (
+    SELECT u, v FROM e{r - 1}
+    WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r})
+)"""
+
+
+Q141_SQL = (
+    f"""
+WITH lw AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q117_FROM} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_Q117_TO} 00:00:00'
+),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+    FROM lw a JOIN lw b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+)"""
+    + "".join(
+        _kcore_round_ctes(r, _Q141_K)
+        for r in range(1, _Q141_ORACLE_ROUNDS + 1)
+    )
+    + f"""
+SELECT n AS node_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (
+    SELECT u AS n FROM e{_Q141_ORACLE_ROUNDS}
+    UNION ALL SELECT v AS n FROM e{_Q141_ORACLE_ROUNDS}
+)
+GROUP BY n ORDER BY node_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Q119 — supplier-count distribution per part attribute (TPC-H Q16 shape;
 # partsupp stands in as DISTINCT (l_partkey, l_suppkey) from lineitem).
 # The excluded-supplier subquery is a LEFT ANTI join (NOT EXISTS — never a
@@ -1519,6 +1595,7 @@ WAREHOUSE_QUERIES = {
     "q136_min_cost_supplier": q136_min_cost_supplier,
     "q137_important_stock": q137_important_stock,
     "q138_part_promotion": q138_part_promotion,
+    "q141_k_core": q141_k_core,
 }
 
 WAREHOUSE_ORACLES = {
@@ -1548,4 +1625,5 @@ WAREHOUSE_ORACLES = {
     "q136_min_cost_supplier": Q136_SQL,
     "q137_important_stock": Q137_SQL,
     "q138_part_promotion": Q138_SQL,
+    "q141_k_core": Q141_SQL,
 }

@@ -78,6 +78,39 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_hopping_agg(
+    events: DataFrame,
+    window_s: int = 300,
+    hop_s: int = 60,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked hopping-window count/sum per event_type — the
+    overlapping flavor of :func:`streaming_tumbling_agg`
+    (``F.window(ts, width, slide)``). State grows width/hop windows per
+    key group; the watermark bounds it exactly as for tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window(
+                "ts", f"{window_s} seconds", f"{hop_s} seconds"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:
@@ -88,7 +121,10 @@ def streaming_dedup(
 
 
 def stream_stream_interval_join(
-    events: DataFrame, window_s: int = 600, watermark: str = "30 minutes"
+    events: DataFrame,
+    window_s: int = 600,
+    watermark: str = "30 minutes",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a prior click
     by the same user within ``window_s`` seconds.
@@ -99,6 +135,16 @@ def stream_stream_interval_join(
     watermark + interval — without the time bound the state would grow
     forever. Drained to completion the output equals the batch interval
     join, which is how it is oracle-checked.
+
+    ``join_type="leftOuter"`` additionally emits clicks with NO purchase
+    in the window (nulls on the purchase side) — but an unmatched row
+    only surfaces once the WATERMARK passes the end of its join window
+    (that is when Spark can prove no match will arrive). A drained
+    stream's final watermark sits ``watermark`` behind the newest event,
+    so the newest clicks' outer rows stay buffered forever unless the
+    feed carries later traffic; q142 appends sentinel flush events past
+    every real join window precisely so drained output == batch LEFT
+    JOIN (plans/streaming_plans.py:_flush_events_landing).
     """
     clicks = (
         events.where(F.col("event_type") == "click")
@@ -127,6 +173,7 @@ def stream_stream_interval_join(
             AND purchase_ts <= click_ts + interval {window_s} seconds
             """
         ),
+        join_type,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",

@@ -76,6 +76,37 @@ def test_two_phase_equals_label_prop_on_neardup_pairs(spark, oracle_sf_dir):
     assert a == b
 
 
+def test_k_core_known_graphs(spark):
+    """k-core on known structures: a 4-clique survives k=3 with the
+    pendant node peeled (and the CASCADE checked: peeling the pendant
+    must not drag clique members below k); a chain has no 2-core; a
+    cycle IS its own 2-core."""
+    from snowflake_stock_dbt_spark.operators.graph import k_core
+
+    clique_plus = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    stats: dict = {}
+    got = {
+        r["node_id"]: r["core_degree"]
+        for r in k_core(clique_plus, k=3, _stats=stats).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert stats["rounds"] == 1
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    assert k_core(chain, k=2).count() == 0  # peels from both ends
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    got_cycle = {
+        r["node_id"]: r["core_degree"] for r in k_core(cycle, k=2).collect()
+    }
+    assert got_cycle == {i: 2 for i in range(6)}
+
+
 def test_two_phase_bounded_rounds_on_long_chain(spark):
     """The pathological-diameter claim, measured: a 256-node path has
     diameter 255 — label propagation needs ~n rounds (it raises no error

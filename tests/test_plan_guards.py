@@ -57,6 +57,8 @@ STREAM_MATERIALIZED = {
     "q41_stateful_totals",
     "q48_stream_static_join",
     "q60_stream_stream_join",
+    "q139_streaming_hopping",
+    "q142_stream_left_outer_join",
 }
 
 
