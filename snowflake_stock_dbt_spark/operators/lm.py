@@ -74,7 +74,9 @@ def bigram_lm_scores(
     occurrences), V = distinct corpus tokens. The stats table is keyed
     (a, b); the scoring join is the only corpus-sized shuffle.
     """
-    bg = _bigram_stream(df, id_col, text_col)
+    # The bigram stream feeds both the count aggregation and the scoring
+    # join; persist it once (the exploding HOF dominates its cost).
+    bg = _bigram_stream(df, id_col, text_col).persist()
     cnt = bg.groupBy("a", "b").agg(F.count("*").alias("c"))
     hist = cnt.groupBy("a").agg(F.sum("c").alias("ch"))
     vocab = (

@@ -942,6 +942,54 @@ GROUP BY bg.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q143 — EXACT set-similarity join via prefix filtering (Bayardo/PPJoin;
+# operators/textdedup.py:prefix_jaccard_join): all pairs with 3-shingle
+# Jaccard >= 0.6, ZERO false negatives by theorem — the lossless
+# counterpart to the MinHash-banded q22. The oracle is deliberately
+# BRUTE FORCE (every co-occurring pair scored), so any pair the prefix
+# filter lost would hash-mismatch — the losslessness claim is value-
+# checked, not trusted.
+# ---------------------------------------------------------------------------
+
+_PJ_TNUM, _PJ_TDEN = 6, 10
+
+
+def q143_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import prefix_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_join(
+        docs, "doc_id", "text", t_num=_PJ_TNUM, t_den=_PJ_TDEN, k=3
+    )
+
+
+Q143_SQL = rf"""
+WITH tk AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM tk, unnest(generate_series(1, len(t) - 2)) r(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {_PJ_TDEN} * n_inter >= {_PJ_TNUM} * (sa.n + sb.n - n_inter)
+ORDER BY doc_a, doc_b
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -959,6 +1007,7 @@ LLM_TEXT_QUERIES = {
     "q116_bpe_merges": q116_bpe_merges,
     "q132_bpe_encode": q132_bpe_encode,
     "q134_bigram_lm_scores": q134_bigram_lm_scores,
+    "q143_prefix_jaccard_join": q143_prefix_jaccard_join,
     "q64_chunking": q64_chunking,
     "q65_hash_split": q65_hash_split,
 }
@@ -980,6 +1029,7 @@ LLM_TEXT_ORACLES = {
     "q116_bpe_merges": Q116_SQL,
     "q132_bpe_encode": Q132_SQL,
     "q134_bigram_lm_scores": Q134_SQL,
+    "q143_prefix_jaccard_join": Q143_SQL,
     "q64_chunking": Q64_SQL,
     "q65_hash_split": Q65_SQL,
 }
