@@ -304,6 +304,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    attach_centroid: bool = False,
 ) -> DataFrame:
     """Deterministic distributed Lloyd's k-means: returns the corpus plus a
     trained ``bucket`` column — the IVF coarse quantizer TRAINED from the
@@ -355,7 +356,7 @@ def kmeans_assign(
         (b, [int(v) for v in r["__q"]]) for b, r in enumerate(seed_rows)
     ]
 
-    def assign_with(df: DataFrame, centroids) -> DataFrame:
+    def assign_with(df: DataFrame, centroids, attach: bool = False) -> DataFrame:
         # Centroids travel as BROADCAST DATA (one packed row), not plan
         # literals: a least() over k literal structs grows the expression
         # tree O(k*dim) and blew up analysis/codegen once k became
@@ -380,14 +381,21 @@ def kmeans_assign(
                 lambda c: F.struct(
                     _sqdist_int(q, c["cq"]).alias("d"),
                     c["bucket"].alias("bucket"),
+                    c["cq"].alias("cq"),
                 ),
             )
         )
-        return (
-            df.crossJoin(F.broadcast(packed))
-            .withColumn("bucket", best["bucket"])
-            .drop("__cents")
+        out = df.crossJoin(F.broadcast(packed)).withColumn(
+            "bucket", best["bucket"]
         )
+        if attach:
+            # The argmin struct already carries the winning centroid and
+            # its exact integer squared distance — PQ encoding (q145)
+            # reads both for free.
+            out = out.withColumn("centroid_q", best["cq"]).withColumn(
+                "sq_err", best["d"]
+            )
+        return out.drop("__cents")
 
     c = ensure_min_parallelism(corpus, F.col(id_col))
     for _ in range(iters):
@@ -402,7 +410,7 @@ def kmeans_assign(
             .collect()
         )
         cent = sorted((r["bucket"], [int(v) for v in r["cq"]]) for r in cent_rows)
-    return assign_with(corpus, cent)
+    return assign_with(corpus, cent, attach=attach_centroid)
 
 
 #: Random-hyperplane LSH configuration: 16 sign bits in 4 bands of 4.
@@ -615,4 +623,63 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011 — the PQ of FAISS IVF-PQ):
+    split each vector into ``m`` subvectors, train an independent k-means
+    codebook per subspace (the same deterministic integer Lloyd's as the
+    IVF coarse quantizer), and encode every vector as ``m`` small codes
+    plus its EXACT integer squared reconstruction error.
+
+    Memory story at 100 TB: a dim-64 float vector (256 B) compresses to
+    m=4 byte-codes (4 B) + a shared m*k*[dim/m] codebook — the standard
+    64x compaction that makes billion-vector ANN rescoring RAM-resident.
+
+    Scale shape: per subspace, training is the kmeans_assign loop
+    (bounded driver state, broadcast-data centroids) over a SLICED
+    column — slicing is a per-row projection, so the m trainings are m
+    independent passes; encoding attaches codes via the same broadcast
+    argmin (no shuffle), and the per-subspace outputs reunite on the id
+    key. The reconstruction error is exact on the KMEANS_SCALE integer
+    grid — bit-identical on any engine — so the WHOLE train+encode
+    pipeline carries a full value oracle (plans/vectors.py Q145_SQL
+    unrolls all m training chains in SQL).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    width = dim // m
+    out = corpus.select(id_col)
+    for j in range(m):
+        sub = corpus.select(
+            id_col, F.slice(vec_col, j * width + 1, width).alias("__sub")
+        )
+        coded = kmeans_assign(
+            sub,
+            id_col=id_col,
+            vec_col="__sub",
+            k=k,
+            iters=iters,
+            attach_centroid=True,
+        ).select(
+            id_col,
+            F.col("bucket").cast("int").alias(f"code_{j}"),
+            F.col("sq_err").alias(f"__err_{j}"),
+        )
+        out = out.join(coded, id_col)
+    total = None
+    for j in range(m):
+        e = F.col(f"__err_{j}")
+        total = e if total is None else total + e
+    return out.withColumn("sq_err", total.cast("long")).drop(
+        *[f"__err_{j}" for j in range(m)]
     )

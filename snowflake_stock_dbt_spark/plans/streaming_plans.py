@@ -20,6 +20,7 @@ from ..streaming.pipeline import (
     stream_stream_interval_join,
     streaming_dedup,
     streaming_hopping_agg,
+    streaming_session_agg,
     streaming_tumbling_agg,
 )
 
@@ -281,6 +282,59 @@ LEFT JOIN p
 """
 
 
+SESSION_GAP_S = 1800
+
+
+def q144_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42's streaming twin: native streaming session_window over the
+    sentinel-flushed landing (the flush rows push the watermark past
+    every real session's close, so append mode emits ALL sessions);
+    drained output equals the batch session semantics — the q42 oracle
+    applies verbatim, sentinel sessions filtered by user_id."""
+    from ..sources.tables import normalize_instant
+
+    land = _flush_events_landing(spark, sf_dir)
+    schema = spark.read.parquet(land).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(land)
+    ev = normalize_instant(raw, "ts")
+    agg = streaming_session_agg(ev, gap_s=SESSION_GAP_S)
+    out = run_streaming_query(
+        spark, agg, output_mode="append", state_partitions=STATE_PARTITIONS
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
+Q144_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_id, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR us - prev_us >= {SESSION_GAP_S} * 1000000
+                   THEN 1 ELSE 0 END AS new_session
+    FROM base
+),
+numbered AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {SESSION_GAP_S * 1_000_000} AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,
@@ -289,6 +343,7 @@ STREAMING_QUERIES = {
     "q60_stream_stream_join": q60_stream_stream_join,
     "q139_streaming_hopping": q139_streaming_hopping,
     "q142_stream_left_outer_join": q142_stream_left_outer_join,
+    "q144_streaming_session": q144_streaming_session,
 }
 
 STREAMING_ORACLES = {
@@ -299,4 +354,5 @@ STREAMING_ORACLES = {
     "q60_stream_stream_join": Q60_SQL,
     "q139_streaming_hopping": Q139_SQL,
     "q142_stream_left_outer_join": Q142_SQL,
+    "q144_streaming_session": Q144_SQL,
 }

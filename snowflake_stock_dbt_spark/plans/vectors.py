@@ -610,6 +610,132 @@ FROM asgf a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 
 
 
+# ---------------------------------------------------------------------------
+# Q145 — product quantization (Jégou et al. 2011; operators/similarity.py:
+# pq_encode): m=4 independent per-subspace k-means codebooks (k=16, the
+# same deterministic integer Lloyd's as q106) encode every vector as 4
+# codes + its EXACT integer squared reconstruction error. The oracle
+# unrolls ALL FOUR training chains in SQL (suffixed q106-style CTEs) and
+# replays the error against each chain's final centroids, so the whole
+# train+encode pipeline is hash-checked.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def q145_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(
+        emb, dim=EMBED_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+    )
+
+
+def _kmeans_unrolled_sub_sql(
+    k: int, iters: int, lo: int, width: int, sfx: str
+) -> str:
+    """Per-subspace DuckDB twin of kmeans_assign over
+    ``embedding[lo+1 : lo+width]`` with every CTE name suffixed, so m
+    independent chains coexist in one WITH (the q106 generator's shape,
+    parameterized for PQ)."""
+    from ..functions.text import hash60_sql
+
+    seed_h = hash60_sql("'seed:' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""u{sfx} AS (
+    SELECT vec_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + {lo + 1}] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, {width}) r(i)
+),
+ui{sfx} AS (
+    SELECT vec_id, pos,
+           CAST(FLOOR(v * {float(_KMEANS_SCALE)}) AS BIGINT) AS v9
+    FROM u{sfx}
+),
+sh{sfx} AS (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY {seed_h}, vec_id) - 1 AS bucket
+    FROM embeddings
+),
+cent0{sfx} AS (
+    SELECT s.bucket, ui.pos, ui.v9 AS c9
+    FROM sh{sfx} s JOIN ui{sfx} ui ON ui.vec_id = s.vec_id
+    WHERE s.bucket < {k}
+)"""
+    ]
+    prev = f"cent0{sfx}"
+    for t in range(1, iters + 2):
+        last = t == iters + 1
+        asg = f"asgf{sfx}" if last else f"asg{t}{sfx}"
+        parts.append(
+            f""",
+dist{t}{sfx} AS (
+    SELECT ui.vec_id, c.bucket,
+           SUM(CAST(ui.v9 - c.c9 AS HUGEINT)
+             * CAST(ui.v9 - c.c9 AS HUGEINT)) AS d
+    FROM ui{sfx} ui JOIN {prev} c USING (pos)
+    GROUP BY ui.vec_id, c.bucket
+),
+{asg} AS (
+    SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, bucket) AS rn
+        FROM dist{t}{sfx}
+    ) WHERE rn = 1
+)"""
+        )
+        if not last:
+            parts.append(
+                f""",
+cent{t}{sfx} AS (
+    SELECT a.bucket, ui.pos, SUM(ui.v9) // COUNT(*) AS c9
+    FROM asg{t}{sfx} a JOIN ui{sfx} ui USING (vec_id)
+    GROUP BY a.bucket, ui.pos
+)"""
+            )
+            prev = f"cent{t}{sfx}"
+    parts.append(
+        f""",
+err{sfx} AS (
+    SELECT a.vec_id, a.bucket,
+           SUM(CAST(ui.v9 - c.c9 AS HUGEINT)
+             * CAST(ui.v9 - c.c9 AS HUGEINT)) AS e
+    FROM asgf{sfx} a
+    JOIN ui{sfx} ui ON ui.vec_id = a.vec_id
+    JOIN cent{iters}{sfx} c ON c.bucket = a.bucket AND c.pos = ui.pos
+    GROUP BY 1, 2
+)"""
+    )
+    return "".join(parts)
+
+
+def _pq_oracle_sql(m: int, k: int, iters: int, dim: int) -> str:
+    width = dim // m
+    chains = ",".join(
+        _kmeans_unrolled_sub_sql(k, iters, j * width, width, f"_s{j}")
+        for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"CAST(err_s{j}.bucket AS INT) AS code_{j}" for j in range(m)
+    )
+    err_sum = " + ".join(f"err_s{j}.e" for j in range(m))
+    joins = " ".join(
+        f"JOIN err_s{j} USING (vec_id)" for j in range(1, m)
+    )
+    return f"""
+WITH {chains}
+SELECT err_s0.vec_id, {code_cols},
+       CAST({err_sum} AS BIGINT) AS sq_err
+FROM err_s0 {joins}
+"""
+
+
+Q145_SQL = _pq_oracle_sql(PQ_M, PQ_K, PQ_ITERS, EMBED_DIM)
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
@@ -618,11 +744,13 @@ VECTOR_QUERIES = {
     "q78_embedding_quantize": q78_embedding_quantize,
     "q106_ann_ivf_trained": q106_ann_ivf_trained,
     "q118_semantic_dedup": q118_semantic_dedup,
+    "q145_pq_encode": q145_pq_encode,
 }
 
 VECTOR_ORACLES = {
     "q106_ann_ivf_trained": Q106_SQL,
     "q118_semantic_dedup": Q118_SQL,
+    "q145_pq_encode": Q145_SQL,
     "q25_cosine_topk": Q25_SQL,
     "q26_ann_ivf": Q26_SQL,
     "q40_embedding_neardup": Q40_SQL,

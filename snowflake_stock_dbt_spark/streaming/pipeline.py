@@ -111,6 +111,39 @@ def streaming_hopping_agg(
     )
 
 
+def streaming_session_agg(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked gap-based sessionization via the native streaming
+    ``session_window`` — per (session, user) count/sum, append mode
+    (sessions emit once the watermark proves the gap closed). Like the
+    left-outer join, the LAST open sessions need later traffic to
+    finalize — q144 streams the sentinel-flushed landing so drained
+    output equals the batch q42 semantics exactly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_s} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:

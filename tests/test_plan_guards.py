@@ -33,6 +33,7 @@ BNL_ALLOWED = {
     "q118_semantic_dedup",
     "q134_bigram_lm_scores",  # 1-row vocab-size broadcast (q03 pattern)
     "q137_important_stock",  # 1-row nation-total broadcast (Q11's HAVING)
+    "q145_pq_encode",  # per-subspace packed-codebook broadcasts (q118 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -59,6 +60,7 @@ STREAM_MATERIALIZED = {
     "q60_stream_stream_join",
     "q139_streaming_hopping",
     "q142_stream_left_outer_join",
+    "q144_streaming_session",
 }
 
 

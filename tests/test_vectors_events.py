@@ -289,3 +289,32 @@ def test_hopping_window_mass_conservation(spark, oracle_sf_dir):
         .first()[0]
     )
     assert tum_mass == ev_n
+
+
+def test_pq_encode_quality_and_contract(spark, oracle_sf_dir):
+    """PQ contract: codes live in [0, k); the trained m=4/k=16 codebooks
+    reconstruct strictly better than a degenerate k=1 codebook (whose
+    'code' is the subspace mean) — the quantization-quality floor; and
+    sq_err is the exact sum of per-subspace assignment distances (>= 0,
+    0 only for a vector equal to its four centroids)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.operators.similarity import pq_encode
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    enc = pq_encode(emb, dim=64, m=4, k=16, iters=2)
+    row = enc.agg(
+        F.count("*").alias("n"),
+        F.min("sq_err").alias("mn"),
+        F.sum("sq_err").alias("tot"),
+        *[F.max(f"code_{j}").alias(f"mx{j}") for j in range(4)],
+        *[F.min(f"code_{j}").alias(f"mn{j}") for j in range(4)],
+    ).first()
+    assert row["n"] == emb.count()
+    assert row["mn"] >= 0
+    for j in range(4):
+        assert 0 <= row[f"mn{j}"] and row[f"mx{j}"] < 16
+    coarse = pq_encode(emb, dim=64, m=4, k=1, iters=1)
+    coarse_tot = coarse.agg(F.sum("sq_err")).first()[0]
+    assert row["tot"] < coarse_tot
