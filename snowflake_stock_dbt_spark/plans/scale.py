@@ -407,6 +407,74 @@ ORDER BY exact.user_key
 """
 
 
+# ---------------------------------------------------------------------------
+# Q148 — per-group WINSORIZATION (outlier capping at exact percentiles):
+# the curation step that tames heavy-tailed metrics before training-mix
+# statistics. Composes q45's distributed value-counts percentiles (never
+# the buffering builtin) with the q78-style broadcast of the per-group
+# bounds; clipping and the clipped-sum replay bit-identically because
+# the interpolated bounds are the SAME doubles on both engines (the q45
+# proof) and the sum uses the exact-decimal recipe.
+# ---------------------------------------------------------------------------
+
+_WINSOR_LO = 0.01
+_WINSOR_HI = 0.99
+
+
+def q148_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = exact_grouped_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        {"p_lo": _WINSOR_LO, "p_hi": _WINSOR_HI},
+    ).select("l_returnflag", "p_lo", "p_hi")
+    v = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    return (
+        li.join(F.broadcast(pcts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(v < F.col("p_lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(v > F.col("p_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.sum(clipped.cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_winsorized"),
+            F.min("p_lo").alias("p_lo"),
+            F.min("p_hi").alias("p_hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q148_SQL = f"""
+WITH pct AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, {_WINSOR_LO}) AS p_lo,
+           quantile_cont(l_extendedprice, {_WINSOR_HI}) AS p_hi
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT li.l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high,
+       {SQL_DEC_SUM_X.format(x='LEAST(GREATEST(l_extendedprice, p_lo), p_hi)')}
+           AS sum_winsorized,
+       MIN(p_lo) AS p_lo,
+       MIN(p_hi) AS p_hi
+FROM lineitem li JOIN pct USING (l_returnflag)
+GROUP BY li.l_returnflag
+ORDER BY li.l_returnflag
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -415,6 +483,7 @@ SCALE_QUERIES = {
     "q79_correlation": q79_correlation,
     "q80_value_histogram": q80_value_histogram,
     "q95_cms_frequency": q95_cms_frequency,
+    "q148_winsorize": q148_winsorize,
 }
 
 SCALE_ORACLES = {
@@ -425,4 +494,5 @@ SCALE_ORACLES = {
     "q79_correlation": Q79_SQL,
     "q80_value_histogram": Q80_SQL,
     "q95_cms_frequency": Q95_SQL,
+    "q148_winsorize": Q148_SQL,
 }
