@@ -577,3 +577,78 @@ def prefix_jaccard_join(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_index_probe(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """INCREMENTAL dedup: probe a NEW batch against a historical corpus's
+    band index — the production shape of continuous crawling, where each
+    day's documents are checked against everything already ingested
+    WITHOUT re-pairing the history against itself.
+
+    Asymmetric banding: both sides get the standard banded MinHash
+    signatures (identical hash family to minhash_lsh_pairs, so an
+    offline index built by the batch pipeline is directly probe-able),
+    and the join is new-side bands → history-side bands only. Cost per
+    increment is |batch| signatures + one bucket join; the history term
+    appears only through its (precomputable, storable) band index.
+
+    Returns one row per batch document that HAS a signature:
+    (id, n_bands, n_history_matches, matched_min_id NULLable, is_dup).
+    """
+    rows = n_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+        band_cols = [
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"h{band * rows + r}") for r in range(rows)],
+                    )
+                ).alias("band_hash"),
+            )
+            for band in range(bands)
+        ]
+        return (
+            sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+            .select("doc_id", "b.band_id", "b.band_hash")
+        )
+
+    hist_idx = banded(history)
+    new_b = banded(batch).persist()
+    hits = (
+        new_b.join(
+            hist_idx.select(
+                "band_id", "band_hash", F.col("doc_id").alias("hist_id")
+            ),
+            ["band_id", "band_hash"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("hist_id").alias("n_history_matches"),
+            F.min("hist_id").alias("matched_min_id"),
+        )
+    )
+    probed = new_b.groupBy("doc_id").agg(F.count("*").alias("n_bands"))
+    return (
+        probed.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_bands").cast("long").alias("n_bands"),
+            F.coalesce("n_history_matches", F.lit(0))
+            .cast("long")
+            .alias("n_history_matches"),
+            F.col("matched_min_id").cast("long").alias("matched_min_id"),
+            (F.coalesce("n_history_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )

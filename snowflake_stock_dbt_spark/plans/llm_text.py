@@ -990,6 +990,66 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q149 — incremental dedup: each "new batch" document (doc_id % 10 == 0)
+# probed against the band index of the historical corpus (the other 90%)
+# — operators/textdedup.py:minhash_index_probe, the continuous-crawl
+# shape where history is never re-paired against itself. The oracle
+# builds ONE banded pipeline over all documents and filters the two
+# sides at the probe join (signatures are per-doc, so computing them
+# together or apart is identical).
+# ---------------------------------------------------------------------------
+
+
+def q149_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import minhash_index_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    return minhash_index_probe(history, batch)
+
+
+Q149_SQL = rf"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES},
+{_params_values_sql(64)},
+hashed AS (
+    SELECT doc_id, {_SQL_BASE31} AS h FROM sh
+),
+sig AS (
+    SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+    FROM hashed CROSS JOIN params
+    GROUP BY doc_id, seed
+),
+banded AS (
+    SELECT doc_id, seed // 4 AS band_id,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_hash
+    FROM sig
+    GROUP BY doc_id, seed // 4
+),
+hits AS (
+    SELECT n.doc_id,
+           COUNT(DISTINCT h.doc_id) AS n_history_matches,
+           MIN(h.doc_id) AS matched_min_id
+    FROM banded n
+    JOIN banded h ON n.band_id = h.band_id AND n.band_hash = h.band_hash
+    WHERE n.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
+    GROUP BY n.doc_id
+),
+probed AS (
+    SELECT doc_id, COUNT(*) AS n_bands FROM banded
+    WHERE doc_id % 10 = 0 GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_bands AS BIGINT) AS n_bands,
+       CAST(COALESCE(h.n_history_matches, 0) AS BIGINT) AS n_history_matches,
+       CAST(h.matched_min_id AS BIGINT) AS matched_min_id,
+       COALESCE(h.n_history_matches, 0) > 0 AS is_dup
+FROM probed p LEFT JOIN hits h USING (doc_id)
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -1008,6 +1068,7 @@ LLM_TEXT_QUERIES = {
     "q132_bpe_encode": q132_bpe_encode,
     "q134_bigram_lm_scores": q134_bigram_lm_scores,
     "q143_prefix_jaccard_join": q143_prefix_jaccard_join,
+    "q149_incremental_dedup": q149_incremental_dedup,
     "q64_chunking": q64_chunking,
     "q65_hash_split": q65_hash_split,
 }
@@ -1030,6 +1091,7 @@ LLM_TEXT_ORACLES = {
     "q132_bpe_encode": Q132_SQL,
     "q134_bigram_lm_scores": Q134_SQL,
     "q143_prefix_jaccard_join": Q143_SQL,
+    "q149_incremental_dedup": Q149_SQL,
     "q64_chunking": Q64_SQL,
     "q65_hash_split": Q65_SQL,
 }
