@@ -305,7 +305,8 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 2,
     attach_centroid: bool = False,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Deterministic distributed Lloyd's k-means: returns the corpus plus a
     trained ``bucket`` column — the IVF coarse quantizer TRAINED from the
     data instead of borrowed from a shipped label column (round-2
@@ -410,7 +411,13 @@ def kmeans_assign(
             .collect()
         )
         cent = sorted((r["bucket"], [int(v) for v in r["cq"]]) for r in cent_rows)
-    return assign_with(corpus, cent, attach=attach_centroid)
+    assigned = assign_with(corpus, cent, attach=attach_centroid)
+    if return_centroids:
+        # The trained codebook is k x dim ints of driver state (the same
+        # bounded state the training loop already held) — IVF-PQ's ADC
+        # search needs it to build per-query lookup tables.
+        return assigned, cent
+    return assigned
 
 
 #: Random-hyperplane LSH configuration: 16 sign bits in 4 bands of 4.
@@ -694,4 +701,133 @@ def pq_encode(
         total = e if total is None else total + e
     return out.withColumn("sq_err", total.cast("long")).drop(
         *[f"__err_{j}" for j in range(m)]
+    )
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    iters: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation — the full
+    FAISS recipe (Jégou 2011) assembled from the engine's trained
+    quantizers: the coarse k-means prunes to ``nprobe`` inverted lists,
+    and candidates are ranked by ADC — per-query lookup tables of exact
+    integer squared distances from each query SUBVECTOR to every PQ
+    centroid, summed over the m stored codes. Candidates' raw vectors
+    are never touched at search time; only their m byte-codes are.
+
+    Driver state (all bounded, all FAISS-resident state too): the coarse
+    codebook (coarse_k × dim ints), m PQ codebooks (pq_k × dim/m ints),
+    the collected query vectors, and the per-query LUTs
+    (n_queries × m × pq_k ints). Cluster work: the coarse probe-pair and
+    LUT frames broadcast into one bucket join + one code join + a
+    per-query top-k window — no shuffle touches the corpus beyond its
+    (precomputable) codes.
+
+    Everything is exact int64 on the KMEANS_SCALE grid, so the whole
+    train+encode+search pipeline carries a full value oracle
+    (plans/vectors.py Q150_SQL).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    width = dim // m
+    spark = corpus.sparkSession
+
+    bucketed, coarse_cent = kmeans_assign(
+        corpus, id_col=id_col, vec_col=vec_col, k=coarse_k, iters=iters,
+        return_centroids=True,
+    )
+
+    def train_sub(j: int):
+        sub = corpus.select(
+            id_col, F.slice(vec_col, j * width + 1, width).alias("__sub")
+        )
+        coded, cent = kmeans_assign(
+            sub, id_col=id_col, vec_col="__sub", k=pq_k, iters=iters,
+            return_centroids=True,
+        )
+        return (
+            coded.select(id_col, F.col("bucket").alias(f"code_{j}")),
+            cent,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        subs = list(pool.map(train_sub, range(m)))
+    codes = subs[0][0]
+    for coded, _ in subs[1:]:
+        codes = codes.join(coded, id_col)
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), _quantized(vec_col).alias("q9")
+    ).collect()
+
+    def sqd(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_rows = []
+    lut_rows = []
+    for r in qrows:
+        qid, q9 = r["query_id"], [int(v) for v in r["q9"]]
+        ranked = sorted(
+            ((sqd(q9, cv), b) for b, cv in coarse_cent)
+        )[:nprobe]
+        probe_rows += [(qid, b) for _, b in ranked]
+        for j in range(m):
+            qsub = q9[j * width : (j + 1) * width]
+            for b, cv in subs[j][1]:
+                lut_rows.append((qid, j, b, sqd(qsub, cv)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id LONG, bucket INT"
+    )
+    luts = [
+        spark.createDataFrame(
+            [(q, c, d) for q, jj, c, d in lut_rows if jj == j],
+            f"query_id LONG, code_{j} INT, d_{j} LONG",
+        )
+        for j in range(m)
+    ]
+
+    cand = (
+        bucketed.select(id_col, "bucket")
+        .join(F.broadcast(probes), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(F.col(id_col).alias("neighbor_id"), "query_id")
+    )
+    scored = cand.join(
+        codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            *[f"code_{j}" for j in range(m)],
+        ),
+        "neighbor_id",
+    )
+    for j in range(m):
+        scored = scored.join(
+            F.broadcast(luts[j]), ["query_id", f"code_{j}"]
+        )
+    adc = None
+    for j in range(m):
+        d = F.col(f"d_{j}")
+        adc = d if adc is None else adc + d
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("adc_dist", adc.cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id", "neighbor_id", "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -736,6 +736,101 @@ FROM err_s0 {joins}
 Q145_SQL = _pq_oracle_sql(PQ_M, PQ_K, PQ_ITERS, EMBED_DIM)
 
 
+# ---------------------------------------------------------------------------
+# Q150 — IVF-PQ search with asymmetric distance computation: the FULL
+# FAISS recipe (coarse pruning + per-query LUTs over PQ codes) composed
+# from the engine's trained quantizers (operators/similarity.py:
+# ivfpq_search). The oracle unrolls the coarse chain AND all four PQ
+# chains, rebuilds the per-query LUTs in SQL, and replays the ADC
+# ranking — every number exact int64 on the quantization grid.
+# ---------------------------------------------------------------------------
+
+
+def q150_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivfpq_search(
+        emb,
+        queries,
+        dim=EMBED_DIM,
+        coarse_k=KMEANS_K,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        pq_k=PQ_K,
+        iters=PQ_ITERS,
+        topk=TOP_K,
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    m, k_pq, iters, dim = PQ_M, PQ_K, PQ_ITERS, EMBED_DIM
+    width = dim // m
+    coarse = _kmeans_unrolled_sql(KMEANS_K, iters)
+    chains = ",".join(
+        _kmeans_unrolled_sub_sql(k_pq, iters, j * width, width, f"_s{j}")
+        for j in range(m)
+    )
+    luts = ",".join(
+        f"""
+lut{j} AS (
+    SELECT q.vec_id AS query_id, c.bucket AS code,
+           SUM(CAST(q.v9 - c.c9 AS HUGEINT)
+             * CAST(q.v9 - c.c9 AS HUGEINT)) AS d
+    FROM ui_s{j} q JOIN cent{iters}_s{j} c USING (pos)
+    WHERE q.vec_id < {N_QUERY_VECS}
+    GROUP BY 1, 2
+)"""
+        for j in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN asgf_s{j} a{j} ON a{j}.vec_id = cand.neighbor_id "
+        f"JOIN lut{j} l{j} ON l{j}.query_id = cand.query_id "
+        f"AND l{j}.code = a{j}.bucket"
+        for j in range(m)
+    )
+    adc = " + ".join(f"l{j}.d" for j in range(m))
+    return f"""
+WITH {coarse},{chains},
+qd AS (
+    SELECT ui.vec_id, c.bucket,
+           SUM(CAST(ui.v9 - c.c9 AS HUGEINT)
+             * CAST(ui.v9 - c.c9 AS HUGEINT)) AS d
+    FROM ui JOIN cent{iters} c USING (pos)
+    WHERE ui.vec_id < {N_QUERY_VECS}
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT vec_id AS query_id, bucket FROM (
+        SELECT vec_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, bucket) AS rn
+        FROM qd
+    ) WHERE rn <= {IVF_NPROBE}
+),{luts},
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN asgf a ON a.bucket = p.bucket
+    WHERE a.vec_id <> p.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id, {adc} AS adc
+    FROM cand {code_joins}
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+Q150_SQL = _ivfpq_oracle_sql()
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
@@ -745,12 +840,14 @@ VECTOR_QUERIES = {
     "q106_ann_ivf_trained": q106_ann_ivf_trained,
     "q118_semantic_dedup": q118_semantic_dedup,
     "q145_pq_encode": q145_pq_encode,
+    "q150_ivfpq_search": q150_ivfpq_search,
 }
 
 VECTOR_ORACLES = {
     "q106_ann_ivf_trained": Q106_SQL,
     "q118_semantic_dedup": Q118_SQL,
     "q145_pq_encode": Q145_SQL,
+    "q150_ivfpq_search": Q150_SQL,
     "q25_cosine_topk": Q25_SQL,
     "q26_ann_ivf": Q26_SQL,
     "q40_embedding_neardup": Q40_SQL,

@@ -34,6 +34,7 @@ BNL_ALLOWED = {
     "q134_bigram_lm_scores",  # 1-row vocab-size broadcast (q03 pattern)
     "q137_important_stock",  # 1-row nation-total broadcast (Q11's HAVING)
     "q145_pq_encode",  # per-subspace packed-codebook broadcasts (q118 pattern)
+    "q150_ivfpq_search",  # coarse + PQ codebook broadcasts (q118 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
