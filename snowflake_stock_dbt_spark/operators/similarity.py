@@ -890,3 +890,80 @@ def ivfpq_search(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+    k: int = 4,
+    nprobe: int = 2,
+) -> DataFrame:
+    """[EXT] Approximate k-NN graph over the WHOLE corpus: every vector
+    gets its top-k cosine neighbors, candidates restricted to the
+    ``nprobe`` coarse clusters nearest each vector — the IVF-blocked
+    graph-construction recipe vector pipelines use upstream of
+    graph-based clustering and SemDeDup-style curation (every node is a
+    query; brute force would be n² and is the oracle, not the plan).
+
+    Scale shape: centroids are the usual bounded broadcast state, so
+    probe selection is a per-row projection (n × k centroid scorings —
+    the cost every IVF assignment pays). The candidate join is an
+    EQUI-JOIN on the bucket id with BOTH sides large (corpus keyed by
+    its home bucket, probes keyed by probed bucket) — one shuffle each,
+    never a broadcast, never all-pairs; per-bucket work is
+    cluster_size × probes-landing-there, which stays bounded when the
+    cluster count is size-derived (see q118's k ∝ n contract). Scoring
+    is the fused exact-decimal cosine; top-k is a row_number window on
+    the query id. Deterministic end-to-end, so the whole approximate
+    graph carries a full value oracle (plans/vectors.py Q151_SQL).
+    """
+    cent = _centroids_of(corpus, vec_col, bucket_col)
+    q = corpus.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("qn"),
+    )
+    probe_w = Window.partitionBy("src_id").orderBy(
+        F.col("c_cos").desc_nulls_last(), F.col("bucket")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "src_id",
+            "q_vec",
+            "qn",
+            "bucket",
+            cosine_exact(F.col("q_vec"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= nprobe)
+        .select("src_id", "q_vec", "qn", "bucket")
+    )
+    c = ensure_min_parallelism(corpus, F.col(id_col)).select(
+        F.col(id_col).alias("dst_id"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        c.join(probes, "bucket")
+        .where(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            (
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("dst_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src_id", "dst_id", "cosine", F.col("rank").cast("int"))
+    )

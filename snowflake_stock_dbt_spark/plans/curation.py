@@ -863,6 +863,156 @@ FROM cum
 """
 
 
+# ---------------------------------------------------------------------------
+# Q152 — DSIR-style data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# how target-like its HASHED-BIGRAM feature profile is, then keep the
+# top-N. Features are word bigrams hashed into DSIR_BUCKETS buckets (the
+# paper's hashed n-gram generative model); the target distribution is the
+# English slice of the corpus standing in for the paper's trusted corpus
+# (Wikipedia/books), the raw distribution is the whole pool.
+#
+# Determinism contract (the lm.py recipe — no libm): per-bucket smoothed
+# probabilities under target and raw are add-one ratios of exact int64
+# counts; the per-bucket importance ratio
+#     ((t+1) * (r_tot+B)) / ((r+1) * (t_tot+B))
+# is ONE correctly-rounded double division of exactly-representable
+# integer products (< 2^53 at gate scale; the production path keeps the
+# B-row weight table in decimals), quantized with ONE multiply + FLOOR
+# onto the 1e9 grid. A document's score is the exact int64 sum of
+# count[bucket] * qweight[bucket] — the linear-domain surrogate of DSIR's
+# per-feature log-likelihood-ratio sum (monotone per bucket; ln never
+# appears, the PLANS.md cross-engine trap). Deterministic selection =
+# global top-N (TakeOrderedAndProject — no full sort materializes); the
+# paper's Gumbel resampling adds noise we deliberately omit.
+#
+# Scale shape: bigram explode -> (doc_id, bucket) keyed agg (map-side
+# combined, doc_id in the key); the weight table is B rows of bounded
+# state broadcast back; one more doc_id-keyed agg; top-N via sort-limit.
+# Never a global window over the corpus.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_Q_SCALE = 1_000_000_000
+DSIR_SELECT_N = 100
+DSIR_TARGET_LANG = "en"
+
+
+def q152_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import _bigram_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _bigram_stream(docs, "doc_id", "text")
+    feat = bg.select(
+        "doc_id",
+        F.pmod(
+            hash60(F.concat(F.lit("dsir:"), F.col("a"), F.lit(" "), F.col("b"))),
+            F.lit(DSIR_BUCKETS),
+        ).alias("bucket"),
+    )
+    dbc = feat.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    dbc = dbc.persist()  # feeds raw counts, target counts, and scoring
+    raw = dbc.groupBy("bucket").agg(F.sum("c").alias("r"))
+    tgt = (
+        dbc.join(
+            F.broadcast(
+                docs.where(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t"))
+    )
+    w = raw.join(tgt, "bucket", "left").na.fill({"t": 0})
+    tots = w.agg(
+        F.sum("r").alias("r_tot"), F.sum("t").alias("t_tot")
+    )
+    b = F.lit(DSIR_BUCKETS)
+    wq = w.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        F.floor(
+            (
+                ((F.col("t") + 1) * (F.col("r_tot") + b)).cast("double")
+                / ((F.col("r") + 1) * (F.col("t_tot") + b)).cast("double")
+            )
+            * F.lit(float(DSIR_Q_SCALE))
+        )
+        .cast("long")
+        .alias("qw"),
+    )
+    scored = (
+        dbc.join(F.broadcast(wq), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("qw")).cast("long").alias("imp_score"),
+        )
+    )
+    top = scored.orderBy(F.col("imp_score").desc(), "doc_id").limit(
+        DSIR_SELECT_N
+    )
+    # Rank attaches AFTER the top-N cut, so the window runs over a
+    # constant-size (N-row) frame, not the corpus.
+    rw = Window.orderBy(F.col("imp_score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(rw).cast("int"))
+
+
+Q152_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, t[r.i] AS a, t[r.i + 1] AS b
+    FROM tok CROSS JOIN range(1, 4096) r(i)
+    WHERE r.i + 1 <= len(t) AND t[r.i] <> '' AND t[r.i + 1] <> ''
+),
+feat AS (
+    SELECT doc_id,
+           {hash60_sql("'dsir:' || a || ' ' || b")} % {DSIR_BUCKETS} AS bucket
+    FROM bg
+),
+dbc AS (
+    SELECT doc_id, bucket, COUNT(*) AS c FROM feat GROUP BY 1, 2
+),
+raw AS (SELECT bucket, SUM(c) AS r FROM dbc GROUP BY 1),
+tgt AS (
+    SELECT dbc.bucket, SUM(dbc.c) AS t
+    FROM dbc JOIN documents d USING (doc_id)
+    WHERE d.lang = '{DSIR_TARGET_LANG}'
+    GROUP BY 1
+),
+w AS (
+    SELECT raw.bucket, raw.r, COALESCE(tgt.t, 0) AS t
+    FROM raw LEFT JOIN tgt USING (bucket)
+),
+tots AS (SELECT SUM(r) AS r_tot, SUM(t) AS t_tot FROM w),
+wq AS (
+    SELECT bucket,
+           CAST(FLOOR(
+               (CAST((t + 1) * (r_tot + {DSIR_BUCKETS}) AS DOUBLE)
+                / CAST((r + 1) * (t_tot + {DSIR_BUCKETS}) AS DOUBLE))
+               * {float(DSIR_Q_SCALE)}
+           ) AS BIGINT) AS qw
+    FROM w CROSS JOIN tots
+),
+scored AS (
+    SELECT dbc.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * qw) AS BIGINT) AS imp_score
+    FROM dbc JOIN wq USING (bucket) GROUP BY 1
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY imp_score DESC, doc_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, n_bigrams, imp_score, rank
+FROM ranked WHERE rank <= {DSIR_SELECT_N}
+"""
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
@@ -875,6 +1025,7 @@ CURATION_QUERIES = {
     "q90_drift_chi2": q90_drift_chi2,
     "q101_curation_verdict": q101_curation_verdict,
     "q146_token_budget_sample": q146_token_budget_sample,
+    "q152_dsir_selection": q152_dsir_selection,
 }
 
 CURATION_ORACLES = {
@@ -889,4 +1040,5 @@ CURATION_ORACLES = {
     "q90_drift_chi2": Q90_SQL,
     "q101_curation_verdict": Q101_SQL,
     "q146_token_budget_sample": Q146_SQL,
+    "q152_dsir_selection": Q152_SQL,
 }

@@ -838,6 +838,95 @@ FROM ranked WHERE rank <= {TOP_K}
 Q150_SQL = _ivfpq_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q151 — approximate k-NN GRAPH over the whole corpus: every vector is a
+# query; candidates come from the nprobe trained coarse clusters nearest
+# each vector (operators/similarity.py:knn_graph). The graph is the
+# upstream artifact of graph-based curation (connected-component dedup,
+# agglomerative topic clustering); brute force is n² and exists only as
+# the recall reference in tests. Reuses q106's trained codebook via the
+# session training cache, so the family trains once. The oracle unrolls
+# the identical k-means chain, then replays probe selection + in-bucket
+# exact-decimal cosine + per-source ranking over ALL vectors.
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 4
+
+
+def q151_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_assign, knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"),
+    )
+    out = knn_graph(
+        bucketed, bucket_col="bucket", k=KNN_GRAPH_K, nprobe=IVF_NPROBE
+    )
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+Q151_SQL = f"""
+WITH {_kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS)},
+cent AS (
+    SELECT a.bucket, u.pos,
+           CAST(SUM(CAST(u.v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cv
+    FROM asgf a JOIN u USING (vec_id) GROUP BY 1, 2
+),
+centn AS (
+    SELECT bucket,
+           sqrt(CAST(SUM(CAST(cv * cv AS DECIMAL(38,18))) AS DOUBLE)) AS cnn
+    FROM cent GROUP BY bucket
+),
+vn AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nn
+    FROM u GROUP BY vec_id
+),
+pd AS (
+    SELECT u.vec_id AS src_id, cent.bucket,
+           CAST(SUM(CAST(u.v * cent.cv AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM u JOIN cent USING (pos) GROUP BY 1, 2
+),
+probes AS (
+    SELECT src_id, bucket FROM (
+        SELECT pd.src_id, pd.bucket,
+               ROW_NUMBER() OVER (PARTITION BY pd.src_id
+                   ORDER BY pd.dot / NULLIF(vn.nn * centn.cnn, 0.0)
+                            DESC NULLS LAST, pd.bucket) AS pr
+        FROM pd
+        JOIN vn ON vn.vec_id = pd.src_id
+        JOIN centn ON centn.bucket = pd.bucket
+    ) WHERE pr <= {IVF_NPROBE}
+),
+dots AS (
+    SELECT p.src_id, c.vec_id AS dst_id,
+           CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM probes p
+    JOIN asgf ac ON ac.bucket = p.bucket
+    JOIN u c ON c.vec_id = ac.vec_id AND c.vec_id <> p.src_id
+    JOIN u q ON q.vec_id = p.src_id AND q.pos = c.pos
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT dots.src_id, dots.dst_id,
+           dots.dot / NULLIF(qv.nn * cv2.nn, 0.0) AS cosine
+    FROM dots
+    JOIN vn qv ON qv.vec_id = dots.src_id
+    JOIN vn cv2 ON cv2.vec_id = dots.dst_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY src_id ORDER BY cosine DESC NULLS LAST, dst_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT src_id, dst_id, round(cosine, 9) AS cosine, rank
+FROM ranked WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
@@ -848,9 +937,11 @@ VECTOR_QUERIES = {
     "q118_semantic_dedup": q118_semantic_dedup,
     "q145_pq_encode": q145_pq_encode,
     "q150_ivfpq_search": q150_ivfpq_search,
+    "q151_knn_graph": q151_knn_graph,
 }
 
 VECTOR_ORACLES = {
+    "q151_knn_graph": Q151_SQL,
     "q106_ann_ivf_trained": Q106_SQL,
     "q118_semantic_dedup": Q118_SQL,
     "q145_pq_encode": Q145_SQL,
