@@ -475,6 +475,200 @@ ORDER BY li.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q153 — ROBUST outlier detection via median/MAD (the Iglewicz–Hoaglin
+# modified z-score): flag events whose |0.6745·(x − median)/MAD| > 3.5.
+# The robust twin of q03's mean/stddev z-score — medians don't move when
+# the outliers themselves get wilder, which is why curation pipelines
+# prefer MAD fences on heavy-tailed metrics. Two passes of q45's
+# distributed value-counts percentile machinery (never the buffering
+# builtin): per-group median, then per-group median of |x − median|;
+# both results are tiny per-group tables broadcast back. The modified
+# z-score is two IEEE ops on identical doubles, so the filter and the
+# reported score replay bit-identically (q45 pins the percentile
+# interpolation equality with DuckDB's quantile_cont).
+# ---------------------------------------------------------------------------
+
+_MAD_CONSISTENCY = 0.6745
+_MAD_FENCE = 3.5
+
+
+def q153_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = exact_grouped_percentiles(
+        ev, "event_type", "value", {"med": 0.5}
+    ).select("event_type", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_grouped_percentiles(
+        dev, "event_type", "dev", {"mad": 0.5}
+    ).select("event_type", "mad")
+    rz = (
+        F.lit(_MAD_CONSISTENCY)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("rz", rz)
+        .where(F.abs(F.col("rz")) > _MAD_FENCE)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("rz", 9).alias("robust_z"),
+        )
+    )
+
+
+Q153_SQL = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, m.med,
+           ABS(e.value - m.med) AS dev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
+),
+scored AS (
+    SELECT d.event_id, d.event_type, d.value,
+           {_MAD_CONSISTENCY} * (d.value - d.med) / NULLIF(m.mad, 0.0) AS rz
+    FROM dev d JOIN mad m USING (event_type)
+)
+SELECT event_id, event_type, value, round(rz, 9) AS robust_z
+FROM scored WHERE ABS(rz) > {_MAD_FENCE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q155 — distributed least-squares via NORMAL EQUATIONS: fit
+# l_extendedprice ~ beta0 + beta1·l_quantity + beta2·l_discount with one
+# exact-decimal moment pass (the MLlib linear-regression "summarizer"
+# shape: nine X'X / X'y cells of bounded state, map-side combined), then
+# solve the 3×3 system in closed form by Cramer's rule. The solve is a
+# FIXED expression tree over the nine moment doubles (each an exact
+# decimal sum cast to double), so both engines execute the identical
+# IEEE op sequence — the q79 determinism recipe extended from
+# correlations to a full regression. Fit quality is reported as the
+# FLOOR-quantized sum of absolute residuals (order-independent integer
+# sum; true SSE in doubles would be order-dependent — the PLANS.md
+# STDDEV trap). At 100 TB this is one scan + one 9-cell shuffle, plus
+# one broadcast-join scan for residuals; nothing grows with rows.
+# ---------------------------------------------------------------------------
+
+# Cramer solve over the moment columns (identical text drives Spark's
+# F.expr and the DuckDB oracle — the determinism contract is "same
+# expression tree, same doubles"). A = [[n,sx1,sx2],[sx1,s11,s12],
+# [sx2,s12,s22]], b = [sy,s1y,s2y].
+_REG_DET = (
+    "(n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s12 - s11*sx2))"
+)
+_REG_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)"
+    " + sx2*(s1y*s12 - s11*s2y))"
+)
+_REG_DET1 = (
+    "(n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s2y - s1y*sx2))"
+)
+_REG_DET2 = (
+    "(n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)"
+    " + sy*(sx1*s12 - s11*sx2))"
+)
+_REG_BETAS = {
+    "beta0": f"{_REG_DET0} / {_REG_DET}",
+    "beta1": f"{_REG_DET1} / {_REG_DET}",
+    "beta2": f"{_REG_DET2} / {_REG_DET}",
+}
+#: Residual quantization grid for the order-independent fit metric.
+_REG_RES_SCALE = 1000
+
+
+def q155_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    mom = li.agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum("x1").alias("sx1"),
+        dec_sum("x2").alias("sx2"),
+        dec_sum(F.col("x1") * F.col("x1")).alias("s11"),
+        dec_sum(F.col("x1") * F.col("x2")).alias("s12"),
+        dec_sum(F.col("x2") * F.col("x2")).alias("s22"),
+        dec_sum("y").alias("sy"),
+        dec_sum(F.col("x1") * F.col("y")).alias("s1y"),
+        dec_sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    betas = mom.select(
+        F.col("n"),
+        *[F.expr(e).alias(name) for name, e in _REG_BETAS.items()],
+    )
+    r = F.col("y") - (
+        F.col("beta0")
+        + F.col("beta1") * F.col("x1")
+        + F.col("beta2") * F.col("x2")
+    )
+    return (
+        li.crossJoin(F.broadcast(betas))
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.round(F.max("beta0"), 9).alias("beta0"),
+            F.round(F.max("beta1"), 9).alias("beta1"),
+            F.round(F.max("beta2"), 9).alias("beta2"),
+            F.sum(F.floor(F.abs(r) * F.lit(float(_REG_RES_SCALE))))
+            .cast("long")
+            .alias("abs_residual_q"),
+        )
+    )
+
+
+Q155_SQL = f"""
+WITH pts AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x1,
+           CAST(l_discount AS DOUBLE) AS x2,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           {SQL_DEC_SUM_X.format(x='x1')} AS sx1,
+           {SQL_DEC_SUM_X.format(x='x2')} AS sx2,
+           {SQL_DEC_SUM_X.format(x='x1 * x1')} AS s11,
+           {SQL_DEC_SUM_X.format(x='x1 * x2')} AS s12,
+           {SQL_DEC_SUM_X.format(x='x2 * x2')} AS s22,
+           {SQL_DEC_SUM_X.format(x='y')} AS sy,
+           {SQL_DEC_SUM_X.format(x='x1 * y')} AS s1y,
+           {SQL_DEC_SUM_X.format(x='x2 * y')} AS s2y
+    FROM pts
+),
+betas AS (
+    SELECT n,
+           {_REG_BETAS['beta0']} AS beta0,
+           {_REG_BETAS['beta1']} AS beta1,
+           {_REG_BETAS['beta2']} AS beta2
+    FROM mom
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       round(MAX(beta0), 9) AS beta0,
+       round(MAX(beta1), 9) AS beta1,
+       round(MAX(beta2), 9) AS beta2,
+       CAST(SUM(FLOOR(ABS(y - (beta0 + beta1 * x1 + beta2 * x2))
+                      * {float(_REG_RES_SCALE)})) AS BIGINT)
+           AS abs_residual_q
+FROM pts CROSS JOIN betas
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -484,6 +678,8 @@ SCALE_QUERIES = {
     "q80_value_histogram": q80_value_histogram,
     "q95_cms_frequency": q95_cms_frequency,
     "q148_winsorize": q148_winsorize,
+    "q153_mad_outliers": q153_mad_outliers,
+    "q155_linear_regression": q155_linear_regression,
 }
 
 SCALE_ORACLES = {
@@ -495,4 +691,6 @@ SCALE_ORACLES = {
     "q80_value_histogram": Q80_SQL,
     "q95_cms_frequency": Q95_SQL,
     "q148_winsorize": Q148_SQL,
+    "q153_mad_outliers": Q153_SQL,
+    "q155_linear_regression": Q155_SQL,
 }

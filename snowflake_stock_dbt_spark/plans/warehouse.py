@@ -1568,6 +1568,90 @@ ORDER BY s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q154 — exponentially time-decayed moving average of daily revenue
+# (EWMA with a 1-day half-life, 16-day horizon): the smoothing step of
+# every monitoring/forecasting pipeline, made EXACT and cross-engine.
+# True recursive EWMA needs (1-α)^t weights whose floats drift; with
+# α = 1/2 every weight is a power of two, and truncating below 2^-15
+# (the standard FIR approximation — the dropped tail is < 0.003% of the
+# mass) makes the whole thing integer arithmetic: per-day revenue is an
+# exact DECIMAL(38,2) sum, each contribution multiplies by the INTEGER
+# weight 2^(15-gap), and the final EWMA is ONE double division of two
+# exactly-representable integers (the lm.py determinism contract).
+#
+# Scale shape: the expensive input is reduced FIRST by a keyed daily
+# agg (map-side combined); the decay is then an equi-join — each day
+# explodes into its 16 future target days (date_add), joined back on
+# (group, day) — never a range/window scan over raw rows. Work is
+# |groups × days| × 16 regardless of raw row count.
+# ---------------------------------------------------------------------------
+
+_EWMA_HORIZON = 16
+
+
+def q154_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = _EWMA_HORIZON
+    base = (
+        li.select(
+            F.col("l_returnflag"),
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_extendedprice").cast("decimal(38,2)").alias("p"),
+        )
+        .groupBy("l_returnflag", "d")
+        .agg(F.sum("p").alias("rev"))
+    )
+    contrib = base.select(
+        "l_returnflag",
+        "d",
+        "rev",
+        F.explode(F.sequence(F.lit(0), F.lit(h - 1))).alias("gap"),
+    ).select(
+        "l_returnflag",
+        F.date_add("d", F.col("gap")).alias("day"),
+        "gap",
+        "rev",
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {h - 1} - gap)").alias("w"),
+    )
+    anchor = base.select("l_returnflag", F.col("d").alias("day"))
+    return (
+        contrib.join(anchor, ["l_returnflag", "day"])
+        .groupBy("l_returnflag", "day")
+        .agg(
+            F.max(F.when(F.col("gap") == 0, F.col("rev")))
+            .cast("double")
+            .alias("day_revenue"),
+            (
+                F.sum(F.col("rev") * F.col("w")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("ewma_revenue"),
+        )
+    )
+
+
+Q154_SQL = f"""
+WITH base AS (
+    SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS rev
+    FROM lineitem GROUP BY 1, 2
+),
+contrib AS (
+    SELECT l_returnflag, d + CAST(r.g AS INT) AS day, r.g AS gap, rev,
+           CAST(1 AS BIGINT) << ({_EWMA_HORIZON} - 1 - CAST(r.g AS INT)) AS w
+    FROM base CROSS JOIN range(0, {_EWMA_HORIZON}) r(g)
+)
+SELECT c.l_returnflag, c.day,
+       CAST(MAX(CASE WHEN c.gap = 0 THEN c.rev END) AS DOUBLE)
+           AS day_revenue,
+       CAST(SUM(c.rev * c.w) AS DOUBLE) / CAST(SUM(c.w) AS DOUBLE)
+           AS ewma_revenue
+FROM contrib c
+JOIN base b ON b.l_returnflag = c.l_returnflag AND b.d = c.day
+GROUP BY 1, 2
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -1596,6 +1680,7 @@ WAREHOUSE_QUERIES = {
     "q137_important_stock": q137_important_stock,
     "q138_part_promotion": q138_part_promotion,
     "q141_k_core": q141_k_core,
+    "q154_ewma_revenue": q154_ewma_revenue,
 }
 
 WAREHOUSE_ORACLES = {
@@ -1626,4 +1711,5 @@ WAREHOUSE_ORACLES = {
     "q137_important_stock": Q137_SQL,
     "q138_part_promotion": Q138_SQL,
     "q141_k_core": Q141_SQL,
+    "q154_ewma_revenue": Q154_SQL,
 }
