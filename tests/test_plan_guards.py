@@ -35,6 +35,9 @@ BNL_ALLOWED = {
     "q137_important_stock",  # 1-row nation-total broadcast (Q11's HAVING)
     "q145_pq_encode",  # per-subspace packed-codebook broadcasts (q118 pattern)
     "q150_ivfpq_search",  # coarse + PQ codebook broadcasts (q118 pattern)
+    "q151_knn_graph",  # packed-centroid broadcasts (q118 pattern)
+    "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
+    "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -130,6 +133,16 @@ PINNED_PATTERNS = {
     "q135_forecast_revenue": ["GreaterThanOrEqual(l_shipdate"],
     "q136_min_cost_supplier": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "q138_part_promotion": ["LeftSemi", "BroadcastHashJoin"],
+    # Round-4 additions this session. q151: centroids must arrive as
+    # broadcast DATA; top-k stays a per-source window. q152: the B-row
+    # weight table broadcasts and top-N stays a heap. q153: the per-group
+    # median/MAD tables broadcast back. q154: the daily agg must stay
+    # map-side combinable (the decay join rides on the reduced series).
+    "q151_knn_graph": ["BroadcastExchange", "Window"],
+    "q152_dsir_selection": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "q153_mad_outliers": ["BroadcastHashJoin"],
+    "q154_ewma_revenue": ["partial_"],
+    "q155_linear_regression": ["partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -153,6 +166,11 @@ SHUFFLE_BUDGETS = {
     "q118_semantic_dedup": 24,  # train + in-cluster pair scoring
     "q127_event_transitions": 8,  # one window sort + keyed transition aggs
     "q132_bpe_encode": 6,  # vocab distinct + word join-back + doc agg
+    "q151_knn_graph": 24,  # centroid agg + probe/candidate joins + rank
+    "q152_dsir_selection": 30,  # count aggs + weight joins + top-N
+    "q153_mad_outliers": 18,  # two percentile passes + broadcast-backs
+    "q154_ewma_revenue": 8,  # daily agg + decay equi-join + final agg
+    "q155_linear_regression": 6,  # moment agg + residual scan
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain
