@@ -1013,6 +1013,88 @@ FROM ranked WHERE rank <= {DSIR_SELECT_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q156 — training-mix allocation by WATER-FILLING: given per-language
+# token inventories and a target mixture, find the largest total token
+# budget whose mix hits the target without upsampling any language
+# (lambda = min over languages of available/target — the binding
+# language caps the mix), then report each language's allocation and
+# sampling rate. The static "data mixing" step every pretraining run
+# performs before sampling (DoReMi et al. tune the target weights; the
+# allocation arithmetic is this). Determinism: token counts are exact
+# int64; cap/lambda/alloc/rate are each a fixed chain of identical IEEE
+# ops on exactly-representable inputs, so both engines produce the same
+# doubles (q79's fixed-order contract). One keyed agg + a 1-row
+# broadcast — nothing scales with corpus size past the first pass.
+# ---------------------------------------------------------------------------
+
+#: Target mixture in integer percent (sums to 100).
+MIX_TARGET_PCT = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+
+def q156_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.lit(None).cast("long")
+    for lang, p_ in MIX_TARGET_PCT.items():
+        pct = F.when(F.col("lang") == lang, F.lit(p_)).otherwise(pct)
+    counts = (
+        docs.select("lang", token_count("text").alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+        .withColumn("target_pct", pct)
+        .where(F.col("target_pct").isNotNull())
+        .withColumn(
+            "cap",
+            (F.col("n_tokens") * F.lit(100)).cast("double")
+            / F.col("target_pct").cast("double"),
+        )
+    )
+    lam = counts.agg(F.min("cap").alias("lam"))
+    alloc = F.col("lam") * F.col("target_pct").cast("double") / F.lit(100.0)
+    return counts.crossJoin(F.broadcast(lam)).select(
+        "lang",
+        "n_tokens",
+        "target_pct",
+        F.floor(alloc).cast("long").alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens").cast("double"), 9).alias(
+            "sample_rate"
+        ),
+        (F.col("cap") == F.col("lam")).alias("is_binding"),
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {p_}" for lang, p_ in MIX_TARGET_PCT.items()
+)
+
+Q156_SQL = rf"""
+WITH counts AS (
+    SELECT lang,
+           CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\s+')) END)
+                AS BIGINT) AS n_tokens,
+           CAST(CASE {_MIX_CASE} END AS BIGINT) AS target_pct
+    FROM documents
+    GROUP BY lang
+),
+capped AS (
+    SELECT *, CAST(n_tokens * 100 AS DOUBLE) / CAST(target_pct AS DOUBLE)
+                  AS cap
+    FROM counts WHERE target_pct IS NOT NULL
+),
+lam AS (SELECT MIN(cap) AS lam FROM capped)
+SELECT lang, n_tokens, target_pct,
+       CAST(FLOOR(lam * CAST(target_pct AS DOUBLE) / 100.0) AS BIGINT)
+           AS alloc_tokens,
+       round(lam * CAST(target_pct AS DOUBLE) / 100.0
+             / CAST(n_tokens AS DOUBLE), 9) AS sample_rate,
+       cap = lam AS is_binding
+FROM capped CROSS JOIN lam
+"""
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
@@ -1026,6 +1108,7 @@ CURATION_QUERIES = {
     "q101_curation_verdict": q101_curation_verdict,
     "q146_token_budget_sample": q146_token_budget_sample,
     "q152_dsir_selection": q152_dsir_selection,
+    "q156_mixture_allocation": q156_mixture_allocation,
 }
 
 CURATION_ORACLES = {
@@ -1041,4 +1124,5 @@ CURATION_ORACLES = {
     "q101_curation_verdict": Q101_SQL,
     "q146_token_budget_sample": Q146_SQL,
     "q152_dsir_selection": Q152_SQL,
+    "q156_mixture_allocation": Q156_SQL,
 }

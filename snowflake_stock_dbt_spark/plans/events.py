@@ -780,6 +780,157 @@ ORDER BY prev_event, next_event
 """
 
 
+# ---------------------------------------------------------------------------
+# Q157 — Z-ORDER clustering keys (the Delta/Iceberg OPTIMIZE ZORDER
+# recipe): scale each clustering column onto a 16-bit grid from its
+# global min/max (one tiny agg, 1-row broadcast — the q03 stats
+# pattern), interleave the bits into a 32-bit Morton code, and derive
+# the range shard (top 5 bits -> 32 shards). Writing files ordered by
+# this key co-locates rows that are close in BOTH dimensions, so
+# min/max file pruning works for either predicate — the multi-column
+# layout step sinks/layout.py's single-column range clustering cannot
+# express. The bit interleave is pure integer arithmetic (identical
+# generated expression text on both engines); the grid scaling is two
+# IEEE ops on identical doubles. At scale: one stats pass + one
+# per-row projection + repartitionByRange(shard) at the sink.
+# ---------------------------------------------------------------------------
+
+_Z_GRID = 65535
+_Z_SHARD_SHIFT = 27  # 32-bit Morton code -> 32 range shards
+
+
+def q157_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("user_id").alias("minu"),
+        F.max("user_id").alias("maxu"),
+        F.min("value").alias("minv"),
+        F.max("value").alias("maxv"),
+    )
+    xb = F.floor(
+        ((F.col("user_id") - F.col("minu")) * F.lit(float(_Z_GRID)))
+        / (F.col("maxu") - F.col("minu"))
+    ).cast("long")
+    yb = F.floor(
+        ((F.col("value") - F.col("minv")) * F.lit(float(_Z_GRID)))
+        / (F.col("maxv") - F.col("minv"))
+    ).cast("long")
+    binned = (
+        ev.where(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_id",
+            F.least(xb, F.lit(65535)).alias("xb"),
+            F.least(yb, F.lit(65535)).alias("yb"),
+        )
+    )
+    z = F.expr("(shiftright(xb, 0) % 2) * 1 + (shiftright(yb, 0) % 2) * 2 + (shiftright(xb, 1) % 2) * 4 + (shiftright(yb, 1) % 2) * 8 + (shiftright(xb, 2) % 2) * 16 + (shiftright(yb, 2) % 2) * 32 + (shiftright(xb, 3) % 2) * 64 + (shiftright(yb, 3) % 2) * 128 + (shiftright(xb, 4) % 2) * 256 + (shiftright(yb, 4) % 2) * 512 + (shiftright(xb, 5) % 2) * 1024 + (shiftright(yb, 5) % 2) * 2048 + (shiftright(xb, 6) % 2) * 4096 + (shiftright(yb, 6) % 2) * 8192 + (shiftright(xb, 7) % 2) * 16384 + (shiftright(yb, 7) % 2) * 32768 + (shiftright(xb, 8) % 2) * 65536 + (shiftright(yb, 8) % 2) * 131072 + (shiftright(xb, 9) % 2) * 262144 + (shiftright(yb, 9) % 2) * 524288 + (shiftright(xb, 10) % 2) * 1048576 + (shiftright(yb, 10) % 2) * 2097152 + (shiftright(xb, 11) % 2) * 4194304 + (shiftright(yb, 11) % 2) * 8388608 + (shiftright(xb, 12) % 2) * 16777216 + (shiftright(yb, 12) % 2) * 33554432 + (shiftright(xb, 13) % 2) * 67108864 + (shiftright(yb, 13) % 2) * 134217728 + (shiftright(xb, 14) % 2) * 268435456 + (shiftright(yb, 14) % 2) * 536870912 + (shiftright(xb, 15) % 2) * 1073741824 + (shiftright(yb, 15) % 2) * 2147483648")
+    return binned.select(
+        "event_id",
+        "xb",
+        "yb",
+        z.cast("long").alias("zval"),
+    ).withColumn(
+        "shard", F.expr(f"shiftright(zval, {_Z_SHARD_SHIFT})").cast("int")
+    )
+
+
+Q157_SQL = f"""
+WITH stats AS (
+    SELECT MIN(user_id) AS minu, MAX(user_id) AS maxu,
+           MIN(value) AS minv, MAX(value) AS maxv
+    FROM events
+),
+binned AS (
+    SELECT event_id,
+           LEAST(CAST(FLOOR((user_id - minu) * {float(_Z_GRID)}
+                            / (maxu - minu)) AS BIGINT),
+                 65535) AS xb,
+           LEAST(CAST(FLOOR((value - minv) * {float(_Z_GRID)}
+                            / (maxv - minv)) AS BIGINT),
+                 65535) AS yb
+    FROM events CROSS JOIN stats
+    WHERE value IS NOT NULL
+),
+coded AS (
+    SELECT event_id, xb, yb, CAST(((xb >> 0) % 2) * 1 + ((yb >> 0) % 2) * 2 + ((xb >> 1) % 2) * 4 + ((yb >> 1) % 2) * 8 + ((xb >> 2) % 2) * 16 + ((yb >> 2) % 2) * 32 + ((xb >> 3) % 2) * 64 + ((yb >> 3) % 2) * 128 + ((xb >> 4) % 2) * 256 + ((yb >> 4) % 2) * 512 + ((xb >> 5) % 2) * 1024 + ((yb >> 5) % 2) * 2048 + ((xb >> 6) % 2) * 4096 + ((yb >> 6) % 2) * 8192 + ((xb >> 7) % 2) * 16384 + ((yb >> 7) % 2) * 32768 + ((xb >> 8) % 2) * 65536 + ((yb >> 8) % 2) * 131072 + ((xb >> 9) % 2) * 262144 + ((yb >> 9) % 2) * 524288 + ((xb >> 10) % 2) * 1048576 + ((yb >> 10) % 2) * 2097152 + ((xb >> 11) % 2) * 4194304 + ((yb >> 11) % 2) * 8388608 + ((xb >> 12) % 2) * 16777216 + ((yb >> 12) % 2) * 33554432 + ((xb >> 13) % 2) * 67108864 + ((yb >> 13) % 2) * 134217728 + ((xb >> 14) % 2) * 268435456 + ((yb >> 14) % 2) * 536870912 + ((xb >> 15) % 2) * 1073741824 + ((yb >> 15) % 2) * 2147483648 AS BIGINT) AS zval FROM binned
+)
+SELECT event_id, xb, yb, zval,
+       CAST(zval >> {_Z_SHARD_SHIFT} AS INT) AS shard
+FROM coded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q158 — last-touch ATTRIBUTION: every purchase is credited to the same
+# user's most recent click within a 7-day window (NULL when none) — the
+# marketing-analytics staple, expressed as the existing backward as-of
+# join (operators/asof.py: union-and-window, ONE shuffle, never a
+# per-row subquery) followed by the window cutoff. The oracle replays
+# it as the textbook correlated form (left join + row_number) — two
+# independent formulations, one answer.
+# ---------------------------------------------------------------------------
+
+_ATTRIB_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def q158_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    m = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="cts",
+        right_payload=["click_event_id"],
+        tiebreak="click_event_id",
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_cts"))
+    in_window = gap <= F.lit(_ATTRIB_WINDOW_US)
+    return m.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("click_event_id")).alias("click_event_id"),
+        F.when(in_window, gap).cast("long").alias("gap_us"),
+    )
+
+
+Q158_SQL = f"""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_event_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+    FROM events WHERE event_type = 'click'
+),
+m AS (
+    SELECT p.purchase_id, p.user_id, p.pts, c.click_event_id,
+           epoch_us(p.pts) - epoch_us(c.cts) AS gap_us,
+           ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+               ORDER BY c.cts DESC, c.click_event_id DESC) AS rn
+    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
+)
+SELECT purchase_id, user_id, pts AS purchase_ts,
+       CASE WHEN gap_us <= {_ATTRIB_WINDOW_US} THEN click_event_id END
+           AS click_event_id,
+       CAST(CASE WHEN gap_us <= {_ATTRIB_WINDOW_US} THEN gap_us END
+            AS BIGINT) AS gap_us
+FROM m WHERE rn = 1
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
@@ -792,6 +943,8 @@ EVENT_QUERIES = {
     "q88_gap_fill": q88_gap_fill,
     "q99_point_in_time": q99_point_in_time,
     "q127_event_transitions": q127_event_transitions,
+    "q157_zorder_keys": q157_zorder_keys,
+    "q158_last_touch_attribution": q158_last_touch_attribution,
 }
 
 EVENT_ORACLES = {
@@ -806,4 +959,6 @@ EVENT_ORACLES = {
     "q88_gap_fill": Q88_SQL,
     "q99_point_in_time": Q99_SQL,
     "q127_event_transitions": Q127_SQL,
+    "q157_zorder_keys": Q157_SQL,
+    "q158_last_touch_attribution": Q158_SQL,
 }

@@ -38,6 +38,8 @@ BNL_ALLOWED = {
     "q151_knn_graph",  # packed-centroid broadcasts (q118 pattern)
     "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)
+    "q156_mixture_allocation",  # 1-row water-filling lambda broadcast
+    "q157_zorder_keys",  # 1-row min/max grid-stats broadcast (q80 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -143,6 +145,9 @@ PINNED_PATTERNS = {
     "q153_mad_outliers": ["BroadcastHashJoin"],
     "q154_ewma_revenue": ["partial_"],
     "q155_linear_regression": ["partial_"],
+    # q158: attribution must ride the as-of union-window (one shuffle),
+    # never a per-purchase correlated scan.
+    "q158_last_touch_attribution": ["Window"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
