@@ -894,6 +894,7 @@ def ivfpq_search(
 
 def knn_graph(
     corpus: DataFrame,
+    centroids: list[tuple[int, list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "bucket",
@@ -902,50 +903,71 @@ def knn_graph(
 ) -> DataFrame:
     """[EXT] Approximate k-NN graph over the WHOLE corpus: every vector
     gets its top-k cosine neighbors, candidates restricted to the
-    ``nprobe`` coarse clusters nearest each vector — the IVF-blocked
-    graph-construction recipe vector pipelines use upstream of
-    graph-based clustering and SemDeDup-style curation (every node is a
-    query; brute force would be n² and is the oracle, not the plan).
+    ``nprobe`` trained coarse clusters nearest each vector — the
+    IVF-blocked graph-construction recipe vector pipelines use upstream
+    of graph-based clustering and SemDeDup-style curation (every node is
+    a query; brute force would be n² and is the recall reference in
+    tests, not the plan).
 
-    Scale shape: centroids are the usual bounded broadcast state, so
-    probe selection is a per-row projection (n × k centroid scorings —
-    the cost every IVF assignment pays). The candidate join is an
+    Every arithmetic step is INTEGER over the floor-quantized components
+    (see :data:`KMEANS_SCALE`): probe selection ranks the trained
+    integer centroids by exact squared distance (the same packed
+    broadcast-data argmin kmeans_assign uses), and candidate scoring is
+    a primitive-int64 dot-product fold — whole-stage codegen, no
+    BigDecimal anywhere (the q118 4x-probe lesson: the decimal fold was
+    10x the cost of the integer one). The reported cosine is one double
+    division of the exact integer dot by the sqrt'd exact integer norms
+    — deterministic cross-engine, full value oracle (plans/vectors.py
+    Q151_SQL replays the identical integers).
+
+    Scale shape: centroids are bounded broadcast state, so probe
+    selection is a per-row projection; the candidate join is an
     EQUI-JOIN on the bucket id with BOTH sides large (corpus keyed by
-    its home bucket, probes keyed by probed bucket) — one shuffle each,
-    never a broadcast, never all-pairs; per-bucket work is
-    cluster_size × probes-landing-there, which stays bounded when the
-    cluster count is size-derived (see q118's k ∝ n contract). Scoring
-    is the fused exact-decimal cosine; top-k is a row_number window on
-    the query id. Deterministic end-to-end, so the whole approximate
-    graph carries a full value oracle (plans/vectors.py Q151_SQL).
+    home bucket, probes keyed by probed bucket) — one shuffle each,
+    never a broadcast, never all-pairs; per-bucket work stays bounded
+    when the cluster count is size-derived (q118's k ∝ n contract).
+    Top-k is a row_number window keyed by the source id.
     """
-    cent = _centroids_of(corpus, vec_col, bucket_col)
-    q = corpus.select(
-        F.col(id_col).alias("src_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("qn"),
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(b), [int(v) for v in cv]) for b, cv in centroids],
+        "bucket INT, cq ARRAY<BIGINT>",
     )
-    probe_w = Window.partitionBy("src_id").orderBy(
-        F.col("c_cos").desc_nulls_last(), F.col("bucket")
+    packed = cdf.agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "cq"))).alias("__cents")
+    )
+    q = _quantized(vec_col)
+    int_norm = F.aggregate(
+        F.transform(q, lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _sqdist_int(q, c["cq"]).alias("d"), c["bucket"].alias("bucket")
+        ),
     )
     probes = (
-        q.crossJoin(F.broadcast(cent))
+        corpus.crossJoin(F.broadcast(packed))
         .select(
-            "src_id",
-            "q_vec",
-            "qn",
-            "bucket",
-            cosine_exact(F.col("q_vec"), F.col("centroid")).alias("c_cos"),
+            F.col(id_col).alias("src_id"),
+            q.alias("qv"),
+            int_norm.alias("qn"),
+            F.explode(F.slice(F.array_sort(dists), 1, nprobe)).alias("p"),
         )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= nprobe)
-        .select("src_id", "q_vec", "qn", "bucket")
+        .select("src_id", "qv", "qn", F.col("p.bucket").alias("bucket"))
     )
     c = ensure_min_parallelism(corpus, F.col(id_col)).select(
         F.col(id_col).alias("dst_id"),
         F.col(bucket_col).alias("bucket"),
-        F.col(vec_col).alias("c_vec"),
-        norm_exact(F.col(vec_col)).alias("cn"),
+        _quantized(vec_col).alias("cv"),
+        int_norm.alias("cn"),
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
     )
     scored = (
         c.join(probes, "bucket")
@@ -954,8 +976,12 @@ def knn_graph(
             "src_id",
             "dst_id",
             (
-                dot_exact(F.col("q_vec"), F.col("c_vec"))
-                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+                dot_q.cast("double")
+                / F.nullif(
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double")),
+                    F.lit(0.0),
+                )
             ).alias("cosine"),
         )
     )

@@ -857,64 +857,57 @@ def q151_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_assign, knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = kmeans_assign(
+    bucketed, cent = kmeans_assign(
         emb, k=KMEANS_K, iters=KMEANS_ITERS,
         cache_key=(id(spark), sf_dir, "full"),
+        return_centroids=True,
     )
     out = knn_graph(
-        bucketed, bucket_col="bucket", k=KNN_GRAPH_K, nprobe=IVF_NPROBE
+        bucketed, cent, bucket_col="bucket", k=KNN_GRAPH_K, nprobe=IVF_NPROBE
     )
     return out.withColumn("cosine", F.round(F.col("cosine"), 9))
 
 
+# The oracle replays the identical integers: probe ranking by exact
+# squared distance to the trained integer centroids (cent{iters} from the
+# unrolled k-means chain — the same statistic q150's coarse probes pin),
+# then the integer dot / sqrt-int-norm cosine over in-bucket candidates.
 Q151_SQL = f"""
 WITH {_kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS)},
-cent AS (
-    SELECT a.bucket, u.pos,
-           CAST(SUM(CAST(u.v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cv
-    FROM asgf a JOIN u USING (vec_id) GROUP BY 1, 2
+vnorm AS (
+    SELECT vec_id, SUM(CAST(v9 * v9 AS HUGEINT)) AS nq FROM ui GROUP BY 1
 ),
-centn AS (
-    SELECT bucket,
-           sqrt(CAST(SUM(CAST(cv * cv AS DECIMAL(38,18))) AS DOUBLE)) AS cnn
-    FROM cent GROUP BY bucket
-),
-vn AS (
-    SELECT vec_id,
-           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nn
-    FROM u GROUP BY vec_id
-),
-pd AS (
-    SELECT u.vec_id AS src_id, cent.bucket,
-           CAST(SUM(CAST(u.v * cent.cv AS DECIMAL(38,18))) AS DOUBLE) AS dot
-    FROM u JOIN cent USING (pos) GROUP BY 1, 2
+qd AS (
+    SELECT ui.vec_id, c.bucket,
+           SUM(CAST(ui.v9 - c.c9 AS HUGEINT)
+             * CAST(ui.v9 - c.c9 AS HUGEINT)) AS d
+    FROM ui JOIN cent{KMEANS_ITERS} c USING (pos)
+    GROUP BY 1, 2
 ),
 probes AS (
-    SELECT src_id, bucket FROM (
-        SELECT pd.src_id, pd.bucket,
-               ROW_NUMBER() OVER (PARTITION BY pd.src_id
-                   ORDER BY pd.dot / NULLIF(vn.nn * centn.cnn, 0.0)
-                            DESC NULLS LAST, pd.bucket) AS pr
-        FROM pd
-        JOIN vn ON vn.vec_id = pd.src_id
-        JOIN centn ON centn.bucket = pd.bucket
-    ) WHERE pr <= {IVF_NPROBE}
+    SELECT vec_id AS src_id, bucket FROM (
+        SELECT vec_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, bucket) AS rn
+        FROM qd
+    ) WHERE rn <= {IVF_NPROBE}
 ),
 dots AS (
     SELECT p.src_id, c.vec_id AS dst_id,
-           CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+           SUM(CAST(q.v9 * c.v9 AS HUGEINT)) AS dq
     FROM probes p
     JOIN asgf ac ON ac.bucket = p.bucket
-    JOIN u c ON c.vec_id = ac.vec_id AND c.vec_id <> p.src_id
-    JOIN u q ON q.vec_id = p.src_id AND q.pos = c.pos
+    JOIN ui c ON c.vec_id = ac.vec_id AND c.vec_id <> p.src_id
+    JOIN ui q ON q.vec_id = p.src_id AND q.pos = c.pos
     GROUP BY 1, 2
 ),
 scored AS (
     SELECT dots.src_id, dots.dst_id,
-           dots.dot / NULLIF(qv.nn * cv2.nn, 0.0) AS cosine
+           CAST(dots.dq AS DOUBLE)
+               / NULLIF(sqrt(CAST(qv.nq AS DOUBLE))
+                        * sqrt(CAST(cv2.nq AS DOUBLE)), 0.0) AS cosine
     FROM dots
-    JOIN vn qv ON qv.vec_id = dots.src_id
-    JOIN vn cv2 ON cv2.vec_id = dots.dst_id
+    JOIN vnorm qv ON qv.vec_id = dots.src_id
+    JOIN vnorm cv2 ON cv2.vec_id = dots.dst_id
 ),
 ranked AS (
     SELECT *, CAST(ROW_NUMBER() OVER (

@@ -27,12 +27,12 @@ def test_knn_graph_full_probe_equals_brute_force(spark, oracle_sf_dir):
     emb = load_table(spark, oracle_sf_dir, "embeddings").where(
         F.col("vec_id") < 80
     )
-    bucketed = kmeans_assign(emb, k=4, iters=2)
+    bucketed, cent = kmeans_assign(emb, k=4, iters=2, return_centroids=True)
     n_buckets = bucketed.select("bucket").distinct().count()
     graph = {
         (r["src_id"], r["dst_id"])
         for r in knn_graph(
-            bucketed, bucket_col="bucket", k=3, nprobe=n_buckets
+            bucketed, cent, bucket_col="bucket", k=3, nprobe=n_buckets
         ).collect()
     }
     brute = {
