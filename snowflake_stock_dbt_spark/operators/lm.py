@@ -110,3 +110,53 @@ def bigram_lm_scores(
             F.expr("sum(qp) div count(*)").cast("long").alias("avg_qprob"),
         )
     )
+
+
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOP_N = 50
+
+
+def collocations_by_lift(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_support: int = COLLOC_MIN_SUPPORT, top_n: int = COLLOC_TOP_N,
+) -> DataFrame:
+    """[EXT] Collocation mining: the top-N adjacent token pairs by LIFT
+    c(a,b)·N / (c(a)·c(b)) with a minimum support — the association
+    measure under PMI without its logarithm (PMI = log2(lift) is
+    monotone in it, and ``ln`` is the cross-engine trap lm.py documents),
+    so the ranking is identical and the statistic carries a full value
+    oracle. The phrase-detection step tokenizer pipelines run before
+    merging multiword units.
+
+    Scale shape: unigram and bigram counts are vocabulary-bounded keyed
+    aggs (map-side combined); the stats joins key on tokens; N is a
+    1-row broadcast; the lift is ONE double division of exact int64
+    products (< 2^53 far beyond gate scale); top-N is a sort-limit
+    (TakeOrderedAndProject), never a global window.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    bg = (
+        _bigram_stream(df, id_col, text_col)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_support)
+    )
+    lift = (
+        (F.col("c_ab") * F.col("n_tokens")).cast("double")
+        / (F.col("c_a") * F.col("c_b")).cast("double")
+    )
+    return (
+        bg.join(uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b", "c_ab", "c_a", "c_b",
+            F.round(lift, 9).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(top_n)
+    )

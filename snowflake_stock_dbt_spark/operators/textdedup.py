@@ -652,3 +652,39 @@ def minhash_index_probe(
             (F.coalesce("n_history_matches", F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """[EXT] Per-document NOVELTY: the fraction of a doc's distinct
+    k-shingles whose FIRST occurrence (by ascending doc id — ingestion
+    order) is the doc itself. The corpus-growth health metric crawl
+    pipelines track (RefinedWeb-style): novelty collapsing toward zero
+    means new batches are recombinations of text already held.
+
+    Scale shape: one keyed aggregation assigns each shingle its first
+    owner (MIN over doc ids — map-side combinable, state bounded by the
+    distinct-shingle domain), one equi-join back on the shingle key, one
+    per-doc count agg. The novelty ratio is a single division of exact
+    int64 counts — bit-identical cross-engine.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, k).persist()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ratio",
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )

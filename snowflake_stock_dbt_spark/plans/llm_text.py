@@ -29,6 +29,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.textdedup import (
+    novelty_scores,
     repeated_passages,
     MINHASH_PRIME,
     _exploded_shingles,
@@ -1050,6 +1051,80 @@ FROM probed p LEFT JOIN hits h USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q159 — per-document novelty scoring (operators/textdedup.py:
+# novelty_scores): fraction of each doc's distinct 3-shingles first seen
+# in that doc, ingestion order = ascending doc_id. One shingle-keyed
+# MIN agg + one join-back + one doc agg; ratio is one int64 division.
+# ---------------------------------------------------------------------------
+
+
+def q159_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_scores(docs, "doc_id", "text", k=3)
+
+
+Q159_SQL = rf"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES},
+first AS (
+    SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM sh JOIN first USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q160 — collocations by lift (operators/lm.py:collocations_by_lift):
+# top-50 adjacent token pairs by c(a,b)·N/(c(a)·c(b)) at support >= 5 —
+# PMI ranking without the logarithm (monotone transform), so the
+# statistic is one exact-int division and fully value-oracled.
+# ---------------------------------------------------------------------------
+
+
+def q160_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import collocations_by_lift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations_by_lift(docs, "doc_id", "text")
+
+
+Q160_SQL = rf"""
+WITH {_SQL_TOKS},
+uni AS (
+    SELECT u.tok, COUNT(*) AS c
+    FROM toks, UNNEST(t) AS u(tok)
+    WHERE u.tok <> ''
+    GROUP BY u.tok
+),
+total AS (SELECT SUM(c) AS n_tokens FROM uni),
+bg AS (
+    SELECT t[r.i] AS a, t[r.i + 1] AS b, COUNT(*) AS c_ab
+    FROM toks CROSS JOIN range(1, 4096) r(i)
+    WHERE r.i + 1 <= len(t) AND t[r.i] <> '' AND t[r.i + 1] <> ''
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+)
+SELECT a, b, c_ab, c_a, c_b, lift FROM (
+    SELECT bg.a, bg.b, bg.c_ab, ua.c AS c_a, ub.c AS c_b,
+           round(CAST(bg.c_ab * total.n_tokens AS DOUBLE)
+                 / CAST(ua.c * ub.c AS DOUBLE), 9) AS lift
+    FROM bg
+    JOIN uni ua ON ua.tok = bg.a
+    JOIN uni ub ON ub.tok = bg.b
+    CROSS JOIN total
+)
+ORDER BY lift DESC, a, b
+LIMIT 50
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -1071,6 +1146,8 @@ LLM_TEXT_QUERIES = {
     "q149_incremental_dedup": q149_incremental_dedup,
     "q64_chunking": q64_chunking,
     "q65_hash_split": q65_hash_split,
+    "q159_novelty_scores": q159_novelty_scores,
+    "q160_collocations": q160_collocations,
 }
 
 LLM_TEXT_ORACLES = {
@@ -1094,4 +1171,6 @@ LLM_TEXT_ORACLES = {
     "q149_incremental_dedup": Q149_SQL,
     "q64_chunking": Q64_SQL,
     "q65_hash_split": Q65_SQL,
+    "q159_novelty_scores": Q159_SQL,
+    "q160_collocations": Q160_SQL,
 }

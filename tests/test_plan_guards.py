@@ -40,6 +40,7 @@ BNL_ALLOWED = {
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)
     "q156_mixture_allocation",  # 1-row water-filling lambda broadcast
     "q157_zorder_keys",  # 1-row min/max grid-stats broadcast (q80 pattern)
+    "q160_collocations",  # 1-row total-token broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -148,6 +149,10 @@ PINNED_PATTERNS = {
     # q158: attribution must ride the as-of union-window (one shuffle),
     # never a per-purchase correlated scan.
     "q158_last_touch_attribution": ["Window"],
+    # q159: first-owner agg must stay map-side combinable; q160: top-N
+    # collocations stay a heap, stats joins hash.
+    "q159_novelty_scores": ["partial_"],
+    "q160_collocations": ["TakeOrderedAndProject", "HashJoin"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
