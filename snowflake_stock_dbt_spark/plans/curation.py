@@ -1095,6 +1095,72 @@ FROM capped CROSS JOIN lam
 """
 
 
+# ---------------------------------------------------------------------------
+# Q162 — training-shard MANIFEST: deterministic hash sharding of the
+# corpus plus, per shard, the bookkeeping a reproducible training run
+# records — doc count, token budget, and a membership FINGERPRINT (md5
+# of the ordered member id list) that lets any later run prove it read
+# the identical shard. Sharding is a stateless per-row hash (no
+# shuffle to decide membership — the q71 property); the manifest is one
+# keyed agg whose only wide state is the member list itself, bounded by
+# shard size (choose shard count ∝ corpus size in production, same
+# contract as q118's k ∝ n).
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SHARDS = 16
+
+
+def q162_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(_MANIFEST_SHARDS),
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            token_count("text").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("member_fp"),
+        )
+    )
+
+
+Q162_SQL = rf"""
+WITH base AS (
+    SELECT {hash60_sql("'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {_MANIFEST_SHARDS} AS shard,
+           doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+           END AS n_tok
+    FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS member_fp
+FROM base
+GROUP BY shard
+"""
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
@@ -1109,6 +1175,7 @@ CURATION_QUERIES = {
     "q146_token_budget_sample": q146_token_budget_sample,
     "q152_dsir_selection": q152_dsir_selection,
     "q156_mixture_allocation": q156_mixture_allocation,
+    "q162_shard_manifest": q162_shard_manifest,
 }
 
 CURATION_ORACLES = {
@@ -1125,4 +1192,5 @@ CURATION_ORACLES = {
     "q146_token_budget_sample": Q146_SQL,
     "q152_dsir_selection": Q152_SQL,
     "q156_mixture_allocation": Q156_SQL,
+    "q162_shard_manifest": Q162_SQL,
 }

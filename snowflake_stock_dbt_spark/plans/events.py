@@ -931,6 +931,74 @@ FROM m WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q161 — data-skipping MANIFEST over the Z-order shards (q157's payoff,
+# measured): per-shard row counts and min/max of both clustering
+# dimensions — the file-footer stats a lakehouse reader prunes with —
+# plus each shard's would-be-scanned verdict for a fixed probe predicate
+# on EITHER dimension. Morton sharding keeps both dimensions' per-shard
+# ranges narrow, so point/range predicates on either column touch few
+# shards; the manifest is one keyed agg over the q157 projection, and
+# the pruning verdicts are per-row comparisons on the 32-row result.
+# ---------------------------------------------------------------------------
+
+_PRUNE_USER_LO, _PRUNE_USER_HI = 40, 49
+_PRUNE_VALUE_LO, _PRUNE_VALUE_HI = 10.0, 20.0
+
+
+def q161_skipping_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    keyed = q157_zorder_keys(spark, sf_dir).select("event_id", "shard")
+    m = (
+        ev.join(keyed, "event_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return m.select(
+        "shard",
+        "n_rows",
+        "min_user",
+        "max_user",
+        "min_value",
+        "max_value",
+        (
+            (F.col("max_user") >= _PRUNE_USER_LO)
+            & (F.col("min_user") <= _PRUNE_USER_HI)
+        ).alias("scan_for_user_probe"),
+        (
+            (F.col("max_value") >= _PRUNE_VALUE_LO)
+            & (F.col("min_value") <= _PRUNE_VALUE_HI)
+        ).alias("scan_for_value_probe"),
+    )
+
+
+Q161_SQL = f"""
+WITH keyed AS ({Q157_SQL.strip()}),
+m AS (
+    SELECT k.shard,
+           COUNT(*) AS n_rows,
+           MIN(e.user_id) AS min_user, MAX(e.user_id) AS max_user,
+           MIN(e.value) AS min_value, MAX(e.value) AS max_value
+    FROM events e JOIN keyed k USING (event_id)
+    GROUP BY k.shard
+)
+SELECT shard, n_rows, min_user, max_user, min_value, max_value,
+       (max_user >= {_PRUNE_USER_LO} AND min_user <= {_PRUNE_USER_HI})
+           AS scan_for_user_probe,
+       (max_value >= {_PRUNE_VALUE_LO} AND min_value <= {_PRUNE_VALUE_HI})
+           AS scan_for_value_probe
+FROM m
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
@@ -945,6 +1013,7 @@ EVENT_QUERIES = {
     "q127_event_transitions": q127_event_transitions,
     "q157_zorder_keys": q157_zorder_keys,
     "q158_last_touch_attribution": q158_last_touch_attribution,
+    "q161_skipping_manifest": q161_skipping_manifest,
 }
 
 EVENT_ORACLES = {
@@ -961,4 +1030,5 @@ EVENT_ORACLES = {
     "q127_event_transitions": Q127_SQL,
     "q157_zorder_keys": Q157_SQL,
     "q158_last_touch_attribution": Q158_SQL,
+    "q161_skipping_manifest": Q161_SQL,
 }
