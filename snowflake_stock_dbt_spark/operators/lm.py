@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_parallelism
 from ..functions.text import tokens
 
 #: Probability quantization grid: FLOOR(p * 1e9). p <= 1, so quantized
@@ -55,8 +56,13 @@ def _bigram_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    # Spread docs across the cluster BEFORE the explode fan-out (the
+    # _exploded_shingles rule): a one-file local parquet would otherwise
+    # pin the tokenize/bigram/hash pipeline to a couple of scan tasks —
+    # measured 6s of the 7s q152 cost before this spread.
     return (
-        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        ensure_min_parallelism(df, F.col(id_col))
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(id_col, "p.a", "p.b")
         .where((F.col("a") != "") & (F.col("b") != ""))
     )

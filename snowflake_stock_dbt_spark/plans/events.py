@@ -999,6 +999,92 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Q165 — session PATH mining: the top-20 three-step event-type paths
+# walked inside sessions (q27's >30-min-gap sessionization rebuilt on
+# the same contract), the product-analytics "what do users do next"
+# query. Paths come from two LEAD windows partitioned by (user,
+# session) — no self-joins; corpus-wide counts are one keyed agg; top-N
+# stays a sort-limit heap.
+# ---------------------------------------------------------------------------
+
+PATH_TOP_N = 20
+
+
+def q165_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_gap = ev.select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.lag(us, 1).over(w).alias("prev_us"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | ((F.col("us") - F.col("prev_us")) > SESSION_GAP_S * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = with_gap.withColumn(
+        "session_idx", F.sum("new_session").over(wcum).cast("long")
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        "us", "event_id"
+    )
+    steps = sessions.select(
+        "event_type",
+        F.lead("event_type", 1).over(ws).alias("t1"),
+        F.lead("event_type", 2).over(ws).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    return (
+        steps.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOP_N)
+    )
+
+
+Q165_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+numbered AS (
+    SELECT *, CAST(SUM(CASE WHEN prev_us IS NULL
+                     OR us - prev_us > {SESSION_GAP_S} * 1000000
+                   THEN 1 ELSE 0 END) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_idx
+    FROM base
+),
+steps AS (
+    SELECT event_type,
+           LEAD(event_type, 1) OVER ws AS t1,
+           LEAD(event_type, 2) OVER ws AS t2
+    FROM numbered
+    WINDOW ws AS (PARTITION BY user_id, session_idx ORDER BY us, event_id)
+)
+SELECT event_type || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+FROM steps WHERE t2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {PATH_TOP_N}
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
@@ -1014,6 +1100,7 @@ EVENT_QUERIES = {
     "q157_zorder_keys": q157_zorder_keys,
     "q158_last_touch_attribution": q158_last_touch_attribution,
     "q161_skipping_manifest": q161_skipping_manifest,
+    "q165_session_paths": q165_session_paths,
 }
 
 EVENT_ORACLES = {
@@ -1031,4 +1118,5 @@ EVENT_ORACLES = {
     "q157_zorder_keys": Q157_SQL,
     "q158_last_touch_attribution": Q158_SQL,
     "q161_skipping_manifest": Q161_SQL,
+    "q165_session_paths": Q165_SQL,
 }

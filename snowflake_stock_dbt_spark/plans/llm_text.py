@@ -1125,6 +1125,74 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Q164 — shingle CONTAINMENT pairs: ordered pairs where >= 80% of the
+# smaller document's distinct 3-shingles appear in the other — the
+# asymmetric dedup relation Jaccard misses (a quote or excerpt inside a
+# longer page has high containment but low Jaccard, because the union is
+# dominated by the container). Same keyed-shingle co-occurrence shape as
+# q20 (shingle equi-join, never all-pairs); the threshold test is
+# cross-multiplied integers, no float division in the filter.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_NUM, CONTAINMENT_DEN = 4, 5  # containment >= 4/5
+
+
+def q164_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import _exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs, "doc_id", "text", 3).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("contained_doc"), "shingle")
+    b = sh.select(F.col("doc_id").alias("container_doc"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("contained_doc"), F.col("n").alias("n_contained")
+            ),
+            "contained_doc",
+        )
+        .where(
+            F.col("common") * F.lit(CONTAINMENT_DEN)
+            >= F.col("n_contained") * F.lit(CONTAINMENT_NUM)
+        )
+        .select(
+            "contained_doc",
+            "container_doc",
+            "common",
+            "n_contained",
+            (
+                F.col("common").cast("double")
+                / F.col("n_contained").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+Q164_SQL = rf"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+           COUNT(*) AS common
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT contained_doc, container_doc, common, s.n AS n_contained,
+       CAST(common AS DOUBLE) / CAST(s.n AS DOUBLE) AS containment
+FROM common JOIN sizes s ON s.doc_id = contained_doc
+WHERE common * {CONTAINMENT_DEN} >= s.n * {CONTAINMENT_NUM}
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -1148,6 +1216,7 @@ LLM_TEXT_QUERIES = {
     "q65_hash_split": q65_hash_split,
     "q159_novelty_scores": q159_novelty_scores,
     "q160_collocations": q160_collocations,
+    "q164_containment_pairs": q164_containment_pairs,
 }
 
 LLM_TEXT_ORACLES = {
@@ -1173,4 +1242,5 @@ LLM_TEXT_ORACLES = {
     "q65_hash_split": Q65_SQL,
     "q159_novelty_scores": Q159_SQL,
     "q160_collocations": Q160_SQL,
+    "q164_containment_pairs": Q164_SQL,
 }

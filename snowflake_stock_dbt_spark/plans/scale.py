@@ -669,6 +669,63 @@ FROM pts CROSS JOIN betas
 """
 
 
+# ---------------------------------------------------------------------------
+# Q163 — QUANTILE DISCRETIZER (MLlib QuantileDiscretizer analog, exact):
+# per-group price deciles from the q45 value-counts machinery, bounds
+# broadcast back, each row binned by counting exceeded bounds (nine
+# comparisons on identical doubles — no searchsorted UDF), then the
+# per-bucket histogram with exact-decimal sums. The feature-binning step
+# of classical feature engineering, at one stats pass + one scan.
+# ---------------------------------------------------------------------------
+
+
+def q163_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = exact_grouped_percentiles(
+        li, "l_returnflag", "l_extendedprice",
+        {"d1": 0.1, "d2": 0.2, "d3": 0.3, "d4": 0.4, "d5": 0.5, "d6": 0.6, "d7": 0.7, "d8": 0.8, "d9": 0.9},
+    ).select("l_returnflag", "d1", "d2", "d3", "d4", "d5", "d6", "d7", "d8", "d9")
+    bucket = ((F.col("l_extendedprice") > F.col("d1")).cast("int") + (F.col("l_extendedprice") > F.col("d2")).cast("int") + (F.col("l_extendedprice") > F.col("d3")).cast("int") + (F.col("l_extendedprice") > F.col("d4")).cast("int") + (F.col("l_extendedprice") > F.col("d5")).cast("int") + (F.col("l_extendedprice") > F.col("d6")).cast("int") + (F.col("l_extendedprice") > F.col("d7")).cast("int") + (F.col("l_extendedprice") > F.col("d8")).cast("int") + (F.col("l_extendedprice") > F.col("d9")).cast("int") + F.lit(1)).alias("decile")
+    return (
+        li.join(F.broadcast(pcts), "l_returnflag")
+        .select("l_returnflag", bucket, "l_extendedprice")
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+Q163_SQL = f"""
+WITH pct AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.1)  AS d1,
+           quantile_cont(l_extendedprice, 0.2)  AS d2,
+           quantile_cont(l_extendedprice, 0.3)  AS d3,
+           quantile_cont(l_extendedprice, 0.4)  AS d4,
+           quantile_cont(l_extendedprice, 0.5)  AS d5,
+           quantile_cont(l_extendedprice, 0.6)  AS d6,
+           quantile_cont(l_extendedprice, 0.7)  AS d7,
+           quantile_cont(l_extendedprice, 0.8)  AS d8,
+           quantile_cont(l_extendedprice, 0.9)  AS d9
+    FROM lineitem GROUP BY l_returnflag
+),
+binned AS (
+    SELECT li.l_returnflag,
+           CAST(l_extendedprice > d1 AS INT) + CAST(l_extendedprice > d2 AS INT) + CAST(l_extendedprice > d3 AS INT) + CAST(l_extendedprice > d4 AS INT) + CAST(l_extendedprice > d5 AS INT) + CAST(l_extendedprice > d6 AS INT) + CAST(l_extendedprice > d7 AS INT) + CAST(l_extendedprice > d8 AS INT) + CAST(l_extendedprice > d9 AS INT) + 1 AS decile,
+           l_extendedprice
+    FROM lineitem li JOIN pct USING (l_returnflag)
+)
+SELECT l_returnflag, decile, COUNT(*) AS n_rows,
+       {SQL_DEC_SUM_X.format(x='l_extendedprice')} AS sum_price
+FROM binned
+GROUP BY 1, 2
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -680,6 +737,7 @@ SCALE_QUERIES = {
     "q148_winsorize": q148_winsorize,
     "q153_mad_outliers": q153_mad_outliers,
     "q155_linear_regression": q155_linear_regression,
+    "q163_quantile_binning": q163_quantile_binning,
 }
 
 SCALE_ORACLES = {
@@ -693,4 +751,5 @@ SCALE_ORACLES = {
     "q148_winsorize": Q148_SQL,
     "q153_mad_outliers": Q153_SQL,
     "q155_linear_regression": Q155_SQL,
+    "q163_quantile_binning": Q163_SQL,
 }

@@ -178,7 +178,7 @@ SHUFFLE_BUDGETS = {
     "q127_event_transitions": 8,  # one window sort + keyed transition aggs
     "q132_bpe_encode": 6,  # vocab distinct + word join-back + doc agg
     "q151_knn_graph": 24,  # centroid agg + probe/candidate joins + rank
-    "q152_dsir_selection": 30,  # count aggs + weight joins + top-N
+    "q152_dsir_selection": 36,  # count aggs + weight joins + top-N + pre-explode spread (raised from 30 when _bigram_stream gained its parallelism repartition; cached-plan runs show fewer)
     "q153_mad_outliers": 18,  # two percentile passes + broadcast-backs
     "q154_ewma_revenue": 8,  # daily agg + decay equi-join + final agg
     "q155_linear_regression": 6,  # moment agg + residual scan
