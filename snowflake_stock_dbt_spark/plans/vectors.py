@@ -11,7 +11,7 @@ force.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
@@ -920,6 +920,169 @@ FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q166 — BINARY quantization search (sign-bit vectors + Hamming pruning,
+# the 32x-memory recipe modern vector stores ship as "BQ"): every
+# embedding compresses to its 64 sign bits packed into two 32-bit words;
+# candidate search ranks by Hamming distance (two XOR + bit_count ops
+# per pair — the cheapest possible scoring), keeps the top
+# BQ_CANDIDATES, and re-ranks those few with the exact integer-grid
+# cosine (q151's fold). Sign bits and all distances are exact integers,
+# so the whole pipeline carries a full value oracle. Scale: the packed
+# corpus is 8 bytes/vector — the profile where a billion vectors fit in
+# cluster memory; scoring is codegen bit ops; only |queries| x
+# BQ_CANDIDATES rows ever touch raw vectors again.
+# ---------------------------------------------------------------------------
+
+BQ_CANDIDATES = 10
+
+
+def q166_binary_quant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import KMEANS_SCALE as _SC
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    def words(col):
+        bit = lambda i: F.when(
+            F.element_at(col, i + 1) >= 0, F.lit(1 << (i % 32))
+        ).otherwise(F.lit(0))
+        lo = bit(0)
+        for i in range(1, 32):
+            lo = lo + bit(i)
+        hi = bit(32)
+        for i in range(33, 64):
+            hi = hi + bit(i)
+        return lo.cast("long"), hi.cast("long")
+
+    q_int = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(_SC))),
+    )
+    lo, hi = words(F.col("embedding"))
+    packed = emb.select(
+        "vec_id",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        q_int.alias("qv"),
+    )
+    queries = packed.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+        F.col("qv").alias("qq"),
+    )
+    ham = F.bit_count(
+        F.col("lo").bitwiseXOR(F.col("qlo"))
+    ) + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    cw = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("vec_id")
+    )
+    cand = (
+        packed.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("hamming", ham.cast("int"))
+        .withColumn("cr", F.row_number().over(cw))
+        .where(F.col("cr") <= BQ_CANDIDATES)
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    def int_norm(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            dot_q.cast("double")
+            / F.nullif(
+                F.sqrt(int_norm(F.col("qq")).cast("double"))
+                * F.sqrt(int_norm(F.col("qv")).cast("double")),
+                F.lit(0.0),
+            ),
+            9,
+        ),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "hamming",
+            "cosine",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+_BQ_LO = "SUM(CASE WHEN v >= 0 AND pos < 32 THEN CAST(1 AS BIGINT) << (pos % 32) ELSE 0 END)"
+_BQ_HI = "SUM(CASE WHEN v >= 0 AND pos >= 32 THEN CAST(1 AS BIGINT) << (pos % 32) ELSE 0 END)"
+
+Q166_SQL = f"""
+WITH u AS (
+    SELECT vec_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(embedding)
+),
+ui AS (
+    SELECT vec_id, pos,
+           CAST(FLOOR(v * {float(_KMEANS_SCALE)}) AS BIGINT) AS v9
+    FROM u
+),
+packed AS (
+    SELECT vec_id, {_BQ_LO} AS lo, {_BQ_HI} AS hi FROM u GROUP BY vec_id
+),
+vnorm AS (
+    SELECT vec_id, SUM(CAST(v9 * v9 AS HUGEINT)) AS nq FROM ui GROUP BY 1
+),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           CAST(bit_count(xor(CAST(c.lo AS BIT), CAST(q.lo AS BIT)))
+              + bit_count(xor(CAST(c.hi AS BIT), CAST(q.hi AS BIT)))
+             AS INT) AS hamming
+    FROM packed c
+    JOIN packed q ON q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+),
+kept AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY hamming, vec_id
+        ) AS cr FROM cand
+    ) WHERE cr <= {BQ_CANDIDATES}
+),
+dots AS (
+    SELECT k.query_id, k.vec_id, k.hamming,
+           SUM(CAST(a.v9 * b.v9 AS HUGEINT)) AS dq
+    FROM kept k
+    JOIN ui a ON a.vec_id = k.query_id
+    JOIN ui b ON b.vec_id = k.vec_id AND b.pos = a.pos
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT d.query_id, d.vec_id, d.hamming,
+           round(CAST(d.dq AS DOUBLE)
+               / NULLIF(sqrt(CAST(qn.nq AS DOUBLE))
+                        * sqrt(CAST(cn.nq AS DOUBLE)), 0.0), 9) AS cosine
+    FROM dots d
+    JOIN vnorm qn ON qn.vec_id = d.query_id
+    JOIN vnorm cn ON cn.vec_id = d.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, hamming, cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
@@ -931,10 +1094,12 @@ VECTOR_QUERIES = {
     "q145_pq_encode": q145_pq_encode,
     "q150_ivfpq_search": q150_ivfpq_search,
     "q151_knn_graph": q151_knn_graph,
+    "q166_binary_quant_search": q166_binary_quant_search,
 }
 
 VECTOR_ORACLES = {
     "q151_knn_graph": Q151_SQL,
+    "q166_binary_quant_search": Q166_SQL,
     "q106_ann_ivf_trained": Q106_SQL,
     "q118_semantic_dedup": Q118_SQL,
     "q145_pq_encode": Q145_SQL,

@@ -1652,6 +1652,75 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q167 — LOCAL CLUSTERING COEFFICIENT over the windowed co-supplier
+# graph: 2·T(v) / (deg(v)·(deg(v)−1)) for every node with degree >= 2,
+# composing q117's degree-ordered triangle counts with one degree agg
+# and a left join (nodes in no triangle keep coefficient 0). The
+# "how clique-ish is this node's neighborhood" statistic community/
+# fraud pipelines threshold on. The ratio is one double division of
+# exact int64 counts — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q167_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q117_FROM)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q117_TO)))
+    )
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("degree"))
+        .where(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "node_id", "left")
+        .na.fill({"n_triangles": 0})
+        .select(
+            "node_id",
+            "degree",
+            "n_triangles",
+            (
+                (F.lit(2) * F.col("n_triangles")).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+Q167_SQL = Q117_SQL.replace(
+    "ex AS (SELECT unnest([s, x, y]) AS node_id FROM t)",
+    """ex AS (SELECT unnest([s, x, y]) AS node_id FROM t),
+tri AS (
+    SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM ex GROUP BY node_id
+)"""
+).replace(
+    """SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM ex GROUP BY node_id ORDER BY node_id""",
+    """SELECT deg.n AS node_id, CAST(deg.deg AS BIGINT) AS degree,
+       COALESCE(tri.n_triangles, 0) AS n_triangles,
+       CAST(2 * COALESCE(tri.n_triangles, 0) AS DOUBLE)
+           / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS clustering_coeff
+FROM deg LEFT JOIN tri ON tri.node_id = deg.n
+WHERE deg.deg >= 2"""
+)
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -1681,6 +1750,7 @@ WAREHOUSE_QUERIES = {
     "q138_part_promotion": q138_part_promotion,
     "q141_k_core": q141_k_core,
     "q154_ewma_revenue": q154_ewma_revenue,
+    "q167_clustering_coefficient": q167_clustering_coefficient,
 }
 
 WAREHOUSE_ORACLES = {
@@ -1712,4 +1782,5 @@ WAREHOUSE_ORACLES = {
     "q138_part_promotion": Q138_SQL,
     "q141_k_core": Q141_SQL,
     "q154_ewma_revenue": Q154_SQL,
+    "q167_clustering_coefficient": Q167_SQL,
 }

@@ -42,6 +42,7 @@ BNL_ALLOWED = {
     "q157_zorder_keys",  # 1-row min/max grid-stats broadcast (q80 pattern)
     "q160_collocations",  # 1-row total-token broadcast (q03 pattern)
     "q161_skipping_manifest",  # q157's 1-row grid-stats broadcast, joined
+    "q166_binary_quant_search",  # query-set x packed-corpus Hamming broadcast (q25 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
