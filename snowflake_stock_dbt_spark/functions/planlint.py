@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame
 
 
 def _formatted_plan(df: DataFrame) -> str:
+    # Private-API coupling, deliberate: `df._jdf`/`spark._jvm` are the
+    # only way to get the formatted explain as a STRING on classic
+    # (py4j) PySpark — `df.explain()` prints to stdout. Verified on
+    # Spark 4.1; if an upgrade removes them (Connect-only builds have no
+    # _jvm), swap to capturing `df.explain("formatted")` stdout — the
+    # downstream string checks are unchanged.
     spark = df.sparkSession
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
