@@ -110,13 +110,41 @@ def q102_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q102_SPARK)
 
 
+#: Top-2 most recent orders per large customer via a LATERAL correlated
+#: subquery — the "for each row, run this parameterized subquery" idiom
+#: SQL authors reach for before learning window functions. Catalyst
+#: DECORRELATES it (DecorrelateInnerQuery): the per-row subquery becomes
+#: one window/join over the orders side — no per-customer rescan — so
+#: the text costs the same as the QUALIFY formulation at 100 TB. Runs
+#: verbatim on DuckDB (native LATERAL), dialect parity end to end.
+Q168_TEXT = """
+SELECT c.c_custkey, t.o_orderkey, t.o_orderdate, t.o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 2
+) t
+WHERE c.c_acctbal > 9000
+"""
+
+
+def q168_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(Q168_TEXT)
+
+
 SQL_API_QUERIES = {
     "q51_sql_surface": q51_sql_surface,
     "q55_qualify_surface": q55_qualify_surface,
     "q102_recursive_cte": q102_recursive_cte,
+    "q168_lateral_topn": q168_lateral_topn,
 }
 SQL_API_ORACLES = {
     "q51_sql_surface": Q51_TEXT,
     "q55_qualify_surface": Q55_TEXT,
     "q102_recursive_cte": Q102_TEXT,
+    "q168_lateral_topn": Q168_TEXT,
 }

@@ -155,6 +155,9 @@ PINNED_PATTERNS = {
     # collocations stay a heap, stats joins hash.
     "q159_novelty_scores": ["partial_"],
     "q160_collocations": ["TakeOrderedAndProject", "HashJoin"],
+    # q168: the LATERAL subquery must stay DECORRELATED (window + one
+    # join); a per-row rescan would show as a nested-loop/cartesian.
+    "q168_lateral_topn": ["Window"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
