@@ -335,6 +335,80 @@ GROUP BY user_id, session_idx
 """
 
 
+
+def q169_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (Spark >= 3.5 multi-stateful support,
+    exercised on 4.1): a watermarked stream-stream interval join feeding
+    a downstream tumbling-window aggregation in ONE query — two state
+    stores, watermark propagated through the join. Counts attributed
+    purchases (a purchase within 10 min of a same-user click) per day.
+    The sentinel flush rows advance the watermark past every real day
+    window so append mode emits them all; the sentinels' own pair lands
+    in the sentinel-day window, which the final watermark never passes,
+    so drained output == the batch join + GROUP BY — full value oracle.
+    """
+    from ..sources.tables import normalize_instant
+
+    land = _flush_events_landing(spark, sf_dir)
+    schema = spark.read.parquet(land).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(land)
+    ev = normalize_instant(raw, "ts")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + interval {ATTRIBUTION_WINDOW_S} seconds
+            """
+        ),
+        "inner",
+    )
+    daily = (
+        joined.groupBy(F.window("purchase_ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_attributed"))
+        .select(F.col("w.start").alias("day_start"), "n_attributed")
+    )
+    return run_streaming_query(
+        spark, daily, output_mode="append", state_partitions=STATE_PARTITIONS
+    )
+
+
+Q169_SQL = f"""
+WITH c AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(date_trunc('day', p.pts) AS TIMESTAMP) AS day_start,
+       COUNT(*) AS n_attributed
+FROM c JOIN p
+  ON p.user_id = c.user_id
+ AND p.pts >= c.cts
+ AND p.pts <= c.cts + INTERVAL {ATTRIBUTION_WINDOW_S} SECOND
+GROUP BY 1
+"""
+
+
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,
@@ -344,6 +418,7 @@ STREAMING_QUERIES = {
     "q139_streaming_hopping": q139_streaming_hopping,
     "q142_stream_left_outer_join": q142_stream_left_outer_join,
     "q144_streaming_session": q144_streaming_session,
+    "q169_stream_join_then_window": q169_stream_join_then_window,
 }
 
 STREAMING_ORACLES = {
@@ -355,4 +430,5 @@ STREAMING_ORACLES = {
     "q139_streaming_hopping": Q139_SQL,
     "q142_stream_left_outer_join": Q142_SQL,
     "q144_streaming_session": Q144_SQL,
+    "q169_stream_join_then_window": Q169_SQL,
 }

@@ -71,6 +71,7 @@ STREAM_MATERIALIZED = {
     "q139_streaming_hopping",
     "q142_stream_left_outer_join",
     "q144_streaming_session",
+    "q169_stream_join_then_window",
 }
 
 
