@@ -409,6 +409,37 @@ GROUP BY 1
 """
 
 
+def q170_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41's semantics on Spark 4's transformWithStateInPandas (the
+    arbitrary-state API replacing applyInPandasWithState): per-user
+    running totals in a named ValueState, final emission per user equal
+    to the batch aggregate — same oracle as q41, proving the custom
+    stateful operator ports to the new contract unchanged.
+
+    NOT REGISTERED in the driver contract: transformWithStateInPandas
+    serializes its state requests over protobuf, and this environment
+    ships no google.protobuf (pip install is unavailable) — the same
+    environment-impossible class as delta-spark
+    (tests/test_properties.py). tests/test_streaming.py carries the
+    equality test behind a visible skip that self-heals the moment
+    protobuf appears."""
+    from ..streaming.stateful import stateful_user_totals_tws
+
+    ev = stream_events(spark, sf_dir)
+    out = run_streaming_query(
+        spark,
+        stateful_user_totals_tws(ev),
+        output_mode="update",
+        state_partitions=STATE_PARTITIONS,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,

@@ -64,3 +64,62 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twin (Spark 4's arbitrary-state API, SPARK-46815):
+# the same per-user running totals as stateful_user_totals, but on the
+# new StatefulProcessor contract — named ValueState cells (schema'd,
+# TTL-capable), explicit lifecycle (init/handleInputRows/close), and
+# timeMode/timer hooks the old GroupState API lacks. Output equality
+# with the q41 operator AND the batch aggregate is oracle-checked
+# (q170), proving the engine carries its custom-state semantics forward
+# onto the API Spark is migrating stateful pipelines to.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user (count, exact micro-unit total) in a named ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n, micro = (
+            self._totals.get() if self._totals.exists() else (0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            micro += int(pdf["micro"].fillna(0).sum())
+        self._totals.update((n, micro))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [micro / 1_000_000],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` flavor of :func:`stateful_user_totals`
+    — identical JVM-side micro-unit quantization, identical emissions."""
+    with_micro = events.withColumn(
+        "micro",
+        (F.col("value").cast("decimal(38,6)") * F.lit(1_000_000)).cast("long"),
+    ).select("user_id", "micro")
+    return with_micro.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
