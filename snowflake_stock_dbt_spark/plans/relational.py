@@ -600,6 +600,78 @@ ORDER BY name_a, name_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q170 — referential-integrity REPORT: per-relationship orphan counts
+# and rates across the warehouse's FK edges (lineitem→orders,
+# lineitem→part, lineitem→supplier, orders→customer, customer→nation,
+# supplier→nation, nation→region) — the dbt `relationships` test
+# (quality/checks.py) turned into a registered, oracle-checked query a
+# monitoring job can schedule. Each edge is one LEFT ANTI join against
+# the (broadcast-where-small) parent key set; rates are one exact-int
+# division. Never a row-level full join: only key columns move.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q170_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        n_rows = c.count()
+        orphans = (
+            c.select(F.col(ck).alias("__ck"))
+            .where(F.col("__ck").isNotNull())
+            .join(p, F.col("__ck") == F.col("__pk"), "left_anti")
+            .count()
+        )
+        parts.append(
+            (f"{child}.{ck}->{parent}.{pk}", n_rows, orphans)
+        )
+    out = spark.createDataFrame(
+        parts, "relationship STRING, n_rows BIGINT, n_orphans BIGINT"
+    )
+    return out.select(
+        "relationship",
+        "n_rows",
+        "n_orphans",
+        (
+            F.col("n_orphans").cast("double") / F.col("n_rows").cast("double")
+        ).alias("orphan_rate"),
+    )
+
+
+_FK_UNION = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{ck}->{parent}.{pk}' AS relationship,
+       (SELECT COUNT(*) FROM {child}) AS n_rows,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE c.{ck} IS NOT NULL
+          AND c.{ck} NOT IN (SELECT {pk} FROM {parent})) AS n_orphans"""
+    for child, ck, parent, pk in _FK_EDGES
+)
+
+Q170_SQL = f"""
+WITH base AS (
+{_FK_UNION}
+)
+SELECT relationship, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_rate
+FROM base
+"""
+
+
 RELATIONAL_QUERIES = {
     "q31_rollup": q31_rollup,
     "q32_cube": q32_cube,
@@ -615,6 +687,7 @@ RELATIONAL_QUERIES = {
     "q62_unpivot": q62_unpivot,
     "q63_date_spine": q63_date_spine,
     "q92_fuzzy_join": q92_fuzzy_join,
+    "q170_fk_orphans": q170_fk_orphans,
 }
 
 RELATIONAL_ORACLES = {
@@ -632,4 +705,5 @@ RELATIONAL_ORACLES = {
     "q62_unpivot": Q62_SQL,
     "q63_date_spine": Q63_SQL,
     "q92_fuzzy_join": Q92_SQL,
+    "q170_fk_orphans": Q170_SQL,
 }
