@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_SUM as SQL_DEC_SUM_X
 from ..functions.numeric import exact_grouped_percentiles
+from ..functions.text import hash60_sql
 from ..sources.tables import load_table
 
 APPROX_RSD = 0.01
@@ -726,6 +727,126 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q171 — ROBUST trend detection on the daily revenue series: Theil–Sen
+# median slope + the Mann–Kendall S statistic, per return flag, over a
+# DETERMINISTIC 1-in-8 hash sample of day pairs. The classical
+# estimators are O(days²) in pairs; the sampled variant is the standard
+# scale adaptation, and hashing (not RNG) picks the SAME pairs on every
+# engine/run — so the whole thing carries a full value oracle (the q71
+# deterministic-sampling rule applied to pair space). Slopes are one
+# double division per pair on identical inputs; the median reuses the
+# q45 value-counts machinery (never the buffering builtin); S is an
+# exact integer sum. Pair volume is bounded by the DAILY series (grows
+# with time, not data) — the first keyed agg reduces the raw scan.
+# ---------------------------------------------------------------------------
+
+_TS_EPOCH = "1995-01-01"
+_TS_SAMPLE_MOD = 8
+
+
+def q171_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.select(
+            "l_returnflag",
+            F.datediff(F.to_date("l_shipdate"), F.lit(_TS_EPOCH).cast("date"))
+            .alias("x"),
+            F.col("l_extendedprice").cast("decimal(38,2)").alias("p"),
+        )
+        .groupBy("l_returnflag", "x")
+        .agg(F.sum("p").cast("double").alias("y"))
+    )
+    a = base.select(
+        "l_returnflag", F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = base.select(
+        "l_returnflag", F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    keep = (
+        F.pmod(
+            hash60(
+                F.concat_ws(
+                    ":",
+                    F.lit("ts"),
+                    F.col("l_returnflag"),
+                    F.col("x1").cast("string"),
+                    F.col("x2").cast("string"),
+                )
+            ),
+            F.lit(_TS_SAMPLE_MOD),
+        )
+        == 0
+    )
+    pairs = (
+        a.join(b, "l_returnflag")
+        .where(F.col("x1") < F.col("x2"))
+        .where(keep)
+    )
+    # The equi-join's parallelism is |flags|; re-spread the sampled
+    # pairs before the slope/median stage (the cosine_neardup rule).
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism,
+        F.col("x1"),
+        F.col("x2"),
+    )
+    slopes = pairs.select(
+        "l_returnflag",
+        (
+            (F.col("y2") - F.col("y1"))
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope"),
+        F.when(F.col("y2") > F.col("y1"), 1)
+        .when(F.col("y2") < F.col("y1"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    ).persist()
+    med = exact_grouped_percentiles(
+        slopes, "l_returnflag", "slope", {"ts_slope": 0.5}
+    ).select("l_returnflag", "ts_slope")
+    mk = slopes.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("mk_s"),
+    )
+    return mk.join(med, "l_returnflag").select(
+        "l_returnflag",
+        "n_pairs",
+        "mk_s",
+        F.round("ts_slope", 9).alias("ts_slope"),
+    )
+
+
+Q171_SQL = f"""
+WITH base AS (
+    SELECT l_returnflag,
+           CAST(l_shipdate AS DATE) - DATE '{_TS_EPOCH}' AS x,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS y
+    FROM lineitem GROUP BY 1, CAST(l_shipdate AS DATE)
+),
+pairs AS (
+    SELECT a.l_returnflag, a.x AS x1, b.x AS x2, a.y AS y1, b.y AS y2
+    FROM base a JOIN base b
+      ON a.l_returnflag = b.l_returnflag AND a.x < b.x
+    WHERE {hash60_sql("'ts:' || a.l_returnflag || ':' || CAST(a.x AS VARCHAR) || ':' || CAST(b.x AS VARCHAR)")}
+          % {_TS_SAMPLE_MOD} = 0
+),
+slopes AS (
+    SELECT l_returnflag,
+           (y2 - y1) / CAST(x2 - x1 AS DOUBLE) AS slope,
+           CASE WHEN y2 > y1 THEN 1 WHEN y2 < y1 THEN -1 ELSE 0 END AS sgn
+    FROM pairs
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(sgn) AS BIGINT) AS mk_s,
+       round(quantile_cont(slope, 0.5), 9) AS ts_slope
+FROM slopes
+GROUP BY l_returnflag
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -738,6 +859,7 @@ SCALE_QUERIES = {
     "q153_mad_outliers": q153_mad_outliers,
     "q155_linear_regression": q155_linear_regression,
     "q163_quantile_binning": q163_quantile_binning,
+    "q171_robust_trend": q171_robust_trend,
 }
 
 SCALE_ORACLES = {
@@ -752,4 +874,5 @@ SCALE_ORACLES = {
     "q153_mad_outliers": Q153_SQL,
     "q155_linear_regression": Q155_SQL,
     "q163_quantile_binning": Q163_SQL,
+    "q171_robust_trend": Q171_SQL,
 }
