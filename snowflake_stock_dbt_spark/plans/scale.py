@@ -16,7 +16,7 @@ KLL-style sketch) exactly like q46 swaps in HLL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_SUM as SQL_DEC_SUM_X
@@ -847,6 +847,100 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q172 — CUSUM changepoint detection on the daily revenue series: the
+# day t maximizing |Σ_{i<=t}(y_i − ȳ)| — the classical single-
+# changepoint location statistic — per return flag. Made EXACT by
+# clearing denominators: the statistic's numerator N_t = n·P_t − t·S
+# (P_t = prefix sum of revenue in integer cents, S = total cents) is
+# pure int64 arithmetic, so the argmax can never be flipped by float
+# accumulation — and integer window sums are accumulation-order-safe,
+# dodging the segment-tree-vs-running-frame trap that makes double
+# cumsums engine-specific (the q140 lesson). One daily agg, one
+# per-flag 1-row broadcast, one ordered window over the BOUNDED daily
+# series, one argmax row_number.
+# ---------------------------------------------------------------------------
+
+
+def q172_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.select(
+            "l_returnflag",
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_extendedprice").cast("decimal(38,2)").alias("p"),
+        )
+        .groupBy("l_returnflag", "d")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    tot = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    cum = (
+        base.join(F.broadcast(tot), "l_returnflag")
+        .withColumn("pt", F.sum("cents").over(w))
+        .withColumn("t", F.row_number().over(w))
+        .withColumn(
+            "n_t", F.col("n") * F.col("pt") - F.col("t") * F.col("s")
+        )
+    )
+    pick = Window.partitionBy("l_returnflag").orderBy(
+        F.abs(F.col("n_t")).desc(), F.col("d")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("d").alias("changepoint_day"),
+            F.col("n").cast("long").alias("n_days"),
+            F.abs(F.col("n_t")).cast("long").alias("cusum_numer"),
+            F.round(
+                F.abs(F.col("n_t")).cast("double")
+                / F.col("n").cast("double")
+                / F.lit(100.0),
+                9,
+            ).alias("cusum_stat"),
+        )
+    )
+
+
+Q172_SQL = """
+WITH base AS (
+    SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+    SELECT l_returnflag, COUNT(*) AS n, SUM(cents) AS s
+    FROM base GROUP BY 1
+),
+cum AS (
+    SELECT base.l_returnflag, base.d, tot.n,
+           tot.n * SUM(base.cents) OVER (
+               PARTITION BY base.l_returnflag ORDER BY base.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - ROW_NUMBER() OVER (
+               PARTITION BY base.l_returnflag ORDER BY base.d
+           ) * tot.s AS n_t
+    FROM base JOIN tot USING (l_returnflag)
+)
+SELECT l_returnflag, d AS changepoint_day,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(ABS(n_t) AS BIGINT) AS cusum_numer,
+       round(CAST(ABS(n_t) AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 9)
+           AS cusum_stat
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag ORDER BY ABS(n_t) DESC, d
+    ) AS rn
+    FROM cum
+) WHERE rn = 1
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -860,6 +954,7 @@ SCALE_QUERIES = {
     "q155_linear_regression": q155_linear_regression,
     "q163_quantile_binning": q163_quantile_binning,
     "q171_robust_trend": q171_robust_trend,
+    "q172_cusum_changepoint": q172_cusum_changepoint,
 }
 
 SCALE_ORACLES = {
@@ -875,4 +970,5 @@ SCALE_ORACLES = {
     "q155_linear_regression": Q155_SQL,
     "q163_quantile_binning": Q163_SQL,
     "q171_robust_trend": Q171_SQL,
+    "q172_cusum_changepoint": Q172_SQL,
 }
