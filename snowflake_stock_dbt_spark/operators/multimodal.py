@@ -363,12 +363,6 @@ def phash_bands(media: DataFrame, min_bytes: int = PHASH_SEGMENTS) -> DataFrame:
     schema = "media_id long, " + ", ".join(
         f"b{i} long" for i in range(n_bands)
     )
-    # Spread media across the cluster BEFORE the Python seam (PLANS.md
-    # journal item 17): a one-file parquet otherwise pins every decode
-    # to the scan tasks.
-    from ..functions.partitioning import ensure_min_parallelism
-
-    media = ensure_min_parallelism(media, F.col("media_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shifts = np.arange(band_bits, dtype=np.int64)

@@ -43,7 +43,6 @@ from ..operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from ..functions.partitioning import ensure_min_parallelism
 from ..sources.tables import load_table
 
 _MODALITY = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
@@ -71,9 +70,6 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ENCODED as real files — BMP (doc_id%3==0), WAV (1), RVID (2) —
     whose decoded content equals a prefix of the document text."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Spread before the synth-encode Python seam (PLANS.md journal item
-    # 17) so encoding parallelizes past the parquet's file count.
-    docs = ensure_min_parallelism(docs, F.col("doc_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
