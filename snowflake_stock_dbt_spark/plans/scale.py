@@ -759,31 +759,34 @@ def q171_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "x")
         .agg(F.sum("p").cast("double").alias("y"))
     )
-    a = base.select(
-        "l_returnflag", F.col("x").alias("x1"), F.col("y").alias("y1")
+    # Hash each DAY once (|days| md5 calls), sample a pair iff
+    # (h1 + h2) % MOD == 0 — uniform over pairs, deterministic, and the
+    # 9.4M-candidate filter is one add+mod per pair instead of an md5
+    # (the first registration md5'd every candidate pair inside the
+    # |flags|-parallel join stage: 11.4s; this shape is ~2s).
+    hashed = base.withColumn(
+        "h",
+        hash60(
+            F.concat_ws(
+                ":", F.lit("ts"), F.col("l_returnflag"),
+                F.col("x").cast("string"),
+            )
+        ),
     )
-    b = base.select(
-        "l_returnflag", F.col("x").alias("x2"), F.col("y").alias("y2")
+    a = hashed.select(
+        "l_returnflag", F.col("x").alias("x1"), F.col("y").alias("y1"),
+        F.col("h").alias("h1"),
     )
-    keep = (
-        F.pmod(
-            hash60(
-                F.concat_ws(
-                    ":",
-                    F.lit("ts"),
-                    F.col("l_returnflag"),
-                    F.col("x1").cast("string"),
-                    F.col("x2").cast("string"),
-                )
-            ),
-            F.lit(_TS_SAMPLE_MOD),
-        )
-        == 0
+    b = hashed.select(
+        "l_returnflag", F.col("x").alias("x2"), F.col("y").alias("y2"),
+        F.col("h").alias("h2"),
     )
     pairs = (
         a.join(b, "l_returnflag")
         .where(F.col("x1") < F.col("x2"))
-        .where(keep)
+        .where(
+            F.pmod(F.col("h1") + F.col("h2"), F.lit(_TS_SAMPLE_MOD)) == 0
+        )
     )
     # The equi-join's parallelism is |flags|; re-spread the sampled
     # pairs before the slope/median stage (the cosine_neardup rule).
@@ -825,12 +828,15 @@ WITH base AS (
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS y
     FROM lineitem GROUP BY 1, CAST(l_shipdate AS DATE)
 ),
+hashed AS (
+    SELECT *, {hash60_sql("'ts:' || l_returnflag || ':' || CAST(x AS VARCHAR)")} AS h
+    FROM base
+),
 pairs AS (
     SELECT a.l_returnflag, a.x AS x1, b.x AS x2, a.y AS y1, b.y AS y2
-    FROM base a JOIN base b
+    FROM hashed a JOIN hashed b
       ON a.l_returnflag = b.l_returnflag AND a.x < b.x
-    WHERE {hash60_sql("'ts:' || a.l_returnflag || ':' || CAST(a.x AS VARCHAR) || ':' || CAST(b.x AS VARCHAR)")}
-          % {_TS_SAMPLE_MOD} = 0
+    WHERE (a.h + b.h) % {_TS_SAMPLE_MOD} = 0
 ),
 slopes AS (
     SELECT l_returnflag,
