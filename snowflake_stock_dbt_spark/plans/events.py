@@ -799,7 +799,9 @@ _Z_GRID = 65535
 _Z_SHARD_SHIFT = 27  # 32-bit Morton code -> 32 range shards
 
 
-def q157_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _zorder_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q157/q161 projection: events with grid bins, Morton code,
+    and range shard (plus the clustering columns for footer stats)."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.agg(
         F.min("user_id").alias("minu"),
@@ -820,6 +822,8 @@ def q157_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "event_id",
+            "user_id",
+            "value",
             F.least(xb, F.lit(65535)).alias("xb"),
             F.least(yb, F.lit(65535)).alias("yb"),
         )
@@ -827,11 +831,19 @@ def q157_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.expr("(shiftright(xb, 0) % 2) * 1 + (shiftright(yb, 0) % 2) * 2 + (shiftright(xb, 1) % 2) * 4 + (shiftright(yb, 1) % 2) * 8 + (shiftright(xb, 2) % 2) * 16 + (shiftright(yb, 2) % 2) * 32 + (shiftright(xb, 3) % 2) * 64 + (shiftright(yb, 3) % 2) * 128 + (shiftright(xb, 4) % 2) * 256 + (shiftright(yb, 4) % 2) * 512 + (shiftright(xb, 5) % 2) * 1024 + (shiftright(yb, 5) % 2) * 2048 + (shiftright(xb, 6) % 2) * 4096 + (shiftright(yb, 6) % 2) * 8192 + (shiftright(xb, 7) % 2) * 16384 + (shiftright(yb, 7) % 2) * 32768 + (shiftright(xb, 8) % 2) * 65536 + (shiftright(yb, 8) % 2) * 131072 + (shiftright(xb, 9) % 2) * 262144 + (shiftright(yb, 9) % 2) * 524288 + (shiftright(xb, 10) % 2) * 1048576 + (shiftright(yb, 10) % 2) * 2097152 + (shiftright(xb, 11) % 2) * 4194304 + (shiftright(yb, 11) % 2) * 8388608 + (shiftright(xb, 12) % 2) * 16777216 + (shiftright(yb, 12) % 2) * 33554432 + (shiftright(xb, 13) % 2) * 67108864 + (shiftright(yb, 13) % 2) * 134217728 + (shiftright(xb, 14) % 2) * 268435456 + (shiftright(yb, 14) % 2) * 536870912 + (shiftright(xb, 15) % 2) * 1073741824 + (shiftright(yb, 15) % 2) * 2147483648")
     return binned.select(
         "event_id",
+        "user_id",
+        "value",
         "xb",
         "yb",
         z.cast("long").alias("zval"),
     ).withColumn(
         "shard", F.expr(f"shiftright(zval, {_Z_SHARD_SHIFT})").cast("int")
+    )
+
+
+def q157_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _zorder_frame(spark, sf_dir).select(
+        "event_id", "xb", "yb", "zval", "shard"
     )
 
 
@@ -947,12 +959,8 @@ _PRUNE_VALUE_LO, _PRUNE_VALUE_HI = 10.0, 20.0
 
 
 def q161_skipping_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value"
-    )
-    keyed = q157_zorder_keys(spark, sf_dir).select("event_id", "shard")
     m = (
-        ev.join(keyed, "event_id")
+        _zorder_frame(spark, sf_dir)
         .groupBy("shard")
         .agg(
             F.count("*").alias("n_rows"),
