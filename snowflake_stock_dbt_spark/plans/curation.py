@@ -1161,6 +1161,66 @@ GROUP BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Q175 — systematic PPS sampling (probability proportional to size):
+# per language, docs are laid on the cumulative-weight line (weight =
+# n_chars, order = doc_id) and one of every W/k weight units selects
+# the doc under it — the classical systematic estimator, made fully
+# deterministic and integer-exact: a doc is selected iff
+# floor(cum·k/W) > floor((cum−w)·k/W) (integer division both engines),
+# with n_hits > 1 = certainty inclusion of oversized docs. No RNG, no
+# floats, stable under repartitioning; the sampling weight story the
+# token-budget sampler (q146) and stratified sampler (q71) complete.
+# One per-language window cumsum (int64-safe in any accumulation
+# order) + a per-row projection.
+# ---------------------------------------------------------------------------
+
+_PPS_K = 20
+
+
+def q175_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    wall = Window.partitionBy("lang")
+    base = docs.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("weight")
+    )
+    cum = (
+        base.withColumn("cum", F.sum("weight").over(w))
+        .withColumn("total", F.sum("weight").over(wall))
+    )
+    k = F.lit(_PPS_K)
+    hits = F.expr(f"(cum * {_PPS_K}) div total") - F.expr(
+        f"((cum - weight) * {_PPS_K}) div total"
+    )
+    return (
+        cum.withColumn("n_hits", hits.cast("long"))
+        .where(F.col("n_hits") > 0)
+        .select("doc_id", "lang", "weight", F.col("cum").cast("long"), "n_hits")
+    )
+
+
+Q175_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight FROM documents
+),
+cum AS (
+    SELECT doc_id, lang, weight,
+           SUM(weight) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum,
+           SUM(weight) OVER (PARTITION BY lang) AS total
+    FROM base
+)
+SELECT doc_id, lang, weight, CAST(cum AS BIGINT) AS cum,
+       CAST((cum * {_PPS_K}) // total
+          - ((cum - weight) * {_PPS_K}) // total AS BIGINT) AS n_hits
+FROM cum
+WHERE (cum * {_PPS_K}) // total - ((cum - weight) * {_PPS_K}) // total > 0
+"""
+
+
 CURATION_QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
@@ -1176,6 +1236,7 @@ CURATION_QUERIES = {
     "q152_dsir_selection": q152_dsir_selection,
     "q156_mixture_allocation": q156_mixture_allocation,
     "q162_shard_manifest": q162_shard_manifest,
+    "q175_pps_sample": q175_pps_sample,
 }
 
 CURATION_ORACLES = {
@@ -1193,4 +1254,5 @@ CURATION_ORACLES = {
     "q152_dsir_selection": Q152_SQL,
     "q156_mixture_allocation": Q156_SQL,
     "q162_shard_manifest": Q162_SQL,
+    "q175_pps_sample": Q175_SQL,
 }

@@ -1093,6 +1093,73 @@ LIMIT {PATH_TOP_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q174 — SNAPSHOT state diff (the CDC reconciliation primitive): the
+# per-user aggregate state as of cutoff T1 vs as of T2, every user
+# classified new / changed / unchanged — what an incremental pipeline
+# computes to decide which downstream rows to touch. One scan (each
+# cutoff is a conditional aggregate over the same pass — no second
+# read), exact int64/decimal state, classification from exact
+# comparisons. The q91 incremental-agg machinery proves merge ==
+# recompute; this is its user-facing report.
+# ---------------------------------------------------------------------------
+
+_SNAP_T1 = "2024-01-20 00:00:00"
+_SNAP_T2 = "2024-01-30 00:00:00"
+
+
+def q174_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t1 = F.col("ts") < F.to_timestamp(F.lit(_SNAP_T1))
+    t2 = F.col("ts") < F.to_timestamp(F.lit(_SNAP_T2))
+    agg = ev.where(t2).groupBy("user_id").agg(
+        F.sum(F.when(t1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.count("*").cast("long").alias("n2"),
+        F.sum(F.when(t1, F.col("value").cast("decimal(38,6)")))
+        .cast("double")
+        .alias("v1"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("v2"),
+    )
+    status = (
+        F.when(F.col("n1") == 0, F.lit("new"))
+        .when(
+            (F.col("n1") == F.col("n2"))
+            & (F.col("v1").eqNullSafe(F.col("v2"))),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return agg.select(
+        "user_id", "n1", "n2", "v1", "v2", status.alias("status")
+    )
+
+
+Q174_SQL = f"""
+SELECT user_id,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '{_SNAP_T1}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n1,
+       CAST(COUNT(*) AS BIGINT) AS n2,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '{_SNAP_T1}'
+                THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS v1,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v2,
+       CASE WHEN SUM(CASE WHEN ts < TIMESTAMP '{_SNAP_T1}' THEN 1 ELSE 0 END) = 0
+                THEN 'new'
+            WHEN SUM(CASE WHEN ts < TIMESTAMP '{_SNAP_T1}' THEN 1 ELSE 0 END)
+                     = COUNT(*)
+             AND CAST(SUM(CASE WHEN ts < TIMESTAMP '{_SNAP_T1}'
+                      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                 IS NOT DISTINCT FROM
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM events
+WHERE ts < TIMESTAMP '{_SNAP_T2}'
+GROUP BY user_id
+"""
+
+
 EVENT_QUERIES = {
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
@@ -1109,6 +1176,7 @@ EVENT_QUERIES = {
     "q158_last_touch_attribution": q158_last_touch_attribution,
     "q161_skipping_manifest": q161_skipping_manifest,
     "q165_session_paths": q165_session_paths,
+    "q174_snapshot_diff": q174_snapshot_diff,
 }
 
 EVENT_ORACLES = {
@@ -1127,4 +1195,5 @@ EVENT_ORACLES = {
     "q158_last_touch_attribution": Q158_SQL,
     "q161_skipping_manifest": Q161_SQL,
     "q165_session_paths": Q165_SQL,
+    "q174_snapshot_diff": Q174_SQL,
 }

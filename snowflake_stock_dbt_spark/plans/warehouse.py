@@ -1721,6 +1721,78 @@ WHERE deg.deg >= 2"""
 )
 
 
+# ---------------------------------------------------------------------------
+# Q173 — weekday SEASONALITY index: each weekday's mean daily revenue
+# relative to the group's overall mean daily revenue (index > 1 = a
+# strong day) — the decomposition-lite profile demand forecasting
+# starts from. Two keyed aggs over the bounded daily series + one
+# broadcast join; indices are a fixed chain of divisions over
+# exact-decimal sums. Weekday numbering pinned to DuckDB's
+# Sunday=0..Saturday=6 (Spark's dayofweek is Sunday=1, shifted by 1).
+# ---------------------------------------------------------------------------
+
+
+def q173_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            "l_returnflag",
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_extendedprice").cast("decimal(38,2)").alias("p"),
+        )
+        .groupBy("l_returnflag", "d")
+        .agg(F.sum("p").alias("rev"))
+        .select(
+            "l_returnflag",
+            (F.dayofweek("d") - 1).alias("weekday"),
+            "rev",
+        )
+    )
+    per_day = daily.groupBy("l_returnflag", "weekday").agg(
+        F.count("*").alias("n_days"),
+        F.sum("rev").cast("double").alias("s"),
+    )
+    overall = daily.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.sum("rev").cast("double").alias("s_all"),
+    )
+    idx = (
+        (F.col("s") / F.col("n_days"))
+        / (F.col("s_all") / F.col("n_all"))
+    )
+    return per_day.join(F.broadcast(overall), "l_returnflag").select(
+        "l_returnflag",
+        "weekday",
+        "n_days",
+        F.round(F.col("s") / F.col("n_days"), 9).alias("mean_revenue"),
+        F.round(idx, 9).alias("seasonality_index"),
+    )
+
+
+Q173_SQL = """
+WITH daily AS (
+    SELECT l_returnflag,
+           dayofweek(CAST(l_shipdate AS DATE)) AS weekday,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS rev
+    FROM lineitem GROUP BY 1, CAST(l_shipdate AS DATE), 2
+),
+per_day AS (
+    SELECT l_returnflag, weekday, COUNT(*) AS n_days,
+           CAST(SUM(rev) AS DOUBLE) AS s
+    FROM daily GROUP BY 1, 2
+),
+overall AS (
+    SELECT l_returnflag, COUNT(*) AS n_all, CAST(SUM(rev) AS DOUBLE) AS s_all
+    FROM daily GROUP BY 1
+)
+SELECT p.l_returnflag, p.weekday, p.n_days,
+       round(p.s / p.n_days, 9) AS mean_revenue,
+       round((p.s / p.n_days) / (o.s_all / o.n_all), 9)
+           AS seasonality_index
+FROM per_day p JOIN overall o USING (l_returnflag)
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -1751,6 +1823,7 @@ WAREHOUSE_QUERIES = {
     "q141_k_core": q141_k_core,
     "q154_ewma_revenue": q154_ewma_revenue,
     "q167_clustering_coefficient": q167_clustering_coefficient,
+    "q173_weekday_seasonality": q173_weekday_seasonality,
 }
 
 WAREHOUSE_ORACLES = {
@@ -1783,4 +1856,5 @@ WAREHOUSE_ORACLES = {
     "q141_k_core": Q141_SQL,
     "q154_ewma_revenue": Q154_SQL,
     "q167_clustering_coefficient": Q167_SQL,
+    "q173_weekday_seasonality": Q173_SQL,
 }
