@@ -36,6 +36,7 @@ from ..operators.textdedup import (
     base_hash31,
     exact_dedup_groups,
     minhash_lsh_pairs,
+    minhash_signatures,
     minhash_params,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -1193,6 +1194,118 @@ WHERE common * {CONTAINMENT_DEN} >= s.n * {CONTAINMENT_NUM}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q176 — MinHash ACCURACY report: for every LSH candidate pair, the
+# signature-match estimate (matching components / 64) next to the exact
+# shingle Jaccard and the |error| — the calibration evidence that the
+# banded sketch is doing what the s-curve math claims. Everything is
+# deterministic (the md5-seeded hash family Q21/Q22 already replicate
+# in SQL), so even the "approximate" column carries a full value
+# oracle; within_tol is a COMPUTED comparison, not a pinned constant.
+# Shapes: the q22 banded candidate join + two signature joins on doc
+# ids + the q20 common-shingle agg restricted to candidates.
+# ---------------------------------------------------------------------------
+
+MINHASH_ACC_TOL = 0.35
+
+
+def q176_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
+    sig = minhash_signatures(docs, "doc_id", "text")
+    n = 64
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(n)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(n)],
+    )
+    match = None
+    for i in range(n):
+        m = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        match = m if match is None else match + m
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    est = F.col("n_matching").cast("double") / F.lit(float(n))
+    err = F.abs(est - F.col("jaccard"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_matching", match.cast("int"))
+        .select("doc_a", "doc_b", "n_matching")
+        .join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matching",
+            F.round(est, 9).alias("minhash_estimate"),
+            F.round("jaccard", 9).alias("exact_jaccard"),
+            F.round(err, 9).alias("abs_err"),
+            (err <= MINHASH_ACC_TOL).alias("within_tol"),
+        )
+    )
+
+
+Q176_SQL = rf"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES},
+{_params_values_sql(64)},
+hashed AS (
+    SELECT doc_id, {_SQL_BASE31} AS h FROM sh
+),
+sig AS (
+    SELECT doc_id, seed, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+    FROM hashed CROSS JOIN params
+    GROUP BY doc_id, seed
+),
+banded AS (
+    SELECT doc_id, seed // 4 AS band_id,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+    FROM sig
+    GROUP BY doc_id, seed // 4
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+),
+matches AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END) AS INT)
+               AS n_matching
+    FROM cand c
+    JOIN sig x ON x.doc_id = c.doc_a
+    JOIN sig y ON y.doc_id = c.doc_b AND y.seed = x.seed
+    GROUP BY 1, 2
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+exact AS (
+    SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE)
+               AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT m.doc_a, m.doc_b, m.n_matching,
+       round(CAST(m.n_matching AS DOUBLE) / 64.0, 9) AS minhash_estimate,
+       round(e.jaccard, 9) AS exact_jaccard,
+       round(ABS(CAST(m.n_matching AS DOUBLE) / 64.0 - e.jaccard), 9)
+           AS abs_err,
+       ABS(CAST(m.n_matching AS DOUBLE) / 64.0 - e.jaccard)
+           <= {MINHASH_ACC_TOL} AS within_tol
+FROM matches m JOIN exact e USING (doc_a, doc_b)
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -1217,6 +1330,7 @@ LLM_TEXT_QUERIES = {
     "q159_novelty_scores": q159_novelty_scores,
     "q160_collocations": q160_collocations,
     "q164_containment_pairs": q164_containment_pairs,
+    "q176_minhash_accuracy": q176_minhash_accuracy,
 }
 
 LLM_TEXT_ORACLES = {
@@ -1243,4 +1357,5 @@ LLM_TEXT_ORACLES = {
     "q159_novelty_scores": Q159_SQL,
     "q160_collocations": Q160_SQL,
     "q164_containment_pairs": Q164_SQL,
+    "q176_minhash_accuracy": Q176_SQL,
 }
