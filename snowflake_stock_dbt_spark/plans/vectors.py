@@ -872,8 +872,7 @@ def q151_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # squared distance to the trained integer centroids (cent{iters} from the
 # unrolled k-means chain — the same statistic q150's coarse probes pin),
 # then the integer dot / sqrt-int-norm cosine over in-bucket candidates.
-Q151_SQL = f"""
-WITH {_kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS)},
+Q151_BODY = f"""{_kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS)},
 vnorm AS (
     SELECT vec_id, SUM(CAST(v9 * v9 AS HUGEINT)) AS nq FROM ui GROUP BY 1
 ),
@@ -910,12 +909,16 @@ scored AS (
     JOIN vnorm cv2 ON cv2.vec_id = dots.dst_id
 ),
 ranked AS (
-    SELECT *, CAST(ROW_NUMBER() OVER (
-        PARTITION BY src_id ORDER BY cosine DESC NULLS LAST, dst_id
-    ) AS INT) AS rank
+    SELECT src_id, dst_id, round(cosine, 9) AS r_cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY src_id ORDER BY cosine DESC NULLS LAST, dst_id
+           ) AS INT) AS rank
     FROM scored
-)
-SELECT src_id, dst_id, round(cosine, 9) AS cosine, rank
+)"""
+
+Q151_SQL = f"""
+WITH {Q151_BODY}
+SELECT src_id, dst_id, r_cosine AS cosine, rank
 FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
@@ -1083,6 +1086,67 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q178 — SEMANTIC CLUSTERS over the k-NN graph: q151's neighbor edges
+# thresholded at cosine >= 0.35, symmetrized, and closed into connected
+# components (operators/graph.py label propagation) — the "graph-based
+# clustering" consumer the knn-graph docstring promises, and the
+# agglomerative alternative to q118's SemDeDup keep-rule (clusters
+# instead of survivors). Threshold applies to the ROUNDED cosine both
+# engines already agree on. Oracle: the q151 chain as CTEs + the q147
+# recursive-closure pattern over the embeddings vertex set.
+# ---------------------------------------------------------------------------
+
+KNN_CLUSTER_THRESHOLD = 0.35
+
+
+def q178_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import neardup_components
+
+    g = q151_knn_graph(spark, sf_dir)
+    pairs = (
+        g.where(F.col("cosine") >= KNN_CLUSTER_THRESHOLD)
+        .select(
+            F.least("src_id", "dst_id").alias("va"),
+            F.greatest("src_id", "dst_id").alias("vb"),
+        )
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return neardup_components(
+        pairs, emb, id_col="vec_id", pair_a="va", pair_b="vb"
+    ).orderBy("vec_id")
+
+
+Q178_SQL = f"""
+WITH RECURSIVE {Q151_BODY},
+knn AS (
+    SELECT src_id, dst_id FROM ranked
+    WHERE rank <= {KNN_GRAPH_K} AND r_cosine >= {KNN_CLUSTER_THRESHOLD}
+),
+edges AS (
+    SELECT src_id AS a, dst_id AS b FROM knn
+    UNION
+    SELECT dst_id, src_id FROM knn
+),
+reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (
+    SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+),
+sizes AS (
+    SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT comp.vec_id, comp.component, sizes.cluster_size,
+       comp.vec_id = comp.component AS is_keeper
+FROM comp JOIN sizes USING (component)
+ORDER BY comp.vec_id
+"""
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q26_ann_ivf": q26_ann_ivf,
@@ -1095,11 +1159,13 @@ VECTOR_QUERIES = {
     "q150_ivfpq_search": q150_ivfpq_search,
     "q151_knn_graph": q151_knn_graph,
     "q166_binary_quant_search": q166_binary_quant_search,
+    "q178_knn_clusters": q178_knn_clusters,
 }
 
 VECTOR_ORACLES = {
     "q151_knn_graph": Q151_SQL,
     "q166_binary_quant_search": Q166_SQL,
+    "q178_knn_clusters": Q178_SQL,
     "q106_ann_ivf_trained": Q106_SQL,
     "q118_semantic_dedup": Q118_SQL,
     "q145_pq_encode": Q145_SQL,

@@ -1793,6 +1793,95 @@ FROM per_day p JOIN overall o USING (l_returnflag)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q177 — FREQUENT ITEM PAIRS (market-basket analysis, the A-priori
+# shape): part pairs co-purchased in >= MIN_PAIR_SUPPORT orders, with
+# per-pair lift computed from exact integer supports. The A-priori
+# property does the scaling work: items below MIN_ITEM_SUPPORT are
+# pruned BEFORE the in-basket pair explosion (a pair of infrequent
+# items cannot be frequent), so pair volume is bounded by frequent-item
+# co-occurrence, never basket-size². All counts int64; lift is one
+# double division of exact products (< 2^53 far past gate scale).
+# ---------------------------------------------------------------------------
+
+_PAIR_MIN_ITEM = 3
+_PAIR_MIN_SUPPORT = 2
+_PAIR_TOP_N = 100
+
+
+def q177_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("item_support"))
+        .where(F.col("item_support") >= _PAIR_MIN_ITEM)
+    )
+    fi = items.join(freq, "l_partkey")
+    a = fi.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("pa"),
+        F.col("item_support").alias("sa"),
+    )
+    b = fi.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("pb"),
+        F.col("item_support").alias("sb"),
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count("*").alias("support"),
+            F.min("sa").alias("sa"),
+            F.min("sb").alias("sb"),
+        )
+        .where(F.col("support") >= _PAIR_MIN_SUPPORT)
+    )
+    lift = (F.col("support") * F.lit(n_orders)).cast("double") / (
+        F.col("sa") * F.col("sb")
+    ).cast("double")
+    return (
+        pairs.select(
+            "pa", "pb", "support", "sa", "sb", F.round(lift, 9).alias("lift")
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(_PAIR_TOP_N)
+    )
+
+
+Q177_SQL = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+freq AS (
+    SELECT l_partkey, COUNT(*) AS item_support
+    FROM items GROUP BY 1 HAVING COUNT(*) >= {_PAIR_MIN_ITEM}
+),
+fi AS (
+    SELECT i.l_orderkey, i.l_partkey, f.item_support
+    FROM items i JOIN freq f USING (l_partkey)
+),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support,
+           MIN(a.item_support) AS sa, MIN(b.item_support) AS sb
+    FROM fi a JOIN fi b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_PAIR_MIN_SUPPORT}
+)
+SELECT pa, pb, support, sa, sb,
+       round(CAST(support * n_orders.n AS DOUBLE)
+             / CAST(sa * sb AS DOUBLE), 9) AS lift
+FROM pairs CROSS JOIN n_orders
+ORDER BY lift DESC, pa, pb
+LIMIT {_PAIR_TOP_N}
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -1824,6 +1913,7 @@ WAREHOUSE_QUERIES = {
     "q154_ewma_revenue": q154_ewma_revenue,
     "q167_clustering_coefficient": q167_clustering_coefficient,
     "q173_weekday_seasonality": q173_weekday_seasonality,
+    "q177_frequent_pairs": q177_frequent_pairs,
 }
 
 WAREHOUSE_ORACLES = {
@@ -1857,4 +1947,5 @@ WAREHOUSE_ORACLES = {
     "q154_ewma_revenue": Q154_SQL,
     "q167_clustering_coefficient": Q167_SQL,
     "q173_weekday_seasonality": Q173_SQL,
+    "q177_frequent_pairs": Q177_SQL,
 }
