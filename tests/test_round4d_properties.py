@@ -144,3 +144,87 @@ def test_theil_sen_slope_sign_matches_full_estimate(spark, oracle_sf_dir):
         sampled = got[flag]
         scale = max(abs(full), 1e-9)
         assert abs(sampled - full) / scale < 0.5, (flag, sampled, full)
+
+
+def test_frequent_pairs_match_python_replay(spark, oracle_sf_dir):
+    """Supports, lift and the top-100 cut must equal a straight Python
+    replay of the A-priori pipeline."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from snowflake_stock_dbt_spark.plans.warehouse import q177_frequent_pairs
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"'{oracle_sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    baskets = defaultdict(set)
+    item_support: Counter = Counter()
+    for ok, pk in rows:
+        baskets[ok].add(pk)
+        item_support[pk] += 1
+    n_orders = len(baskets)
+    freq = {p for p, c in item_support.items() if c >= 3}
+    pair_support: Counter = Counter()
+    for items in baskets.values():
+        fi = sorted(i for i in items if i in freq)
+        for i in range(len(fi)):
+            for j in range(i + 1, len(fi)):
+                pair_support[(fi[i], fi[j])] += 1
+    cands = []
+    for (a, b), sup in pair_support.items():
+        if sup >= 2:
+            lift = round(
+                (sup * n_orders) / (item_support[a] * item_support[b]), 9
+            )
+            cands.append((lift, a, b, sup))
+    cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = {(a, b): (sup, lift) for lift, a, b, sup in cands[:100]}
+    got = {
+        (r["pa"], r["pb"]): (r["support"], r["lift"])
+        for r in q177_frequent_pairs(spark, oracle_sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_knn_clusters_equal_union_find_over_graph_edges(spark, oracle_sf_dir):
+    """Cluster labels must equal a Python union-find over the SAME
+    thresholded knn edges (min-id representative convention)."""
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        KNN_CLUSTER_THRESHOLD,
+        q151_knn_graph,
+        q178_knn_clusters,
+    )
+
+    g = q151_knn_graph(spark, oracle_sf_dir).collect()
+    edges = [
+        (min(r["src_id"], r["dst_id"]), max(r["src_id"], r["dst_id"]))
+        for r in g
+        if r["cosine"] >= KNN_CLUSTER_THRESHOLD
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    got = {
+        r["vec_id"]: r["component"]
+        for r in q178_knn_clusters(spark, oracle_sf_dir).collect()
+    }
+    for vid, comp in got.items():
+        if vid in parent:
+            assert comp == find(vid), vid
+        else:
+            assert comp == vid, vid
