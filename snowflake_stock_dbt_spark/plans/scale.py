@@ -947,6 +947,128 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q179 — EXACT distributed SPEARMAN rank correlation (l_quantity vs
+# l_discount per return flag): rho = Pearson over average ranks, with
+# the ranks coming from the q45 value-counts frame — avg rank of a tied
+# value = cum_start + (cnt+1)/2, computed per DISTINCT value (domains
+# here are ~50 and ~11 values), broadcast back, doubled into integers
+# (denominator 2 cleared) so every moment is an exact int64 sum. The
+# classical rank-correlation estimator with no global sort, no pair
+# enumeration, and a fixed-IEEE final chain (the q79 recipe on ranks).
+# ---------------------------------------------------------------------------
+
+
+def _rank_map(df, group_col: str, value_col: str, out: str):
+    """Per (group, distinct value): DOUBLED average rank (exact int)."""
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (
+        counts.withColumn("cum_end", F.sum("cnt").over(w))
+        .select(
+            group_col,
+            value_col,
+            # doubled avg rank: 2*(cum_start + (cnt+1)/2) = 2*cum_end - cnt + 1
+            (F.lit(2) * F.col("cum_end") - F.col("cnt") + 1)
+            .cast("long")
+            .alias(out),
+        )
+    )
+
+
+def q179_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_discount").cast("double").alias("y"),
+    )
+    rx = _rank_map(li, "l_returnflag", "x", "rx")
+    ry = _rank_map(li, "l_returnflag", "y", "ry")
+    ranked = li.join(F.broadcast(rx), ["l_returnflag", "x"]).join(
+        F.broadcast(ry), ["l_returnflag", "y"]
+    )
+    # Product terms are < 2^63 per element (rx <= 2n), but their SUMS
+    # pass int64 around n ~ 1e9 rows — accumulate in DECIMAL(38,0)
+    # (exact, like DuckDB's BIGINT->HUGEINT sums) and round to double
+    # once, the dec_sum contract.
+    d = "decimal(38,0)"
+    mom = ranked.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("rx").cast(d)).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast(d)).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(d)).cast("double").alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(d)).cast("double").alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(d)).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return mom.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 9).alias("spearman_rho"),
+    )
+
+
+Q179_SQL = """
+WITH pts AS (
+    SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_discount AS DOUBLE) AS y
+    FROM lineitem
+),
+cx AS (
+    SELECT l_returnflag, x, COUNT(*) AS cnt FROM pts
+    WHERE x IS NOT NULL GROUP BY 1, 2
+),
+rx AS (
+    SELECT l_returnflag, x,
+           CAST(2 * SUM(cnt) OVER (
+               PARTITION BY l_returnflag ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - cnt + 1 AS BIGINT) AS rx
+    FROM cx
+),
+cy AS (
+    SELECT l_returnflag, y, COUNT(*) AS cnt FROM pts
+    WHERE y IS NOT NULL GROUP BY 1, 2
+),
+ry AS (
+    SELECT l_returnflag, y,
+           CAST(2 * SUM(cnt) OVER (
+               PARTITION BY l_returnflag ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - cnt + 1 AS BIGINT) AS ry
+    FROM cy
+),
+ranked AS (
+    SELECT p.l_returnflag, rx.rx, ry.ry
+    FROM pts p
+    JOIN rx ON rx.l_returnflag = p.l_returnflag AND rx.x = p.x
+    JOIN ry ON ry.l_returnflag = p.l_returnflag AND ry.y = p.y
+),
+mom AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(rx) AS DOUBLE) AS sx,
+           CAST(SUM(ry) AS DOUBLE) AS sy,
+           CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+           CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+           CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+    FROM ranked GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / NULLIF(sqrt(n * sxx - sx * sx)
+                      * sqrt(n * syy - sy * sy), 0.0), 9) AS spearman_rho
+FROM mom
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -961,6 +1083,7 @@ SCALE_QUERIES = {
     "q163_quantile_binning": q163_quantile_binning,
     "q171_robust_trend": q171_robust_trend,
     "q172_cusum_changepoint": q172_cusum_changepoint,
+    "q179_spearman": q179_spearman,
 }
 
 SCALE_ORACLES = {
@@ -977,4 +1100,5 @@ SCALE_ORACLES = {
     "q163_quantile_binning": Q163_SQL,
     "q171_robust_trend": Q171_SQL,
     "q172_cusum_changepoint": Q172_SQL,
+    "q179_spearman": Q179_SQL,
 }
