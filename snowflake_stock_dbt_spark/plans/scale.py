@@ -1069,6 +1069,60 @@ FROM mom
 """
 
 
+# ---------------------------------------------------------------------------
+# Q180 — percentile-rank (CDF) TRANSFORM, the cume_dist semantics
+# WITHOUT a window over the data: cume_dist(v) = (# rows <= v)/n comes
+# straight from the value-counts frame (cum_end / n per DISTINCT
+# value — ~50 quantity values per flag), broadcast back onto rows. The
+# oracle deliberately uses DuckDB's NATIVE cume_dist() window so the
+# distributed formulation is proven equivalent to the built-in
+# semantics (the q45 proof pattern, applied to ranking). A full
+# per-group sort window would single-thread each group at 100 TB; this
+# shape is one distinct-value agg + a broadcast join.
+# ---------------------------------------------------------------------------
+
+
+def q180_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    counts = (
+        li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("qty")
+    wg = Window.partitionBy("l_returnflag")
+    cdf = (
+        counts.withColumn("cum_end", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wg))
+        .select(
+            "l_returnflag",
+            "qty",
+            (F.col("cum_end").cast("double") / F.col("n").cast("double"))
+            .alias("pct_rank"),
+        )
+    )
+    return li.join(F.broadcast(cdf), ["l_returnflag", "qty"]).select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty").alias("l_quantity"),
+        F.round("pct_rank", 9).alias("pct_rank"),
+    )
+
+
+Q180_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       round(cume_dist() OVER (
+           PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS DOUBLE)
+       ), 9) AS pct_rank
+FROM lineitem
+"""
+
+
 SCALE_QUERIES = {
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -1084,6 +1138,7 @@ SCALE_QUERIES = {
     "q171_robust_trend": q171_robust_trend,
     "q172_cusum_changepoint": q172_cusum_changepoint,
     "q179_spearman": q179_spearman,
+    "q180_percentile_rank": q180_percentile_rank,
 }
 
 SCALE_ORACLES = {
@@ -1101,4 +1156,5 @@ SCALE_ORACLES = {
     "q171_robust_trend": Q171_SQL,
     "q172_cusum_changepoint": Q172_SQL,
     "q179_spearman": Q179_SQL,
+    "q180_percentile_rank": Q180_SQL,
 }
