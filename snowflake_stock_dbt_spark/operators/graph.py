@@ -327,13 +327,18 @@ def neardup_components(
     id_col: str = "doc_id",
     pair_a: str = "doc_a",
     pair_b: str = "doc_b",
+    algorithm: str = "label-prop",
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: every document labeled with
     its cluster representative (min doc_id; singletons label themselves),
     plus the cluster size — the direct input to a keep-one-per-cluster
-    filter (``keep = doc_id == component``)."""
+    filter (``keep = doc_id == component``). ``algorithm`` passes through
+    to :func:`connected_components` (label-prop for tiny-diameter
+    near-dup cliques; two-phase for chain-prone graphs like q178's
+    thresholded k-NN edges — measured 11.5s vs 4.9s there)."""
     cc = connected_components(
-        pairs, src=pair_a, dst=pair_b, vertices=all_docs, id_col=id_col
+        pairs, src=pair_a, dst=pair_b, vertices=all_docs, id_col=id_col,
+        algorithm=algorithm,
     )
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
