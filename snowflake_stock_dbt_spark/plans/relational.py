@@ -629,15 +629,23 @@ def q170_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = load_table(spark, sf_dir, parent).select(
             F.col(pk).alias("__pk")
         ).distinct()
-        n_rows = c.count()
-        orphans = (
+        # One job per edge (dbt's execution model — journal item 15),
+        # but count total and orphans in the SAME left-join pass.
+        row = (
             c.select(F.col(ck).alias("__ck"))
-            .where(F.col("__ck").isNotNull())
-            .join(p, F.col("__ck") == F.col("__pk"), "left_anti")
-            .count()
+            .join(p, F.col("__ck") == F.col("__pk"), "left")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(
+                        F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                ).alias("o"),
+            )
+            .first()
         )
         parts.append(
-            (f"{child}.{ck}->{parent}.{pk}", n_rows, orphans)
+            (f"{child}.{ck}->{parent}.{pk}", int(row["n"]), int(row["o"]))
         )
     out = spark.createDataFrame(
         parts, "relationship STRING, n_rows BIGINT, n_orphans BIGINT"
