@@ -24,7 +24,7 @@ All money aggregates use the exact-decimal recipe
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_AVG, SQL_DEC_SUM, dec_avg, dec_sum
@@ -1882,6 +1882,107 @@ LIMIT {_PAIR_TOP_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q181 — revenue CONCENTRATION per nation: the exact Gini coefficient
+# (via the tie-correct average-rank identity G = 2·Σ r_i·x_i/(n·Σx)
+# − (n+1)/n, with average ranks from the q179 value-counts machinery —
+# never a per-group sort of raw rows) plus the Herfindahl–Hirschman
+# index Σ share² — the "is this market dominated by few customers"
+# pair every marketplace-analytics stack reports. Ranks are doubled
+# into exact integers; Σ r·x and Σ x² accumulate in decimals; the
+# final chain is fixed IEEE.
+# ---------------------------------------------------------------------------
+
+
+def q181_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev")
+        )
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("rev").cast("double").alias("x"),
+        )
+    )
+    counts = rev.groupBy("c_nationkey", "x").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("c_nationkey").orderBy("x")
+    ranks = counts.withColumn("cum_end", F.sum("cnt").over(w)).select(
+        "c_nationkey",
+        "x",
+        (F.lit(2) * F.col("cum_end") - F.col("cnt") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    d = "decimal(38,6)"
+    mom = (
+        rev.join(F.broadcast(ranks), ["c_nationkey", "x"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.col("x").cast(d)).cast("double").alias("sx"),
+            F.sum((F.col("r2") * F.col("x")).cast(d))
+            .cast("double")
+            .alias("srx2"),
+            F.sum((F.col("x") * F.col("x")).cast(d))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    # r2 = 2*avg_rank, so 2*Σ r·x = Σ r2·x.
+    gini = F.col("srx2") / (F.col("n") * F.col("sx")) - (
+        F.col("n") + 1
+    ) / F.col("n")
+    hhi = F.col("sxx") / (F.col("sx") * F.col("sx"))
+    return mom.select(
+        "c_nationkey",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(gini, 9).alias("gini"),
+        F.round(hhi, 9).alias("hhi"),
+    )
+
+
+Q181_SQL = """
+WITH rev AS (
+    SELECT c.c_nationkey, c.c_custkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+counts AS (
+    SELECT c_nationkey, x, COUNT(*) AS cnt FROM rev GROUP BY 1, 2
+),
+ranks AS (
+    SELECT c_nationkey, x,
+           CAST(2 * SUM(cnt) OVER (
+               PARTITION BY c_nationkey ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - cnt + 1 AS BIGINT) AS r2
+    FROM counts
+),
+mom AS (
+    SELECT rev.c_nationkey,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(rev.x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(ranks.r2 * rev.x AS DECIMAL(38,6))) AS DOUBLE)
+               AS srx2,
+           CAST(SUM(CAST(rev.x * rev.x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+    FROM rev JOIN ranks USING (c_nationkey, x)
+    GROUP BY 1
+)
+SELECT c_nationkey, CAST(n AS BIGINT) AS n_customers,
+       round(srx2 / (n * sx) - (n + 1) / n, 9) AS gini,
+       round(sxx / (sx * sx), 9) AS hhi
+FROM mom
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -1914,6 +2015,7 @@ WAREHOUSE_QUERIES = {
     "q167_clustering_coefficient": q167_clustering_coefficient,
     "q173_weekday_seasonality": q173_weekday_seasonality,
     "q177_frequent_pairs": q177_frequent_pairs,
+    "q181_revenue_concentration": q181_revenue_concentration,
 }
 
 WAREHOUSE_ORACLES = {
@@ -1948,4 +2050,5 @@ WAREHOUSE_ORACLES = {
     "q167_clustering_coefficient": Q167_SQL,
     "q173_weekday_seasonality": Q173_SQL,
     "q177_frequent_pairs": Q177_SQL,
+    "q181_revenue_concentration": Q181_SQL,
 }
