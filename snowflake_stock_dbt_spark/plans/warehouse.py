@@ -1983,6 +1983,78 @@ FROM mom
 """
 
 
+# ---------------------------------------------------------------------------
+# Q182 — order-total RECONCILIATION audit: recompute every order's
+# total from its line items (Σ extprice·(1−disc)·(1+tax), the TPC-H
+# identity) and bucket the header-vs-detail gaps — the financial
+# close's "does the rollup tie out" check. This corpus genuinely
+# violates the identity (the generator prices headers independently),
+# which is exactly what the audit exists to surface. Determinism: each
+# line's term is an exactly-representable 6-decimal value (2-dec price
+# × 2-dec discount factor × 2-dec tax factor), summed through the
+# exact-decimal accumulator; the gap is one subtraction of identical
+# doubles. One keyed agg + one join + a 5-way bucket projection.
+# ---------------------------------------------------------------------------
+
+
+def q182_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("header")
+    )
+    term = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(38,6)")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(term).cast("double").alias("recomputed")
+    )
+    gap = F.col("header") - F.col("recomputed")
+    bucket = (
+        F.when(gap == 0.0, "exact")
+        .when(F.abs(gap) < 1.0, "lt_1")
+        .when(F.abs(gap) < 100.0, "lt_100")
+        .when(F.abs(gap) < 10000.0, "lt_10k")
+        .otherwise("gte_10k")
+    )
+    return (
+        o.join(detail, o.o_orderkey == detail.l_orderkey)
+        .select(gap.alias("gap"), bucket.alias("gap_bucket"))
+        .groupBy("gap_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("gap"), 9).alias("min_gap"),
+            F.round(F.max("gap"), 9).alias("max_gap"),
+        )
+    )
+
+
+Q182_SQL = """
+WITH detail AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE)
+               AS recomputed
+    FROM lineitem GROUP BY 1
+),
+gaps AS (
+    SELECT CAST(o.o_totalprice AS DOUBLE) - d.recomputed AS gap
+    FROM orders o JOIN detail d ON o.o_orderkey = d.l_orderkey
+)
+SELECT CASE WHEN gap = 0.0 THEN 'exact'
+            WHEN ABS(gap) < 1.0 THEN 'lt_1'
+            WHEN ABS(gap) < 100.0 THEN 'lt_100'
+            WHEN ABS(gap) < 10000.0 THEN 'lt_10k'
+            ELSE 'gte_10k' END AS gap_bucket,
+       COUNT(*) AS n_orders,
+       round(MIN(gap), 9) AS min_gap,
+       round(MAX(gap), 9) AS max_gap
+FROM gaps
+GROUP BY 1
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -2016,6 +2088,7 @@ WAREHOUSE_QUERIES = {
     "q173_weekday_seasonality": q173_weekday_seasonality,
     "q177_frequent_pairs": q177_frequent_pairs,
     "q181_revenue_concentration": q181_revenue_concentration,
+    "q182_order_reconciliation": q182_order_reconciliation,
 }
 
 WAREHOUSE_ORACLES = {
@@ -2051,4 +2124,5 @@ WAREHOUSE_ORACLES = {
     "q173_weekday_seasonality": Q173_SQL,
     "q177_frequent_pairs": Q177_SQL,
     "q181_revenue_concentration": Q181_SQL,
+    "q182_order_reconciliation": Q182_SQL,
 }
