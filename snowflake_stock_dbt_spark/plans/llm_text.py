@@ -1306,6 +1306,82 @@ FROM matches m JOIN exact e USING (doc_a, doc_b)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q184 — term BURSTINESS (variance-to-mean dispersion index): for the
+# highest-document-frequency terms, VMR = (Σx² − (Σx)²/n)/Σx over
+# per-doc occurrence counts x (including zeros via n = |docs|) — VMR >
+# 1 marks bursty/topical terms, ≈ 1 Poisson-like function words; the
+# content-word detector term-weighting literature builds on. Per-term
+# counts are one keyed agg; all moments exact int64 (counts bounded by
+# doc length); the final chain is fixed IEEE. Top-30 terms by document
+# frequency via sort-limit.
+# ---------------------------------------------------------------------------
+
+_BURST_TOP_N = 30
+
+
+def q184_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("x"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n = F.lit(float(n_docs))
+    vmr = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    ) / F.col("sx").cast("double")
+    return (
+        stats.select(
+            "term",
+            "doc_freq",
+            F.col("sx").alias("total_occurrences"),
+            F.round(vmr, 9).alias("vmr"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "term")
+        .limit(_BURST_TOP_N)
+    )
+
+
+Q184_SQL = rf"""
+WITH n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+tf AS (
+    SELECT doc_id, u.term, COUNT(*) AS x
+    FROM (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+        FROM documents
+    ), UNNEST(t) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY doc_id, u.term
+),
+stats AS (
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM tf GROUP BY term
+)
+SELECT term, doc_freq, sx AS total_occurrences,
+       round((CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs.n)
+             / CAST(sx AS DOUBLE), 9) AS vmr
+FROM stats CROSS JOIN n_docs
+ORDER BY doc_freq DESC, term
+LIMIT {_BURST_TOP_N}
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -1331,6 +1407,7 @@ LLM_TEXT_QUERIES = {
     "q160_collocations": q160_collocations,
     "q164_containment_pairs": q164_containment_pairs,
     "q176_minhash_accuracy": q176_minhash_accuracy,
+    "q184_term_burstiness": q184_term_burstiness,
 }
 
 LLM_TEXT_ORACLES = {
@@ -1358,4 +1435,5 @@ LLM_TEXT_ORACLES = {
     "q160_collocations": Q160_SQL,
     "q164_containment_pairs": Q164_SQL,
     "q176_minhash_accuracy": Q176_SQL,
+    "q184_term_burstiness": Q184_SQL,
 }

@@ -2055,6 +2055,87 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q183 — ABC (Pareto) CLASSIFICATION of parts by revenue: rank parts by
+# revenue, class A = the head covering 80% of cumulative revenue, B =
+# the next 15%, C = the tail — the inventory-management staple. The
+# cumulative share runs over the AGGREGATED part frame (bounded by the
+# catalog, not order volume) in exact integer cents, with the class
+# threshold test cross-multiplied (cum*100 <= total*80) so no float
+# boundary can flip a part's class. Output is the 3-row class summary
+# with exact counts and revenue shares.
+# ---------------------------------------------------------------------------
+
+
+def q183_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
+    tot = per_part.agg(F.sum("cents").alias("total"))
+    classed = (
+        per_part.withColumn("cum", F.sum("cents").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            (
+                F.col("class_cents").cast("double")
+                / F.col("total").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+
+
+Q183_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(cents) AS total FROM per_part),
+classed AS (
+    SELECT cents, total,
+           CASE WHEN SUM(cents) OVER (
+                    ORDER BY cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) * 100 <= total * 80 THEN 'A'
+                WHEN SUM(cents) OVER (
+                    ORDER BY cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM per_part CROSS JOIN tot
+)
+SELECT abc_class, COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+           AS revenue_share
+FROM classed
+GROUP BY abc_class
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -2089,6 +2170,7 @@ WAREHOUSE_QUERIES = {
     "q177_frequent_pairs": q177_frequent_pairs,
     "q181_revenue_concentration": q181_revenue_concentration,
     "q182_order_reconciliation": q182_order_reconciliation,
+    "q183_abc_classification": q183_abc_classification,
 }
 
 WAREHOUSE_ORACLES = {
@@ -2125,4 +2207,5 @@ WAREHOUSE_ORACLES = {
     "q177_frequent_pairs": Q177_SQL,
     "q181_revenue_concentration": Q181_SQL,
     "q182_order_reconciliation": Q182_SQL,
+    "q183_abc_classification": Q183_SQL,
 }

@@ -43,6 +43,7 @@ BNL_ALLOWED = {
     "q160_collocations",  # 1-row total-token broadcast (q03 pattern)
     "q161_skipping_manifest",  # q157's 1-row grid-stats broadcast, joined
     "q166_binary_quant_search",  # query-set x packed-corpus Hamming broadcast (q25 pattern)
+    "q183_abc_classification",  # 1-row revenue-total broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
