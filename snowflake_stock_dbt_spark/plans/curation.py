@@ -964,8 +964,8 @@ WITH tok AS (
 ),
 bg AS (
     SELECT doc_id, t[r.i] AS a, t[r.i + 1] AS b
-    FROM tok CROSS JOIN range(1, 4096) r(i)
-    WHERE r.i + 1 <= len(t) AND t[r.i] <> '' AND t[r.i + 1] <> ''
+    FROM tok, UNNEST(range(1, GREATEST(len(t), 1))) AS r(i)
+    WHERE t[r.i] <> '' AND t[r.i + 1] <> ''
 ),
 feat AS (
     SELECT doc_id,

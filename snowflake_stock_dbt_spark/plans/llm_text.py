@@ -1107,8 +1107,8 @@ uni AS (
 total AS (SELECT SUM(c) AS n_tokens FROM uni),
 bg AS (
     SELECT t[r.i] AS a, t[r.i + 1] AS b, COUNT(*) AS c_ab
-    FROM toks CROSS JOIN range(1, 4096) r(i)
-    WHERE r.i + 1 <= len(t) AND t[r.i] <> '' AND t[r.i + 1] <> ''
+    FROM toks, UNNEST(range(1, GREATEST(len(t), 1))) AS r(i)
+    WHERE t[r.i] <> '' AND t[r.i + 1] <> ''
     GROUP BY 1, 2
     HAVING COUNT(*) >= 5
 )

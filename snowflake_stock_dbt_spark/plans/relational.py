@@ -623,33 +623,39 @@ _FK_EDGES = [
 
 
 def q170_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = []
+    """LAZY union of seven one-row per-edge aggregates — building or
+    explaining the report executes nothing (the previous form ran seven
+    eager ``.first()`` jobs at plan-construction time and handed the
+    guards a trivial LocalRelation, making the per-edge join shapes
+    uninspectable). Each branch counts total and orphan rows in the SAME
+    left-join pass over key columns only; the distinct parent key set is
+    small for every edge, so AQE/broadcast applies per branch."""
+    edge_frames = []
     for child, ck, parent, pk in _FK_EDGES:
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent).select(
             F.col(pk).alias("__pk")
         ).distinct()
-        # One job per edge (dbt's execution model — journal item 15),
-        # but count total and orphans in the SAME left-join pass.
-        row = (
+        edge_frames.append(
             c.select(F.col(ck).alias("__ck"))
             .join(p, F.col("__ck") == F.col("__pk"), "left")
             .agg(
-                F.count("*").alias("n"),
-                F.sum(
-                    F.when(
-                        F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
-                    ).otherwise(0)
-                ).alias("o"),
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("relationship"),
+                F.count("*").alias("n_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__ck").isNotNull() & F.col("__pk").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("n_orphans"),
             )
-            .first()
         )
-        parts.append(
-            (f"{child}.{ck}->{parent}.{pk}", int(row["n"]), int(row["o"]))
-        )
-    out = spark.createDataFrame(
-        parts, "relationship STRING, n_rows BIGINT, n_orphans BIGINT"
-    )
+    out = edge_frames[0]
+    for frame in edge_frames[1:]:
+        out = out.unionByName(frame)
     return out.select(
         "relationship",
         "n_rows",

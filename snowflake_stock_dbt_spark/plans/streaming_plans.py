@@ -204,15 +204,34 @@ _flush_landings: dict[str, str] = {}
 
 def _flush_events_landing(spark: SparkSession, sf_dir: str) -> str:
     """events + two SENTINEL flush rows (click- and purchase-typed,
-    user_id = -1, ts = max(ts) + 2h) written to a scratch landing dir.
+    user_id = -1, ts = next day boundary after max(ts), + 2h) written to
+    a scratch landing dir.
 
     The sentinels exist to ADVANCE THE WATERMARK past every real click's
     join window after the corpus drains, which is what lets the
     left-outer interval join (q142) emit ALL its unmatched rows — the
     standard production trick of a heartbeat topic keeping watermarks
-    moving through quiet periods, reproduced deterministically. user_id
-    -1 matches no real user; the query filters the sentinels' own rows
-    back out. Memoized per sf_dir (one write per process)."""
+    moving through quiet periods, reproduced deterministically.
+
+    The flush timestamp is derived from the WINDOW BOUNDARY, not a fixed
+    offset from max(ts): q169 aggregates the joined stream into 1-day
+    tumbling windows, so append mode only emits the final real day's
+    window once the post-join watermark (flush_ts − 30 min delay −
+    10 min join interval) passes ``date_trunc('day', max_ts) + 1 day``.
+    ``flush_ts = day_ceil(max_ts) + 2h`` makes that hold by construction
+    for ANY corpus (2 h > 40 min), instead of only for corpora whose last
+    event lands within ~80 min of midnight; it also dominates the old
+    ``max_ts + 2h`` guarantee that q142 (click window + delay: 50 min)
+    and q144 (session gap 30 min + delay) rely on, since
+    day_ceil(max_ts) >= max_ts. The sentinels' own join pair falls in
+    the sentinel day's window, which the final watermark never passes,
+    so it is withheld in append mode and never pollutes output.
+
+    The path embeds the PID so concurrent processes never share a
+    landing dir (an ``overwrite`` in one would delete parquet parts a
+    scan in the other holds open). user_id -1 matches no real user; the
+    queries filter the sentinels' own rows back out. Memoized per
+    sf_dir (one write per process)."""
     import hashlib
     import os
     import tempfile
@@ -221,13 +240,18 @@ def _flush_events_landing(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.tables import load_table
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_louter_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_louter_{tag}_{os.getpid()}"
+    )
     if path not in _flush_landings:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
         mx = ev.agg(F.max("ts")).first()[0]
-        flush_ts = mx + timedelta(hours=2)
+        day_ceil = mx.replace(
+            hour=0, minute=0, second=0, microsecond=0
+        ) + timedelta(days=1)
+        flush_ts = day_ceil + timedelta(hours=2)
         sent = spark.createDataFrame(
             [
                 (-1, flush_ts, -1, "click", 0.0, None),
@@ -342,10 +366,12 @@ def q169_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     a downstream tumbling-window aggregation in ONE query — two state
     stores, watermark propagated through the join. Counts attributed
     purchases (a purchase within 10 min of a same-user click) per day.
-    The sentinel flush rows advance the watermark past every real day
-    window so append mode emits them all; the sentinels' own pair lands
-    in the sentinel-day window, which the final watermark never passes,
-    so drained output == the batch join + GROUP BY — full value oracle.
+    The sentinel flush rows sit at day_ceil(max_ts) + 2h — derived from
+    the 1-day WINDOW BOUNDARY, not a fixed offset from max(ts), so the
+    watermark passes every real day window for any corpus (see
+    _flush_events_landing); the sentinels' own pair lands in the
+    sentinel-day window, which the final watermark never passes, so
+    drained output == the batch join + GROUP BY — full value oracle.
     """
     from ..sources.tables import normalize_instant
 
@@ -409,7 +435,7 @@ GROUP BY 1
 """
 
 
-def q170_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q185_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q41's semantics on Spark 4's transformWithStateInPandas (the
     arbitrary-state API replacing applyInPandasWithState): per-user
     running totals in a named ValueState, final emission per user equal

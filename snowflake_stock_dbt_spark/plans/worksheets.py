@@ -117,9 +117,18 @@ _fixture_written: set[str] = set()
 
 def ensure_fixture_csv(spark: SparkSession, sf_dir: str) -> str:
     """Write the scrape-feed CSV landing dir for ``sf_dir`` (idempotent
-    per process) and return its path."""
+    per process) and return its path.
+
+    The path embeds the PID: an md5(sf_dir)-only key lets two concurrent
+    processes share a dir, where one process's ``mode("overwrite")``
+    deletes CSV parts out from under the other's running scan
+    (FileNotFoundException — observed when a query sweep raced pytest).
+    Per-process dirs make the write race-free; the in-process memo set
+    keeps it one write per process."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ws_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ws_{tag}_{os.getpid()}"
+    )
     if path not in _fixture_written:
         register_views(spark, sf_dir)
         (

@@ -73,7 +73,7 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 # TTL-capable), explicit lifecycle (init/handleInputRows/close), and
 # timeMode/timer hooks the old GroupState API lacks. Output equality
 # with the q41 operator AND the batch aggregate is oracle-checked
-# (q170), proving the engine carries its custom-state semantics forward
+# (q185), proving the engine carries its custom-state semantics forward
 # onto the API Spark is migrating stateful pipelines to.
 # ---------------------------------------------------------------------------
 

@@ -308,12 +308,12 @@ def test_transform_with_state_equals_group_state_operator(spark, oracle_sf_dir):
         )
     from snowflake_stock_dbt_spark.plans.streaming_plans import (
         q41_stateful_totals,
-        q170_stateful_totals_tws,
+        q185_stateful_totals_tws,
     )
 
     a = {tuple(r) for r in q41_stateful_totals(spark, oracle_sf_dir).collect()}
     b = {
         tuple(r)
-        for r in q170_stateful_totals_tws(spark, oracle_sf_dir).collect()
+        for r in q185_stateful_totals_tws(spark, oracle_sf_dir).collect()
     }
     assert a == b
