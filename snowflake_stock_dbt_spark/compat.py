@@ -1,0 +1,80 @@
+"""Optional-dependency shims.
+
+``transformWithStateInPandas`` (Spark 4's arbitrary-state streaming API,
+SPARK-46815) serializes its Python↔JVM state requests over protobuf, but
+this sandbox's site-packages ships no ``google.protobuf`` and pip has no
+network. The Google Cloud SDK — publicly installed at its standard
+location on many hosts, including this one — bundles a pure-Python
+protobuf runtime under ``platform/google_appengine/google/protobuf``.
+:func:`ensure_protobuf` makes it importable when the real package is
+absent, both in this process (``sys.path``) and in Spark's Python worker
+subprocesses (``PYTHONPATH``, which the workers inherit), without
+shadowing anything: the path is APPENDED, so an installed protobuf always
+wins.
+
+Call it before building the SparkSession (session.py does) — the worker
+environment is fixed at JVM launch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+
+def _candidate_sdk_paths() -> list[str]:
+    cands = []
+    gcloud = shutil.which("gcloud")
+    if gcloud:
+        sdk_root = os.path.dirname(os.path.dirname(os.path.realpath(gcloud)))
+        cands.append(os.path.join(sdk_root, "platform", "google_appengine"))
+    cands.append("/usr/lib/google-cloud-sdk/platform/google_appengine")
+    return cands
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable; True if it is (or became so).
+
+    Idempotent and cheap after the first call. Appends — never prepends —
+    to ``sys.path``/``PYTHONPATH`` so a real installation is preferred.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    seen = set()
+    for cand in _candidate_sdk_paths():
+        cand = os.path.normpath(cand)
+        if cand in seen:
+            continue
+        seen.add(cand)
+        if not os.path.isfile(
+            os.path.join(cand, "google", "protobuf", "__init__.py")
+        ):
+            continue
+        if cand not in sys.path:
+            sys.path.append(cand)
+        pp = os.environ.get("PYTHONPATH", "")
+        if cand not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pp + os.pathsep + cand if pp else cand
+            )
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            continue
+        # The SDK copy can trail the gencode pyspark ships (observed:
+        # gencode 6.33.0 vs runtime 6.32.0-dev, one minor apart) and the
+        # runtime refuses newer gencode by default. Use protobuf's OWN
+        # escape hatch (runtime_version.py reads this env var) — scoped
+        # to the fallback path only; a real installation never gets here.
+        # Exported so Spark's Python workers inherit it too. Behavioral
+        # safety is pinned by the q41↔q185 equality test, not assumed.
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        return True
+    return False

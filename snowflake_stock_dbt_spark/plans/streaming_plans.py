@@ -442,13 +442,15 @@ def q185_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch aggregate — same oracle as q41, proving the custom
     stateful operator ports to the new contract unchanged.
 
-    NOT REGISTERED in the driver contract: transformWithStateInPandas
-    serializes its state requests over protobuf, and this environment
-    ships no google.protobuf (pip install is unavailable) — the same
-    environment-impossible class as delta-spark
-    (tests/test_properties.py). tests/test_streaming.py carries the
-    equality test behind a visible skip that self-heals the moment
-    protobuf appears."""
+    Two environment dependencies, both satisfied at runtime rather than
+    assumed: google.protobuf (the state-request wire format) is made
+    importable by compat.ensure_protobuf() at session build, and the
+    state store is pinned to the RocksDB provider for this query only —
+    transformWithState's named-state cells map to RocksDB column
+    families, which the default HDFS-backed provider rejects. Registered
+    in the driver contract only when protobuf resolves (HAS_TWS), so the
+    contract stays importable on hosts without it."""
+    from ..streaming.pipeline import ROCKSDB_PROVIDER
     from ..streaming.stateful import stateful_user_totals_tws
 
     ev = stream_events(spark, sf_dir)
@@ -457,6 +459,7 @@ def q185_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_totals_tws(ev),
         output_mode="update",
         state_partitions=STATE_PARTITIONS,
+        state_provider=ROCKSDB_PROVIDER,
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -465,6 +468,14 @@ def q185_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_value")
     )
 
+
+def _has_tws() -> bool:
+    from ..compat import ensure_protobuf
+
+    return ensure_protobuf()
+
+
+HAS_TWS = _has_tws()
 
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
@@ -489,3 +500,7 @@ STREAMING_ORACLES = {
     "q144_streaming_session": Q144_SQL,
     "q169_stream_join_then_window": Q169_SQL,
 }
+
+if HAS_TWS:
+    STREAMING_QUERIES["q185_stateful_totals_tws"] = q185_stateful_totals_tws
+    STREAMING_ORACLES["q185_stateful_totals_tws"] = Q41_SQL

@@ -32,6 +32,13 @@ def get_spark(
     the driver box); shuffle partitions default to the same number so a
     local run has one post-shuffle task per core.
     """
+    # Before the JVM launches: make google.protobuf importable (needed by
+    # transformWithStateInPandas) in this process AND in the Python
+    # workers, which inherit PYTHONPATH fixed at JVM start (compat.py).
+    from .compat import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

@@ -291,20 +291,19 @@ def test_watermark_drops_late_data(spark, tmp_path):
 def test_transform_with_state_equals_group_state_operator(spark, oracle_sf_dir):
     """Spark 4's transformWithStateInPandas flavor must emit the same
     final per-user totals as the applyInPandasWithState operator (q41).
-    Skipped where the runtime lacks google.protobuf, which the new
-    API's state serialization requires — this environment cannot pip
-    install it; the operator (streaming/stateful.py:
-    stateful_user_totals_tws) is complete and this test self-heals the
-    moment protobuf is available."""
+    google.protobuf (the state-request wire format) is resolved by
+    compat.ensure_protobuf() — falling back to the Google Cloud SDK's
+    bundled runtime where site-packages lacks it; skipped only if
+    neither source resolves."""
     import pytest
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
+    from snowflake_stock_dbt_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
         pytest.skip(
-            "google.protobuf not installed (pip unavailable in this "
-            "sandbox); transformWithStateInPandas state serialization "
-            "requires it — resolution: install protobuf, rerun"
+            "google.protobuf unavailable: not in site-packages and no "
+            "Google Cloud SDK bundled runtime found (compat.py) — "
+            "transformWithStateInPandas state serialization requires it"
         )
     from snowflake_stock_dbt_spark.plans.streaming_plans import (
         q41_stateful_totals,
