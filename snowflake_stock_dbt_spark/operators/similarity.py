@@ -827,35 +827,51 @@ def ivfpq_search(
     for coded, _ in subs[1:]:
         codes = codes.join(coded, id_col)
 
-    qrows = queries.select(
+    # Probe selection and ADC lookup tables built DISTRIBUTED: the query
+    # vectors are never collected. Each trained codebook (bounded k x dim
+    # driver ints — FAISS-resident state too) becomes a small DataFrame
+    # broadcast against the query frame, and every query x centroid
+    # distance is the exact-int64 zip_with fold inside codegen — so a
+    # query batch of any size scales across the cluster with flat driver
+    # time, instead of a per-query Python loop. Ties in probe ranking
+    # break on bucket id, matching the previous driver-side sort.
+    qv = queries.select(
         F.col(id_col).alias("query_id"), _quantized(vec_col).alias("q9")
-    ).collect()
-
-    def sqd(a: list[int], b: list[int]) -> int:
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    probe_rows = []
-    lut_rows = []
-    for r in qrows:
-        qid, q9 = r["query_id"], [int(v) for v in r["q9"]]
-        ranked = sorted(
-            ((sqd(q9, cv), b) for b, cv in coarse_cent)
-        )[:nprobe]
-        probe_rows += [(qid, b) for _, b in ranked]
-        for j in range(m):
-            qsub = q9[j * width : (j + 1) * width]
-            for b, cv in subs[j][1]:
-                lut_rows.append((qid, j, b, sqd(qsub, cv)))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id LONG, bucket INT"
     )
-    luts = [
-        spark.createDataFrame(
-            [(q, c, d) for q, jj, c, d in lut_rows if jj == j],
-            f"query_id LONG, code_{j} INT, d_{j} LONG",
+    coarse_df = spark.createDataFrame(
+        [(int(b), [int(v) for v in cv]) for b, cv in coarse_cent],
+        "bucket INT, __cq ARRAY<BIGINT>",
+    )
+    pw = Window.partitionBy("query_id").orderBy("__d", "bucket")
+    probes = (
+        qv.crossJoin(F.broadcast(coarse_df))
+        .select(
+            "query_id",
+            "bucket",
+            _sqdist_int(F.col("q9"), F.col("__cq")).alias("__d"),
         )
-        for j in range(m)
-    ]
+        .withColumn("__rn", F.row_number().over(pw))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "bucket")
+    )
+    luts = []
+    for j in range(m):
+        pq_df = spark.createDataFrame(
+            [(int(b), [int(v) for v in cv]) for b, cv in subs[j][1]],
+            f"code_{j} INT, __cq ARRAY<BIGINT>",
+        )
+        luts.append(
+            qv.select(
+                "query_id",
+                F.slice("q9", j * width + 1, width).alias("__qsub"),
+            )
+            .crossJoin(F.broadcast(pq_df))
+            .select(
+                "query_id",
+                f"code_{j}",
+                _sqdist_int(F.col("__qsub"), F.col("__cq")).alias(f"d_{j}"),
+            )
+        )
 
     cand = (
         bucketed.select(id_col, "bucket")
