@@ -295,11 +295,22 @@ WHERE f % {FRAME_EVERY_K} = 0
 # Q81 — Audio frame features over the audio rows: the WAV container is
 # REALLY parsed (RIFF chunk walk) and per-frame RMS energy + zero-crossing
 # counts are computed from the int16 PCM samples — the silence-trim /
-# voice-activity primitive. Byte-level int16 extraction is not reasonably
-# SQL-expressible, so this query is registered WITHOUT an oracle (the
-# driver records the rows-only check); the numeric contract is pinned by
-# tests/test_multimodal_quality.py on synthetic PCM with known RMS and
-# crossing counts, and the WAV round-trip by the codec tests.
+# voice-activity primitive.
+#
+# FULL value oracle (promoted round 5; previously rows-only): the WAV
+# payload is the even-length ASCII-text prefix as little-endian PCM16, so
+# DuckDB can rebuild every sample as ascii(b0) + 256*ascii(b1) (two's
+# complement for u >= 32768 — never hit on ASCII, kept for correctness).
+# The RMS double is bit-identical across engines, not merely close:
+# numpy computes sqrt(mean((s/2^15)^2)) where every intermediate —
+# s/2^15, its square s^2/2^30, the 64-term partial sums (<= 2^36 < 2^53),
+# and the /64 — is a division by a POWER OF TWO of an exact integer,
+# hence exact in binary floating point; the only rounding is the final
+# IEEE-754 sqrt, correctly rounded in numpy, Spark, and DuckDB alike.
+# So the oracle's sqrt(SUM(s*s) / 2^36) reproduces the operator's doubles
+# bit-for-bit. Zero crossings are adjacent signbit changes — pure ints.
+# The DSP contract on synthetic PCM with REAL sign changes (all-ASCII
+# samples are non-negative) stays pinned by tests/test_multimodal_quality.
 # ---------------------------------------------------------------------------
 
 AUDIO_FRAME_SAMPLES = 64
@@ -310,6 +321,48 @@ def q81_audio_features(spark, sf_dir):
     return audio_features(media, frame_samples=AUDIO_FRAME_SAMPLES).orderBy(
         "media_id", "frame_idx"
     )
+
+
+Q81_SQL = f"""
+WITH d AS (
+    SELECT doc_id AS media_id, text,
+           length(text) - length(text) % 2 AS pcm_len
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 1
+),
+samples AS (
+    SELECT media_id,
+           CAST(i.i AS BIGINT) AS s_idx,
+           CAST(pcm_len // 2 AS BIGINT) AS n_samples,
+           ascii(substr(text, CAST(2 * i.i + 1 AS INT), 1))
+             + 256 * ascii(substr(text, CAST(2 * i.i + 2 AS INT), 1)) AS u
+    FROM d, unnest(generate_series(0, pcm_len // 2 - 1)) i(i)
+),
+s16 AS (
+    SELECT media_id, s_idx, n_samples,
+           CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+    FROM samples
+),
+framed AS (
+    SELECT media_id,
+           CAST(s_idx // {AUDIO_FRAME_SAMPLES} AS INT) AS frame_idx,
+           s_idx % {AUDIO_FRAME_SAMPLES} AS j,
+           s,
+           CASE WHEN s_idx % {AUDIO_FRAME_SAMPLES} > 0
+                THEN LAG(s) OVER (PARTITION BY media_id ORDER BY s_idx)
+           END AS prev_s
+    FROM s16
+    WHERE s_idx // {AUDIO_FRAME_SAMPLES} < n_samples // {AUDIO_FRAME_SAMPLES}
+)
+SELECT media_id, frame_idx,
+       sqrt(CAST(SUM(s * s) AS DOUBLE)
+            / {AUDIO_FRAME_SAMPLES * 32768 * 32768}.0) AS rms,
+       CAST(COALESCE(SUM(CASE WHEN j > 0
+                               AND (s < 0) <> (prev_s < 0)
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS zero_crossings
+FROM framed
+GROUP BY media_id, frame_idx
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -548,7 +601,7 @@ MULTIMODAL_QUERIES = {
 }
 
 MULTIMODAL_ORACLES = {
-    # q81_audio_features: deliberately absent — rows-only check (binary DSP).
+    "q81_audio_features": Q81_SQL,
     "q125_scene_cuts": Q125_SQL,
     "q147_media_dedup_clusters": Q147_SQL,
     "q38_media_decode": Q38_SQL,
