@@ -73,6 +73,7 @@ STREAM_MATERIALIZED = {
     "q142_stream_left_outer_join",
     "q144_streaming_session",
     "q169_stream_join_then_window",
+    "q185_stateful_totals_tws",
 }
 
 
@@ -160,6 +161,24 @@ PINNED_PATTERNS = {
     # q168: the LATERAL subquery must stay DECORRELATED (window + one
     # join); a per-row rescan would show as a nested-loop/cartesian.
     "q168_lateral_topn": ["Window"],
+    # Round-5 pins for the q169-q185 additions (round-4 VERDICT item 7).
+    # q170: ONE hash join per FK edge (parent key sets broadcast at this
+    # size) under a lazy Union — the eager .first()-per-edge form this
+    # replaced hid the joins behind a LocalRelation.
+    "q170_fk_orphans": ["BroadcastHashJoin", "Union", "partial_"],
+    # q178: the k-NN edge frame must keep its map-side combine and the
+    # two-phase CC union; a lost checkpoint would balloon this plan far
+    # past the shuffle budget below.
+    "q178_knn_clusters": ["Union", "partial_"],
+    # q179/q180: rank/CDF tables must join back broadcast-shaped and the
+    # moment aggs stay map-side combinable.
+    "q179_spearman": ["BroadcastHashJoin", "partial_"],
+    "q180_percentile_rank": ["BroadcastHashJoin", "partial_"],
+    # q184: burstiness moments stay partial-agg'd; top-N stays a heap.
+    "q184_term_burstiness": ["partial_", "TakeOrderedAndProject"],
+    # q150: the distributed ADC lookup tables must arrive via broadcast
+    # (round-5 rewrite of the driver-side LUT loop).
+    "q150_ivfpq_search": ["BroadcastExchange", "BroadcastHashJoin"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -188,6 +207,11 @@ SHUFFLE_BUDGETS = {
     "q153_mad_outliers": 18,  # two percentile passes + broadcast-backs
     "q154_ewma_revenue": 8,  # daily agg + decay equi-join + final agg
     "q155_linear_regression": 6,  # moment agg + residual scan
+    "q170_fk_orphans": 44,  # 7 edges x (key join + 1-row agg) + union
+    "q178_knn_clusters": 16,  # post-checkpoint CC tail (lost checkpoint -> explodes)
+    "q179_spearman": 16,  # two rank passes + moment join-backs
+    "q180_percentile_rank": 8,  # value-counts agg + CDF broadcast-back
+    "q184_term_burstiness": 4,  # one keyed moment agg + top-N
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain
