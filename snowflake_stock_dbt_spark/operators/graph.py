@@ -498,3 +498,81 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .groupBy("node_id")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """(id, hub, authority) after ``iters`` synchronous HITS iterations
+    (Kleinberg 1999) on a DIRECTED edge set — the hubs-and-authorities
+    companion to :func:`pagerank` (mutual reinforcement: a good hub
+    points at good authorities; a good authority is pointed at by good
+    hubs).
+
+    Per half-round: one join (edges ⋈ scores on the sending endpoint) +
+    one keyed aggregation on the receiving endpoint — the same shuffle
+    shape as a PageRank round, two of them per iteration.
+
+    Determinism (the pagerank recipe, plus max-normalization): every
+    per-edge contribution is FLOOR-quantized to the 1e-12 grid before
+    summing (floor of a double is unambiguous on every engine; the
+    integer sums are exact), and each half-round normalizes by the MAX
+    per-node integer score instead of the L2/L1 norm — the max of exact
+    ints is exact, and int/int double division is correctly rounded
+    identically everywhere, so the whole iteration is bit-reproducible
+    and carries a full value oracle (normalization choice is free in
+    HITS: any positive scaling preserves the fixed-point direction).
+    Per-node integer scores stay below 2^53 while max in-degree x 1e12
+    does — at extreme fan-in, lower the grid (1e9) to keep the argument.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.withColumn("score", F.lit(1.0)).localCheckpoint()
+
+    def half_round(scores: DataFrame, send: str, recv: str) -> DataFrame:
+        """Push ``scores`` (keyed by node id) along edges from ``send``
+        to ``recv``; return max-normalized receiving-side scores."""
+        contrib = e.join(
+            scores.withColumnRenamed("id", send), send
+        ).select(
+            F.col(recv).alias("id"),
+            F.floor(F.col("score") * F.lit(1e12)).cast("decimal(38,0)").alias("q"),
+        )
+        ints = contrib.groupBy("id").agg(F.sum("q").alias("s_int"))
+        m = ints.agg(F.max("s_int").alias("m_int"))
+        return (
+            ints.crossJoin(F.broadcast(m))
+            .select(
+                "id",
+                (
+                    F.col("s_int").cast("double")
+                    / F.col("m_int").cast("double")
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = half_round(hub, "u", "v")
+        hub = half_round(auth, "v", "u")
+    out = (
+        nodes.join(auth.withColumnRenamed("score", "authority"), "id", "left")
+        .join(hub.withColumnRenamed("score", "hub"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+    e.unpersist()
+    return out

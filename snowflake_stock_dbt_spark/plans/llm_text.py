@@ -897,6 +897,64 @@ Q132_SQL = _bpe_encode_oracle_sql(_BPE_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
+# Q193 — Tokenizer fertility report: tokens-per-word and chars-per-token
+# of the REAL trained BPE tokenizer (q116's merges, q132's encoder),
+# aggregated per (lang, source) — the standard multi-corpus tokenizer
+# health check (a language whose fertility spikes is being shredded into
+# sub-word confetti and needs vocabulary budget before pretraining).
+# Ratios are int/int double divisions of exact counts, so the report
+# carries a full value oracle (the q132 unrolled-training chain wrapped
+# as a subquery, then one keyed agg).
+# ---------------------------------------------------------------------------
+
+
+def q193_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_docs(docs, "text", _trained_merges(spark, sf_dir))
+    dims = docs.select(
+        "doc_id", "lang", "source", F.length("text").cast("long").alias("nch")
+    )
+    return (
+        enc.join(dims, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_tokens"),
+            F.sum("nch").alias("n_chars"),
+            (
+                F.sum("n_bpe_tokens").cast("double")
+                / F.sum("n_words").cast("double")
+            ).alias("fertility"),
+            (
+                F.sum("nch").cast("double")
+                / F.sum("n_bpe_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+Q193_SQL = f"""
+WITH enc AS ({Q132_SQL})
+SELECT d.lang, d.source,
+       COUNT(*) AS n_docs,
+       SUM(e.n_words) AS n_words,
+       SUM(e.n_bpe_tokens) AS n_tokens,
+       SUM(CAST(length(d.text) AS BIGINT)) AS n_chars,
+       CAST(SUM(e.n_bpe_tokens) AS DOUBLE) / CAST(SUM(e.n_words) AS DOUBLE)
+         AS fertility,
+       CAST(SUM(CAST(length(d.text) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(e.n_bpe_tokens) AS DOUBLE) AS chars_per_token
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q134 — bigram language-model fluency scoring (operators/lm.py): the
 # CCNet-shape quality filter, trained on the corpus's own bigram counts
 # with add-one smoothing and scored as the mean conditional probability
@@ -1408,6 +1466,7 @@ LLM_TEXT_QUERIES = {
     "q164_containment_pairs": q164_containment_pairs,
     "q176_minhash_accuracy": q176_minhash_accuracy,
     "q184_term_burstiness": q184_term_burstiness,
+    "q193_tokenizer_fertility": q193_tokenizer_fertility,
 }
 
 LLM_TEXT_ORACLES = {
@@ -1436,4 +1495,5 @@ LLM_TEXT_ORACLES = {
     "q164_containment_pairs": Q164_SQL,
     "q176_minhash_accuracy": Q176_SQL,
     "q184_term_burstiness": Q184_SQL,
+    "q193_tokenizer_fertility": Q193_SQL,
 }

@@ -1,0 +1,300 @@
+"""[EXT] Operational diagnostics family (round 5): replica checksum diff,
+runtime-filtered joins, equi-depth histograms, and join-skew reports.
+
+Not in the reference (SURVEY.md §2 stops at warehouse analytics); these
+are the fleet-operations primitives a 100 TB deployment runs around the
+analytics: anti-entropy validation between replicas without moving rows
+(merkle-style bucket checksums), Spark's runtime bloom-filter join
+pruning exercised and plan-guarded, optimizer-grade equi-depth statistics
+built exactly, and the skew diagnosis that tells you WHICH keys need the
+salting operator (operators/skew.py) before a join falls over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60, hash60_sql
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q189 — Merkle-style bucket checksum diff between two table replicas:
+# hash every row to one int64 (the engine's md5-prefix hash60, identical
+# on both engines), fold per bucket with the ORDER-INDEPENDENT pair
+# (bit_xor, count), and join the two replicas' bucket summaries — only
+# buckets, never rows, cross the wire, which is the whole point of
+# anti-entropy at 100 TB: 2^k bucket rows replace a full-table compare,
+# and mismatched buckets localize the repair scan.
+#
+# The "replica" here is the same orders table with deterministic drift
+# injected (every o_orderkey % 997 == 0 gets +1.00 on its total price),
+# so the expected answer is exactly the drifted buckets. Doubles never
+# enter the hash: the price is fixed to DECIMAL(18,2) first, whose
+# string rendering is identical across engines.
+# ---------------------------------------------------------------------------
+
+CHECKSUM_BUCKETS = 64
+_DRIFT_MOD = 997
+
+
+def q189_replica_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    drifted = F.when(
+        F.col("o_orderkey") % _DRIFT_MOD == 0, price + F.lit(1).cast("decimal(18,2)")
+    ).otherwise(price)
+
+    def summarize(price_col, side: str) -> DataFrame:
+        row_hash = hash60(
+            F.concat_ws(
+                "|", F.col("o_orderkey").cast("string"), price_col.cast("string")
+            )
+        )
+        return (
+            orders.select(
+                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+                row_hash.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias(f"{side}_rows"),
+                F.expr("bit_xor(h)").alias(f"{side}_checksum"),
+            )
+        )
+
+    a = summarize(price, "primary")
+    b = summarize(drifted, "replica")
+    return (
+        a.join(b, "bucket", "full_outer")
+        .where(
+            (F.col("primary_checksum") != F.col("replica_checksum"))
+            | (F.col("primary_rows") != F.col("replica_rows"))
+            | F.col("primary_checksum").isNull()
+            | F.col("replica_checksum").isNull()
+        )
+        .select(
+            "bucket", "primary_rows", "replica_rows",
+            "primary_checksum", "replica_checksum",
+        )
+    )
+
+
+_H_PRIMARY = hash60_sql(
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"
+)
+_H_REPLICA = hash60_sql(
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST("
+    "CASE WHEN o_orderkey % {mod} = 0 "
+    "THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1.00 "
+    "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS VARCHAR)".format(
+        mod=_DRIFT_MOD
+    )
+)
+
+Q189_SQL = f"""
+WITH a AS (
+    SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+           COUNT(*) AS primary_rows,
+           bit_xor({_H_PRIMARY}) AS primary_checksum
+    FROM orders GROUP BY 1
+),
+b AS (
+    SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+           COUNT(*) AS replica_rows,
+           bit_xor({_H_REPLICA}) AS replica_checksum
+    FROM orders GROUP BY 1
+)
+SELECT bucket, primary_rows, replica_rows,
+       primary_checksum, replica_checksum
+FROM a FULL OUTER JOIN b USING (bucket)
+WHERE primary_checksum <> replica_checksum
+   OR primary_rows <> replica_rows
+   OR primary_checksum IS NULL OR replica_checksum IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q190 — Selective-dimension join shaped for Spark's runtime bloom-filter
+# pruning (InjectRuntimeFilter, SPARK-32268): revenue by order week for
+# URGENT orders only. At cluster scale the optimizer builds a bloom
+# filter from the filtered orders side and pushes might_contain into the
+# lineitem scan, cutting the probe-side shuffle to ~the selectivity of
+# the dim filter; the injection is exercised and pinned by
+# tests/test_plan_guards.py::test_runtime_bloom_filter_injects (the
+# size thresholds that gate injection are production-tuned, so the
+# dedicated test lowers them rather than this plan lying about its
+# default-conf shape). Semantics are exact either way — the bloom
+# filter only prunes, the join re-checks.
+# ---------------------------------------------------------------------------
+
+
+def q190_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    from ..functions.numeric import dec_sum
+
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.weekofyear("o_orderdate").alias("order_week"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum(revenue).alias("revenue"),
+        )
+        .orderBy("order_week")
+    )
+
+
+Q190_SQL = """
+SELECT weekofyear(o_orderdate) AS order_week,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q194 — Exact equi-depth histogram (the optimizer-statistics primitive):
+# B buckets of ~equal row count over l_extendedprice, built on the
+# flat-scaling VALUE-COUNTS form (the q45 lesson: aggregate to distinct
+# values FIRST — domain-bounded — then one window over values, never a
+# window over rows). bucket(v) = floor(B * rows_before(v) / total), so
+# bucket boundaries, counts, and min/max are all exact integers/values —
+# no approx-percentile sketch, bit-identical on any engine.
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 16
+
+
+def q194_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = vc.agg(F.sum("cnt").alias("total"))
+    bucketed = (
+        vc.withColumn("before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"CAST({HIST_BUCKETS} * before DIV total AS INT)").alias(
+                "bucket"
+            ),
+            "v",
+            "cnt",
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").alias("n_rows"),
+            F.count("*").alias("n_distinct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q194_SQL = f"""
+WITH vc AS (
+    SELECT l_extendedprice AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS total FROM vc),
+bucketed AS (
+    SELECT CAST({HIST_BUCKETS} * COALESCE(SUM(cnt) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // total AS INT) AS bucket,
+           v, cnt
+    FROM vc CROSS JOIN tot
+)
+SELECT bucket, MIN(v) AS lo, MAX(v) AS hi,
+       SUM(cnt) AS n_rows, COUNT(*) AS n_distinct
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q195 — Join-skew diagnosis: per-key frequency of the orders->customer
+# join key, the global (total, distinct) stats as a 1-row broadcast, and
+# for the top-20 heaviest keys the skew factor (key frequency vs the
+# uniform expectation total/n_keys) plus the salt fan-out the salted-join
+# operator (operators/skew.py) would need to level that key. All
+# arithmetic on exact ints (ceil as (a + b - 1) div b); the one double is
+# an int/int division, correctly rounded identically everywhere.
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 20
+
+
+def q195_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    freq = orders.groupBy(F.col("o_custkey").alias("join_key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = freq.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    # Top-K via orderBy+limit (per-partition TakeOrdered heap); rank
+    # attaches AFTER the cut — constant K-row window, never the key set.
+    top = freq.orderBy(F.col("cnt").desc(), F.col("join_key")).limit(
+        SKEW_TOP_K
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("join_key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "join_key",
+            "cnt",
+            (
+                (F.col("cnt") * F.col("n_keys")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("skew_factor"),
+            F.expr(
+                "CAST((cnt * n_keys + total - 1) DIV total AS INT)"
+            ).alias("suggested_salt"),
+        )
+    )
+
+
+Q195_SQL = f"""
+WITH freq AS (
+    SELECT o_custkey AS join_key, COUNT(*) AS cnt FROM orders GROUP BY 1
+),
+stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM freq),
+ranked AS (
+    SELECT join_key, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, join_key) AS INT)
+             AS rank
+    FROM freq
+)
+SELECT rank, join_key, cnt,
+       CAST(cnt * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS skew_factor,
+       CAST((cnt * n_keys + total - 1) // total AS INT) AS suggested_salt
+FROM ranked CROSS JOIN stats
+WHERE rank <= {SKEW_TOP_K}
+"""
+
+
+OPS_DIAG_QUERIES = {
+    "q189_replica_checksum_diff": q189_replica_checksum_diff,
+    "q190_runtime_filter_join": q190_runtime_filter_join,
+    "q194_equidepth_histogram": q194_equidepth_histogram,
+    "q195_skew_report": q195_skew_report,
+}
+
+OPS_DIAG_ORACLES = {
+    "q189_replica_checksum_diff": Q189_SQL,
+    "q190_runtime_filter_join": Q190_SQL,
+    "q194_equidepth_histogram": Q194_SQL,
+    "q195_skew_report": Q195_SQL,
+}

@@ -1,0 +1,357 @@
+"""[EXT] Retrieval & record-linkage family (round 5): BM25 ranked search,
+sorted-neighborhood dedup, and Fellegi-Sunter probabilistic linkage.
+
+Not in the reference (its query surface stops at warehouse analytics —
+SURVEY.md §2); these are the IR/linkage primitives a training-data
+pipeline runs next to the dedup family: lexical retrieval for hard-negative
+mining and eval-set construction, sort-based blocking as the third
+candidate-generation archetype (alongside hash/LSH banding and IVF), and
+weighted record linkage for entity resolution across source catalogs.
+
+Determinism: every score is integer-grid math (the lm.py convention) —
+BM25 on an exact rational grid floored to 1e-9, linkage weights as
+integer log-likelihood constants — so all three carry full value oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q186 — BM25 ranked retrieval over the documents table.
+#
+# Okapi BM25 with k1 = 1.2, b = 0.75, and the ln-free Robertson-Sparck-
+# Jones idf (N - df + 0.5)/(df + 0.5) — rationalized so every per-term
+# score is an exact integer ratio:
+#
+#   idf   = (2(N - df) + 1) / (2 df + 1)
+#   tfp   = tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))
+#         = 88 tf TL / (40 TL tf + 12 TL + 36 dl N)      [avgdl = TL/N]
+#   score = floor(idf * tfp * 1e9)   — summed over query terms.
+#
+# The products run in DECIMAL(38,0) (ceiling ~1e33 at a 1e9-doc corpus,
+# inside DECIMAL(38) headroom; the floored quotient is < 64 * 1e9 per
+# term, BIGINT-safe), with integral division on both engines — so the
+# ranking is bit-identical everywhere, no transcendental in sight.
+#
+# Scale shape: one token explode -> (doc, term) tf agg (map-side
+# combined), df agg over the 4-term semi-joined subset only, and the
+# 1-row (N, TL) stats broadcast (the q03 pattern). Top-K is a heap.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ["spark", "table", "hash", "window"]
+BM25_TOP_K = 20
+_BM25_SCALE = 1_000_000_000
+
+
+def q186_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qt = toks.where(F.col("term").isin(BM25_QUERY_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""CAST(
+                    CAST(2 * (n_docs - doc_freq) + 1 AS DECIMAL(38,0))
+                    * CAST(88 * tf * total_len AS DECIMAL(38,0))
+                    * {_BM25_SCALE}
+                    DIV (CAST(2 * doc_freq + 1 AS DECIMAL(38,0))
+                         * CAST(40 * total_len * tf + 12 * total_len
+                                + 36 * dl * n_docs AS DECIMAL(38,0)))
+                    AS BIGINT)"""
+            ).alias("term_score"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("term_score").alias("bm25_scaled"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    # Top-K via orderBy+limit (a per-partition TakeOrdered heap); the rank
+    # column attaches AFTER the cut so the window runs over a constant
+    # K-row frame, never the corpus (the q152 pattern).
+    top = scored.orderBy(
+        F.col("bm25_scaled").desc(), F.col("doc_id")
+    ).limit(BM25_TOP_K)
+    w = Window.orderBy(F.col("bm25_scaled").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "bm25_scaled", "n_terms_hit", "rank"
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+Q186_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, u.term
+    FROM (SELECT doc_id,
+                 string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+         UNNEST(t) AS u(term)
+    WHERE u.term <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks
+    WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+per_term AS (
+    SELECT tf.doc_id,
+           CAST(CAST(2 * (n_docs - doc_freq) + 1 AS HUGEINT)
+                * CAST(88 * tf * total_len AS HUGEINT)
+                * {_BM25_SCALE}
+                // (CAST(2 * doc_freq + 1 AS HUGEINT)
+                    * CAST(40 * total_len * tf + 12 * total_len
+                           + 36 * dl * n_docs AS HUGEINT))
+                AS BIGINT) AS term_score
+    FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT doc_id, SUM(term_score) AS bm25_scaled,
+           COUNT(*) AS n_terms_hit
+    FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, bm25_scaled, n_terms_hit,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25_scaled DESC, doc_id) AS INT)
+         AS rank
+FROM scored
+ORDER BY rank
+LIMIT {BM25_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q187 — Sorted-neighborhood dedup (SNM, Hernandez & Stolfo 1995): the
+# third candidate-generation archetype after hash/LSH banding (q21-q24)
+# and IVF blocking (q26+): SORT the corpus by a cheap key and compare
+# each record only against its w nearest neighbors in sort order.
+#
+# Sort key (lang, n_chars, doc_id); window w = 3 via LEAD over a window
+# PARTITIONED by lang — candidate pairs are (doc, next-1..3 in order),
+# scored by exact token-set Jaccard (array_intersect/union on distinct
+# tokens: integers + one exact int/int double division).
+#
+# Scale note: partitioning the sort by lang keeps this shape shuffle-
+# bounded, but a dominant language makes one window partition large; a
+# production deployment range-buckets the sort key (repartitionByRange
+# on (lang, n_chars)) and re-pairs across bucket boundaries by
+# duplicating each bucket's trailing w rows into its successor —
+# documented here because the windowed form IS the semantics the
+# bucketed form must reproduce.
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 3
+SNM_THRESHOLD = 0.5
+
+
+def q187_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("tset"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    paired = docs.select(
+        "lang",
+        F.col("doc_id").alias("id_a"),
+        F.col("tset").alias("set_a"),
+        *[
+            F.lead("doc_id", i).over(w).alias(f"id_b_{i}")
+            for i in range(1, SNM_WINDOW + 1)
+        ],
+        *[
+            F.lead("tset", i).over(w).alias(f"set_b_{i}")
+            for i in range(1, SNM_WINDOW + 1)
+        ],
+    )
+    arms = []
+    for i in range(1, SNM_WINDOW + 1):
+        arms.append(
+            paired.where(F.col(f"id_b_{i}").isNotNull()).select(
+                "lang",
+                "id_a",
+                F.col(f"id_b_{i}").alias("id_b"),
+                F.lit(i).alias("neighbor_rank"),
+                F.size(
+                    F.array_intersect("set_a", F.col(f"set_b_{i}"))
+                ).alias("n_inter"),
+                F.size(
+                    F.array_union("set_a", F.col(f"set_b_{i}"))
+                ).alias("n_union"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return (
+        out.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+        )
+        .where(F.col("jaccard") >= SNM_THRESHOLD)
+        .select(
+            "lang", "id_a", "id_b", "neighbor_rank",
+            "n_inter", "n_union", "jaccard",
+        )
+    )
+
+
+_SNM_ARM_SQL = "\nUNION ALL\n".join(
+    f"""SELECT lang, doc_id AS id_a,
+       LEAD(doc_id, {i}) OVER w{i} AS id_b,
+       {i} AS neighbor_rank,
+       tset AS set_a,
+       LEAD(tset, {i}) OVER w{i} AS set_b
+FROM base
+WINDOW w{i} AS (PARTITION BY lang ORDER BY n_chars, doc_id)"""
+    for i in range(1, SNM_WINDOW + 1)
+)
+
+Q187_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, lang, n_chars,
+           list_distinct(list_filter(
+               string_split_regex(TRIM(text), '\s+'), t -> t <> ''
+           )) AS tset
+    FROM documents
+),
+arms AS (
+{_SNM_ARM_SQL}
+),
+scored AS (
+    SELECT lang, id_a, id_b, CAST(neighbor_rank AS INT) AS neighbor_rank,
+           CAST(len(list_intersect(set_a, set_b)) AS INT) AS n_inter,
+           CAST(len(list_distinct(list_concat(set_a, set_b))) AS INT)
+             AS n_union
+    FROM arms WHERE id_b IS NOT NULL
+)
+SELECT lang, id_a, id_b, neighbor_rank, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+FROM scored
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= {SNM_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q188 — Fellegi-Sunter probabilistic record linkage (1969): blocked
+# candidate pairs scored by a sum of per-field agreement/disagreement
+# log-likelihood weights, classified match / possible / nonmatch by two
+# thresholds. The weights are integer constants (ln(m/u) resp.
+# ln((1-m)/(1-u)) on a x16 grid, precomputed — in production they come
+# from an EM fit, which is driver-side state just like trained k-means
+# centroids), so the whole decision rule is exact integer arithmetic.
+#
+# Here: link customers to suppliers, blocked on nationkey (never
+# all-pairs: |C|x|S| within a nation only), agreement fields
+#   f1: account-balance bucket (floor(bal/1000))   w+ 40 / w- -15
+#   f2: entity-key mod 7                           w+ 25 / w-  -8
+#   f3: name numeric suffix mod 100                w+ 30 / w- -10
+# ---------------------------------------------------------------------------
+
+FS_MATCH_T = 50
+FS_POSSIBLE_T = 10
+
+
+def q188_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).alias("c_balb"),
+        (F.col("c_custkey") % 7).alias("c_k7"),
+        (
+            F.regexp_extract(F.col("c_name"), r"(\d+)$", 1).cast("long") % 100
+        ).alias("c_sfx"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        F.col("s_nationkey").alias("nation"),
+        F.floor(F.col("s_acctbal") / 1000).alias("s_balb"),
+        (F.col("s_suppkey") % 7).alias("s_k7"),
+        (
+            F.regexp_extract(F.col("s_name"), r"(\d+)$", 1).cast("long") % 100
+        ).alias("s_sfx"),
+    )
+    pairs = cust.join(F.broadcast(supp), "nation")
+    score = (
+        F.when(F.col("c_balb") == F.col("s_balb"), 40).otherwise(-15)
+        + F.when(F.col("c_k7") == F.col("s_k7"), 25).otherwise(-8)
+        + F.when(F.col("c_sfx") == F.col("s_sfx"), 30).otherwise(-10)
+    )
+    return (
+        pairs.withColumn("fs_score", score.cast("long"))
+        .where(F.col("fs_score") >= FS_POSSIBLE_T)
+        .select(
+            "nation",
+            "cust_id",
+            "supp_id",
+            "fs_score",
+            F.when(F.col("fs_score") >= FS_MATCH_T, "match")
+            .otherwise("possible")
+            .alias("decision"),
+        )
+    )
+
+
+Q188_SQL = rf"""
+WITH c AS (
+    SELECT c_custkey AS cust_id, c_nationkey AS nation,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS c_balb,
+           c_custkey % 7 AS c_k7,
+           CAST(regexp_extract(c_name, '(\d+)$', 1) AS BIGINT) % 100 AS c_sfx
+    FROM customer
+),
+s AS (
+    SELECT s_suppkey AS supp_id, s_nationkey AS nation,
+           CAST(FLOOR(s_acctbal / 1000) AS BIGINT) AS s_balb,
+           s_suppkey % 7 AS s_k7,
+           CAST(regexp_extract(s_name, '(\d+)$', 1) AS BIGINT) % 100 AS s_sfx
+    FROM supplier
+),
+scored AS (
+    SELECT c.nation, cust_id, supp_id,
+           CAST(CASE WHEN c_balb = s_balb THEN 40 ELSE -15 END
+              + CASE WHEN c_k7 = s_k7 THEN 25 ELSE -8 END
+              + CASE WHEN c_sfx = s_sfx THEN 30 ELSE -10 END AS BIGINT)
+             AS fs_score
+    FROM c JOIN s ON c.nation = s.nation
+)
+SELECT nation, cust_id, supp_id, fs_score,
+       CASE WHEN fs_score >= {FS_MATCH_T} THEN 'match'
+            ELSE 'possible' END AS decision
+FROM scored WHERE fs_score >= {FS_POSSIBLE_T}
+"""
+
+
+RETRIEVAL_QUERIES = {
+    "q186_bm25_search": q186_bm25_search,
+    "q187_snm_dedup": q187_snm_dedup,
+    "q188_record_linkage": q188_record_linkage,
+}
+
+RETRIEVAL_ORACLES = {
+    "q186_bm25_search": Q186_SQL,
+    "q187_snm_dedup": Q187_SQL,
+    "q188_record_linkage": Q188_SQL,
+}

@@ -1158,8 +1158,123 @@ ORDER BY comp.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q192 — Embedding snapshot drift: compare two corpus snapshots (old =
+# even vec_id, new = odd — in production, yesterday's and today's
+# embedding runs) per label cluster: row-count shift plus the cosine
+# between the snapshots' centroid vectors. The centroid cosine needs no
+# per-row pairing: cos(mean_a, mean_b) = cos(sum_a, sum_b) because the
+# 1/n scalars cancel, so the whole statistic is one posexplode +
+# per-(label, snapshot, pos) exact-decimal sum (the q25 determinism
+# recipe) and a label-keyed fold — linear, shuffle-light, and a full
+# value oracle. A drifting label (centroid cosine << 1 or count ratio
+# far from 1) is the trigger to re-run downstream ANN index builds.
+# ---------------------------------------------------------------------------
+
+
+def q192_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    sums = parts.groupBy("label", "snap", "pos").agg(
+        F.sum(F.col("v").cast("decimal(38,18)")).cast("double").alias("s"),
+        F.count("*").alias("n"),
+    )
+    a = sums.where(F.col("snap") == 0).select(
+        "label", "pos", F.col("s").alias("sa")
+    )
+    b = sums.where(F.col("snap") == 1).select(
+        "label", "pos", F.col("s").alias("sb")
+    )
+    folded = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("sa") * F.col("sb")).cast("decimal(38,18)")
+            ).cast("double").alias("dot"),
+            F.sum(
+                (F.col("sa") * F.col("sa")).cast("decimal(38,18)")
+            ).cast("double").alias("na"),
+            F.sum(
+                (F.col("sb") * F.col("sb")).cast("decimal(38,18)")
+            ).cast("double").alias("nb"),
+        )
+    )
+    counts = (
+        emb.groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias(
+                "n_old"
+            ),
+            F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias(
+                "n_new"
+            ),
+        )
+    )
+    return (
+        counts.join(folded, "label")
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            F.round(
+                F.col("dot")
+                / F.nullif(
+                    F.sqrt(F.col("na")) * F.sqrt(F.col("nb")), F.lit(0.0)
+                ),
+                9,
+            ).alias("centroid_cosine"),
+            (
+                F.col("n_new").cast("double") / F.col("n_old").cast("double")
+            ).alias("count_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+Q192_SQL = """
+WITH parts AS (
+    SELECT label, vec_id % 2 AS snap, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i)
+    WHERE r.i < len(embedding)
+),
+sums AS (
+    SELECT label, snap, pos,
+           CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS s
+    FROM parts GROUP BY label, snap, pos
+),
+folded AS (
+    SELECT a.label,
+           CAST(SUM(CAST(a.s * b.s AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+           CAST(SUM(CAST(a.s * a.s AS DECIMAL(38,18))) AS DOUBLE) AS na,
+           CAST(SUM(CAST(b.s * b.s AS DECIMAL(38,18))) AS DOUBLE) AS nb
+    FROM (SELECT label, pos, s FROM sums WHERE snap = 0) a
+    JOIN (SELECT label, pos, s FROM sums WHERE snap = 1) b
+      USING (label, pos)
+    GROUP BY a.label
+),
+counts AS (
+    SELECT label,
+           SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+           SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+    FROM embeddings GROUP BY label
+)
+SELECT label, n_old, n_new,
+       round(dot / NULLIF(sqrt(na) * sqrt(nb), 0.0), 9) AS centroid_cosine,
+       CAST(n_new AS DOUBLE) / CAST(n_old AS DOUBLE) AS count_ratio
+FROM counts JOIN folded USING (label)
+ORDER BY label
+"""
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
+    "q192_embedding_drift": q192_embedding_drift,
     "q26_ann_ivf": q26_ann_ivf,
     "q40_embedding_neardup": q40_embedding_neardup,
     "q56_ann_lsh": q56_ann_lsh,
@@ -1182,6 +1297,7 @@ VECTOR_ORACLES = {
     "q145_pq_encode": Q145_SQL,
     "q150_ivfpq_search": Q150_SQL,
     "q25_cosine_topk": Q25_SQL,
+    "q192_embedding_drift": Q192_SQL,
     "q26_ann_ivf": Q26_SQL,
     "q40_embedding_neardup": Q40_SQL,
     "q56_ann_lsh": Q56_SQL,

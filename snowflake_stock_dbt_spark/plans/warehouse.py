@@ -2136,6 +2136,75 @@ GROUP BY abc_class
 """
 
 
+# ---------------------------------------------------------------------------
+# Q191 — HITS hubs & authorities on the DIRECTED trade graph (customer
+# buys-from supplier): the mutual-reinforcement companion to q93's
+# PageRank, built on the same determinism recipe (per-edge contributions
+# FLOOR-quantized to the 1e-12 grid, exact integer sums) plus
+# max-normalization per half-round so every score is an int/int double
+# ratio — bit-identical everywhere, full value oracle (operators/
+# graph.py:hits). Two iterations = four join+agg rounds.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+
+
+def q191_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    trade = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits(trade, iters=_HITS_ITERS)
+    return out.select(
+        F.col("id").alias("node_id"), "hub", "authority"
+    ).orderBy("node_id")
+
+
+def _hits_half_sql(scores: str, send: str, recv: str, out: str) -> str:
+    return f"""
+{out}_int AS (
+    SELECT e.{recv} AS id,
+           SUM(CAST(FLOOR(s.score * 1e12) AS HUGEINT)) AS s_int
+    FROM e JOIN {scores} s ON e.{send} = s.id
+    GROUP BY e.{recv}
+),
+{out} AS (
+    SELECT id, CAST(s_int AS DOUBLE)
+               / (SELECT CAST(MAX(s_int) AS DOUBLE) FROM {out}_int) AS score
+    FROM {out}_int
+)"""
+
+
+Q191_SQL = f"""
+WITH trade AS (
+    SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT u, v FROM trade),
+nodes AS (SELECT DISTINCT id FROM (SELECT u AS id FROM e UNION SELECT v FROM e)),
+h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+{_hits_half_sql('h0', 'u', 'v', 'a1')},
+{_hits_half_sql('a1', 'v', 'u', 'h1')},
+{_hits_half_sql('h1', 'u', 'v', 'a2')},
+{_hits_half_sql('a2', 'v', 'u', 'h2')}
+SELECT nodes.id AS node_id,
+       COALESCE(h2.score, CAST(0.0 AS DOUBLE)) AS hub,
+       COALESCE(a2.score, CAST(0.0 AS DOUBLE)) AS authority
+FROM nodes
+LEFT JOIN h2 ON h2.id = nodes.id
+LEFT JOIN a2 ON a2.id = nodes.id
+ORDER BY node_id
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -2171,6 +2240,7 @@ WAREHOUSE_QUERIES = {
     "q181_revenue_concentration": q181_revenue_concentration,
     "q182_order_reconciliation": q182_order_reconciliation,
     "q183_abc_classification": q183_abc_classification,
+    "q191_hits_scores": q191_hits_scores,
 }
 
 WAREHOUSE_ORACLES = {
@@ -2208,4 +2278,5 @@ WAREHOUSE_ORACLES = {
     "q181_revenue_concentration": Q181_SQL,
     "q182_order_reconciliation": Q182_SQL,
     "q183_abc_classification": Q183_SQL,
+    "q191_hits_scores": Q191_SQL,
 }

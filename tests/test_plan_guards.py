@@ -44,6 +44,9 @@ BNL_ALLOWED = {
     "q161_skipping_manifest",  # q157's 1-row grid-stats broadcast, joined
     "q166_binary_quant_search",  # query-set x packed-corpus Hamming broadcast (q25 pattern)
     "q183_abc_classification",  # 1-row revenue-total broadcast (q03 pattern)
+    "q186_bm25_search",  # 1-row (N, total_len) corpus-stats broadcast
+    "q194_equidepth_histogram",  # 1-row total-rows broadcast (q03 pattern)
+    "q195_skew_report",  # 1-row (total, n_keys) stats broadcast
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -179,6 +182,16 @@ PINNED_PATTERNS = {
     # q150: the distributed ADC lookup tables must arrive via broadcast
     # (round-5 rewrite of the driver-side LUT loop).
     "q150_ivfpq_search": ["BroadcastExchange", "BroadcastHashJoin"],
+    # Round-5 retrieval/ops family. q186/q195: top-K must stay a heap
+    # with rank attached after the cut, never a corpus-wide sort window;
+    # q187: SNM neighbors come from the lang-partitioned LEAD window;
+    # q188: the 100-row supplier side broadcasts into the nation block;
+    # q189: the per-bucket checksum agg stays map-side combinable.
+    "q186_bm25_search": ["TakeOrderedAndProject", "partial_"],
+    "q187_snm_dedup": ["Window"],
+    "q188_record_linkage": ["BroadcastHashJoin"],
+    "q189_replica_checksum_diff": ["partial_"],
+    "q195_skew_report": ["TakeOrderedAndProject"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -365,3 +378,38 @@ def test_lint_plan_flags_nested_loop_and_python_seam(spark):
     seam = spark.range(10).mapInPandas(ident, schema="id long")
     assert any("python-seam" in f for f in lint_plan(seam, allow_python=False))
     assert all("python-seam" not in f for f in lint_plan(seam))
+
+
+def test_runtime_bloom_filter_injects_on_q190(spark):
+    """q190's join shape must qualify for Spark's runtime bloom-filter
+    pruning (InjectRuntimeFilter): at cluster scale the optimizer builds
+    a bloom filter from the selectively-filtered orders side and pushes
+    might_contain into the lineitem probe scan. The size thresholds that
+    gate injection are production-tuned (probe scan >= 10 GB), so this
+    test lowers them — and disables broadcast, which at gate SF would
+    make the bloom filter unnecessary — then pins the injection. If a
+    refactor of q190 breaks any qualifying condition (equi-join keys,
+    selective creation-side predicate, shuffle-join shape), the filter
+    stops injecting and this fails."""
+    from snowflake_stock_dbt_spark.plans.ops_diag import (
+        q190_runtime_filter_join,
+    )
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        df = q190_runtime_filter_join(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
