@@ -1,5 +1,6 @@
 """Interchange formats: declarative round-trips for the lake formats
-Spark ships natively — parquet, ORC, CSV, JSON-lines.
+Spark ships natively — parquet, ORC, CSV, JSON-lines, and (Spark 4)
+XML.
 
 The reference's interchange surface is CSV + JSON files (reference
 scraper/scrape.py:183-197, app/streamlit_app.py:106-111); a warehouse
@@ -21,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "orc", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json", "xml")
 
 #: Formats whose scans push filters/column pruning down to the file.
 COLUMNAR = ("parquet", "orc")
@@ -42,6 +43,10 @@ def write_table(
     writer = df.write.mode(mode).format(fmt)
     if fmt == "csv" and "header" not in options:
         writer = writer.option("header", True)
+    if fmt == "xml" and "rowTag" not in options:
+        # Spark 4's NATIVE XML source (spark-xml merged upstream); a row
+        # tag is mandatory — default it so round-trips are symmetric.
+        writer = writer.option("rowTag", "row")
     for k, v in options.items():
         writer = writer.option(k, v)
     if partition_by:
@@ -60,7 +65,7 @@ def read_table(
     explicit schema — production paths never infer."""
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}")
-    if fmt in ("csv", "json") and schema is None:
+    if fmt in ("csv", "json", "xml") and schema is None:
         raise ValueError(
             f"{fmt} reads require an explicit schema (no inference in "
             "production paths; SURVEY.md §1.2)"
@@ -70,6 +75,8 @@ def read_table(
         reader = reader.schema(schema)
     if fmt == "csv" and "header" not in options:
         reader = reader.option("header", True)
+    if fmt == "xml" and "rowTag" not in options:
+        reader = reader.option("rowTag", "row")
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)

@@ -209,7 +209,7 @@ def test_format_round_trips(spark, sf_dir, tmp_path):
     src = spark.read.parquet(f"{sf_dir}/customer.parquet")
     want = sorted(tuple(r) for r in src.collect())
     schema = src.schema
-    for fmt in ("parquet", "orc", "csv", "json"):
+    for fmt in ("parquet", "orc", "csv", "json", "xml"):
         p = str(tmp_path / f"t_{fmt}")
         write_table(src, p, fmt)
         got = read_table(spark, p, fmt, schema=schema)
@@ -221,7 +221,7 @@ def test_text_formats_require_schema(spark, tmp_path):
 
     from snowflake_stock_dbt_spark.sources.formats import read_table
 
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "xml"):
         with _pytest.raises(ValueError, match="explicit schema"):
             read_table(spark, str(tmp_path), fmt)
 
