@@ -33,6 +33,36 @@ def _candidate_sdk_paths() -> list[str]:
     return cands
 
 
+#: Set when google.protobuf resolved via the SDK fallback (not a real
+#: install) — sessions built before this module imported need the path
+#: injected per-function (see ensure_protobuf_for_session).
+_FALLBACK_PATH: str | None = None
+
+
+def ensure_protobuf_for_session(spark) -> bool:
+    """:func:`ensure_protobuf`, plus delivery to an ALREADY-RUNNING
+    session's Python workers.
+
+    The env-var route only reaches workers whose JVM launched after
+    ensure_protobuf() ran. A session built earlier (e.g. the external
+    driver constructs a bare SparkSession, then imports the contract)
+    has its JVM env frozen — but ``sc.environment`` entries are read at
+    python-function serialization time and MERGED into each worker's
+    PYTHONPATH by PythonWorkerFactory, so mutating it here still lands
+    in every worker spawned from now on. Idempotent; no-op when the real
+    package is installed."""
+    ok = ensure_protobuf()
+    if ok and _FALLBACK_PATH is not None:
+        env = spark.sparkContext.environment
+        pp = env.get("PYTHONPATH", "")
+        if _FALLBACK_PATH not in pp.split(os.pathsep):
+            env["PYTHONPATH"] = (
+                pp + os.pathsep + _FALLBACK_PATH if pp else _FALLBACK_PATH
+            )
+        env.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    return ok
+
+
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable; True if it is (or became so).
 
@@ -66,6 +96,8 @@ def ensure_protobuf() -> bool:
             import google.protobuf  # noqa: F401
         except ImportError:
             continue
+        global _FALLBACK_PATH
+        _FALLBACK_PATH = cand
         # The SDK copy can trail the gencode pyspark ships (observed:
         # gencode 6.33.0 vs runtime 6.32.0-dev, one minor apart) and the
         # runtime refuses newer gencode by default. Use protobuf's OWN

@@ -450,9 +450,14 @@ def q185_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     families, which the default HDFS-backed provider rejects. Registered
     in the driver contract only when protobuf resolves (HAS_TWS), so the
     contract stays importable on hosts without it."""
+    from ..compat import ensure_protobuf_for_session
     from ..streaming.pipeline import ROCKSDB_PROVIDER
     from ..streaming.stateful import stateful_user_totals_tws
 
+    # Deliver the protobuf fallback to THIS session's workers even if its
+    # JVM predates our import (sc.environment is read per python
+    # function, not at JVM launch) — the bare-driver-session case.
+    ensure_protobuf_for_session(spark)
     ev = stream_events(spark, sf_dir)
     out = run_streaming_query(
         spark,
