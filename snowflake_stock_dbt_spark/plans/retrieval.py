@@ -218,6 +218,116 @@ def q187_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snm_pairs_bucketed(
+    docs: DataFrame,
+    window: int = SNM_WINDOW,
+    bucket_width: int = 16,
+) -> DataFrame:
+    """The PRODUCTION-SCALE twin of q187's windowed SNM: candidate pairs
+    (id_a, id_b, neighbor_rank) identical to the per-lang LEAD window,
+    but with the sort bucketed so no partition ever holds a whole
+    language.
+
+    Shape: deterministic range buckets (``n_chars div bucket_width`` —
+    explicit, not sampled, so output is reproducible run-to-run, unlike
+    repartitionByRange's sampled boundaries). The exact global sort
+    position is recovered WITHOUT a global sort: row_number inside each
+    (lang, bucket) — bucket-bounded window state — plus a prefix sum
+    over the per-bucket counts (a window over bucket-count rows, never
+    over documents). Neighbors at sort distance 1..w are then found by a
+    banded self-join on ``pos div w`` (same band or next — two keyed
+    equi-joins), which is exact for ANY bucket occupancy, including
+    buckets sparser than w where the naive tail-head stitch misses
+    pairs. Equality with the global window is proved by
+    tests/test_round5_properties.py, so this plan can replace the
+    windowed one at any scale without changing a single output pair.
+
+    ``docs`` must carry (doc_id, lang, n_chars, tset).
+    """
+    b = docs.withColumn(
+        "bucket", F.floor(F.col("n_chars") / bucket_width).cast("long")
+    )
+    # Exact global sort position WITHOUT a global sort: row_number inside
+    # each (lang, bucket) — bucket-bounded window state — plus a prefix
+    # sum over the per-bucket COUNTS, a window over bucket-count rows
+    # (thousands at most), never over documents.
+    inner_w = Window.partitionBy("lang", "bucket").orderBy(
+        "n_chars", "doc_id"
+    )
+    ranked = b.withColumn("r", F.row_number().over(inner_w))
+    counts = b.groupBy("lang", "bucket").agg(F.count("*").alias("cnt"))
+    pw = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = counts.withColumn(
+        "prefix", F.coalesce(F.sum("cnt").over(pw), F.lit(0))
+    ).select("lang", "bucket", "prefix")
+    pos = ranked.join(prefix, ["lang", "bucket"]).select(
+        "lang",
+        "doc_id",
+        "tset",
+        (F.col("prefix") + F.col("r")).alias("pos"),
+    )
+    # Bounded-distance self-join via position bands of width w: a
+    # partner at distance 1..w lives in the same band or the next one —
+    # two keyed equi-joins, no range scan, no global anything.
+    a_side = pos.select(
+        "lang",
+        F.col("doc_id").alias("id_a"),
+        F.col("tset").alias("set_a"),
+        F.col("pos").alias("pos_a"),
+        F.floor(F.col("pos") / window).alias("band"),
+    )
+    b_side = pos.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("tset").alias("set_b"),
+        F.col("pos").alias("pos_b"),
+        F.floor(F.col("pos") / window).alias("b_band"),
+    )
+    out = None
+    for shift in (0, 1):
+        arm = (
+            a_side.withColumn("probe", F.col("band") + shift)
+            .join(
+                b_side,
+                (F.col("probe") == F.col("b_band"))
+                & (F.col("lang") == F.col("lang_b")),
+            )
+            .where(
+                (F.col("pos_b") - F.col("pos_a") >= 1)
+                & (F.col("pos_b") - F.col("pos_a") <= window)
+            )
+            .select(
+                "lang",
+                "id_a",
+                "id_b",
+                (F.col("pos_b") - F.col("pos_a")).cast("int").alias(
+                    "neighbor_rank"
+                ),
+                "set_a",
+                "set_b",
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return (
+        out.select(
+            "lang",
+            "id_a",
+            "id_b",
+            F.col("neighbor_rank").cast("int").alias("neighbor_rank"),
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            F.size(F.array_union("set_a", "set_b")).alias("n_union"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+        )
+    )
+
+
 _SNM_ARM_SQL = "\nUNION ALL\n".join(
     f"""SELECT lang, doc_id AS id_a,
        LEAD(doc_id, {i}) OVER w{i} AS id_b,

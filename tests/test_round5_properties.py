@@ -339,3 +339,45 @@ def test_skew_report_replays_and_salt_is_ceil(spark, sf_dir):
         assert r["skew_factor"] == pytest.approx(
             r["cnt"] * n_keys / total
         )
+
+
+def test_snm_bucketed_equals_windowed(spark, sf_dir):
+    """The production-scale banded SNM (snm_pairs_bucketed) must produce
+    EXACTLY the per-lang windowed pairs of q187 — including across
+    bucket boundaries and through buckets sparser than the window — for
+    several bucket widths, so the bucketed plan can substitute at scale
+    without changing one output pair."""
+    from snowflake_stock_dbt_spark.plans.retrieval import (
+        SNM_THRESHOLD,
+        q187_snm_dedup,
+        snm_pairs_bucketed,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    want = {
+        tuple(r)
+        for r in q187_snm_dedup(spark, sf_dir)
+        .select("lang", "id_a", "id_b", "neighbor_rank", "n_inter", "n_union")
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("tset"),
+    )
+    for width in (1, 7, 64):  # width 1 makes most buckets sparser than w
+        got = {
+            tuple(r)
+            for r in snm_pairs_bucketed(docs, bucket_width=width)
+            .where(F.col("jaccard") >= SNM_THRESHOLD)
+            .select(
+                "lang", "id_a", "id_b", "neighbor_rank", "n_inter", "n_union"
+            )
+            .collect()
+        }
+        assert got == want, f"bucket_width={width}"
