@@ -941,9 +941,9 @@ Q193_SQL = f"""
 WITH enc AS ({Q132_SQL})
 SELECT d.lang, d.source,
        COUNT(*) AS n_docs,
-       SUM(e.n_words) AS n_words,
-       SUM(e.n_bpe_tokens) AS n_tokens,
-       SUM(CAST(length(d.text) AS BIGINT)) AS n_chars,
+       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(length(d.text) AS BIGINT)) AS BIGINT) AS n_chars,
        CAST(SUM(e.n_bpe_tokens) AS DOUBLE) / CAST(SUM(e.n_words) AS DOUBLE)
          AS fertility,
        CAST(SUM(CAST(length(d.text) AS BIGINT)) AS DOUBLE)

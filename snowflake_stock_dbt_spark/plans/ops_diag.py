@@ -216,7 +216,7 @@ bucketed AS (
     FROM vc CROSS JOIN tot
 )
 SELECT bucket, MIN(v) AS lo, MAX(v) AS hi,
-       SUM(cnt) AS n_rows, COUNT(*) AS n_distinct
+       CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct
 FROM bucketed GROUP BY bucket ORDER BY bucket
 """
 

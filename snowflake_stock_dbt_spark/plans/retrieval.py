@@ -124,7 +124,7 @@ per_term AS (
     CROSS JOIN stats
 ),
 scored AS (
-    SELECT doc_id, SUM(term_score) AS bm25_scaled,
+    SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_scaled,
            COUNT(*) AS n_terms_hit
     FROM per_term GROUP BY doc_id
 )
@@ -149,12 +149,13 @@ LIMIT {BM25_TOP_K}
 # tokens: integers + one exact int/int double division).
 #
 # Scale note: partitioning the sort by lang keeps this shape shuffle-
-# bounded, but a dominant language makes one window partition large; a
-# production deployment range-buckets the sort key (repartitionByRange
-# on (lang, n_chars)) and re-pairs across bucket boundaries by
-# duplicating each bucket's trailing w rows into its successor —
-# documented here because the windowed form IS the semantics the
-# bucketed form must reproduce.
+# bounded, but a dominant language makes one window partition large; the
+# production path is :func:`snm_pairs_bucketed` below — deterministic
+# range buckets + prefix-sum global positions + a banded distance join,
+# proved pair-for-pair equal to this windowed form
+# (tests/test_round5_properties.py::test_snm_bucketed_equals_windowed).
+# The windowed form stays registered because it IS the semantics the
+# bucketed form must reproduce, and the oracle replays it directly.
 # ---------------------------------------------------------------------------
 
 SNM_WINDOW = 3

@@ -1260,8 +1260,8 @@ folded AS (
 ),
 counts AS (
     SELECT label,
-           SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
-           SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+           CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+           CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
     FROM embeddings GROUP BY label
 )
 SELECT label, n_old, n_new,
