@@ -474,6 +474,38 @@ def q185_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q196_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator on
+    transformWithStateInPandas — per-user ListState of open session
+    fragments plus EVENT-TIME TIMERS that close a session once the
+    watermark proves its gap (streaming/stateful.py:SessionizeProcessor).
+    Streams the sentinel-flushed landing: the flush rows push the final
+    watermark past every real session's close, the trailing no-data
+    micro-batch fires the timers, and drained output equals the batch
+    session semantics — the q144/q42 oracle applies verbatim (sentinel
+    sessions never close: their timer sits at flush + gap, beyond the
+    final watermark; user -1 filtered anyway)."""
+    from ..sources.tables import normalize_instant
+    from ..streaming.pipeline import ROCKSDB_PROVIDER
+    from ..streaming.stateful import stateful_sessions_tws
+
+    from ..compat import ensure_protobuf_for_session
+
+    ensure_protobuf_for_session(spark)
+    land = _flush_events_landing(spark, sf_dir)
+    schema = spark.read.parquet(land).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(land)
+    ev = normalize_instant(raw, "ts")
+    out = run_streaming_query(
+        spark,
+        stateful_sessions_tws(ev, gap_us=SESSION_GAP_S * 1_000_000),
+        output_mode="append",
+        state_partitions=STATE_PARTITIONS,
+        state_provider=ROCKSDB_PROVIDER,
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
 def _has_tws() -> bool:
     from ..compat import ensure_protobuf
 
@@ -509,3 +541,5 @@ STREAMING_ORACLES = {
 if HAS_TWS:
     STREAMING_QUERIES["q185_stateful_totals_tws"] = q185_stateful_totals_tws
     STREAMING_ORACLES["q185_stateful_totals_tws"] = Q41_SQL
+    STREAMING_QUERIES["q196_sessionize_tws"] = q196_sessionize_tws
+    STREAMING_ORACLES["q196_sessionize_tws"] = Q144_SQL

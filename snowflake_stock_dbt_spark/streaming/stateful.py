@@ -123,3 +123,154 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based SESSIONIZATION on transformWithStateInPandas — the canonical
+# arbitrary-state operator the new API exists for: per-key ListState of
+# open session fragments, EVENT-TIME TIMERS to close sessions once the
+# watermark proves the gap, and exact micro-unit sums. Unlike the
+# built-in session_window (streaming/pipeline.py), this formulation is
+# user-extensible (attach any per-session state or custom close logic).
+#
+# Correctness of the fragment merge: within a fragment every adjacent
+# event gap < GAP by construction; merging two fragments when
+# next.first - cur.last < GAP cannot create an over-gap adjacency — if
+# two merged-order-adjacent events x (from A) and y (from B) had
+# y - x >= GAP, x must be A's last and y B's first (any other A/B event
+# would lie between them), contradicting the merge condition — so
+# interval-level state is sufficient and event times need not be kept.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1800 * 1_000_000
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, total_value double"
+)
+_FRAG_SCHEMA = "first_us long, last_us long, n long, micro long"
+
+
+def _merge_fragments(frags: list[tuple], gap_us: int) -> list[tuple]:
+    """Merge (first_us, last_us, n, micro) fragments whose sorted
+    inter-fragment distance is < gap_us; pure function, unit-tested."""
+    frags = sorted(frags)
+    out: list[list] = []
+    for f in frags:
+        if out and f[0] - out[-1][1] < gap_us:
+            cur = out[-1]
+            cur[1] = max(cur[1], f[1])
+            cur[2] += f[2]
+            cur[3] += f[3]
+        else:
+            out.append(list(f))
+    return [tuple(f) for f in out]
+
+
+def _fragments_of(pairs: list[tuple], gap_us: int) -> list[tuple]:
+    """Session fragments from sorted (us, micro) event pairs."""
+    frags = []
+    for us, micro in pairs:
+        if frags and us - frags[-1][1] < gap_us:
+            cur = frags[-1]
+            cur[1] = us
+            cur[2] += 1
+            cur[3] += micro
+        else:
+            frags.append([us, us, 1, micro])
+    return [tuple(f) for f in frags]
+
+
+class SessionizeProcessor(StatefulProcessor):
+    """Per-user open-session fragments + event-time close timers."""
+
+    def __init__(self, gap_us: int = SESSION_GAP_US) -> None:
+        self._gap_us = gap_us
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sessions = handle.getListState("sessions", _FRAG_SCHEMA)
+
+    def _stored(self) -> list[tuple]:
+        return [tuple(t) for t in self._sessions.get()] if (
+            self._sessions.exists()
+        ) else []
+
+    def handleInputRows(self, key, rows, timerValues):
+        pairs = []
+        for pdf in rows:
+            pairs.extend(
+                zip(
+                    (int(v) for v in pdf["us"]),
+                    (int(v) for v in pdf["micro"].fillna(0)),
+                )
+            )
+        pairs.sort()
+        merged = _merge_fragments(
+            self._stored() + _fragments_of(pairs, self._gap_us), self._gap_us
+        )
+        self._sessions.put(merged)
+        for first_us, last_us, n, micro in merged:
+            # Close timer: fires once the event-time watermark passes the
+            # gap after the fragment's last event. Ceil to ms so the
+            # us->ms grain can never fire a timer early; stale timers
+            # from fragments that later merged are harmless — expiry
+            # re-checks the watermark against CURRENT state.
+            self._handle.registerTimer(-((last_us + self._gap_us) // -1000))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+        closed = []
+        still_open = []
+        for frag in self._stored():
+            first_us, last_us, n, micro = frag
+            if last_us + self._gap_us <= wm_us:
+                closed.append(frag)
+            else:
+                still_open.append(frag)
+        if closed:
+            if still_open:
+                self._sessions.put(still_open)
+            else:
+                self._sessions.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [f[0] for f in closed],
+                    "session_end_us": [f[1] + self._gap_us for f in closed],
+                    "n_events": [f[2] for f in closed],
+                    "total_value": [f[3] / 1_000_000 for f in closed],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_sessions_tws(
+    events: DataFrame, gap_us: int = SESSION_GAP_US, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based sessions via :class:`SessionizeProcessor`: same output
+    contract as the native ``session_window`` aggregation
+    (streaming/pipeline.py:streaming_session_agg) — (user_id,
+    session_start_us, session_end_us = last event + gap, n_events,
+    exact-decimal total_value). Quantization to micro-units happens
+    JVM-side before the Arrow seam, exactly as q41."""
+    prepared = (
+        events.withWatermark("ts", watermark)
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "micro",
+            (F.col("value").cast("decimal(38,6)") * F.lit(1_000_000)).cast(
+                "long"
+            ),
+        )
+        .select("user_id", "ts", "us", "micro")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionizeProcessor(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

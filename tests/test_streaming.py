@@ -316,3 +316,115 @@ def test_transform_with_state_equals_group_state_operator(spark, oracle_sf_dir):
         for r in q185_stateful_totals_tws(spark, oracle_sf_dir).collect()
     }
     assert a == b
+
+
+def test_session_fragment_merge_pure_functions():
+    """Unit proofs for the sessionize state algebra: interleaved
+    fragments bridge transitively, sub-gap distance merges, over-gap
+    stays split, and counts/sums are conserved."""
+    from snowflake_stock_dbt_spark.streaming.stateful import (
+        _fragments_of,
+        _merge_fragments,
+    )
+
+    gap = 100
+    # events 0,50,149 -> one fragment; 300 starts a new one.
+    frags = _fragments_of([(0, 1), (50, 2), (149, 3), (300, 4)], gap)
+    assert frags == [(0, 149, 3, 6), (300, 300, 1, 4)]
+    # A=[0,90], B=[150,160]: 150-90=60 < gap -> merge; C at 400 stays.
+    merged = _merge_fragments(
+        [(0, 90, 2, 5), (400, 410, 2, 7), (150, 160, 2, 1)], gap
+    )
+    assert merged == [(0, 160, 4, 6), (400, 410, 2, 7)]
+    # Interleaved/overlapping fragments merge with conserved stats.
+    merged = _merge_fragments([(0, 200, 3, 9), (100, 150, 2, 1)], gap)
+    assert merged == [(0, 200, 5, 10)]
+    # Exactly-gap distance does NOT merge (strict < gap, q42 semantics:
+    # a gap >= GAP starts a new session).
+    merged = _merge_fragments([(0, 10, 1, 1), (110, 120, 1, 1)], gap)
+    assert len(merged) == 2
+
+
+def test_sessionize_tws_multi_batch_equals_batch(spark, tmp_path):
+    """Cross-batch session state: feed events as THREE timed files with
+    maxFilesPerTrigger=1 so fragments open in one micro-batch, extend and
+    MERGE in later ones (stale close-timers must re-check the watermark),
+    and only then close. Drained output must equal offline
+    sessionization of the full event set."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from snowflake_stock_dbt_spark.plans.streaming_plans import (
+        STATE_PARTITIONS,
+    )
+    from snowflake_stock_dbt_spark.streaming.pipeline import (
+        ROCKSDB_PROVIDER,
+        run_streaming_query,
+    )
+    from snowflake_stock_dbt_spark.streaming.stateful import (
+        _fragments_of,
+        stateful_sessions_tws,
+    )
+
+    gap_us = 600 * 1_000_000
+    base = 1_700_000_000_000_000  # us
+    # user 1: batch1 opens [0s, 100s]; batch2's 400s event EXTENDS it
+    # (gap 300s < 600s); batch3's 1500s event opens a NEW session.
+    # user 2: batch1 opens at 0s; batch2 at 550s extends; batch3 bridges
+    # two would-be fragments at 1200s after a 650s gap -> new session.
+    events = {
+        1: [(0, 1.5), (100, 2.0), (400, 3.25), (1500, 4.0)],
+        2: [(0, 1.0), (550, 2.5), (1200, 0.75)],
+    }
+    batches = [
+        [(1, 0, 1.5), (1, 100, 2.0), (2, 0, 1.0)],
+        [(1, 400, 3.25), (2, 550, 2.5)],
+        [(1, 1500, 4.0), (2, 1200, 0.75)],
+        # flush sentinel: pushes the watermark past every real close.
+        [(-1, 100_000, 0.0)],
+    ]
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    for i, rows in enumerate(batches):
+        pdf = [
+            (int(u), (base + s * 1_000_000), float(v)) for u, s, v in rows
+        ]
+        df = spark.createDataFrame(pdf, "user_id long, us long, value double")
+        df = df.select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "value",
+        )
+        df.coalesce(1).write.parquet(os.path.join(land, f"b{i}"))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    raw = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(land)
+    )
+    out = run_streaming_query(
+        spark,
+        stateful_sessions_tws(raw, gap_us=gap_us, watermark="0 seconds"),
+        output_mode="append",
+        state_partitions=STATE_PARTITIONS,
+        state_provider=ROCKSDB_PROVIDER,
+    ).where(F.col("user_id") >= 0)
+    got = {
+        (
+            r["user_id"], r["session_start_us"], r["session_end_us"],
+            r["n_events"], r["total_value"],
+        )
+        for r in out.collect()
+    }
+    want = set()
+    for u, evs in events.items():
+        pairs = sorted(
+            (base + s * 1_000_000, int(v * 1_000_000)) for s, v in evs
+        )
+        for first, last, n, micro in _fragments_of(pairs, gap_us):
+            want.add((u, first, last + gap_us, n, micro / 1_000_000))
+    assert got == want
