@@ -506,6 +506,125 @@ def q196_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("user_id") >= 0)
 
 
+_half_landings: dict[str, str] = {}
+
+
+def _odd_events_landing(spark: SparkSession, sf_dir: str) -> str:
+    """The odd-event_id half of events, written to a PID-keyed scratch
+    landing dir (q197 streams this half on top of the even half's batch
+    aggregate). Memoized per process, same discipline as
+    _flush_events_landing."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_half_{tag}_{os.getpid()}"
+    )
+    if path not in _half_landings:
+        load_table(spark, sf_dir, "events").where(
+            F.col("event_id") % 2 == 1
+        ).write.mode("overwrite").parquet(path)
+        _half_landings[path] = path
+    return path
+
+
+def q197_warmstart_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-state BOOTSTRAP on transformWithStateInPandas: the
+    even-event_id half of events is compacted to a batch (user_id, n,
+    micro) aggregate and fed through the initialState channel
+    (handleInitialState seeds each user's ValueState before the first
+    streamed row); the odd half then streams on top. Final per-user
+    emissions equal the batch aggregate over ALL events — the migration
+    /resume-from-history shape, oracle-checked. Users whose events are
+    all in history never receive a streamed row and so never emit
+    (update-mode semantics); the oracle carries the same IN-filter."""
+    from ..compat import ensure_protobuf_for_session
+    from ..sources.tables import load_table, normalize_instant
+    from ..streaming.pipeline import ROCKSDB_PROVIDER
+    from ..streaming.stateful import stateful_user_totals_warmstart
+
+    ensure_protobuf_for_session(spark)
+    history = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("value").cast("decimal(38,6)")
+                        * F.lit(1_000_000)
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("micro"),
+        )
+    )
+    land = _odd_events_landing(spark, sf_dir)
+    schema = spark.read.parquet(land).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(land)
+    ev = normalize_instant(raw, "ts")
+    out = run_streaming_query(
+        spark,
+        stateful_user_totals_warmstart(ev, history),
+        output_mode="update",
+        state_partitions=STATE_PARTITIONS,
+        state_provider=ROCKSDB_PROVIDER,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+Q197_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))), 0) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE event_id % 2 = 1)
+GROUP BY user_id
+"""
+
+
+def q198_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState on transformWithStateInPandas: per-user map of
+    event_type -> running count (the third state primitive after q185's
+    ValueState and q196's ListState) — each batch updates only touched
+    entries; counts are monotone, so max-per-(user, type) over the
+    update-mode emissions recovers the final table, which equals the
+    batch GROUP BY."""
+    from ..compat import ensure_protobuf_for_session
+    from ..streaming.pipeline import ROCKSDB_PROVIDER
+    from ..streaming.stateful import stateful_type_counts
+
+    ensure_protobuf_for_session(spark)
+    ev = stream_events(spark, sf_dir)
+    out = run_streaming_query(
+        spark,
+        stateful_type_counts(ev),
+        output_mode="update",
+        state_partitions=STATE_PARTITIONS,
+        state_provider=ROCKSDB_PROVIDER,
+    )
+    return out.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
+
+
+Q198_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n_events
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def _has_tws() -> bool:
     from ..compat import ensure_protobuf
 
@@ -543,3 +662,7 @@ if HAS_TWS:
     STREAMING_ORACLES["q185_stateful_totals_tws"] = Q41_SQL
     STREAMING_QUERIES["q196_sessionize_tws"] = q196_sessionize_tws
     STREAMING_ORACLES["q196_sessionize_tws"] = Q144_SQL
+    STREAMING_QUERIES["q197_warmstart_totals_tws"] = q197_warmstart_totals_tws
+    STREAMING_ORACLES["q197_warmstart_totals_tws"] = Q197_SQL
+    STREAMING_QUERIES["q198_type_counts_tws"] = q198_type_counts_tws
+    STREAMING_ORACLES["q198_type_counts_tws"] = Q198_SQL

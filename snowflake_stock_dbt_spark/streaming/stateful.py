@@ -274,3 +274,106 @@ def stateful_sessions_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# Initial-state bootstrap (transformWithStateInPandas initialState=...):
+# warm-start the per-user totals from a BATCH aggregate — the operational
+# shape of migrating a running pipeline onto the new API, or resuming
+# from a compacted history table instead of replaying the full log.
+# handleInitialState seeds each key's ValueState before the first input
+# row; streamed rows then accumulate on top, so the final emission per
+# user equals the batch aggregate over history + stream.
+# ---------------------------------------------------------------------------
+
+
+class WarmStartTotalsProcessor(UserTotalsProcessor):
+    """UserTotalsProcessor whose state is seeded from an initial-state
+    relation of (user_id, n, micro) rows."""
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._totals.update(
+            (
+                int(initialState["n"].iloc[0]),
+                int(initialState["micro"].iloc[0]),
+            )
+        )
+
+
+def stateful_user_totals_warmstart(
+    events: DataFrame, history: DataFrame
+) -> DataFrame:
+    """Per-user running totals over ``events`` (a stream), warm-started
+    from ``history`` — a BATCH frame of prior (user_id, n, micro)
+    aggregates fed through the initialState channel. Same JVM-side
+    micro-unit quantization as :func:`stateful_user_totals`."""
+    with_micro = events.withColumn(
+        "micro",
+        (F.col("value").cast("decimal(38,6)") * F.lit(1_000_000)).cast("long"),
+    ).select("user_id", "micro")
+    return with_micro.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=WarmStartTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+        initialState=history.groupBy("user_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MapState: per-user map of event_type -> count — the third state
+# primitive (Value/List/Map) on a keyed sub-dictionary the flat
+# ValueState can't index. Each batch updates only the touched map
+# entries and emits the updated (user, type, n) rows; counts are
+# monotone, so latest-wins post-processing recovers the final table.
+# ---------------------------------------------------------------------------
+
+TYPE_COUNT_SCHEMA = "user_id long, event_type string, n_events long"
+
+
+class TypeCountsProcessor(StatefulProcessor):
+    """Per-user MapState: event_type -> running count."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "n long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        delta: dict[str, int] = {}
+        for pdf in rows:
+            for et in pdf["event_type"]:
+                delta[et] = delta.get(et, 0) + 1
+        out_t, out_n = [], []
+        for et, d in delta.items():
+            prior = (
+                self._counts.getValue((et,))[0]
+                if self._counts.containsKey((et,))
+                else 0
+            )
+            n = prior + d
+            self._counts.updateValue((et,), (n,))
+            out_t.append(et)
+            out_n.append(n)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_t),
+                "event_type": out_t,
+                "n_events": out_n,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_type_counts(events: DataFrame) -> DataFrame:
+    return events.select("user_id", "event_type").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=TypeCountsProcessor(),
+        outputStructType=TYPE_COUNT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -77,6 +77,9 @@ STREAM_MATERIALIZED = {
     "q144_streaming_session",
     "q169_stream_join_then_window",
     "q185_stateful_totals_tws",
+    "q196_sessionize_tws",
+    "q197_warmstart_totals_tws",
+    "q198_type_counts_tws",
 }
 
 
