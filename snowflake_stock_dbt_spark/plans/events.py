@@ -1160,7 +1160,92 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q199 — EXACT rolling 7-day distinct users per day, via an interval
+# sweep instead of a per-window rescan. COUNT(DISTINCT) over a sliding
+# window doesn't decompose, and the naive formulation rescans 7 days of
+# data per output day (7x read amplification at 100 TB). The sweep is
+# linear: a user active on day d contributes to every window ending in
+# [d, d+6], so per user the contribution set is a UNION OF INTERVALS —
+# merged with one lag-window pass over that user's distinct active days
+# (gap > 6 days starts a new interval; the q196 session-merge shape on a
+# day grid). Each interval becomes a +1/-1 delta pair, and the rolling
+# count is the running sum of deltas over the DAY SPINE — a window over
+# ~calendar-days rows (domain-bounded), never over events. Exact, no
+# sketch, fully value-oracled against a brute-force range join.
+# ---------------------------------------------------------------------------
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def q199_rolling_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    win = ROLLING_WINDOW_DAYS
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).distinct()
+    uw = Window.partitionBy("user_id").orderBy("day")
+    grouped = pairs.withColumn(
+        "new_iv",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(uw)) > win - 1, 1
+        ).otherwise(0),
+    ).withColumn(
+        "iv",
+        F.sum("new_iv").over(
+            uw.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = grouped.groupBy("user_id", "iv").agg(
+        F.min("day").alias("cover_start"),
+        F.date_add(F.max("day"), win - 1).alias("cover_end"),
+    )
+    deltas = intervals.select(
+        F.col("cover_start").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select(
+            F.date_add(F.col("cover_end"), 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily_delta = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    sw = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    rolled = (
+        spine.join(daily_delta, "day", "left")
+        .withColumn(
+            "n_active_users",
+            F.sum(F.coalesce("d", F.lit(0))).over(sw).cast("long"),
+        )
+        .select("day", "n_active_users")
+    )
+    event_days = pairs.select("day").distinct()
+    return rolled.join(event_days, "day").orderBy("day")
+
+
+Q199_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT d.day, COUNT(DISTINCT p.user_id) AS n_active_users
+FROM days d
+JOIN pairs p
+  ON p.day BETWEEN d.day - {ROLLING_WINDOW_DAYS - 1} AND d.day
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
 EVENT_QUERIES = {
+    "q199_rolling_distinct_users": q199_rolling_distinct_users,
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
     "q133_hopping_window": q133_hopping_window,
@@ -1180,6 +1265,7 @@ EVENT_QUERIES = {
 }
 
 EVENT_ORACLES = {
+    "q199_rolling_distinct_users": Q199_SQL,
     "q27_sessionize": Q27_SQL,
     "q28_tumbling_window": Q28_SQL,
     "q133_hopping_window": Q133_SQL,

@@ -209,13 +209,16 @@ class SessionizeProcessor(StatefulProcessor):
             self._stored() + _fragments_of(pairs, self._gap_us), self._gap_us
         )
         self._sessions.put(merged)
-        for first_us, last_us, n, micro in merged:
-            # Close timer: fires once the event-time watermark passes the
-            # gap after the fragment's last event. Ceil to ms so the
-            # us->ms grain can never fire a timer early; stale timers
-            # from fragments that later merged are harmless — expiry
-            # re-checks the watermark against CURRENT state.
-            self._handle.registerTimer(-((last_us + self._gap_us) // -1000))
+        # ONE timer per key, at the EARLIEST fragment close (ceil to ms
+        # so the us->ms grain can never fire early): expiry emits every
+        # closeable fragment and re-arms for the next-earliest remaining,
+        # so per-key timer traffic is O(close events), not O(fragments) —
+        # a fragment-per-timer formulation cost 95k Python expiry
+        # round-trips at sf0.1 (17 s); this one costs #users. Stale
+        # timers (a fragment extended after arming) are harmless: expiry
+        # re-checks the watermark against CURRENT state.
+        earliest = min(f[1] for f in merged) + self._gap_us
+        self._handle.registerTimer(-(earliest // -1000))
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
@@ -229,6 +232,11 @@ class SessionizeProcessor(StatefulProcessor):
                 closed.append(frag)
             else:
                 still_open.append(frag)
+        if still_open:
+            # Re-arm for the next-earliest close among surviving
+            # fragments (the one-timer-per-key discipline).
+            earliest = min(f[1] for f in still_open) + self._gap_us
+            self._handle.registerTimer(-(earliest // -1000))
         if closed:
             if still_open:
                 self._sessions.put(still_open)

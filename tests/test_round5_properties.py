@@ -381,3 +381,35 @@ def test_snm_bucketed_equals_windowed(spark, sf_dir):
             .collect()
         }
         assert got == want, f"bucket_width={width}"
+
+
+def test_rolling_distinct_matches_bruteforce(spark, sf_dir):
+    """q199's interval-sweep rolling distinct must equal a brute-force
+    per-day set union over the raw (user, day) pairs."""
+    import datetime
+    import duckdb
+
+    from snowflake_stock_dbt_spark.plans.events import (
+        ROLLING_WINDOW_DAYS,
+        q199_rolling_distinct_users,
+    )
+
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    by_day: dict = {}
+    for u, d in pairs:
+        by_day.setdefault(d, set()).add(u)
+    expected = {}
+    for d in by_day:
+        users = set()
+        for k in range(ROLLING_WINDOW_DAYS):
+            users |= by_day.get(d - datetime.timedelta(days=k), set())
+        expected[d] = len(users)
+    got = {
+        r["day"]: r["n_active_users"]
+        for r in q199_rolling_distinct_users(spark, sf_dir).collect()
+    }
+    assert got == expected
