@@ -1221,7 +1221,168 @@ WHERE (cum * {_PPS_K}) // total - ((cum - weight) * {_PPS_K}) // total > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q200 — the CURATION PIPELINE capstone: exact dedup → quality/PII
+# verdict → per-domain cap → token-budget shard packing, composed as ONE
+# lazy plan ending in a shard manifest — the shape a pretraining data
+# run actually executes, proving the engine's curation operators chain
+# without materialization barriers. Stage rules are the registered
+# operators' own (q19 fingerprint dedup, q101 verdict thresholds on the
+# REAL text — no synthetic PII probe here, q76 hash-ranked domain cap,
+# q89 packing arithmetic), so each stage is individually oracle-proven
+# AND the composition carries its own full value oracle. Every stage is
+# keyed-window/agg shaped: fingerprint groups, per-source ranks, one
+# prefix sum per source — no global sort, no driver loop, one scan.
+# ---------------------------------------------------------------------------
+
+
+def q200_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import (
+        fingerprint,
+        pii_count,
+        quality_score,
+        token_count,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fw = Window.partitionBy("fingerprint")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        fingerprint("text").alias("fingerprint"),
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        (
+            F.size(F.array_distinct(tokens("text"))).cast("double")
+            / F.size(tokens("text")).cast("double")
+        ).alias("distinct_ratio"),
+        (
+            pii_count(F.col("text"), "email")
+            + pii_count(F.col("text"), "phone")
+            + pii_count(F.col("text"), "ipv4")
+            + pii_count(F.col("text"), "ssn")
+        ).alias("pii_total"),
+    )
+    survivors = scored.withColumn(
+        "keeper", F.col("doc_id") == F.min("doc_id").over(fw)
+    ).where(
+        F.col("keeper")
+        & F.col("n_tokens").between(VERDICT_MIN_TOKENS, VERDICT_MAX_TOKENS)
+        & (F.col("quality") >= VERDICT_MIN_QUALITY)
+        & (F.col("distinct_ratio") >= VERDICT_MIN_DISTINCT)
+        & (F.col("pii_total") == 0)
+    )
+    cap_w = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    capped = survivors.withColumn(
+        "rk", F.row_number().over(cap_w)
+    ).where(F.col("rk") <= DOMAIN_CAP)
+    pack_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = capped.withColumn(
+        "cum", F.sum("n_tokens").over(pack_w)
+    ).withColumn(
+        "bin",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens")) / PACK_BUDGET_TOKENS
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+def _q200_sql() -> str:
+    from ..functions.text import PII_PATTERNS, QUALITY_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    pii = " + ".join(
+        f"len(regexp_extract_all(text, '{PII_PATTERNS[k]}'))"
+        for k in ("email", "phone", "ipv4", "ssn")
+    )
+    h60 = hash60_sql("CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH base AS (
+    SELECT doc_id, source, text,
+           sha256(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fingerprint,
+           string_split_regex(TRIM(text), '\s+') AS t,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+sig AS (
+    SELECT doc_id, source, fingerprint,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(len(t) AS BIGINT) END AS n_tokens,
+           0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+           + 0.4 * least((CASE WHEN len(t) > 0 AND TRIM(text) <> ''
+                  THEN CAST(len(list_filter(t, x -> x IN ({sw}))) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END) * 4.0, 1.0)
+           + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                       / CAST(n_chars AS DOUBLE)
+                  ELSE 0.0 END) * 5.0, 1.0)) AS quality,
+           CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+               AS distinct_ratio,
+           CAST({pii} AS BIGINT) AS pii_total,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id
+    FROM base
+),
+survivors AS (
+    SELECT doc_id, source, n_tokens
+    FROM sig
+    WHERE doc_id = keeper_id
+      AND n_tokens BETWEEN {VERDICT_MIN_TOKENS} AND {VERDICT_MAX_TOKENS}
+      AND quality >= {VERDICT_MIN_QUALITY}
+      AND distinct_ratio >= {VERDICT_MIN_DISTINCT}
+      AND pii_total = 0
+),
+capped AS (
+    SELECT doc_id, source, n_tokens
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY {h60}, doc_id
+        ) AS rk
+        FROM survivors
+    ) WHERE rk <= {DOMAIN_CAP}
+),
+packed AS (
+    SELECT source, doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin
+    FROM capped
+)
+SELECT source, bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
+Q200_SQL = _q200_sql()
+
+
 CURATION_QUERIES = {
+    "q200_curation_pipeline": q200_curation_pipeline,
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
     "q72_source_vocabulary": q72_source_vocabulary,
@@ -1240,6 +1401,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "q200_curation_pipeline": Q200_SQL,
     "q70_repetition_signals": Q70_SQL,
     "q71_stratified_sample": Q71_SQL,
     "q72_source_vocabulary": Q72_SQL,

