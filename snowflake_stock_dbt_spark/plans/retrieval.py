@@ -455,13 +455,190 @@ FROM scored WHERE fs_score >= {FS_POSSIBLE_T}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q201 — Inverted index construction: the IR-infrastructure counterpart
+# of q186's BM25 (which *searches*; this *builds* what a search system
+# serves). Per term: document frequency, total term frequency, and the
+# posting list (doc:tf pairs, doc-ordered) — emitted as a canonical
+# string so the cross-engine value hash covers the postings themselves,
+# not just their counts. One explode + two keyed aggs, map-side
+# combined; posting lists shard naturally by term at scale (the shuffle
+# key IS the index key).
+# ---------------------------------------------------------------------------
+
+
+def q201_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["tf"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+Q201_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, u.term
+    FROM (SELECT doc_id,
+                 string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+         UNNEST(t) AS u(term)
+    WHERE u.term <> ''
+),
+tf AS (
+    SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id
+)
+SELECT term,
+       COUNT(*) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY term
+ORDER BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q202 — CDC apply (MERGE with deletes, no Delta required): reconcile a
+# base snapshot against a change feed of I/U/D operations into the next
+# snapshot — one full-outer key join, latest-op-wins per key. The base
+# here is orders minus every 10th key; the feed re-inserts those (I),
+# reprices every 7th key (U, +5.00 exact decimal), and tombstones every
+# 13th (D, which outranks U/I by sequence). This is the lakehouse CDC
+# pattern expressed in plain parquet + join semantics — the
+# transactional-commit flavor lives behind the Delta-gated upsert
+# (operators/upsert.py); the ANSWER is engine-neutral and fully
+# value-oracled.
+# ---------------------------------------------------------------------------
+
+_CDC_INS_MOD = 10
+_CDC_UPD_MOD = 7
+_CDC_DEL_MOD = 13
+
+
+def q202_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderpriority",
+    )
+    base = orders.where(F.col("o_orderkey") % _CDC_INS_MOD != 0)
+    inserts = orders.where(F.col("o_orderkey") % _CDC_INS_MOD == 0).select(
+        "o_orderkey", "price", "o_orderpriority",
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    updates = orders.where(F.col("o_orderkey") % _CDC_UPD_MOD == 0).select(
+        "o_orderkey",
+        (F.col("price") + F.lit(5).cast("decimal(18,2)")).alias("price"),
+        "o_orderpriority",
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    deletes = orders.where(F.col("o_orderkey") % _CDC_DEL_MOD == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    feed = inserts.unionByName(updates).unionByName(deletes)
+    sw = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = (
+        feed.withColumn("rn", F.row_number().over(sw))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_orderkey").alias("f_key"),
+            F.col("price").alias("f_price"),
+            F.col("o_orderpriority").alias("f_priority"),
+            "op",
+        )
+    )
+    applied = base.join(
+        latest, base.o_orderkey == latest.f_key, "full_outer"
+    )
+    return (
+        applied.where(
+            F.col("op").isNull() | (F.col("op") != "D")
+        )
+        .select(
+            F.coalesce("o_orderkey", "f_key").alias("o_orderkey"),
+            F.when(F.col("op").isNotNull(), F.col("f_price"))
+            .otherwise(F.col("price"))
+            .cast("double")
+            .alias("o_totalprice"),
+            F.when(F.col("op").isNotNull(), F.col("f_priority"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+    )
+
+
+Q202_SQL = f"""
+WITH o AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           o_orderpriority
+    FROM orders
+),
+base AS (SELECT * FROM o WHERE o_orderkey % {_CDC_INS_MOD} <> 0),
+feed AS (
+    SELECT o_orderkey, price, o_orderpriority, 'I' AS op, 1 AS seq
+    FROM o WHERE o_orderkey % {_CDC_INS_MOD} = 0
+    UNION ALL
+    SELECT o_orderkey, price + 5.00, o_orderpriority, 'U', 2
+    FROM o WHERE o_orderkey % {_CDC_UPD_MOD} = 0
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL, 'D', 3
+    FROM o WHERE o_orderkey % {_CDC_DEL_MOD} = 0
+),
+latest AS (
+    SELECT o_orderkey AS f_key, price AS f_price,
+           o_orderpriority AS f_priority, op
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC
+        ) AS rn FROM feed
+    ) WHERE rn = 1
+)
+SELECT COALESCE(base.o_orderkey, latest.f_key) AS o_orderkey,
+       CAST(CASE WHEN latest.op IS NOT NULL THEN latest.f_price
+                 ELSE base.price END AS DOUBLE) AS o_totalprice,
+       CASE WHEN latest.op IS NOT NULL THEN latest.f_priority
+            ELSE base.o_orderpriority END AS o_orderpriority
+FROM base FULL OUTER JOIN latest ON base.o_orderkey = latest.f_key
+WHERE latest.op IS NULL OR latest.op <> 'D'
+"""
+
+
 RETRIEVAL_QUERIES = {
+    "q201_inverted_index": q201_inverted_index,
+    "q202_cdc_apply": q202_cdc_apply,
     "q186_bm25_search": q186_bm25_search,
     "q187_snm_dedup": q187_snm_dedup,
     "q188_record_linkage": q188_record_linkage,
 }
 
 RETRIEVAL_ORACLES = {
+    "q201_inverted_index": Q201_SQL,
+    "q202_cdc_apply": Q202_SQL,
     "q186_bm25_search": Q186_SQL,
     "q187_snm_dedup": Q187_SQL,
     "q188_record_linkage": Q188_SQL,

@@ -437,3 +437,66 @@ def test_curation_pipeline_manifest_invariants(spark, sf_dir):
         for b in bins:
             assert b["first_doc"] <= b["last_doc"]
             assert b["n_docs"] >= 1 and b["n_tokens"] >= 1
+
+
+def test_inverted_index_replays(spark, sf_dir):
+    """q201's postings must equal a Python dictionary replay over the
+    raw text — doc order, tf values, df and totals."""
+    import duckdb
+
+    from snowflake_stock_dbt_spark.plans.retrieval import q201_inverted_index
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    index: dict = {}
+    for d, text in rows:
+        for tok in _whitespace_tokens(text):
+            index.setdefault(tok, {}).setdefault(d, 0)
+            index[tok][d] += 1
+    got = {r["term"]: r for r in q201_inverted_index(spark, sf_dir).collect()}
+    assert set(got) == set(index)
+    for term, posting in index.items():
+        r = got[term]
+        assert r["doc_freq"] == len(posting)
+        assert r["total_tf"] == sum(posting.values())
+        assert r["postings"] == ",".join(
+            f"{d}:{posting[d]}" for d in sorted(posting)
+        )
+
+
+def test_cdc_apply_replays(spark, sf_dir):
+    """q202's applied snapshot must equal a Python replay of the CDC
+    rules (delete outranks update outranks insert; update wins over
+    base; deleted keys absent; inserted keys present)."""
+    import duckdb
+    from decimal import Decimal
+
+    from snowflake_stock_dbt_spark.plans.retrieval import (
+        _CDC_DEL_MOD,
+        _CDC_INS_MOD,
+        _CDC_UPD_MOD,
+        q202_cdc_apply,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)), "
+        f"o_orderpriority FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    expected = {}
+    for k, price, prio in rows:
+        if k % _CDC_DEL_MOD == 0:
+            continue
+        if k % _CDC_UPD_MOD == 0:
+            expected[k] = (float(price + Decimal("5.00")), prio)
+        else:
+            # base rows (not %INS) keep their values; %INS rows come
+            # back via the insert op with identical values.
+            expected[k] = (float(price), prio)
+    got = {
+        r["o_orderkey"]: (r["o_totalprice"], r["o_orderpriority"])
+        for r in q202_cdc_apply(spark, sf_dir).collect()
+    }
+    assert got == expected
