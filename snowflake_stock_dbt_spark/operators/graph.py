@@ -26,7 +26,7 @@ primitive ops, O(log²) rounds; near-dup graphs never need it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -576,3 +576,58 @@ def hits(
     )
     e.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """(id, community) after ``iters`` SYNCHRONOUS label-propagation
+    rounds (Raghavan 2007): each node adopts the most frequent label
+    among its neighbors, ties broken by the smallest label — which makes
+    the update a pure function of the previous round's labels, so the
+    result is deterministic (asynchronous LPA is famously order-
+    dependent; the synchronous+min-tie-break variant is the one that can
+    carry a value oracle). Communities complement connected components:
+    CC finds *reachability*, LPA finds *density* inside one component.
+
+    Per round: one join (edges x labels on the sending endpoint) + one
+    (node, label) count agg + one per-node argmax window — all keyed on
+    vertex id, the pagerank shuffle shape, with ``localCheckpoint``
+    truncating lineage between rounds.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    for _ in range(iters):
+        contrib = e.join(
+            labels.withColumnRenamed("id", "u"), "u"
+        ).select(F.col("v").alias("id"), "label")
+        counts = contrib.groupBy("id", "label").agg(
+            F.count("*").alias("c")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        picked = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "label")
+        )
+        labels = (
+            nodes.join(picked, "id", "left")
+            .select(
+                "id", F.coalesce("label", F.col("id")).alias("label")
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return labels.select("id", F.col("label").alias("community"))

@@ -1123,7 +1123,156 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# Q203 — Seasonal decomposition of the daily revenue series (the
+# classical trend x weekday-seasonality x residual split, multiplicative
+# form): per l_returnflag, trend = centered 7-day moving average,
+# weekday index = mean detrended ratio, normalized so the 7 indices
+# average to 1, residual = actual − trend·seasonal. The q171/q173
+# primitives composed into the full decomposition a forecasting pipeline
+# consumes.
+#
+# Determinism discipline (every mean is a mean of DOUBLES, which a
+# group agg would sum in nondeterministic order): the series is integer
+# CENTS (q172's recipe); the frame sum is exact ints in deterministic
+# frame order; each detrended ratio is (cents·frame_n)/frame_cents —
+# one division of exact ints; ratios enter the weekday mean through the
+# pagerank FLOOR·1e12 grid (integer sums, order-free); normalization is
+# s_q·7/Σs_q — again exact ints. The only remaining float ops are
+# single divisions/products mirrored expression-for-expression in the
+# oracle, so the whole decomposition hash-matches.
+# ---------------------------------------------------------------------------
+
+
+def q203_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            "l_returnflag",
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_extendedprice").cast("decimal(38,2)").alias("p"),
+        )
+        .groupBy("l_returnflag", "d")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    fw = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.withColumn(
+        "f_cents", F.sum("cents").over(fw)
+    ).withColumn("f_n", F.count("*").over(fw))
+    # Detrended ratio as ONE division of exact ints, then onto the
+    # 1e12 floor grid for the order-free weekday mean.
+    trended = trended.withColumn(
+        "r_q",
+        F.floor(
+            (F.col("cents") * F.col("f_n")).cast("double")
+            / F.col("f_cents").cast("double")
+            * F.lit(1e12)
+        ).cast("long"),
+    ).withColumn("wd", F.dayofweek("d"))
+    wd_idx = trended.groupBy("l_returnflag", "wd").agg(
+        F.sum("r_q").alias("a"), F.count("*").alias("b")
+    )
+    # s_wd = a/b on the 1e6 grid; normalized s_q*7/Σs_q — exact ints.
+    wd_idx = wd_idx.withColumn(
+        "s_q",
+        F.floor(
+            F.col("a").cast("double") / F.col("b").cast("double") / F.lit(1e6)
+        ).cast("long"),
+    )
+    norm = wd_idx.groupBy("l_returnflag").agg(
+        F.sum("s_q").alias("sum_sq")
+    )
+    seasonal = (
+        wd_idx.join(F.broadcast(norm), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "wd",
+            (
+                (F.col("s_q") * 7).cast("double")
+                / F.col("sum_sq").cast("double")
+            ).alias("seasonal"),
+        )
+    )
+    out = trended.join(seasonal, ["l_returnflag", "wd"]).select(
+        "l_returnflag",
+        "d",
+        F.col("cents"),
+        (
+            F.col("f_cents").cast("double")
+            / (F.col("f_n") * 100).cast("double")
+        ).alias("trend"),
+        "seasonal",
+        (
+            F.col("cents").cast("double") / F.lit(100.0)
+            - (
+                F.col("f_cents").cast("double")
+                / (F.col("f_n") * 100).cast("double")
+            )
+            * F.col("seasonal")
+        ).alias("residual"),
+    )
+    # No round(): every output double is produced by an identical
+    # fixed-order IEEE expression over exact ints on both engines, so
+    # the raw bits already match — round() at 9 dp would REINTRODUCE a
+    # cross-engine boundary (HALF_UP vs half-even on repeating-decimal
+    # trend values like sum/700).
+    return out.orderBy("l_returnflag", "d")
+
+
+Q203_SQL = """
+WITH daily AS (
+    SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) * 100 AS BIGINT)
+             AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+trended AS (
+    SELECT l_returnflag, d, cents,
+           SUM(cents) OVER w AS f_cents,
+           COUNT(*) OVER w AS f_n,
+           CAST(FLOOR(CAST(cents * COUNT(*) OVER w AS DOUBLE)
+                      / CAST(SUM(cents) OVER w AS DOUBLE) * 1e12) AS BIGINT)
+             AS r_q,
+           dayofweek(d) + 1 AS wd
+    FROM daily
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+wd_idx AS (
+    SELECT l_returnflag, wd,
+           CAST(FLOOR(CAST(SUM(r_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                      / 1e6) AS BIGINT) AS s_q
+    FROM trended GROUP BY 1, 2
+),
+norm AS (
+    SELECT l_returnflag, CAST(SUM(s_q) AS BIGINT) AS sum_sq
+    FROM wd_idx GROUP BY 1
+),
+seasonal AS (
+    SELECT wd_idx.l_returnflag, wd,
+           CAST(s_q * 7 AS DOUBLE) / CAST(sum_sq AS DOUBLE) AS seasonal
+    FROM wd_idx JOIN norm USING (l_returnflag)
+)
+SELECT t.l_returnflag, t.d, t.cents,
+       CAST(f_cents AS DOUBLE) / CAST(f_n * 100 AS DOUBLE) AS trend,
+       s.seasonal AS seasonal,
+       CAST(cents AS DOUBLE) / 100.0
+         - (CAST(f_cents AS DOUBLE) / CAST(f_n * 100 AS DOUBLE))
+           * s.seasonal AS residual
+FROM trended t
+JOIN seasonal s ON s.l_returnflag = t.l_returnflag AND s.wd = t.wd
+ORDER BY t.l_returnflag, t.d
+"""
+
+
 SCALE_QUERIES = {
+    "q203_seasonal_decomposition": q203_seasonal_decomposition,
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
     "q57_approx_quantiles": q57_approx_quantiles,
@@ -1142,6 +1291,7 @@ SCALE_QUERIES = {
 }
 
 SCALE_ORACLES = {
+    "q203_seasonal_decomposition": Q203_SQL,
     "q45_quantiles": Q45_SQL,
     "q46_approx_distinct": Q46_SQL,
     "q57_approx_quantiles": Q57_SQL,

@@ -2205,6 +2205,79 @@ ORDER BY node_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q204 — Label-propagation communities on the symmetrized trade graph:
+# the DENSITY-based grouping that complements q54/q178's reachability
+# components and q93/q191's centralities. Synchronous rounds with
+# min-label tie-break (operators/graph.py:label_propagation) — the one
+# LPA variant that is deterministic and hence value-oracle-able; the
+# oracle unrolls the same three rounds in SQL.
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def q204_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    trade = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = trade.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(
+        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    out = label_propagation(edges, iters=_LPA_ITERS)
+    return out.select(
+        F.col("id").alias("node_id"), "community"
+    ).orderBy("node_id")
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out}_pick AS (
+    SELECT id, label FROM (
+        SELECT e.v AS id, p.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.v ORDER BY COUNT(*) DESC, p.label ASC
+               ) AS rn
+        FROM e JOIN {prev} p ON e.u = p.id
+        GROUP BY e.v, p.label
+    ) WHERE rn = 1
+),
+{out} AS (
+    SELECT nodes.id, COALESCE(pk.label, nodes.id) AS label
+    FROM nodes LEFT JOIN {out}_pick pk ON pk.id = nodes.id
+)"""
+
+
+Q204_SQL = f"""
+WITH trade AS (
+    SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+    SELECT cust AS u, supp AS v FROM trade
+    UNION
+    SELECT supp AS u, cust AS v FROM trade
+),
+nodes AS (SELECT DISTINCT u AS id FROM e),
+l0 AS (SELECT id, id AS label FROM nodes),
+{','.join(_lpa_round_sql(f'l{i}', f'l{i + 1}') for i in range(_LPA_ITERS))}
+SELECT id AS node_id, label AS community
+FROM l{_LPA_ITERS}
+ORDER BY node_id
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -2241,6 +2314,7 @@ WAREHOUSE_QUERIES = {
     "q182_order_reconciliation": q182_order_reconciliation,
     "q183_abc_classification": q183_abc_classification,
     "q191_hits_scores": q191_hits_scores,
+    "q204_lpa_communities": q204_lpa_communities,
 }
 
 WAREHOUSE_ORACLES = {
@@ -2279,4 +2353,5 @@ WAREHOUSE_ORACLES = {
     "q182_order_reconciliation": Q182_SQL,
     "q183_abc_classification": Q183_SQL,
     "q191_hits_scores": Q191_SQL,
+    "q204_lpa_communities": Q204_SQL,
 }

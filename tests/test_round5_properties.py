@@ -500,3 +500,85 @@ def test_cdc_apply_replays(spark, sf_dir):
         for r in q202_cdc_apply(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_seasonal_decomposition_matches_python_replay(spark, sf_dir):
+    """q203's trend/seasonal/residual must equal a Python float replay
+    of the exact pipeline (centered MA on integer cents, 1e12 floor-grid
+    weekday means, s*7/sum normalization) — bit-for-bit, no tolerance."""
+    import math
+    import duckdb
+
+    from snowflake_stock_dbt_spark.plans.scale import (
+        q203_seasonal_decomposition,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d, "
+        f"CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) * 100 AS BIGINT) "
+        f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for flag, d, cents in rows:
+        series.setdefault(flag, []).append((d, int(cents)))
+    expected = {}
+    for flag, pts in series.items():
+        n = len(pts)
+        f_stats = []
+        for i in range(n):
+            lo, hi = max(0, i - 3), min(n, i + 4)
+            f_cents = sum(c for _, c in pts[lo:hi])
+            f_n = hi - lo
+            f_stats.append((f_cents, f_n))
+        rqs, wds = [], []
+        for (d, c), (fc, fn) in zip(pts, f_stats):
+            rqs.append(math.floor(float(c * fn) / float(fc) * 1e12))
+            wds.append((d.weekday() + 1) % 7 + 1)
+        agg: dict = {}
+        for rq, wd in zip(rqs, wds):
+            a, b = agg.get(wd, (0, 0))
+            agg[wd] = (a + rq, b + 1)
+        s_q = {
+            wd: math.floor(float(a) / float(b) / 1e6)
+            for wd, (a, b) in agg.items()
+        }
+        sum_sq = sum(s_q.values())
+        for (d, c), (fc, fn), wd in zip(pts, f_stats, wds):
+            trend = float(fc) / float(fn * 100)
+            seasonal = float(s_q[wd] * 7) / float(sum_sq)
+            expected[(flag, d)] = (
+                c, trend, seasonal, c / 100.0 - trend * seasonal
+            )
+    got = {
+        (r["l_returnflag"], r["d"]): (
+            r["cents"], r["trend"], r["seasonal"], r["residual"]
+        )
+        for r in q203_seasonal_decomposition(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_lpa_splits_barbell_and_is_deterministic(spark):
+    """On a barbell (two 4-cliques bridged by one edge), synchronous LPA
+    with min-tie-break must settle every clique on its own minimum
+    label, giving exactly two communities; a repeat run is identical."""
+    from snowflake_stock_dbt_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    left, right = [1, 2, 3, 4], [10, 11, 12, 13]
+    edges = spark.createDataFrame(
+        clique(left) + clique(right) + [(4, 10), (10, 4)],
+        "src LONG, dst LONG",
+    )
+    out1 = {
+        r["id"]: r["community"] for r in label_propagation(edges).collect()
+    }
+    out2 = {
+        r["id"]: r["community"] for r in label_propagation(edges).collect()
+    }
+    assert out1 == out2
+    assert {out1[i] for i in left} == {1}
+    assert {out1[i] for i in right} == {10}
