@@ -1244,8 +1244,173 @@ ORDER BY d.day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q205 — Day-over-day movers: per (day, event_type) counts with
+# previous-day comparison (exact int ratio), within-day rank, and rank
+# delta — the daily "what changed" report an operations dashboard leads
+# with. Two lag windows partitioned by event_type + one rank window
+# partitioned by day, all over the (day x type) aggregate (calendar x
+# type bounded, never over events).
+# ---------------------------------------------------------------------------
+
+
+def q205_daily_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    tw = Window.partitionBy("event_type").orderBy("day")
+    dw = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    out = (
+        daily.withColumn("prev_n", F.lag("n").over(tw))
+        .withColumn("rank", F.row_number().over(dw).cast("int"))
+        .withColumn("prev_rank", F.lag("rank").over(tw))
+    )
+    return out.select(
+        "day",
+        "event_type",
+        "n",
+        "prev_n",
+        (
+            (F.col("n") - F.col("prev_n")).cast("double")
+            / F.col("prev_n").cast("double")
+        ).alias("pct_change"),
+        "rank",
+        (F.col("prev_rank") - F.col("rank")).cast("int").alias("rank_delta"),
+    ).orderBy("day", "rank")
+
+
+Q205_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT day, event_type, n,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY day ORDER BY n DESC, event_type
+           ) AS INT) AS rank
+    FROM daily
+)
+SELECT day, event_type, n, prev_n,
+       CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS pct_change,
+       rank,
+       CAST(LAG(rank) OVER (PARTITION BY event_type ORDER BY day) - rank
+            AS INT) AS rank_delta
+FROM ranked
+ORDER BY day, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q206 — A/B test readout: users split into two arms by the
+# deterministic hash (the q65 idiom — reproducible, no RNG state),
+# conversion = more purchases than errors (a per-user comparison that
+# splits the population at any SF — "has >= 1 purchase" saturates to
+# 100% on this corpus and degenerates the z-score), and the
+# two-proportion z-score
+# with pooled standard error — the experiment-analysis primitive. Every
+# number is a fixed-order IEEE expression over exact integers (counts),
+# mirrored in the oracle, so even the z-statistic hash-matches.
+# ---------------------------------------------------------------------------
+
+
+def q206_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    armed = users.select(
+        (hash60(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "converted",
+    )
+    agg = armed.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    a = agg.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = agg.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("lift"),
+        ((rate_b - rate_a) / se).alias("z_score"),
+    )
+
+
+def _q206_sql() -> str:
+    from ..functions.text import hash60_sql
+
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH users AS (
+    SELECT user_id,
+           CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS converted
+    FROM events GROUP BY user_id
+),
+armed AS (SELECT {h} % 2 AS arm, converted FROM users),
+agg AS (
+    SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+    FROM armed GROUP BY arm
+),
+a AS (SELECT n AS n_a, conv AS conv_a FROM agg WHERE arm = 0),
+b AS (SELECT n AS n_b, conv AS conv_b FROM agg WHERE arm = 1)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
+       (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+       / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         AS z_score
+FROM a CROSS JOIN b
+"""
+
+
+Q206_SQL = _q206_sql()
+
+
 EVENT_QUERIES = {
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
+    "q205_daily_movers": q205_daily_movers,
+    "q206_ab_test_readout": q206_ab_test_readout,
     "q27_sessionize": q27_sessionize,
     "q28_tumbling_window": q28_tumbling_window,
     "q133_hopping_window": q133_hopping_window,
@@ -1266,6 +1431,8 @@ EVENT_QUERIES = {
 
 EVENT_ORACLES = {
     "q199_rolling_distinct_users": Q199_SQL,
+    "q205_daily_movers": Q205_SQL,
+    "q206_ab_test_readout": Q206_SQL,
     "q27_sessionize": Q27_SQL,
     "q28_tumbling_window": Q28_SQL,
     "q133_hopping_window": Q133_SQL,

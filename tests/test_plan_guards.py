@@ -47,6 +47,7 @@ BNL_ALLOWED = {
     "q186_bm25_search",  # 1-row (N, total_len) corpus-stats broadcast
     "q194_equidepth_histogram",  # 1-row total-rows broadcast (q03 pattern)
     "q195_skew_report",  # 1-row (total, n_keys) stats broadcast
+    "q206_ab_test_readout",  # two 1-row arm summaries crossed (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned

@@ -582,3 +582,41 @@ def test_lpa_splits_barbell_and_is_deterministic(spark):
     assert out1 == out2
     assert {out1[i] for i in left} == {1}
     assert {out1[i] for i in right} == {10}
+
+
+def test_ab_test_readout_replays(spark, sf_dir):
+    """q206's counts and z-score must equal a Python replay of the
+    hash-armed two-proportion test."""
+    import math
+    import duckdb
+
+    from snowflake_stock_dbt_spark.functions.text import hash60
+    from snowflake_stock_dbt_spark.plans.events import q206_ab_test_readout
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, CASE WHEN "
+        f"SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > "
+        f"SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+        f"THEN 1 ELSE 0 END FROM '{sf_dir}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    # replicate the md5-prefix hash arm assignment in Python
+    import hashlib
+
+    def arm(uid: int) -> int:
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    n = {0: 0, 1: 0}
+    conv = {0: 0, 1: 0}
+    for uid, c in rows:
+        a = arm(uid)
+        n[a] += 1
+        conv[a] += c
+    r = q206_ab_test_readout(spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        n[0], conv[0], n[1], conv[1],
+    )
+    ra, rb = conv[0] / n[0], conv[1] / n[1]
+    pooled = (conv[0] + conv[1]) / (n[0] + n[1])
+    se = math.sqrt(pooled * (1.0 - pooled) * (1.0 / n[0] + 1.0 / n[1]))
+    assert r["z_score"] == pytest.approx((rb - ra) / se, rel=1e-12)
