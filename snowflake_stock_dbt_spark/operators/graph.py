@@ -631,3 +631,61 @@ def label_propagation(
         )
     e.unpersist()
     return labels.select("id", F.col("label").alias("community"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, hop) — minimum number of edges from any seed vertex, for
+    every vertex reachable within ``max_hops`` (seeds themselves at hop
+    0). Multi-source frontier BFS, the reachability primitive under
+    "within N hops of X" questions (supply-chain blast radius, fraud
+    neighborhoods, k-hop feature extraction for graph ML).
+
+    Frontier algorithm: round ``d`` expands only the vertices first
+    reached at ``d-1`` (one equi-join edges⋈frontier on the source
+    endpoint), then anti-joins the visited set so each vertex is stamped
+    exactly once, at its first (= minimum) hop — no per-vertex min agg
+    over all paths is ever materialized, unlike the naive "expand
+    everything and MIN()" formulation whose intermediate grows with path
+    multiplicity. ``localCheckpoint`` truncates lineage per round (the
+    iterative-algorithm trap, see module docstring).
+
+    At 100 TB: each round shuffles |frontier⋈edges| rows keyed on vertex
+    id — the pagerank shuffle shape, but only on the expanding wavefront,
+    so total work is O(|E| reached) across all rounds, not O(|E| x
+    rounds). The visited set stays (id, hop) — two longs per reached
+    vertex.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .persist()
+    )
+    visited = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("id")
+    for d in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(visited, "id", "left_anti")
+            .withColumn("hop", F.lit(d).cast("int"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(fresh).localCheckpoint()
+        frontier = fresh.select("id")
+    e.unpersist()
+    return visited

@@ -2278,6 +2278,90 @@ ORDER BY node_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q207 — Multi-source BFS shortest hops on the trade graph: minimum edge
+# distance from any seed-nation supplier, capped at 3 hops — the "blast
+# radius" / k-hop-neighborhood question (supply-chain exposure, fraud
+# rings, k-hop feature extraction) that reachability (q54), centrality
+# (q93/q191), density (q204), and cohesion (q141) don't answer.
+#
+# Spark side: frontier BFS (operators/graph.py:bfs_hops) — each vertex is
+# stamped once at its first reach, so the intermediate never grows with
+# path multiplicity. Oracle: a recursive CTE bounded by the same hop cap;
+# MIN(hop) over the enumerated reach set equals the frontier stamp by the
+# BFS invariant. Hop counts are small exact integers — bit-identical by
+# construction.
+# ---------------------------------------------------------------------------
+
+_BFS_SEED_NATION = "NATION_7"
+_BFS_MAX_HOPS = 3
+
+
+def q207_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    trade = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = trade.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(
+        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    seeds = (
+        s.join(
+            F.broadcast(n.where(F.col("n_name") == _BFS_SEED_NATION)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("id"))
+    )
+    out = bfs_hops(edges, seeds, max_hops=_BFS_MAX_HOPS)
+    return out.select(
+        F.col("id").alias("node_id"),
+        "hop",
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+    ).orderBy("node_id")
+
+
+Q207_SQL = f"""
+WITH RECURSIVE trade AS (
+    SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+    SELECT cust AS u, supp AS v FROM trade
+    UNION
+    SELECT supp AS u, cust AS v FROM trade
+),
+seeds AS (
+    SELECT s_suppkey * 2 + 1 AS id
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{_BFS_SEED_NATION}'
+),
+bfs AS (
+    SELECT id, 0 AS hop FROM seeds
+    UNION
+    SELECT e.v AS id, bfs.hop + 1 AS hop
+    FROM bfs JOIN e ON e.u = bfs.id
+    WHERE bfs.hop < {_BFS_MAX_HOPS}
+)
+SELECT id AS node_id, CAST(MIN(hop) AS INTEGER) AS hop,
+       CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+FROM bfs GROUP BY id ORDER BY node_id
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
@@ -2315,6 +2399,7 @@ WAREHOUSE_QUERIES = {
     "q183_abc_classification": q183_abc_classification,
     "q191_hits_scores": q191_hits_scores,
     "q204_lpa_communities": q204_lpa_communities,
+    "q207_bfs_hops": q207_bfs_hops,
 }
 
 WAREHOUSE_ORACLES = {
@@ -2354,4 +2439,5 @@ WAREHOUSE_ORACLES = {
     "q183_abc_classification": Q183_SQL,
     "q191_hits_scores": Q191_SQL,
     "q204_lpa_communities": Q204_SQL,
+    "q207_bfs_hops": Q207_SQL,
 }

@@ -184,3 +184,35 @@ def test_triangle_counts_star_graph_no_quadratic_wedges(spark):
         [(0, i) for i in range(1, 51)], "src bigint, dst bigint"
     )
     assert triangle_counts(star).count() == 0
+
+
+def test_bfs_hops_path_graph(spark):
+    """Directed path 1->2->3->4->5 seeded at 1, cap 3: hops are exact
+    path distances, node 5 (distance 4) is excluded by the cap, and the
+    seed itself is hop 0."""
+    from snowflake_stock_dbt_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "id bigint")
+    got = {r["id"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_multi_source_min_and_unreachable(spark):
+    """Two seeds: each vertex is stamped at the MINIMUM distance over
+    all seeds; a disconnected vertex never appears; a vertex reachable
+    by both a short and a long path gets the short one (first-reach
+    invariant, not path enumeration)."""
+    from snowflake_stock_dbt_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        # Component A: 1->2->3, plus shortcut 9->3; component B: 7->8.
+        [(1, 2), (2, 3), (9, 3), (7, 8)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "id bigint")
+    got = {r["id"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    # 3 is distance 2 via 1->2->3 but distance 1 via 9->3: min wins.
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1}
