@@ -1381,8 +1381,77 @@ ORDER BY source, bin
 Q200_SQL = _q200_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q208 — k-anonymity audit over the customer quasi-identifiers: a privacy
+# readout the curation layer needs next to the PII scan (q77) — PII finds
+# *direct* identifiers inside text; k-anonymity measures *indirect*
+# re-identification risk from attribute combinations (Sweeney 2002). The
+# quasi-identifier is (nation, market segment, account-balance thousand-
+# bucket); every equivalence class reports its size k, a risk band
+# (k < 5 high / k < 20 medium / else low), and its exact ppm share of the
+# table via integral division against the 1-row total broadcast (the q03
+# pattern — no float ratios, so the oracle is bit-identical).
+#
+# Scale shape: one keyed agg (map-side combined) + one 1-row broadcast.
+# The class count is bounded by |nations| x |segments| x |buckets|, not
+# row count.
+# ---------------------------------------------------------------------------
+
+K_ANON_HIGH = 5
+K_ANON_MEDIUM = 20
+
+
+def q208_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").alias("k"))
+    )
+    total = cust.agg(F.count("*").alias("n_rows"))
+    return (
+        classes.crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_bucket",
+            "k",
+            F.when(F.col("k") < K_ANON_HIGH, F.lit("high"))
+            .when(F.col("k") < K_ANON_MEDIUM, F.lit("medium"))
+            .otherwise(F.lit("low"))
+            .alias("risk"),
+            F.expr("k * 1000000 DIV n_rows").cast("long").alias("share_ppm"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    )
+
+
+Q208_SQL = f"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000.0)
+),
+total AS (SELECT COUNT(*) AS n_rows FROM customer)
+SELECT c_nationkey, c_mktsegment, bal_bucket, k,
+       CASE WHEN k < {K_ANON_HIGH} THEN 'high'
+            WHEN k < {K_ANON_MEDIUM} THEN 'medium'
+            ELSE 'low' END AS risk,
+       CAST(k * 1000000 // n_rows AS BIGINT) AS share_ppm
+FROM classes, total
+ORDER BY c_nationkey, c_mktsegment, bal_bucket
+"""
+
+
 CURATION_QUERIES = {
     "q200_curation_pipeline": q200_curation_pipeline,
+    "q208_k_anonymity": q208_k_anonymity,
     "q70_repetition_signals": q70_repetition_signals,
     "q71_stratified_sample": q71_stratified_sample,
     "q72_source_vocabulary": q72_source_vocabulary,
@@ -1402,6 +1471,7 @@ CURATION_QUERIES = {
 
 CURATION_ORACLES = {
     "q200_curation_pipeline": Q200_SQL,
+    "q208_k_anonymity": Q208_SQL,
     "q70_repetition_signals": Q70_SQL,
     "q71_stratified_sample": Q71_SQL,
     "q72_source_vocabulary": Q72_SQL,
