@@ -1407,8 +1407,97 @@ FROM a CROSS JOIN b
 Q206_SQL = _q206_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q209 — Daily OHLC bars per event_type: the time-series resampling
+# primitive under every candlestick chart and bar-based feature pipeline
+# (open/high/low/close/volume per calendar day, plus the overnight gap
+# vs the previous bar's close). Open/close are picked by a row_number
+# window ordered (epoch-µs, event_id) — the unique tiebreaker both
+# engines sort identically (the q27 convention) — NOT by min/max_by on a
+# struct, whose cross-engine ordering semantics are murkier. high/low/
+# count are plain keyed aggregates; gap is one lag window over the
+# (type x day) bar frame, double subtraction (single IEEE op, exact).
+#
+# Scale shape: one window sort per (type, day) partition + one keyed
+# agg; the bar frame the lag runs on is calendar x type bounded.
+# ---------------------------------------------------------------------------
+
+
+def q209_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    base = ev.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    marked = base.select(
+        "day",
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("r_open"),
+        F.row_number().over(wd).alias("r_close"),
+    )
+    bars = marked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("r_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("r_close") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+    tw = Window.partitionBy("event_type").orderBy("day")
+    return (
+        bars.withColumn(
+            "gap", F.col("open") - F.lag("close").over(tw)
+        )
+        .select("event_type", "day", "open", "high", "low", "close", "n_events", "gap")
+        .orderBy("event_type", "day")
+    )
+
+
+Q209_SQL = """
+WITH base AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           epoch_us(ts) AS us, event_id, value
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+),
+marked AS (
+    SELECT day, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, day ORDER BY us, event_id
+           ) AS r_open,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, day ORDER BY us DESC, event_id DESC
+           ) AS r_close
+    FROM base
+),
+bars AS (
+    SELECT event_type, day,
+           MAX(CASE WHEN r_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN r_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM marked GROUP BY event_type, day
+)
+SELECT event_type, day, open, high, low, close, n_events,
+       open - LAG(close) OVER (PARTITION BY event_type ORDER BY day) AS gap
+FROM bars
+ORDER BY event_type, day
+"""
+
+
 EVENT_QUERIES = {
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
+    "q209_ohlc_bars": q209_ohlc_bars,
     "q205_daily_movers": q205_daily_movers,
     "q206_ab_test_readout": q206_ab_test_readout,
     "q27_sessionize": q27_sessionize,
@@ -1431,6 +1520,7 @@ EVENT_QUERIES = {
 
 EVENT_ORACLES = {
     "q199_rolling_distinct_users": Q199_SQL,
+    "q209_ohlc_bars": Q209_SQL,
     "q205_daily_movers": Q205_SQL,
     "q206_ab_test_readout": Q206_SQL,
     "q27_sessionize": Q27_SQL,
