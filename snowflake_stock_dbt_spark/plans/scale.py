@@ -1271,7 +1271,134 @@ ORDER BY t.l_returnflag, t.d
 """
 
 
+# ---------------------------------------------------------------------------
+# Q210 — Autocorrelation function (ACF) of the daily revenue series at
+# lags 1..7: the diagnostic under every forecasting/seasonality decision
+# (q135's linear forecast, q173/q203's weekday seasonality assume the
+# structure this query MEASURES). Standard ACF estimator with the global
+# mean:  r_k = Σ(x_t-x̄)(x_{t+k}-x̄) / Σ(x_t-x̄)².
+#
+# Determinism (the q79 recipe, extended to lagged cross-products): the
+# series is integer CENTS per day (o_totalprice is a 2-decimal grid, so
+# SUM over DECIMAL(38,6) * 100 is exact), every Σxy / Σx / Σx² runs as
+# an exact integer-decimal aggregate (order-free), and only the final
+# assembly — identical expression text on both engines — is IEEE, then
+# rounded to 9 dp. Product ceiling: daily cents ~1e14 at a 100 TB
+# corpus → products ~1e28, summed over ~1e5 days → 1e33, inside
+# DECIMAL(38,0)/HUGEINT headroom.
+#
+# Scale shape: one keyed day agg (map-side combined), one lag window
+# over the CALENDAR-BOUNDED daily frame (~365 rows/year — never over
+# orders), a 7-struct explode of that frame, one 7-row agg, one 1-row
+# global-stats broadcast.
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def q210_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * 100)
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    pairs = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col("x").alias("xv"),
+                            F.col(f"l{k}").alias("yv"),
+                        )
+                        for k in range(1, ACF_MAX_LAG + 1)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .where(F.col("yv").isNotNull())
+    )
+    dec19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    per = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n_k"),
+        F.sum(dec19("xv") * dec19("yv")).cast("double").alias("sxy"),
+        F.sum(dec19("xv")).cast("double").alias("sx"),
+        F.sum(dec19("yv")).cast("double").alias("sy"),
+    )
+    stats = daily.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec19("x")).cast("double").alias("s"),
+        F.sum(dec19("x") * dec19("x")).cast("double").alias("ss"),
+    )
+    joined = per.crossJoin(F.broadcast(stats))
+    mean = F.col("s") / F.col("n")
+    num = (
+        F.col("sxy")
+        - mean * (F.col("sx") + F.col("sy"))
+        + F.col("n_k") * mean * mean
+    )
+    den = F.col("ss") - F.col("n") * mean * mean
+    return joined.select(
+        "lag",
+        F.col("n_k").cast("long").alias("n_pairs"),
+        F.round(num / den, 9).alias("acf"),
+    ).orderBy("lag")
+
+
+def _acf_oracle() -> str:
+    lag_selects = " UNION ALL ".join(
+        f"SELECT {k} AS lag, x AS xv, l{k} AS yv FROM lagged WHERE l{k} IS NOT NULL"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    lag_cols = ", ".join(
+        f"LAG(x, {k}) OVER (ORDER BY day) AS l{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 100
+                     AS DECIMAL(38,0)) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+lagged AS (SELECT x, {lag_cols} FROM daily),
+pairs AS ({lag_selects}),
+per AS (
+    SELECT lag,
+           CAST(COUNT(*) AS DOUBLE) AS n_k,
+           CAST(SUM(CAST(xv AS HUGEINT) * CAST(yv AS HUGEINT)) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(xv AS HUGEINT)) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(yv AS HUGEINT)) AS DOUBLE) AS sy
+    FROM pairs GROUP BY lag
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s,
+           CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS ss
+    FROM daily
+)
+SELECT lag, CAST(n_k AS BIGINT) AS n_pairs,
+       round((sxy - (s / n) * (sx + sy) + n_k * (s / n) * (s / n))
+             / (ss - n * (s / n) * (s / n)), 9) AS acf
+FROM per, stats
+ORDER BY lag
+"""
+
+
+Q210_SQL = _acf_oracle()
+
+
 SCALE_QUERIES = {
+    "q210_autocorrelation": q210_autocorrelation,
     "q203_seasonal_decomposition": q203_seasonal_decomposition,
     "q45_quantiles": q45_quantiles,
     "q46_approx_distinct": q46_approx_distinct,
@@ -1291,6 +1418,7 @@ SCALE_QUERIES = {
 }
 
 SCALE_ORACLES = {
+    "q210_autocorrelation": Q210_SQL,
     "q203_seasonal_decomposition": Q203_SQL,
     "q45_quantiles": Q45_SQL,
     "q46_approx_distinct": Q46_SQL,
