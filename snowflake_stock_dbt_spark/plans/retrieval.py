@@ -628,7 +628,115 @@ WHERE latest.op IS NULL OR latest.op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# Q211 — Hybrid search via Reciprocal-Rank Fusion (Cormack et al. 2009):
+# fuse the lexical BM25 top-20 (q186, documents) with the dense cosine
+# top-20 for one query embedding (q25's exact-decimal scoring) through
+#
+#   RRF(d) = Σ_lists 1 / (60 + rank_list(d))
+#
+# computed on the parts-per-billion integer grid (1e9 DIV (60 + rank) —
+# integral division, at most two terms per doc added as exact integers),
+# so the fused ranking needs no float summation anywhere. The synthetic
+# corpus aligns vec_id with doc_id (TESTDATA.md), which is exactly the
+# doc-embedding layout a hybrid index serves.
+#
+# Scale shape: both input rankings are K-row frames (top-K heaps
+# upstream); the fusion is a K-vs-K full-outer join + a K-row sort —
+# driver-free, corpus-size-independent.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_LIST_K = 20
+RRF_TOP = 10
+RRF_DENSE_QUERY = 0
+_RRF_SCALE = 1_000_000_000
+
+
+def q211_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_exact
+
+    lex = q186_bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = cosine_topk_exact(
+        emb.where(F.col("vec_id") == RRF_DENSE_QUERY), emb, k=RRF_LIST_K
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("dense_rank"))
+    fused = lex.join(dense, "id", "full_outer").select(
+        "id",
+        "lex_rank",
+        "dense_rank",
+        F.expr(
+            f"COALESCE({_RRF_SCALE} DIV ({RRF_K} + lex_rank), 0)"
+            f" + COALESCE({_RRF_SCALE} DIV ({RRF_K} + dense_rank), 0)"
+        )
+        .cast("long")
+        .alias("rrf_ppb"),
+    )
+    top = fused.orderBy(F.col("rrf_ppb").desc(), F.col("id")).limit(RRF_TOP)
+    w = Window.orderBy(F.col("rrf_ppb").desc(), F.col("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "id", "lex_rank", "dense_rank", "rrf_ppb", "rank"
+    )
+
+
+Q211_SQL = f"""
+WITH lex AS (
+    SELECT doc_id AS id, rank AS lex_rank FROM ({Q186_SQL}) t
+),
+dq AS (
+    SELECT embedding AS e FROM embeddings WHERE vec_id = {RRF_DENSE_QUERY}
+),
+qe AS (
+    SELECT CAST(r.i AS INT) AS pos, CAST(e[r.i + 1] AS DOUBLE) AS v
+    FROM dq CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(e)
+),
+ce AS (
+    SELECT vec_id AS c_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i)
+    WHERE r.i < len(embedding)
+),
+dots AS (
+    SELECT c_id, CAST(SUM(CAST(qe.v * ce.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM qe JOIN ce USING (pos)
+    WHERE c_id <> {RRF_DENSE_QUERY}
+    GROUP BY c_id
+),
+qn AS (
+    SELECT sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS qn
+    FROM qe
+),
+cn AS (
+    SELECT c_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+    FROM ce GROUP BY c_id
+),
+dranked AS (
+    SELECT c_id AS id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY dot / NULLIF(qn * cn, 0.0) DESC NULLS LAST, c_id
+           ) AS INT) AS dense_rank
+    FROM dots CROSS JOIN qn JOIN cn USING (c_id)
+),
+dense AS (SELECT id, dense_rank FROM dranked WHERE dense_rank <= {RRF_LIST_K}),
+fused AS (
+    SELECT COALESCE(lex.id, dense.id) AS id, lex_rank, dense_rank,
+           CAST(COALESCE({_RRF_SCALE} // ({RRF_K} + lex_rank), 0)
+                + COALESCE({_RRF_SCALE} // ({RRF_K} + dense_rank), 0)
+                AS BIGINT) AS rrf_ppb
+    FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+)
+SELECT id, lex_rank, dense_rank, rrf_ppb,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppb DESC, id) AS INT) AS rank
+FROM fused
+ORDER BY rrf_ppb DESC, id
+LIMIT {RRF_TOP}
+"""
+
+
 RETRIEVAL_QUERIES = {
+    "q211_rrf_hybrid": q211_rrf_hybrid,
     "q201_inverted_index": q201_inverted_index,
     "q202_cdc_apply": q202_cdc_apply,
     "q186_bm25_search": q186_bm25_search,
@@ -637,6 +745,7 @@ RETRIEVAL_QUERIES = {
 }
 
 RETRIEVAL_ORACLES = {
+    "q211_rrf_hybrid": Q211_SQL,
     "q201_inverted_index": Q201_SQL,
     "q202_cdc_apply": Q202_SQL,
     "q186_bm25_search": Q186_SQL,
