@@ -689,3 +689,52 @@ def bfs_hops(
         frontier = fresh.select("id")
     e.unpersist()
     return visited
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, cost) — minimum path cost from any seed using at most
+    ``rounds`` edges: Bellman-Ford relaxation on the min-plus semiring,
+    the weighted counterpart of :func:`bfs_hops`. Costs must be
+    non-negative integers (or any exactly-representable type) for the
+    result to carry a value oracle.
+
+    Each round relaxes every edge out of the current reach set (one
+    equi-join on the source endpoint) and folds with MIN keyed on the
+    vertex id — after round r, cost(id) is exactly the cheapest path
+    using <= r edges, which is the invariant the unrolled-CTE oracle
+    replays. ``localCheckpoint`` truncates lineage between rounds.
+
+    At 100 TB: the reach frame is (id, cost) — two longs per reached
+    vertex; each round shuffles |reach ⋈ edges| + |reach| rows keyed on
+    vertex id (the pagerank shape on the expanding wavefront).
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).persist()
+    dist = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = e.join(dist.withColumnRenamed("id", "u"), "u").select(
+            F.col("v").alias("id"),
+            (F.col("cost") + F.col("w")).cast("long").alias("cost"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return dist

@@ -285,7 +285,114 @@ WHERE rank <= {SKEW_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q213 — Benford first-digit audit over order totals: the classic
+# forensic-accounting screen (Benford 1938; Nigrini's fraud audits) —
+# compare the observed first-significant-digit distribution of amounts
+# against log10(1 + 1/d) and flag digits that deviate. A data-quality /
+# anomaly primitive alongside q182's reconciliation and q90's drift chi².
+#
+# Determinism: amounts become exact integer cents (double → DECIMAL(18,2)
+# via shortest-string, ×100), the first digit is the first character of
+# the integer's decimal string (identical CAST text both engines), the
+# observed share is ppm by integral division, and the expected ppm values
+# are Python-precomputed literals injected into BOTH engines — the only
+# float op left is the chi² contribution, an identical fixed-order IEEE
+# expression rounded to 9 dp.
+#
+# Scale shape: one 9-bucket keyed agg (map-side combined) + the 1-row
+# total broadcast (q03 pattern).
+# ---------------------------------------------------------------------------
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — computed once here, used as
+#: literals on both engines so no transcendental runs inside a query.
+import math as _math
+
+BENFORD_EXPECTED_PPM = {
+    d: int(_math.floor(_math.log10(1.0 + 1.0 / d) * 1_000_000))
+    for d in range(1, 10)
+}
+
+
+def q213_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digits = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .where(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = o.agg(F.count("*").alias("n_total"))
+    expected = F.create_map(
+        *[
+            x
+            for d, ppm in BENFORD_EXPECTED_PPM.items()
+            for x in (F.lit(d), F.lit(ppm))
+        ]
+    )
+    joined = digits.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.expr("n * 1000000 DIV n_total").cast("long").alias("observed_ppm"),
+        expected[F.col("digit")].cast("long").alias("expected_ppm"),
+        "n_total",
+    )
+    exp_n = F.col("expected_ppm").cast("double") * F.col("n_total").cast(
+        "double"
+    ) / F.lit(1000000.0)
+    chi2 = (F.col("n").cast("double") - exp_n) * (
+        F.col("n").cast("double") - exp_n
+    ) / exp_n
+    return joined.select(
+        "digit",
+        "n",
+        "observed_ppm",
+        "expected_ppm",
+        (F.col("observed_ppm") - F.col("expected_ppm")).alias("deviation_ppm"),
+        F.round(chi2, 9).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in BENFORD_EXPECTED_PPM.items()
+)
+
+Q213_SQL = f"""
+WITH digits AS (
+    SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_total FROM orders),
+joined AS (
+    SELECT digit, n,
+           CAST(n * 1000000 // n_total AS BIGINT) AS observed_ppm,
+           CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS expected_ppm,
+           n_total
+    FROM digits, total
+    WHERE digit >= 1
+)
+SELECT digit, n, observed_ppm, expected_ppm,
+       observed_ppm - expected_ppm AS deviation_ppm,
+       round((CAST(n AS DOUBLE)
+              - CAST(expected_ppm AS DOUBLE) * CAST(n_total AS DOUBLE)
+                / 1000000.0)
+             * (CAST(n AS DOUBLE)
+                - CAST(expected_ppm AS DOUBLE) * CAST(n_total AS DOUBLE)
+                  / 1000000.0)
+             / (CAST(expected_ppm AS DOUBLE) * CAST(n_total AS DOUBLE)
+                / 1000000.0), 9) AS chi2_term
+FROM joined
+ORDER BY digit
+"""
+
+
 OPS_DIAG_QUERIES = {
+    "q213_benford_audit": q213_benford_audit,
     "q189_replica_checksum_diff": q189_replica_checksum_diff,
     "q190_runtime_filter_join": q190_runtime_filter_join,
     "q194_equidepth_histogram": q194_equidepth_histogram,
@@ -293,6 +400,7 @@ OPS_DIAG_QUERIES = {
 }
 
 OPS_DIAG_ORACLES = {
+    "q213_benford_audit": Q213_SQL,
     "q189_replica_checksum_diff": Q189_SQL,
     "q190_runtime_filter_join": Q190_SQL,
     "q194_equidepth_histogram": Q194_SQL,

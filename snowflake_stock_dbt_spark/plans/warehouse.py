@@ -2362,7 +2362,253 @@ FROM bfs GROUP BY id ORDER BY node_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q212 — Top-N-plus-OTHER revenue rollup: per supplier nation, the top-3
+# parts by revenue as named rows and everything else folded into one
+# 'OTHER' row — the standard dashboard pie/bar contract (show leaders,
+# never drop the tail silently). The OTHER fold is the part the naive
+# rank-filter query gets wrong.
+#
+# Determinism: revenue stays DECIMAL(38,6) through BOTH aggregation
+# levels (per-part, then per-label) — ranking compares exact decimals and
+# the OTHER bucket's re-aggregation is order-free; only the final output
+# casts to double. Scale shape: keyed agg → per-nation rank window over
+# the (nation x part) aggregate (not lineitem) → second keyed agg,
+# dims broadcast.
+# ---------------------------------------------------------------------------
+
+TOPN_OTHER_N = 3
+
+
+def q212_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_part = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "l_partkey",
+            (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).cast("decimal(38,6)").alias("revd"),
+        )
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum("revd").alias("revd"), F.count("*").alias("n_items"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revd").desc(), F.col("l_partkey")
+    )
+    labeled = per_part.withColumn("rn", F.row_number().over(w)).select(
+        "n_name",
+        F.when(
+            F.col("rn") <= TOPN_OTHER_N, F.col("l_partkey").cast("string")
+        )
+        .otherwise(F.lit("OTHER"))
+        .alias("part_label"),
+        "revd",
+        "n_items",
+    )
+    return (
+        labeled.groupBy("n_name", "part_label")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.sum("revd").cast("double").alias("revenue"),
+        )
+        .orderBy(
+            "n_name",
+            (F.col("part_label") == "OTHER").cast("int"),
+            F.col("revenue").desc(),
+            "part_label",
+        )
+    )
+
+
+Q212_SQL = f"""
+WITH per_part AS (
+    SELECT n_name, l_partkey,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+               AS revd,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name, l_partkey
+),
+labeled AS (
+    SELECT n_name,
+           CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY n_name ORDER BY revd DESC, l_partkey
+                ) <= {TOPN_OTHER_N}
+                THEN CAST(l_partkey AS VARCHAR) ELSE 'OTHER' END AS part_label,
+           revd, n_items
+    FROM per_part
+)
+SELECT n_name, part_label,
+       COUNT(*) AS n_parts,
+       CAST(SUM(n_items) AS BIGINT) AS n_items,
+       CAST(SUM(revd) AS DOUBLE) AS revenue
+FROM labeled
+GROUP BY n_name, part_label
+ORDER BY n_name, CASE WHEN part_label = 'OTHER' THEN 1 ELSE 0 END,
+         revenue DESC, part_label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q214 — Incremental JOIN maintenance (the join counterpart of q91's
+# incremental aggregate): maintain J = orders ⋈ lineitem under row
+# arrivals using the classic delta algebra
+#
+#   J_new = (A₀ ⋈ B₀) ∪ (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+#
+# with A split on o_orderdate and B split on l_shipdate at the same
+# cutoff. The four terms partition J_new EXACTLY once each — and the
+# oracle is the DIRECT join on the full tables, so the hash-match PROVES
+# the delta decomposition (overlap or omission in any term breaks it).
+# In production A₀ ⋈ B₀ is the stored materialization; here it is
+# recomputed because queries are stateless — the delta terms are the
+# contract under test.
+#
+# Scale shape: deltas are the small sides (one day's arrivals vs years
+# of base) — both delta-side joins broadcast; the base×base term is the
+# one pre-materialized at 100 TB. Final rollup is a keyed exact-decimal
+# agg by priority.
+# ---------------------------------------------------------------------------
+
+IVM_CUTOFF = "2001-01-01"
+
+
+def q214_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit(IVM_CUTOFF).cast("date")
+    a0 = o.where(F.to_date("o_orderdate") < cut)
+    da = o.where(F.to_date("o_orderdate") >= cut)
+    b0 = li.where(F.to_date("l_shipdate") < cut)
+    db = li.where(F.to_date("l_shipdate") >= cut)
+    key = F.col("o_orderkey") == F.col("l_orderkey")
+    pieces = (
+        a0.join(b0, key)
+        .unionByName(F.broadcast(da).join(b0, key))
+        .unionByName(a0.join(F.broadcast(db), key))
+        .unionByName(F.broadcast(da).join(db, key))
+    )
+    return (
+        pieces.select(
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(38,6)")
+            .alias("revd"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("revd").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q214_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q215 — Bounded weighted shortest paths (Bellman-Ford, 3 relaxation
+# rounds) from the q207 seed set, on the trade graph with integer edge
+# costs w = 1 + 1e6 DIV n_trades (heavier trade = cheaper hop). Where
+# q207 counts EDGES, this minimizes COST — the min-plus semiring
+# iteration, unrolled the same way the pagerank oracle unrolls its
+# rounds. All-integer math end to end, so the value oracle is exact.
+#
+# Scale shape per round: one equi-join (edges ⋈ reached on the source)
+# + one min agg keyed on vertex id — the pagerank shuffle shape on the
+# expanding reach set, localCheckpoint between rounds.
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 3
+
+
+def q215_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+        )
+        .agg(F.count("*").alias("n_trades"))
+        .select(
+            "cust",
+            "supp",
+            (F.lit(1) + F.expr("1000000 DIV n_trades")).cast("long").alias("w"),
+        )
+    )
+    edges = pair.select(
+        F.col("cust").alias("u"), F.col("supp").alias("v"), "w"
+    ).union(pair.select(F.col("supp").alias("u"), F.col("cust").alias("v"), "w"))
+    from ..operators.graph import sssp_bounded
+
+    seeds = (
+        s.join(
+            F.broadcast(n.where(F.col("n_name") == _BFS_SEED_NATION)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("id"))
+    )
+    dist = sssp_bounded(edges, seeds, rounds=_SSSP_ROUNDS)
+    return dist.select(F.col("id").alias("node_id"), "cost").orderBy("node_id")
+
+
+def _sssp_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT id, MIN(cost) AS cost FROM (
+        SELECT id, cost FROM {prev}
+        UNION ALL
+        SELECT e.v AS id, {prev}.cost + e.w AS cost
+        FROM {prev} JOIN e ON e.u = {prev}.id
+    ) GROUP BY id
+)"""
+
+
+Q215_SQL = f"""
+WITH pair AS (
+    SELECT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp,
+           CAST(1 + 1000000 // COUNT(*) AS BIGINT) AS w
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_suppkey
+),
+e AS (
+    SELECT cust AS u, supp AS v, w FROM pair
+    UNION ALL
+    SELECT supp AS u, cust AS v, w FROM pair
+),
+d0 AS (
+    SELECT s_suppkey * 2 + 1 AS id, CAST(0 AS BIGINT) AS cost
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{_BFS_SEED_NATION}'
+),{','.join(_sssp_round_sql(f'd{i}', f'd{i + 1}') for i in range(_SSSP_ROUNDS))}
+SELECT id AS node_id, cost FROM d{_SSSP_ROUNDS} ORDER BY node_id
+"""
+
+
 WAREHOUSE_QUERIES = {
+    "q214_incremental_join": q214_incremental_join,
+    "q215_weighted_paths": q215_weighted_paths,
     "q82_pricing_summary": q82_pricing_summary,
     "q83_shipping_priority": q83_shipping_priority,
     "q84_local_supplier_volume": q84_local_supplier_volume,
@@ -2400,6 +2646,7 @@ WAREHOUSE_QUERIES = {
     "q191_hits_scores": q191_hits_scores,
     "q204_lpa_communities": q204_lpa_communities,
     "q207_bfs_hops": q207_bfs_hops,
+    "q212_topn_other": q212_topn_other,
 }
 
 WAREHOUSE_ORACLES = {
@@ -2440,4 +2687,7 @@ WAREHOUSE_ORACLES = {
     "q191_hits_scores": Q191_SQL,
     "q204_lpa_communities": Q204_SQL,
     "q207_bfs_hops": Q207_SQL,
+    "q212_topn_other": Q212_SQL,
+    "q214_incremental_join": Q214_SQL,
+    "q215_weighted_paths": Q215_SQL,
 }

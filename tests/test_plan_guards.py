@@ -48,6 +48,10 @@ BNL_ALLOWED = {
     "q194_equidepth_histogram",  # 1-row total-rows broadcast (q03 pattern)
     "q195_skew_report",  # 1-row (total, n_keys) stats broadcast
     "q206_ab_test_readout",  # two 1-row arm summaries crossed (q03 pattern)
+    "q208_k_anonymity",  # 1-row table-total broadcast (q03 pattern)
+    "q210_autocorrelation",  # 1-row global-moment broadcast (q03 pattern)
+    "q211_rrf_hybrid",  # embeds q186's 1-row corpus-stats broadcast
+    "q213_benford_audit",  # 1-row table-total broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -196,6 +200,25 @@ PINNED_PATTERNS = {
     "q188_record_linkage": ["BroadcastHashJoin"],
     "q189_replica_checksum_diff": ["partial_"],
     "q195_skew_report": ["TakeOrderedAndProject"],
+    # Round-5 tail additions. q199: the day-spine prefix sum runs as a
+    # window over the calendar-bounded delta frame; q201: posting-list
+    # aggs keep their map-side combine; q202: latest-op-wins stays a
+    # per-key window, never a per-key rescan; q204: LPA's argmax stays a
+    # window over the (node, label) count agg; q205/q209: the lag/rank
+    # windows ride the calendar×type bar frame; q208/q210: the class/
+    # moment aggs stay map-side combinable; q211: the fused top-10 stays
+    # a heap with rank attached after the cut.
+    "q199_rolling_distinct_users": ["Window", "partial_"],
+    "q201_inverted_index": ["partial_"],
+    "q202_cdc_apply": ["Window"],
+    # (q204/q207/q215's iterative shapes end behind localCheckpoint
+    # lineage cuts — their final plan is a checkpoint scan, so the
+    # per-round join/window shapes are pinned by unit tests instead.)
+    "q205_daily_movers": ["Window", "partial_"],
+    "q208_k_anonymity": ["partial_"],
+    "q209_ohlc_bars": ["Window", "partial_"],
+    "q210_autocorrelation": ["partial_"],
+    "q211_rrf_hybrid": ["TakeOrderedAndProject"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
