@@ -1,0 +1,792 @@
+"""[EXT] Business-insight / warehouse-ops query family (q216-q224).
+
+Classic analytics shapes the reference's dashboard users would reach for
+next (reference scope: sql/03_analytics_queries.sql has the top-N /
+trend / z-score trio; these are the standard follow-ons), each built the
+distributed way and each paired with a DuckDB oracle of identical
+semantics and column names:
+
+- q216 market-basket association rules with apriori pruning
+- q217 RFM customer segmentation (ntile quartiles)
+- q218 exact largest-remainder allocation (proration contract)
+- q219 Markov next-event transition matrix
+- q220 interval-sweep max concurrency gauge
+- q221 blocked edit-distance near-duplicate names
+- q222 exact distinct-user rollup via 32-bit bitmap words
+- q223 small-file compaction planner (cumulative-sum bucketing)
+- q224 revenue-pacing drawdown vs the uniform run-rate
+
+Determinism contracts follow the house rules: integer/decimal math in
+every accumulation, double division only of exactly-agreed integers or
+decimals, unique tiebreakers under every window order and LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q216 — Market-basket association rules over order baskets.
+#
+# Apriori-style two-stage plan: (1) item supports with a min-support
+# prune, (2) pair generation ONLY among surviving frequent items — the
+# monotonicity lemma (a pair's support <= either item's support)
+# guarantees no pair with support >= PAIR_MIN is lost when items below
+# ITEM_MIN are dropped, because ITEM_MIN <= PAIR_MIN. At 100 TB the
+# prune is what keeps the self-join candidate count proportional to
+# (frequent items per basket)^2 instead of (all items per basket)^2.
+#
+# confidence/lift are double divisions of exact BIGINT counts — both
+# engines divide the same integers, so results are bit-identical.
+# ---------------------------------------------------------------------------
+
+ITEM_MIN_SUPPORT = 3
+PAIR_MIN_SUPPORT = 3
+
+
+def q216_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.select("ok").distinct().groupBy().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    freq = (
+        items.groupBy("pk")
+        .agg(F.count("*").cast("long").alias("supp"))
+        .where(F.col("supp") >= ITEM_MIN_SUPPORT)
+    )
+    # Keep only frequent items inside each basket, then pair with pk < pk2.
+    fitems = items.join(F.broadcast(freq), "pk").select("ok", "pk", "supp")
+    pairs = (
+        fitems.alias("a")
+        .join(
+            fitems.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("part_a"),
+            F.col("b.pk").alias("part_b"),
+            F.col("a.supp").alias("n_a"),
+            F.col("b.supp").alias("n_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= PAIR_MIN_SUPPORT)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (F.col("n_pair").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence_ab"
+            ),
+            (
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+    )
+
+
+Q216_SQL = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+freq AS (
+    SELECT pk, CAST(COUNT(*) AS BIGINT) AS supp FROM items
+    GROUP BY pk HAVING COUNT(*) >= {ITEM_MIN_SUPPORT}
+),
+fitems AS (SELECT i.ok, i.pk, f.supp FROM items i JOIN freq f USING (pk)),
+pairs AS (
+    SELECT a.pk AS part_a, b.pk AS part_b, a.supp AS n_a, b.supp AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM fitems a JOIN fitems b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= {PAIR_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_pair, n_a, n_b,
+       CAST(n_pair AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence_ab,
+       CAST(n_pair * n_orders AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+FROM pairs CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q217 — RFM segmentation: quartile-score every customer on Recency /
+# Frequency / Monetary and report the segment distribution.
+#
+# The global anchor date is a 1-row aggregate broadcast by cross join
+# (house z-score pattern — never a global window). Each NTILE order
+# carries c_custkey as the unique tiebreaker, so bucket boundaries are
+# identical across engines (both implement standard NTILE: larger
+# buckets first). Monetary sums run through the exact-decimal recipe.
+# ---------------------------------------------------------------------------
+
+
+def q217_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.groupBy().agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary_d"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_d",
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary_d",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_d").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monetary_d").cast("double").alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+Q217_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+                AS BIGINT) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary_d
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey, monetary_d,
+           NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           NTILE(4) OVER (ORDER BY monetary_d DESC, o_custkey) AS m_score
+    FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_d) AS DOUBLE) AS total_monetary
+FROM scored
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q218 — Exact largest-remainder allocation: prorate a per-order rebate
+# budget across its line items proportionally to extended price, in
+# integer cents, such that the allocations sum EXACTLY to the budget
+# (the invariant every naive `ROUND(budget * share)` implementation
+# violates). The oracle returns every line's allocation, so the
+# hash-match proves the contract line-by-line, not just in aggregate.
+#
+# All math is int64: weights/budgets enter as FLOOR(x + 0.5) cents
+# (identical on both engines), base shares are integer division, the
+# leftover units go to the largest remainders (tiebreak l_linenumber).
+# Bounds: budget <= ~5e5, weight <= ~1e9 => budget*weight <= ~5e14,
+# comfortably inside int64. One shuffle: all three windows share the
+# l_orderkey partitioning.
+# ---------------------------------------------------------------------------
+
+
+def q218_discount_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # Budget: 1% of the order total, in integer cents (== totalprice
+    # rounded to whole dollars, expressed in cents).
+    budgets = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("budget_c"),
+    )
+    lines = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("weight_c"),
+    ).join(budgets, F.col("l_orderkey") == F.col("o_orderkey"))
+    w = Window.partitionBy("l_orderkey")
+    with_tot = lines.select(
+        "l_orderkey",
+        "l_linenumber",
+        "budget_c",
+        "weight_c",
+        F.sum("weight_c").over(w).alias("tot_w"),
+    )
+    shares = with_tot.select(
+        "l_orderkey",
+        "l_linenumber",
+        "budget_c",
+        "weight_c",
+        F.expr("budget_c * weight_c DIV tot_w").alias("base_c"),
+        F.expr("(budget_c * weight_c) % tot_w").alias("rem"),
+    )
+    # The corpus does NOT guarantee (l_orderkey, l_linenumber) unique —
+    # duplicate line ids with different weights exist. weight_c joins
+    # the tiebreak so rank ties occur only between byte-identical rows,
+    # keeping the output MULTISET deterministic across engines.
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber"), F.col("weight_c")
+    )
+    return (
+        shares.select(
+            "l_orderkey",
+            "l_linenumber",
+            "base_c",
+            (F.col("budget_c") - F.sum("base_c").over(w)).alias("leftover"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("base_c")
+                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("alloc_c"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q218_SQL = """
+WITH budgets AS (
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS budget_c
+    FROM orders
+),
+lines AS (
+    SELECT l_orderkey, l_linenumber, budget_c,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS weight_c
+    FROM lineitem JOIN budgets ON l_orderkey = o_orderkey
+),
+with_tot AS (
+    SELECT *, SUM(weight_c) OVER (PARTITION BY l_orderkey) AS tot_w
+    FROM lines
+),
+shares AS (
+    SELECT l_orderkey, l_linenumber, budget_c, weight_c,
+           (budget_c * weight_c) // tot_w AS base_c,
+           (budget_c * weight_c) % tot_w AS rem
+    FROM with_tot
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(base_c + CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY rem DESC, l_linenumber, weight_c
+            ) <= budget_c - SUM(base_c) OVER (PARTITION BY l_orderkey)
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc_c
+FROM shares
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q219 — Markov next-event transition matrix: P(next event type | current
+# event type) from each user's time-ordered event stream. LEAD window
+# per user (bounded partitions), then one keyed count aggregation;
+# probabilities are double divisions of exact counts. The per-source
+# total runs as a window over the |types|^2 aggregate, not the events.
+# ---------------------------------------------------------------------------
+
+
+def q219_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double")
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+Q219_SQL = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+trans AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) /
+       CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM trans
+ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q220 — Max-concurrency gauge by interval sweep: each event opens a
+# half-open activity interval [ts, ts + HOLD_S), clipped at its day
+# boundary; the answer is the peak number of simultaneously-open
+# intervals per (event_type, day). The sweep is the classic +1/-1
+# delta stream with a running sum — but partitioned by (event_type,
+# day), never a global window, so partitions stay bounded at 100 TB.
+#
+# Tie order at equal timestamps is pinned (delta ASC puts closes before
+# opens — half-open semantics; event_id makes the order total), so the
+# running sum is row-identical across engines.
+# ---------------------------------------------------------------------------
+
+HOLD_S = 300
+
+
+def q220_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.unix_micros(F.date_add(F.to_date("ts"), 1).cast("timestamp")).alias(
+            "day_end_us"
+        ),
+    )
+    starts = ev.select(
+        "event_type", "day", F.col("us").alias("t"), F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = ev.select(
+        "event_type",
+        "day",
+        F.least(F.col("us") + F.lit(HOLD_S * 1_000_000), F.col("day_end_us"))
+        .alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = starts.unionByName(ends).select(
+        "event_type", "day", "delta", F.sum("delta").over(w).alias("open_now")
+    )
+    return (
+        swept.groupBy("event_type", "day")
+        .agg(
+            F.max("open_now").cast("long").alias("max_concurrent"),
+            (F.count("*") / 2).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+Q220_SQL = f"""
+WITH ev AS (
+    SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+           epoch_us(ts) AS us,
+           epoch_us(CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP))
+               AS day_end_us
+    FROM events
+),
+deltas AS (
+    SELECT event_type, day, us AS t, 1 AS delta, event_id FROM ev
+    UNION ALL
+    SELECT event_type, day,
+           LEAST(us + {HOLD_S} * 1000000, day_end_us) AS t, -1 AS delta,
+           event_id
+    FROM ev
+),
+swept AS (
+    SELECT event_type, day,
+           SUM(delta) OVER (
+               PARTITION BY event_type, day ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS open_now
+    FROM deltas
+)
+SELECT event_type, day,
+       CAST(MAX(open_now) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_events
+FROM swept
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q221 — Blocked edit-distance near-duplicate part names: candidate
+# pairs are generated ONLY within a block (the name's last word), never
+# all-pairs — the fuzzy-join discipline of plans/warehouse.py's q92
+# applied to Levenshtein. Both engines implement the classic
+# Wagner-Fischer distance, so the scores agree exactly.
+#
+# Distinct names are deduped BEFORE pairing (the |names|^2 term shrinks
+# to |distinct names in block|^2), and each surviving name pair is
+# re-joined to its part-count so the report says how many rows each
+# near-dup class covers.
+# ---------------------------------------------------------------------------
+
+EDIT_MAX = 4
+
+
+def q221_name_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .select(
+            "name",
+            "n_parts",
+            F.element_at(F.split(F.col("name"), " "), -1).alias("block"),
+        )
+    )
+    pairs = (
+        names.alias("a")
+        .join(
+            names.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("a.n_parts").alias("parts_a"),
+            F.col("b.n_parts").alias("parts_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias(
+                "edit_dist"
+            ),
+        )
+        .where(F.col("edit_dist") <= EDIT_MAX)
+    )
+    return pairs.orderBy("edit_dist", "name_a", "name_b")
+
+
+Q221_SQL = f"""
+WITH names AS (
+    SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           split_part(p_name, ' ', -1) AS block
+    FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       a.n_parts AS parts_a, b.n_parts AS parts_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {EDIT_MAX}
+ORDER BY edit_dist, name_a, name_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q222 — Exact distinct users via bitmap words: users are packed into
+# 32-bit words (word = user_id / 32, bit = user_id % 32), daily
+# per-word bitmaps are OR-aggregated, and weekly distincts come from
+# OR-ing the DAILY word bitmaps — the raw events are touched exactly
+# once. This is the exact-bitmap answer to "COUNT(DISTINCT) doesn't
+# roll up": the word bitmaps are an additive, mergeable summary
+# (bounded at |users|/32 words per period) that re-aggregates to any
+# coarser grain with no rescan — unlike approx sketches, with zero
+# error. The DuckDB oracle computes the SAME numbers via plain
+# COUNT(DISTINCT), so the hash-match proves bitmap exactness.
+#
+# Bits stay in the low 32 of an int64 (1 << (uid % 32)), so no sign
+# games; bit_count is JVM-side on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q222_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily_words = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("week", "day", "word")
+        .agg(F.bit_or("bit").alias("day_mask"))
+    )
+    daily = daily_words.groupBy("week", "day").agg(
+        F.sum(F.bit_count("day_mask")).cast("long").alias("day_users")
+    )
+    weekly = (
+        daily_words.groupBy("week", "word")
+        .agg(F.bit_or("day_mask").alias("week_mask"))
+        .groupBy("week")
+        .agg(F.sum(F.bit_count("week_mask")).cast("long").alias("week_users"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("day_users").cast("long").alias("sum_daily_users"),
+        )
+        .join(weekly, "week")
+        .select("week", "n_days", "week_users", "sum_daily_users")
+        .orderBy("week")
+    )
+
+
+Q222_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS day_users
+    FROM events GROUP BY 1, 2
+),
+weekly AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS week_users
+    FROM events GROUP BY 1
+)
+SELECT d.week, CAST(COUNT(*) AS BIGINT) AS n_days, w.week_users,
+       CAST(SUM(d.day_users) AS BIGINT) AS sum_daily_users
+FROM daily d JOIN weekly w ON d.week = w.week
+GROUP BY d.week, w.week_users
+ORDER BY d.week
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q223 — Small-file compaction planner: group each partition's files
+# into ~TARGET-byte output buckets by cumulative-sum bucketing (the
+# greedy sequential coalesce Spark's own file compaction performs).
+# Files are walked in a stable order (doc_id); a file lands in bucket
+# floor(bytes-before-it / TARGET). One window per partition — the
+# planner itself is a metadata-sized job even when the data is 100 TB,
+# because it reads the MANIFEST (here: the documents table standing in
+# for a file listing: doc_id=file, n_chars=bytes, source=partition).
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 4000
+
+
+def q223_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+            / F.lit(COMPACT_TARGET)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return (
+        planned.groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+Q223_SQL = f"""
+WITH planned AS (
+    SELECT source, doc_id, n_chars,
+           CAST(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {COMPACT_TARGET} AS BIGINT) AS bucket
+    FROM documents
+)
+SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM planned
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q224 — Revenue-pacing drawdown: for each supplier nation, how far
+# behind the uniform run-rate its cumulative daily revenue ever falls.
+# The demeaned series is kept EXACT by scaling instead of dividing:
+#     X_t = n_days * cum_rev_t - t * total_rev       (int64, exact)
+# (X is the centered cumulative sum times n_days, so running-max(X) - X
+# is the drawdown times n_days; a plain cumulative revenue never draws
+# down because revenue is nonnegative.) Revenue enters as whole dollars
+# (FLOOR(x + 0.5) — identical on both engines), keeping every X within
+# 2^53 at bench scale so even the final int->double casts are exact;
+# at warehouse scale the same plan lifts to DECIMAL(38,0) unchanged.
+# The only double math is one division of exactly-agreed integers.
+#
+# Per-nation windows over the (nation x day) AGGREGATE (<= ~2.5k rows
+# per nation), not over lineitem; dims broadcast.
+# ---------------------------------------------------------------------------
+
+
+def q224_pacing_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rev_usd"),
+        )
+        .groupBy("n_name", "day")
+        .agg(F.sum("rev_usd").alias("rev_usd"))
+    )
+    wn = Window.partitionBy("n_name")
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    paced = daily.select(
+        "n_name",
+        "day",
+        (
+            F.count("*").over(wn) * F.sum("rev_usd").over(wcum)
+            - F.row_number().over(Window.partitionBy("n_name").orderBy("day"))
+            * F.sum("rev_usd").over(wn)
+        ).alias("x"),
+        F.count("*").over(wn).cast("long").alias("n_days"),
+    )
+    dd = paced.select(
+        "n_name",
+        "day",
+        "n_days",
+        (F.max("x").over(wcum) - F.col("x")).alias("dd_x"),
+    )
+    wpick = Window.partitionBy("n_name").orderBy(
+        F.col("dd_x").desc(), F.col("day")
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "n_name",
+            (F.col("dd_x").cast("double") / F.col("n_days").cast("double")).alias(
+                "max_drawdown"
+            ),
+            F.col("day").alias("dd_date"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q224_SQL = """
+WITH daily AS (
+    SELECT n_name, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev_usd
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+paced AS (
+    SELECT n_name, day,
+           CAST(COUNT(*) OVER (PARTITION BY n_name)
+               * SUM(rev_usd) OVER (
+                   PARTITION BY n_name ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY day)
+               * SUM(rev_usd) OVER (PARTITION BY n_name) AS BIGINT) AS x,
+           CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_days
+    FROM daily
+),
+dd AS (
+    SELECT n_name, day, n_days,
+           MAX(x) OVER (
+               PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - x AS dd_x
+    FROM paced
+)
+SELECT n_name,
+       CAST(dd_x AS DOUBLE) / CAST(n_days AS DOUBLE) AS max_drawdown,
+       day AS dd_date
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY n_name ORDER BY dd_x DESC, day) AS rn
+    FROM dd
+)
+WHERE rn = 1
+ORDER BY n_name
+"""
+
+
+INSIGHTS_QUERIES = {
+    "q216_market_basket": q216_market_basket,
+    "q217_rfm_segments": q217_rfm_segments,
+    "q218_discount_allocation": q218_discount_allocation,
+    "q219_markov_transitions": q219_markov_transitions,
+    "q220_max_concurrency": q220_max_concurrency,
+    "q221_name_neardup": q221_name_neardup,
+    "q222_bitmap_distinct": q222_bitmap_distinct,
+    "q223_compaction_planner": q223_compaction_planner,
+    "q224_pacing_drawdown": q224_pacing_drawdown,
+}
+
+INSIGHTS_ORACLES = {
+    "q216_market_basket": Q216_SQL,
+    "q217_rfm_segments": Q217_SQL,
+    "q218_discount_allocation": Q218_SQL,
+    "q219_markov_transitions": Q219_SQL,
+    "q220_max_concurrency": Q220_SQL,
+    "q221_name_neardup": Q221_SQL,
+    "q222_bitmap_distinct": Q222_SQL,
+    "q223_compaction_planner": Q223_SQL,
+    "q224_pacing_drawdown": Q224_SQL,
+}

@@ -1,0 +1,320 @@
+"""Independent re-proofs for the q216-q224 insight family (beyond the
+DuckDB oracles): brute-force replays and structural invariants on
+corpora and edge cases the oracle never sees."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q216_apriori_prune_loses_nothing(spark):
+    """The ITEM_MIN prune must not drop any pair with support >=
+    PAIR_MIN (monotonicity), and every reported count must equal the
+    brute-force basket count."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        PAIR_MIN_SUPPORT,
+        q216_market_basket,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        (r["part_a"], r["part_b"]): (r["n_pair"], r["n_a"], r["n_b"])
+        for r in q216_market_basket(spark, SF).collect()
+    }
+    baskets = defaultdict(set)
+    for r in (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    item_n = Counter()
+    pair_n = Counter()
+    for items in baskets.values():
+        for i in items:
+            item_n[i] += 1
+        s = sorted(items)
+        for ai, a in enumerate(s):
+            for b in s[ai + 1 :]:
+                pair_n[(a, b)] += 1
+    truth = {
+        p: (n, item_n[p[0]], item_n[p[1]])
+        for p, n in pair_n.items()
+        if n >= PAIR_MIN_SUPPORT
+    }
+    assert got == truth
+
+
+def test_q217_segments_conserve_customers_and_money(spark):
+    from snowflake_stock_dbt_spark.plans.insights import q217_rfm_segments
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    out = q217_rfm_segments(spark, SF).collect()
+    o = load_table(spark, SF, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in out) == n_cust
+    for r in out:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+    total = sum(r["total_monetary"] for r in out)
+    truth = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+    ).collect()[0][0]
+    assert abs(total - truth) < 1e-6 * abs(truth)
+
+
+def test_q218_allocation_is_exact_and_fair(spark):
+    """Largest-remainder contract: per order the allocations sum EXACTLY
+    to the budget, and every line gets floor or ceil of its proportional
+    share (no line over- or under-paid by a full unit)."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        q218_discount_allocation,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    # (l_orderkey, l_linenumber) is NOT unique in this corpus — work in
+    # multisets per order. Duplicate lines are byte-identical, so the
+    # query's output multiset is still deterministic.
+    alloc = defaultdict(list)
+    for r in q218_discount_allocation(spark, SF).collect():
+        alloc[r["l_orderkey"]].append((r["l_linenumber"], r["alloc_c"]))
+    budgets = {
+        r["o_orderkey"]: int(r["o_totalprice"] + 0.5)
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    weights = defaultdict(list)
+    for r in load_table(spark, SF, "lineitem").collect():
+        weights[r["l_orderkey"]].append(
+            (r["l_linenumber"], int(r["l_extendedprice"] * 100 + 0.5))
+        )
+    checked = 0
+    for ok, lines in weights.items():
+        if ok not in budgets:
+            continue
+        b = budgets[ok]
+        tot = sum(w for _, w in lines)
+        got = alloc[ok]
+        assert len(got) == len(lines)
+        assert sum(a for _, a in got) == b, f"order {ok} != budget {b}"
+        # duplicate line ids carry DIFFERENT weights; per-alloc pairing
+        # is ambiguous there, so bound each alloc by its id's weight
+        # RANGE and check the tight bound only for unique line ids.
+        by_line_w = defaultdict(list)
+        for ln, w in lines:
+            by_line_w[ln].append(w)
+        for ln, a in got:
+            ws = by_line_w[ln]
+            lo = b * min(ws) / tot
+            hi = b * max(ws) / tot
+            assert lo - 1 < a < hi + 1, (ok, ln, a, lo, hi)
+        checked += 1
+    assert checked > 100
+
+
+def test_q219_rows_are_probabilities(spark):
+    from snowflake_stock_dbt_spark.plans.insights import (
+        q219_markov_transitions,
+    )
+
+    rows = q219_markov_transitions(spark, SF).collect()
+    by_src = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_src[r["from_type"]] += r["p"]
+    for src, s in by_src.items():
+        assert abs(s - 1.0) < 1e-9, (src, s)
+
+
+def test_q220_sweep_brute_force_replay(spark):
+    """Max concurrency equals the brute-force interval count, including
+    the half-open boundary: an interval ending exactly when another
+    starts does NOT overlap it."""
+    import os
+    import tempfile
+
+    from snowflake_stock_dbt_spark.plans.insights import q220_max_concurrency
+
+    # back-to-back: [0,300) and [300,600) never overlap; [100,400)
+    # overlaps both.
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 1, 0.0, "{}"),
+        (2, "2024-01-01 00:05:00", "a", 1, 0.0, "{}"),
+        (3, "2024-01-01 00:01:40", "a", 2, 0.0, "{}"),
+        # second type, to prove group isolation
+        (4, "2024-01-01 00:00:00", "b", 3, 0.0, "{}"),
+    ]
+
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, p) for (i, ts, t, u, v, p) in rows],
+        "event_id bigint, ts_s string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r["event_type"], str(r["day"])): r["max_concurrent"]
+            for r in q220_max_concurrency(spark, d).collect()
+        }
+    assert out == {("a", "2024-01-01"): 2, ("b", "2024-01-01"): 1}
+
+
+def test_q221_blocked_levenshtein_replay(spark):
+    """Every reported pair shares a block and its distance matches a
+    pure-python Wagner-Fischer replay; within-block completeness: no
+    same-block pair under the threshold is missing."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        EDIT_MAX,
+        q221_name_neardup,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    got = {
+        (r["name_a"], r["name_b"]): r["edit_dist"]
+        for r in q221_name_neardup(spark, SF).collect()
+    }
+    names = sorted(
+        {r["p_name"] for r in load_table(spark, SF, "part").collect()}
+    )
+    truth = {}
+    for ai, a in enumerate(names):
+        for b in names[ai + 1 :]:
+            if a.split()[-1] == b.split()[-1] and lev(a, b) <= EDIT_MAX:
+                truth[(a, b)] = lev(a, b)
+    assert got == truth
+
+
+def test_q222_bitmap_equals_direct_distinct(spark):
+    from snowflake_stock_dbt_spark.plans.insights import q222_bitmap_distinct
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    out = {
+        str(r["week"]): (r["week_users"], r["sum_daily_users"])
+        for r in q222_bitmap_distinct(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    direct_w = {
+        str(r["week"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("n"))
+    direct_d = {
+        str(r["week"]): r["s"]
+        for r in daily.groupBy("week").agg(F.sum("n").alias("s")).collect()
+    }
+    assert {w: v[0] for w, v in out.items()} == direct_w
+    assert {w: v[1] for w, v in out.items()} == direct_d
+
+
+def test_q223_buckets_are_contiguous_and_sized(spark):
+    """Buckets within a partition cover disjoint, increasing doc_id
+    ranges, and no bucket except possibly the last starts after the
+    target is already exceeded (greedy coalesce invariant: a bucket
+    closes only once the running total crosses TARGET)."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        COMPACT_TARGET,
+        q223_compaction_planner,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    out = q223_compaction_planner(spark, SF).collect()
+    sizes = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    by_src = defaultdict(list)
+    for r in out:
+        by_src[r["source"]].append(r)
+    total_files = 0
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["bucket"])
+        prev_last = -1
+        for r in rows:
+            assert r["first_doc"] > prev_last, (src, r)
+            prev_last = r["last_doc"]
+            total_files += r["n_files"]
+            # all but the final file of a bucket fit under TARGET:
+            # bytes-before-last-file < TARGET (else it'd be a new bucket)
+            assert (
+                r["total_bytes"] - sizes[r["last_doc"]] < COMPACT_TARGET
+            ), (src, r)
+    assert total_files == len(sizes)
+
+
+def test_q224_drawdown_python_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import q224_pacing_drawdown
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["n_name"]: (r["max_drawdown"], str(r["dd_date"]))
+        for r in q224_pacing_drawdown(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    rows = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.to_date("l_shipdate").alias("day"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["n_name"]][str(r["day"])] += int(
+            r["l_extendedprice"] * (1.0 - r["l_discount"]) + 0.5
+        )
+    for nation, days in daily.items():
+        ordered = sorted(days)
+        nd = len(ordered)
+        total = sum(days.values())
+        cum = 0
+        runmax = None
+        best = (-1, None)
+        for t, d in enumerate(ordered, 1):
+            cum += days[d]
+            x = nd * cum - t * total
+            runmax = x if runmax is None else max(runmax, x)
+            dd = runmax - x
+            if dd > best[0]:
+                best = (dd, d)
+        want = (best[0] / nd, best[1])
+        have = got[nation]
+        assert abs(have[0] - want[0]) < 1e-9 and have[1] == want[1], (
+            nation,
+            have,
+            want,
+        )
