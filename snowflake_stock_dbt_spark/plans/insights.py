@@ -767,6 +767,518 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q225 — l-diversity audit: the homogeneity-attack complement of q208's
+# k-anonymity. Same customer table, but the quasi-identifier set drops
+# c_mktsegment — that column becomes the SENSITIVE attribute: a class
+# can be k-anonymous yet leak the segment outright if every member
+# shares one. Reports per class: size k, distinct sensitive values l,
+# and the modal value's share (ppm, integral division — the direct
+# re-identification confidence of the homogeneity attack).
+# ---------------------------------------------------------------------------
+
+L_DIVERSE_MIN = 3
+
+
+def q225_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    per_value = (
+        cust.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_bucket", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        per_value.groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.sum("n").cast("long").alias("k"),
+            F.count("*").cast("long").alias("l_distinct"),
+            F.max("n").cast("long").alias("modal_n"),
+        )
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "k",
+            "l_distinct",
+            F.expr("modal_n * 1000000 DIV k").cast("long").alias("modal_ppm"),
+            (F.col("l_distinct") >= L_DIVERSE_MIN).alias("diverse"),
+        )
+        .orderBy("c_nationkey", "bal_bucket")
+    )
+
+
+Q225_SQL = f"""
+WITH per_value AS (
+    SELECT c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+           c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, bal_bucket,
+       CAST(SUM(n) AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS modal_ppm,
+       COUNT(*) >= {L_DIVERSE_MIN} AS diverse
+FROM per_value
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q226 — Cohort LTV curves: customers cohorted by first-order month,
+# cumulative revenue tracked by cohort age in months. Months are pure
+# integer arithmetic (year*12 + month-1) — no months_between floats.
+# Revenue stays DECIMAL through the cumulative window; the only double
+# math is the final LTV division by an exact cohort size. Keyed aggs +
+# one window over the (cohort x age) grid, never over orders.
+# ---------------------------------------------------------------------------
+
+
+def q226_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate")) * 12
+            + F.month(F.col("o_orderdate"))
+            - 1
+        ).alias("month_m"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("priced"),
+    )
+    wcust = Window.partitionBy("o_custkey")
+    aged = base.select(
+        "o_custkey",
+        F.min("month_m").over(wcust).alias("cohort_m"),
+        (F.col("month_m") - F.min("month_m").over(wcust)).alias("age"),
+        "priced",
+    )
+    sizes = (
+        aged.select("o_custkey", "cohort_m")
+        .distinct()
+        .groupBy("cohort_m")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+    monthly = aged.groupBy("cohort_m", "age").agg(
+        F.sum("priced").alias("revd"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    wage = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        monthly.select(
+            "cohort_m",
+            "age",
+            "n_orders",
+            F.sum("revd").over(wage).alias("cumd"),
+        )
+        .join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("cohort_m DIV 12"),
+                (F.col("cohort_m") % 12 + 1).cast("int"),
+            ).alias("cohort"),
+            "age",
+            "n_customers",
+            "n_orders",
+            F.col("cumd").cast("double").alias("cum_revenue"),
+            (F.col("cumd").cast("double") / F.col("n_customers").cast("double")).alias(
+                "ltv"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+Q226_SQL = """
+WITH base AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS month_m,
+           CAST(o_totalprice AS DECIMAL(38,6)) AS priced
+    FROM orders
+),
+aged AS (
+    SELECT o_custkey,
+           MIN(month_m) OVER (PARTITION BY o_custkey) AS cohort_m,
+           month_m - MIN(month_m) OVER (PARTITION BY o_custkey) AS age,
+           priced
+    FROM base
+),
+sizes AS (
+    SELECT cohort_m, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM aged GROUP BY 1
+),
+monthly AS (
+    SELECT cohort_m, age, SUM(priced) AS revd,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM aged GROUP BY 1, 2
+)
+SELECT printf('%04d-%02d', CAST(m.cohort_m // 12 AS INTEGER),
+              CAST(m.cohort_m % 12 + 1 AS INTEGER)) AS cohort,
+       m.age, s.n_customers, m.n_orders,
+       CAST(SUM(m.revd) OVER (
+           PARTITION BY m.cohort_m ORDER BY m.age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_revenue,
+       CAST(SUM(m.revd) OVER (
+           PARTITION BY m.cohort_m ORDER BY m.age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(s.n_customers AS DOUBLE) AS ltv
+FROM monthly m JOIN sizes s ON m.cohort_m = s.cohort_m
+ORDER BY cohort, age
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q227 — Moving-average crossover signals (golden/death cross): 7-row
+# vs 28-row moving averages of each nation's daily revenue, emitting
+# the days where the short average crosses the long one. The crossing
+# test never divides: ma7 > ma28  ⟺  sum7*n28 > sum28*n7, compared in
+# exact int64 cents — the whole signal pipeline is integer, so the
+# oracle matches bit-for-bit with no float discipline needed at all.
+# Warmup rows (first 27 days) are excluded so both windows are full.
+# ---------------------------------------------------------------------------
+
+MA_SHORT = 7
+MA_LONG = 28
+
+
+def q227_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+        .groupBy("n_name", "day")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    ws = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(-(MA_SHORT - 1), 0)
+    )
+    wl = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(-(MA_LONG - 1), 0)
+    )
+    wd = Window.partitionBy("n_name").orderBy("day")
+    mas = daily.select(
+        "n_name",
+        "day",
+        F.sum("rev_c").over(ws).alias("sum_s"),
+        F.count("*").over(ws).alias("n_s"),
+        F.sum("rev_c").over(wl).alias("sum_l"),
+        F.count("*").over(wl).alias("n_l"),
+        F.row_number().over(wd).alias("rn"),
+    ).select(
+        "n_name",
+        "day",
+        "sum_s",
+        "n_s",
+        "sum_l",
+        "n_l",
+        "rn",
+        F.signum(
+            (F.col("sum_s") * F.col("n_l") - F.col("sum_l") * F.col("n_s"))
+            .cast("double")
+        )
+        .cast("long")
+        .alias("sig"),
+    )
+    flagged = mas.select(
+        "n_name",
+        "day",
+        "rn",
+        "sig",
+        F.lag("sig").over(wd).alias("prev_sig"),
+        (F.col("sum_s").cast("double") / (F.col("n_s") * 100.0)).alias("ma_short"),
+        (F.col("sum_l").cast("double") / (F.col("n_l") * 100.0)).alias("ma_long"),
+    )
+    return (
+        flagged.where(
+            (F.col("rn") > MA_LONG)
+            & (F.col("sig") != 0)
+            & (F.col("prev_sig") != 0)
+            & (F.col("sig") != F.col("prev_sig"))
+        )
+        .select(
+            "n_name",
+            "day",
+            F.when(F.col("sig") > 0, F.lit("golden"))
+            .otherwise(F.lit("death"))
+            .alias("signal"),
+            "ma_short",
+            "ma_long",
+        )
+        .orderBy("n_name", "day")
+    )
+
+
+Q227_SQL = f"""
+WITH daily AS (
+    SELECT n_name, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+mas AS (
+    SELECT n_name, day,
+           SUM(rev_c) OVER w{MA_SHORT} AS sum_s,
+           COUNT(*) OVER w{MA_SHORT} AS n_s,
+           SUM(rev_c) OVER w{MA_LONG} AS sum_l,
+           COUNT(*) OVER w{MA_LONG} AS n_l,
+           ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY day) AS rn
+    FROM daily
+    WINDOW w{MA_SHORT} AS (PARTITION BY n_name ORDER BY day
+                ROWS BETWEEN {MA_SHORT - 1} PRECEDING AND CURRENT ROW),
+           w{MA_LONG} AS (PARTITION BY n_name ORDER BY day
+                ROWS BETWEEN {MA_LONG - 1} PRECEDING AND CURRENT ROW)
+),
+flagged AS (
+    SELECT n_name, day, rn,
+           CAST(SIGN(sum_s * n_l - sum_l * n_s) AS BIGINT) AS sig,
+           LAG(CAST(SIGN(sum_s * n_l - sum_l * n_s) AS BIGINT)) OVER (
+               PARTITION BY n_name ORDER BY day) AS prev_sig,
+           CAST(sum_s AS DOUBLE) / (n_s * 100.0) AS ma_short,
+           CAST(sum_l AS DOUBLE) / (n_l * 100.0) AS ma_long
+    FROM mas
+)
+SELECT n_name, day,
+       CASE WHEN sig > 0 THEN 'golden' ELSE 'death' END AS signal,
+       ma_short, ma_long
+FROM flagged
+WHERE rn > {MA_LONG} AND sig != 0 AND prev_sig != 0 AND sig != prev_sig
+ORDER BY n_name, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q228 — Seasonal forecast backtest: train a weekday-mean revenue
+# forecast per nation on pre-cutoff days, score MAE on post-cutoff
+# days. The entire error pipeline is integer micro-cents:
+# forecast = (train_total_cents * 1e6) DIV n_train_days (integral
+# division), per-day error = |actual*1e6 - forecast| — so the MAE is a
+# double division of one exact int64 sum. The backtest join hits the
+# (nation x weekday) AGGREGATE (<= 175 rows, broadcast), not the
+# training rows. ISO weekday (1=Mon) on both engines.
+# ---------------------------------------------------------------------------
+
+BACKTEST_CUTOFF = "2000-01-01"
+
+
+def q228_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+        .groupBy("n_name", "day")
+        .agg(F.sum("rev_c").alias("rev_c"))
+        .select(
+            "n_name",
+            "day",
+            "rev_c",
+            (F.expr("weekday(day)") + 1).cast("int").alias("dow"),
+        )
+    )
+    cut = F.lit(BACKTEST_CUTOFF).cast("date")
+    model = (
+        daily.where(F.col("day") < cut)
+        .groupBy("n_name", "dow")
+        .agg(
+            F.sum("rev_c").alias("train_c"),
+            F.count("*").cast("long").alias("n_train"),
+        )
+        .select(
+            "n_name",
+            "dow",
+            F.expr("train_c * 1000000 DIV n_train").alias("forecast_u"),
+        )
+    )
+    test = daily.where(F.col("day") >= cut)
+    return (
+        test.join(F.broadcast(model), ["n_name", "dow"])
+        .select(
+            "n_name",
+            F.abs(F.col("rev_c") * F.lit(1_000_000) - F.col("forecast_u")).alias(
+                "err_u"
+            ),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_test_days"),
+            F.sum("err_u").alias("total_err_u"),
+        )
+        .select(
+            "n_name",
+            "n_test_days",
+            (
+                F.col("total_err_u").cast("double")
+                / (F.col("n_test_days").cast("double") * 1e8)
+            ).alias("mae_usd"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q228_SQL = f"""
+WITH daily AS (
+    SELECT n_name, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_c,
+           CAST(isodow(CAST(l_shipdate AS DATE)) AS INTEGER) AS dow
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2, 4
+),
+model AS (
+    SELECT n_name, dow,
+           SUM(rev_c) * 1000000 // COUNT(*) AS forecast_u
+    FROM daily WHERE day < DATE '{BACKTEST_CUTOFF}'
+    GROUP BY 1, 2
+)
+SELECT t.n_name, CAST(COUNT(*) AS BIGINT) AS n_test_days,
+       CAST(SUM(ABS(t.rev_c * 1000000 - m.forecast_u)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 1e8) AS mae_usd
+FROM daily t JOIN model m ON t.n_name = m.n_name AND t.dow = m.dow
+WHERE t.day >= DATE '{BACKTEST_CUTOFF}'
+GROUP BY t.n_name
+ORDER BY t.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q229 — Clamped running balance (inventory floor-at-zero) WITHOUT a
+# sequential fold: the recurrence B_t = max(0, B_{t-1} + x_t) looks
+# like it needs per-key iteration, but the Lindley identity solves it
+# in closed form with two windows:
+#     S_t = Σ x_k  (prefix sum);   B_t = S_t - min(0, min_{k<=t} S_k)
+# Proof sketch (induction): subtracting the most negative prefix ever
+# seen is exactly the total deficit forgiven by the clamp so far.
+# This turns an "inherently stateful" simulation into running-sum +
+# running-min — shuffle-once, bounded partitions, no applyInPandas.
+#
+# Flows: returns/acks restock (+qty for returnflag R/A), normal ships
+# deplete (-qty for N); quantities are integral doubles -> exact int64.
+# ---------------------------------------------------------------------------
+
+
+def q229_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    flows = (
+        li.select(
+            "l_partkey",
+            F.to_date("l_shipdate").alias("day"),
+            F.when(
+                F.col("l_returnflag").isin("R", "A"),
+                F.floor(F.col("l_quantity") + F.lit(0.5)),
+            )
+            .otherwise(-F.floor(F.col("l_quantity") + F.lit(0.5)))
+            .cast("long")
+            .alias("net"),
+        )
+        .groupBy("l_partkey", "day")
+        .agg(F.sum("net").alias("net"))
+    )
+    wcum = (
+        Window.partitionBy("l_partkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    series = flows.select(
+        "l_partkey",
+        "day",
+        F.sum("net").over(wcum).alias("s"),
+    ).select(
+        "l_partkey",
+        "day",
+        (
+            F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(wcum))
+        ).alias("balance"),
+    )
+    return (
+        series.groupBy("l_partkey")
+        .agg(
+            F.max_by("balance", "day").cast("long").alias("final_balance"),
+            F.max("balance").cast("long").alias("peak_balance"),
+            F.sum((F.col("balance") == 0).cast("long"))
+            .cast("long")
+            .alias("n_stockout_days"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+Q229_SQL = """
+WITH flows AS (
+    SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CASE WHEN l_returnflag IN ('R', 'A')
+                    THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(l_quantity + 0.5) AS BIGINT) END)
+                AS BIGINT) AS net
+    FROM lineitem GROUP BY 1, 2
+),
+prefix AS (
+    SELECT l_partkey, day,
+           SUM(net) OVER (PARTITION BY l_partkey ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+    FROM flows
+),
+series AS (
+    SELECT l_partkey, day,
+           s - LEAST(0, MIN(s) OVER (PARTITION BY l_partkey ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS balance
+    FROM prefix
+)
+SELECT l_partkey,
+       CAST(max_by(balance, day) AS BIGINT) AS final_balance,
+       CAST(MAX(balance) AS BIGINT) AS peak_balance,
+       CAST(SUM(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stockout_days,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM series
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -777,6 +1289,11 @@ INSIGHTS_QUERIES = {
     "q222_bitmap_distinct": q222_bitmap_distinct,
     "q223_compaction_planner": q223_compaction_planner,
     "q224_pacing_drawdown": q224_pacing_drawdown,
+    "q225_l_diversity": q225_l_diversity,
+    "q226_cohort_ltv": q226_cohort_ltv,
+    "q227_ma_crossover": q227_ma_crossover,
+    "q228_seasonal_backtest": q228_seasonal_backtest,
+    "q229_clamped_balance": q229_clamped_balance,
 }
 
 INSIGHTS_ORACLES = {
@@ -789,4 +1306,9 @@ INSIGHTS_ORACLES = {
     "q222_bitmap_distinct": Q222_SQL,
     "q223_compaction_planner": Q223_SQL,
     "q224_pacing_drawdown": Q224_SQL,
+    "q225_l_diversity": Q225_SQL,
+    "q226_cohort_ltv": Q226_SQL,
+    "q227_ma_crossover": Q227_SQL,
+    "q228_seasonal_backtest": Q228_SQL,
+    "q229_clamped_balance": Q229_SQL,
 }

@@ -52,6 +52,8 @@ BNL_ALLOWED = {
     "q210_autocorrelation",  # 1-row global-moment broadcast (q03 pattern)
     "q211_rrf_hybrid",  # embeds q186's 1-row corpus-stats broadcast
     "q213_benford_audit",  # 1-row table-total broadcast (q03 pattern)
+    "q216_market_basket",  # 1-row basket-count broadcast (q03 pattern)
+    "q217_rfm_segments",  # 1-row anchor-date broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -219,6 +221,24 @@ PINNED_PATTERNS = {
     "q209_ohlc_bars": ["Window", "partial_"],
     "q210_autocorrelation": ["partial_"],
     "q211_rrf_hybrid": ["TakeOrderedAndProject"],
+    # Insight family (q216-q229). q216: the frequent-item table must
+    # broadcast into the basket self-join. q218: the three allocation
+    # windows share one l_orderkey exchange. q221: levenshtein must ride
+    # the block-key equi-join (q92 discipline). q222: the bitmap OR must
+    # stay map-side-combinable. Dims broadcast in the revenue families.
+    "q216_market_basket": ["BroadcastHashJoin"],
+    "q218_discount_allocation": ["Window"],
+    "q219_markov_transitions": ["Window", "partial_"],
+    "q220_max_concurrency": ["Window"],
+    "q221_name_neardup": ["HashJoin", "levenshtein"],
+    "q222_bitmap_distinct": ["partial_"],
+    "q223_compaction_planner": ["Window"],
+    "q224_pacing_drawdown": ["BroadcastHashJoin", "Window"],
+    "q225_l_diversity": ["partial_"],
+    "q226_cohort_ltv": ["BroadcastHashJoin", "Window"],
+    "q227_ma_crossover": ["BroadcastHashJoin", "Window"],
+    "q228_seasonal_backtest": ["BroadcastHashJoin"],
+    "q229_clamped_balance": ["Window"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -252,6 +272,21 @@ SHUFFLE_BUDGETS = {
     "q179_spearman": 16,  # two rank passes + moment join-backs
     "q180_percentile_rank": 8,  # value-counts agg + CDF broadcast-back
     "q184_term_burstiness": 4,  # one keyed moment agg + top-N
+    # Insight family (q216-q229): observed plan shapes + headroom.
+    "q216_market_basket": 32,  # item agg + pruned self-join + pair agg
+    "q217_rfm_segments": 12,  # per-cust agg + three ntile sorts + rollup
+    "q218_discount_allocation": 8,  # key join + ONE window exchange + sort
+    "q219_markov_transitions": 10,  # per-user lead + transition agg
+    "q220_max_concurrency": 6,  # union + one (type,day) window + agg
+    "q221_name_neardup": 10,  # name agg + block self-join
+    "q222_bitmap_distinct": 20,  # word bitmaps + daily/weekly rollups + join
+    "q223_compaction_planner": 6,  # one source window + bucket agg
+    "q224_pacing_drawdown": 14,  # daily agg + per-nation windows + argmax
+    "q225_l_diversity": 8,  # two keyed aggs
+    "q226_cohort_ltv": 18,  # cohort window + monthly/size aggs + join
+    "q227_ma_crossover": 14,  # daily agg + shared-partition MA windows
+    "q228_seasonal_backtest": 24,  # daily agg x2 subtrees + model join
+    "q229_clamped_balance": 8,  # flow agg + ONE part window chain + agg
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

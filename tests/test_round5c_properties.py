@@ -318,3 +318,186 @@ def test_q224_drawdown_python_replay(spark):
             have,
             want,
         )
+
+
+def test_q225_classes_match_q208_and_bounds(spark):
+    """l-diversity classes are the q208 classes rolled up over the
+    sensitive column: k sums match, 1 <= l <= k, modal share >= 1/l."""
+    from snowflake_stock_dbt_spark.plans.curation import q208_k_anonymity
+    from snowflake_stock_dbt_spark.plans.insights import q225_l_diversity
+
+    l_rows = q225_l_diversity(spark, SF).collect()
+    k_rows = q208_k_anonymity(spark, SF).collect()
+    k_by_class = defaultdict(int)
+    for r in k_rows:
+        k_by_class[(r["c_nationkey"], r["bal_bucket"])] += r["k"]
+    assert {
+        (r["c_nationkey"], r["bal_bucket"]): r["k"] for r in l_rows
+    } == dict(k_by_class)
+    for r in l_rows:
+        assert 1 <= r["l_distinct"] <= r["k"]
+        # the modal value covers at least its equal share
+        assert r["modal_ppm"] * r["l_distinct"] >= 1_000_000 - r["l_distinct"]
+
+
+def test_q226_ltv_monotone_and_conserves_revenue(spark):
+    from snowflake_stock_dbt_spark.plans.insights import q226_cohort_ltv
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = q226_cohort_ltv(spark, SF).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort"]].append(r)
+    final_total = 0.0
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age"])
+        for a, b in zip(rs, rs[1:]):
+            assert b["cum_revenue"] > a["cum_revenue"], (cohort, a, b)
+        final_total += rs[-1]["cum_revenue"]
+    o = load_table(spark, SF, "orders")
+    truth = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+    ).collect()[0][0]
+    assert abs(final_total - truth) < 1e-6 * truth
+
+
+def test_q227_signals_python_replay(spark):
+    """Crossing days equal a python replay of the integer MA-compare on
+    the same daily series."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        MA_LONG,
+        MA_SHORT,
+        q227_ma_crossover,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        (r["n_name"], str(r["day"])): r["signal"]
+        for r in q227_ma_crossover(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    rows = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.to_date("l_shipdate").alias("day"),
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["n_name"]][str(r["day"])] += int(
+            r["l_extendedprice"] * (1.0 - r["l_discount"]) * 100 + 0.5
+        )
+    want = {}
+    for nation, days in daily.items():
+        ordered = sorted(days)
+        vals = [days[d] for d in ordered]
+        prev = None
+        for i, d in enumerate(ordered):
+            ss = sum(vals[max(0, i - MA_SHORT + 1) : i + 1])
+            ns = min(i + 1, MA_SHORT)
+            sl = sum(vals[max(0, i - MA_LONG + 1) : i + 1])
+            nl = min(i + 1, MA_LONG)
+            diff = ss * nl - sl * ns
+            sig = (diff > 0) - (diff < 0)
+            if (
+                i + 1 > MA_LONG
+                and prev is not None
+                and sig != 0
+                and prev != 0
+                and sig != prev
+            ):
+                want[(nation, d)] = "golden" if sig > 0 else "death"
+            prev = sig
+    assert got == want
+
+
+def test_q228_mae_python_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import (
+        BACKTEST_CUTOFF,
+        q228_seasonal_backtest,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["n_name"]: (r["n_test_days"], r["mae_usd"])
+        for r in q228_seasonal_backtest(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    rows = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.to_date("l_shipdate").alias("day"),
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["n_name"]][r["day"]] += int(
+            r["l_extendedprice"] * (1.0 - r["l_discount"]) * 100 + 0.5
+        )
+    import datetime
+
+    cut = datetime.date.fromisoformat(BACKTEST_CUTOFF)
+    want = {}
+    for nation, days in daily.items():
+        train = defaultdict(lambda: [0, 0])
+        for d, v in days.items():
+            if d < cut:
+                t = train[d.isoweekday()]
+                t[0] += v
+                t[1] += 1
+        errs, n_test = 0, 0
+        for d, v in days.items():
+            if d >= cut and d.isoweekday() in train:
+                tot, cnt = train[d.isoweekday()]
+                fc = tot * 1_000_000 // cnt
+                errs += abs(v * 1_000_000 - fc)
+                n_test += 1
+        if n_test:
+            want[nation] = (n_test, errs / (n_test * 1e8))
+    assert set(got) == set(want)
+    for nation in want:
+        assert got[nation][0] == want[nation][0]
+        assert abs(got[nation][1] - want[nation][1]) < 1e-9
+
+
+def test_q229_lindley_equals_sequential_recurrence(spark):
+    """The two-window closed form must equal the true sequential fold
+    B_t = max(0, B_{t-1} + x_t) on every part's series."""
+    from snowflake_stock_dbt_spark.plans.insights import q229_clamped_balance
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["l_partkey"]: (
+            r["final_balance"],
+            r["peak_balance"],
+            r["n_stockout_days"],
+            r["n_days"],
+        )
+        for r in q229_clamped_balance(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    rows = li.select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("day"),
+        "l_returnflag",
+        "l_quantity",
+    ).collect()
+    flows = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        q = int(r["l_quantity"] + 0.5)
+        flows[r["l_partkey"]][str(r["day"])] += (
+            q if r["l_returnflag"] in ("R", "A") else -q
+        )
+    for pk, days in flows.items():
+        bal, peak, zero = 0, 0, 0
+        for d in sorted(days):
+            bal = max(0, bal + days[d])
+            peak = max(peak, bal)
+            zero += bal == 0
+        assert got[pk] == (bal, peak, zero, len(days)), pk
