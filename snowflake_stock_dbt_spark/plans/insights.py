@@ -26,6 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import exact_grouped_percentiles
+from ..functions.partitioning import ensure_min_parallelism
+from ..functions.text import shingles_from_tokens, tokens
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1279,6 +1282,273 @@ ORDER BY l_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q230 — Source overlap matrix: exact pairwise shingle Jaccard and
+# containment between corpus SOURCES (the shard-level twin of the
+# doc-level dedup family — "how much of src A is already in src B" is
+# the first question before merging two crawls). Pair discovery is the
+# shingle equi-join at SOURCE granularity: each shingle contributes at
+# most |sources-sharing-it|² candidates, and that factor is bounded by
+# the source count (here 20), so the join is linear in distinct
+# (shingle, source) rows no matter how large the corpus grows.
+# jaccard/containment are double divisions of exact BIGINT set sizes.
+# ---------------------------------------------------------------------------
+
+OVERLAP_SHINGLE_K = 3
+
+
+def q230_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ensure_min_parallelism(docs, F.col("doc_id")).select(
+        "source", tokens("text").alias("t")
+    )
+    sh = toks.select(
+        "source",
+        F.explode(shingles_from_tokens("t", OVERLAP_SHINGLE_K)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("n_sh", "n_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")), "src_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+    )
+
+
+Q230_SQL = rf"""
+WITH toks AS (
+    SELECT source, string_split_regex(TRIM(text), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+           concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+    FROM toks, UNNEST(range(0, GREATEST(len(t) - {OVERLAP_SHINGLE_K - 1}, 0)))
+         AS r(i)
+),
+sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source
+),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(p.n_inter AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - p.n_inter AS DOUBLE) AS jaccard,
+       CAST(p.n_inter AS DOUBLE)
+           / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+FROM pairs p
+JOIN sizes sa ON p.src_a = sa.source
+JOIN sizes sb ON p.src_b = sb.source
+ORDER BY jaccard DESC, src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q231 — Value-at-Risk / CVaR on day-over-day revenue changes, with the
+# DISCRETE (order-statistic) definitions so the whole computation stays
+# integer-exact: VaR(5%) is the k-th smallest daily change where
+# k = ceil(0.05·n) (integral arithmetic: (n·5 + 99) DIV 100), CVaR is
+# the mean of the k changes at or below it — one int64 sum divided by
+# k. Rank ties are broken by day, so the cutoff is engine-independent
+# even when change values repeat. Windows run over the (nation × day)
+# aggregate.
+# ---------------------------------------------------------------------------
+
+VAR_PCT = 5
+
+
+def q231_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+        .groupBy("n_name", "day")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    wd = Window.partitionBy("n_name").orderBy("day")
+    changes = daily.select(
+        "n_name",
+        "day",
+        (F.col("rev_c") - F.lag("rev_c").over(wd)).alias("change_c"),
+    ).where(F.col("change_c").isNotNull())
+    wrank = Window.partitionBy("n_name").orderBy("change_c", "day")
+    wall = Window.partitionBy("n_name")
+    ranked = changes.select(
+        "n_name",
+        "change_c",
+        F.row_number().over(wrank).alias("rk"),
+        F.count("*").over(wall).alias("n_changes"),
+    ).withColumn("k", F.expr(f"(n_changes * {VAR_PCT} + 99) DIV 100"))
+    return (
+        ranked.where(F.col("rk") <= F.col("k"))
+        .groupBy("n_name", "n_changes", "k")
+        .agg(
+            F.max("change_c").alias("var_c"),
+            F.sum("change_c").alias("tail_c"),
+        )
+        .select(
+            "n_name",
+            F.col("n_changes").cast("long").alias("n_changes"),
+            (F.col("var_c").cast("double") / 100.0).alias("var_usd"),
+            (
+                F.col("tail_c").cast("double")
+                / (F.col("k").cast("double") * 100.0)
+            ).alias("cvar_usd"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q231_SQL = f"""
+WITH daily AS (
+    SELECT n_name, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+changes AS (
+    SELECT n_name, day,
+           rev_c - LAG(rev_c) OVER (PARTITION BY n_name ORDER BY day)
+               AS change_c
+    FROM daily
+    QUALIFY change_c IS NOT NULL
+),
+ranked AS (
+    SELECT n_name, change_c,
+           ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY change_c, day)
+               AS rk,
+           COUNT(*) OVER (PARTITION BY n_name) AS n_changes,
+           (COUNT(*) OVER (PARTITION BY n_name) * {VAR_PCT} + 99) // 100 AS k
+    FROM changes
+)
+SELECT n_name, CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(MAX(change_c) AS DOUBLE) / 100.0 AS var_usd,
+       CAST(SUM(change_c) AS DOUBLE) / (CAST(k AS DOUBLE) * 100.0) AS cvar_usd
+FROM ranked
+WHERE rk <= k
+GROUP BY n_name, n_changes, k
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q232 — Order-fulfilment SLA report: ship latency (days from order to
+# line ship) per order priority — exact p50/p90/p99 via the flat-scaling
+# value-counts percentile form (the q45 recipe; the latency domain is
+# small-integer days, so the distinct-value state is tiny), plus the
+# >90-day breach rate in exact ppm (integral division).
+# ---------------------------------------------------------------------------
+
+SLA_BREACH_DAYS = 90
+
+
+def q232_fill_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lat_days"),
+    )
+    pct = exact_grouped_percentiles(
+        lat,
+        "o_orderpriority",
+        "lat_days",
+        {"p50_days": 0.5, "p90_days": 0.9, "p99_days": 0.99},
+    ).select("o_orderpriority", "p50_days", "p90_days", "p99_days")
+    breach = lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((F.col("lat_days") > SLA_BREACH_DAYS).cast("long")).alias(
+            "n_breach"
+        ),
+    )
+    return (
+        breach.join(F.broadcast(pct), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            "p50_days",
+            "p90_days",
+            "p99_days",
+            F.expr("n_breach * 1000000 DIV n_lines").cast("long").alias(
+                "breach_ppm"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q232_SQL = f"""
+WITH lat AS (
+    SELECT o_orderpriority,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) AS BIGINT) AS lat_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       quantile_cont(lat_days, 0.5)  AS p50_days,
+       quantile_cont(lat_days, 0.9)  AS p90_days,
+       quantile_cont(lat_days, 0.99) AS p99_days,
+       CAST(SUM(CASE WHEN lat_days > {SLA_BREACH_DAYS} THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS breach_ppm
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -1294,6 +1564,9 @@ INSIGHTS_QUERIES = {
     "q227_ma_crossover": q227_ma_crossover,
     "q228_seasonal_backtest": q228_seasonal_backtest,
     "q229_clamped_balance": q229_clamped_balance,
+    "q230_source_overlap": q230_source_overlap,
+    "q231_var_cvar": q231_var_cvar,
+    "q232_fill_latency": q232_fill_latency,
 }
 
 INSIGHTS_ORACLES = {
@@ -1311,4 +1584,7 @@ INSIGHTS_ORACLES = {
     "q227_ma_crossover": Q227_SQL,
     "q228_seasonal_backtest": Q228_SQL,
     "q229_clamped_balance": Q229_SQL,
+    "q230_source_overlap": Q230_SQL,
+    "q231_var_cvar": Q231_SQL,
+    "q232_fill_latency": Q232_SQL,
 }

@@ -239,6 +239,11 @@ PINNED_PATTERNS = {
     "q227_ma_crossover": ["BroadcastHashJoin", "Window"],
     "q228_seasonal_backtest": ["BroadcastHashJoin"],
     "q229_clamped_balance": ["Window"],
+    # q230: source set sizes must broadcast back onto the pair counts.
+    # q232: the percentile stage must stay the value-counts window form.
+    "q230_source_overlap": ["BroadcastHashJoin"],
+    "q231_var_cvar": ["BroadcastHashJoin", "Window"],
+    "q232_fill_latency": ["BroadcastHashJoin", "Window"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -287,6 +292,9 @@ SHUFFLE_BUDGETS = {
     "q227_ma_crossover": 14,  # daily agg + shared-partition MA windows
     "q228_seasonal_backtest": 24,  # daily agg x2 subtrees + model join
     "q229_clamped_balance": 8,  # flow agg + ONE part window chain + agg
+    "q230_source_overlap": 34,  # shingle distinct + pair join + size joins
+    "q231_var_cvar": 14,  # daily agg + change/rank windows + tail agg
+    "q232_fill_latency": 18,  # key join + value-counts pct + breach agg
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

@@ -501,3 +501,125 @@ def test_q229_lindley_equals_sequential_recurrence(spark):
             peak = max(peak, bal)
             zero += bal == 0
         assert got[pk] == (bal, peak, zero, len(days)), pk
+
+
+def test_q230_overlap_python_replay(spark):
+    """Pairwise source Jaccard/containment equal a python set replay of
+    the 3-shingle sets."""
+    from snowflake_stock_dbt_spark.plans.insights import q230_source_overlap
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+        for r in q230_source_overlap(spark, SF).collect()
+    }
+    sets = defaultdict(set)
+    for r in load_table(spark, SF, "documents").collect():
+        t = r["text"].strip().split()
+        for i in range(max(len(t) - 2, 0)):
+            sets[r["source"]].add(" ".join(t[i : i + 3]))
+    want = {}
+    srcs = sorted(sets)
+    for ai, a in enumerate(srcs):
+        for b in srcs[ai + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert got == want
+
+
+def test_q231_var_cvar_python_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import (
+        VAR_PCT,
+        q231_var_cvar,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["n_name"]: (r["n_changes"], r["var_usd"], r["cvar_usd"])
+        for r in q231_var_cvar(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    rows = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.to_date("l_shipdate").alias("day"),
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["n_name"]][str(r["day"])] += int(
+            r["l_extendedprice"] * (1.0 - r["l_discount"]) * 100 + 0.5
+        )
+    for nation, days in daily.items():
+        ordered = sorted(days)
+        changes = [
+            days[b] - days[a] for a, b in zip(ordered, ordered[1:])
+        ]
+        if not changes:
+            assert nation not in got
+            continue
+        n_ch = len(changes)
+        k = (n_ch * VAR_PCT + 99) // 100
+        tail = sorted(changes)[:k]
+        want = (n_ch, tail[-1] / 100.0, sum(tail) / (k * 100.0))
+        have = got[nation]
+        assert have[0] == want[0]
+        assert abs(have[1] - want[1]) < 1e-9
+        assert abs(have[2] - want[2]) < 1e-9
+
+
+def test_q232_latency_python_replay(spark):
+    """Percentiles equal a python linear-interpolation replay; breach ppm
+    is exact integral division."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        SLA_BREACH_DAYS,
+        q232_fill_latency,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["o_orderpriority"]: (
+            r["n_lines"],
+            r["p50_days"],
+            r["p90_days"],
+            r["p99_days"],
+            r["breach_ppm"],
+        )
+        for r in q232_fill_latency(spark, SF).collect()
+    }
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    rows = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("lat"),
+        )
+        .collect()
+    )
+    by_p = defaultdict(list)
+    for r in rows:
+        by_p[r["o_orderpriority"]].append(r["lat"])
+
+    def q(vals, p):
+        v = sorted(vals)
+        h = (len(v) - 1) * p
+        f = int(h)
+        c = min(f + 1, len(v) - 1)
+        return v[f] + (h - f) * (v[c] - v[f])
+
+    for prio, vals in by_p.items():
+        n = len(vals)
+        breach = sum(1 for x in vals if x > SLA_BREACH_DAYS)
+        want = (n, q(vals, 0.5), q(vals, 0.9), q(vals, 0.99),
+                breach * 1_000_000 // n)
+        have = got[prio]
+        assert have[0] == want[0] and have[4] == want[4]
+        for a, b in zip(have[1:4], want[1:4]):
+            assert abs(a - b) < 1e-9
