@@ -1549,6 +1549,94 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Q233 — Calendar-range window frames: trailing 7-CALENDAR-DAY revenue
+# per nation via RANGE BETWEEN on an epoch-day key, contrasted with the
+# 7-ROW frame on the same series. On sparse series the two genuinely
+# differ (a nation with no sales yesterday still ages out of the range
+# frame) — the classic bug when "last 7 days" is implemented as "last 7
+# rows". The range frame is first-class in both engines: Spark
+# rangeBetween over a numeric order key, DuckDB RANGE BETWEEN ...
+# PRECEDING. All revenue in int64 cents, so both frames hash exactly.
+# ---------------------------------------------------------------------------
+
+RANGE_DAYS = 7
+
+
+def q233_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+        .groupBy("n_name", "day")
+        .agg(F.sum("rev_c").alias("rev_c"))
+        .select(
+            "n_name",
+            "day",
+            "rev_c",
+            F.datediff("day", F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ).alias("eday"),
+        )
+    )
+    wrange = (
+        Window.partitionBy("n_name")
+        .orderBy("eday")
+        .rangeBetween(-(RANGE_DAYS - 1), 0)
+    )
+    wrows = (
+        Window.partitionBy("n_name")
+        .orderBy("eday")
+        .rowsBetween(-(RANGE_DAYS - 1), 0)
+    )
+    return daily.select(
+        "n_name",
+        "day",
+        "rev_c",
+        F.sum("rev_c").over(wrange).alias("trail_cal_c"),
+        F.count("*").over(wrange).cast("long").alias("days_in_cal"),
+        F.sum("rev_c").over(wrows).alias("trail_rows_c"),
+    ).orderBy("n_name", "day")
+
+
+Q233_SQL = f"""
+WITH daily AS (
+    SELECT n_name, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_c,
+           CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS eday
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2, 4
+)
+SELECT n_name, day, rev_c,
+       CAST(SUM(rev_c) OVER wr AS BIGINT) AS trail_cal_c,
+       CAST(COUNT(*) OVER wr AS BIGINT) AS days_in_cal,
+       CAST(SUM(rev_c) OVER wo AS BIGINT) AS trail_rows_c
+FROM daily
+WINDOW wr AS (PARTITION BY n_name ORDER BY eday
+              RANGE BETWEEN {RANGE_DAYS - 1} PRECEDING AND CURRENT ROW),
+       wo AS (PARTITION BY n_name ORDER BY eday
+              ROWS BETWEEN {RANGE_DAYS - 1} PRECEDING AND CURRENT ROW)
+ORDER BY n_name, day
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -1567,6 +1655,7 @@ INSIGHTS_QUERIES = {
     "q230_source_overlap": q230_source_overlap,
     "q231_var_cvar": q231_var_cvar,
     "q232_fill_latency": q232_fill_latency,
+    "q233_range_frame_window": q233_range_frame_window,
 }
 
 INSIGHTS_ORACLES = {
@@ -1587,4 +1676,5 @@ INSIGHTS_ORACLES = {
     "q230_source_overlap": Q230_SQL,
     "q231_var_cvar": Q231_SQL,
     "q232_fill_latency": Q232_SQL,
+    "q233_range_frame_window": Q233_SQL,
 }

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_SUM
+from .insights import Q222_SQL
 from ..streaming.pipeline import (
     run_streaming_query,
     stream_events,
@@ -633,6 +634,54 @@ def _has_tws() -> bool:
 
 HAS_TWS = _has_tws()
 
+
+def q234_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct users via bitmap words — the streaming
+    twin of plans/insights.py:q222. The stream maintains (week, day,
+    word) → bit_or(bitmask) state (bounded at |users|/32 words per day —
+    the exact-sketch answer to "streaming COUNT(DISTINCT) needs approx"),
+    and the batch tail rolls the drained masks up to daily and weekly
+    distincts. bit_or is associative, commutative AND idempotent, so an
+    at-least-once replay into a foreachBatch OR-merge sink is naturally
+    exactly-once for this state — `complete` mode here stands in for that
+    production sink. Oracle: q222's COUNT(DISTINCT) SQL, so the
+    hash-match proves stream state == batch truth."""
+    ev = stream_events(spark, sf_dir)
+    masks = (
+        ev.withWatermark("ts", "30 minutes")
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("week", "day", "word")
+        .agg(F.bit_or("bit").alias("day_mask"))
+    )
+    drained = run_streaming_query(
+        spark, masks, output_mode="complete", state_partitions=STATE_PARTITIONS
+    )
+    daily = drained.groupBy("week", "day").agg(
+        F.sum(F.bit_count("day_mask")).cast("long").alias("day_users")
+    )
+    weekly = (
+        drained.groupBy("week", "word")
+        .agg(F.bit_or("day_mask").alias("week_mask"))
+        .groupBy("week")
+        .agg(F.sum(F.bit_count("week_mask")).cast("long").alias("week_users"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("day_users").cast("long").alias("sum_daily_users"),
+        )
+        .join(weekly, "week")
+        .select("week", "n_days", "week_users", "sum_daily_users")
+        .orderBy("week")
+    )
+
+
 STREAMING_QUERIES = {
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,
@@ -643,6 +692,7 @@ STREAMING_QUERIES = {
     "q142_stream_left_outer_join": q142_stream_left_outer_join,
     "q144_streaming_session": q144_streaming_session,
     "q169_stream_join_then_window": q169_stream_join_then_window,
+    "q234_stream_bitmap_distinct": q234_stream_bitmap_distinct,
 }
 
 STREAMING_ORACLES = {
@@ -655,6 +705,9 @@ STREAMING_ORACLES = {
     "q142_stream_left_outer_join": Q142_SQL,
     "q144_streaming_session": Q144_SQL,
     "q169_stream_join_then_window": Q169_SQL,
+    # The streaming bitmap state must equal batch COUNT(DISTINCT) truth —
+    # q222's oracle verbatim (plans/insights.py).
+    "q234_stream_bitmap_distinct": Q222_SQL,
 }
 
 if HAS_TWS:

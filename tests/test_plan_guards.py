@@ -244,6 +244,7 @@ PINNED_PATTERNS = {
     "q230_source_overlap": ["BroadcastHashJoin"],
     "q231_var_cvar": ["BroadcastHashJoin", "Window"],
     "q232_fill_latency": ["BroadcastHashJoin", "Window"],
+    "q233_range_frame_window": ["BroadcastHashJoin", "Window"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -295,6 +296,7 @@ SHUFFLE_BUDGETS = {
     "q230_source_overlap": 34,  # shingle distinct + pair join + size joins
     "q231_var_cvar": 14,  # daily agg + change/rank windows + tail agg
     "q232_fill_latency": 18,  # key join + value-counts pct + breach agg
+    "q233_range_frame_window": 10,  # daily agg + ONE nation window + sort
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

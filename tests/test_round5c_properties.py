@@ -623,3 +623,47 @@ def test_q232_latency_python_replay(spark):
         assert have[0] == want[0] and have[4] == want[4]
         for a, b in zip(have[1:4], want[1:4]):
             assert abs(a - b) < 1e-9
+
+
+def test_q233_range_vs_rows_frames(spark):
+    """The calendar frame is a subset of the 7-row frame on sparse
+    series (rows reach further back in time), and a python replay
+    reproduces both sums exactly."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        RANGE_DAYS,
+        q233_range_frame_window,
+    )
+
+    rows = q233_range_frame_window(spark, SF).collect()
+    assert any(r["trail_cal_c"] != r["trail_rows_c"] for r in rows), (
+        "frames never diverged — the contrast is vacuous on this corpus"
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["n_name"]].append(r)
+    for nation, rs in series.items():
+        rs.sort(key=lambda r: r["day"])
+        for i, r in enumerate(rs):
+            assert r["days_in_cal"] <= RANGE_DAYS
+            assert r["trail_cal_c"] <= r["trail_rows_c"], (nation, r)
+            cal = sum(
+                p["rev_c"]
+                for p in rs[max(0, i - RANGE_DAYS + 1) : i + 1]
+                if (r["day"] - p["day"]).days < RANGE_DAYS
+            )
+            rows7 = sum(p["rev_c"] for p in rs[max(0, i - RANGE_DAYS + 1) : i + 1])
+            assert r["trail_cal_c"] == cal, (nation, r)
+            assert r["trail_rows_c"] == rows7, (nation, r)
+
+
+def test_q234_stream_bitmap_equals_batch(spark):
+    """Drained streaming bitmap state equals the batch q222 answer
+    row-for-row."""
+    from snowflake_stock_dbt_spark.plans.insights import q222_bitmap_distinct
+    from snowflake_stock_dbt_spark.plans.streaming_plans import (
+        q234_stream_bitmap_distinct,
+    )
+
+    batch = sorted(map(tuple, q222_bitmap_distinct(spark, SF).collect()))
+    stream = sorted(map(tuple, q234_stream_bitmap_distinct(spark, SF).collect()))
+    assert stream == batch
