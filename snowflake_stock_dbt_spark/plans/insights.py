@@ -1637,6 +1637,318 @@ ORDER BY n_name, day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q235 — Cumulative distinct parts per nation by month. Spark bans
+# COUNT(DISTINCT) over windows; the distributed answer is the
+# FIRST-OCCURRENCE derivation: a part joins the running distinct count
+# exactly once, in the month it first ships, so cumulative-distinct =
+# prefix sum of first-occurrence counts. The DuckDB oracle computes the
+# same numbers through a genuinely different path — COUNT(DISTINCT ...)
+# OVER a range window, which DuckDB does support — so the hash-match
+# cross-validates the derivation, not just the arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def q235_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "l_partkey",
+            (
+                F.year(F.col("l_shipdate")) * 12
+                + F.month(F.col("l_shipdate"))
+                - 1
+            ).alias("month_m"),
+        )
+    )
+    first_seen = shipped.groupBy("n_name", "l_partkey").agg(
+        F.min("month_m").alias("first_m")
+    )
+    # Month spine: every ACTIVE (nation, month) — months where only
+    # already-seen parts ship must still appear, with new_parts = 0.
+    spine = shipped.select("n_name", "month_m").distinct()
+    monthly = spine.join(
+        first_seen.groupBy(
+            "n_name", F.col("first_m").alias("month_m")
+        ).agg(F.count("*").cast("long").alias("new_parts")),
+        ["n_name", "month_m"],
+        "left",
+    ).select(
+        "n_name",
+        "month_m",
+        F.coalesce("new_parts", F.lit(0).cast("long")).alias("new_parts"),
+    )
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("month_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly.select(
+        "n_name",
+        F.format_string(
+            "%04d-%02d",
+            F.expr("month_m DIV 12"),
+            (F.col("month_m") % 12 + 1).cast("int"),
+        ).alias("month"),
+        "new_parts",
+        F.sum("new_parts").over(wcum).cast("long").alias("cum_parts"),
+    ).orderBy("n_name", "month")
+
+
+Q235_SQL = """
+WITH shipped AS (
+    SELECT n_name, l_partkey,
+           CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+               AS month_m
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+),
+-- DISTINCT window aggregate: a different computation path than the
+-- engine's first-occurrence derivation (cross-validation, not an echo).
+cum AS (
+    SELECT DISTINCT n_name, month_m,
+           CAST(COUNT(DISTINCT l_partkey) OVER (
+               PARTITION BY n_name ORDER BY month_m
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_parts
+    FROM shipped
+)
+SELECT n_name,
+       printf('%04d-%02d', CAST(month_m // 12 AS INTEGER),
+              CAST(month_m % 12 + 1 AS INTEGER)) AS month,
+       cum_parts - COALESCE(LAG(cum_parts) OVER (
+           PARTITION BY n_name ORDER BY month_m), 0) AS new_parts,
+       cum_parts
+FROM cum
+ORDER BY n_name, month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q236 — RAKE-style keyphrase extraction: candidate phrases are maximal
+# stopword-free token runs; each word scores degree/frequency (degree =
+# total length of phrases it appears in, frequency = its occurrence
+# count), and a phrase scores the sum over its words. The score is kept
+# on the INTEGER GRID — score_ppm = Σ (deg·1e6 DIV freq) — so the sum
+# is order-free and the full value oracle holds (a float Σ deg/freq
+# would be summation-order-dependent).
+#
+# Distributed shape: posexplode the token array (after the fan-out
+# repartition), run-id = cumulative stopword count per doc (bounded
+# per-doc windows), keyed aggs for word stats, stats broadcast back
+# onto the distinct-phrase explode.
+# ---------------------------------------------------------------------------
+
+RAKE_MIN_WORDS = 2
+RAKE_TOP = 50
+
+
+def q236_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import QUALITY_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ensure_min_parallelism(docs, F.col("doc_id")).select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "word")
+    )
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.col("word").isin(QUALITY_STOPWORDS).cast("int").alias("is_stop"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.select(
+        "doc_id",
+        "pos",
+        "word",
+        "is_stop",
+        F.sum("is_stop").over(wrun).alias("run_id"),
+    ).where(F.col("is_stop") == 0)
+    phrases = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda st: st["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("p_len"),
+        )
+        .where(F.col("p_len") >= RAKE_MIN_WORDS)
+    )
+    word_stats = (
+        phrases.select(
+            F.explode(F.split("phrase", " ")).alias("word"), "p_len"
+        )
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("p_len").cast("long").alias("deg"),
+        )
+    )
+    scored = (
+        phrases.groupBy("phrase", "p_len")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .select(
+            "phrase",
+            "p_len",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(F.broadcast(word_stats), "word")
+        .groupBy("phrase", "p_len", "n_occurrences")
+        .agg(F.sum(F.expr("deg * 1000000 DIV freq")).cast("long").alias(
+            "score_ppm"
+        ))
+    )
+    return (
+        scored.orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(RAKE_TOP)
+        .select(
+            "phrase",
+            F.col("p_len").cast("long").alias("n_words"),
+            "n_occurrences",
+            "score_ppm",
+        )
+    )
+
+
+def _sql_stoplist() -> str:
+    from ..functions.text import QUALITY_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+
+Q236_SQL = rf"""
+WITH arrs AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, t[CAST(i AS INTEGER)] AS word, CAST(i AS BIGINT) AS pos,
+           CASE WHEN t[CAST(i AS INTEGER)] IN ({_sql_stoplist()})
+                THEN 1 ELSE 0 END AS is_stop
+    FROM arrs, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+runs AS (
+    SELECT doc_id, pos, word,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM toks
+    QUALIFY is_stop = 0
+),
+phrases AS (
+    SELECT doc_id, run_id,
+           string_agg(word, ' ' ORDER BY pos) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS p_len
+    FROM runs GROUP BY doc_id, run_id
+    HAVING COUNT(*) >= {RAKE_MIN_WORDS}
+),
+word_stats AS (
+    SELECT w.word, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(p.p_len) AS BIGINT) AS deg
+    FROM phrases p, UNNEST(string_split(p.phrase, ' ')) AS w(word)
+    GROUP BY w.word
+),
+occ AS (
+    SELECT phrase, p_len, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM phrases GROUP BY phrase, p_len
+)
+SELECT o.phrase, CAST(o.p_len AS BIGINT) AS n_words, o.n_occurrences,
+       CAST(SUM(s.deg * 1000000 // s.freq) AS BIGINT) AS score_ppm
+FROM occ o, UNNEST(string_split(o.phrase, ' ')) AS w(word)
+JOIN word_stats s ON s.word = w.word
+GROUP BY o.phrase, o.p_len, o.n_occurrences
+ORDER BY score_ppm DESC, phrase
+LIMIT {RAKE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q237 — Exact weighted median (weights = quantity) per return flag, in
+# the distributed value-counts form: GROUP BY (flag, price) with weight
+# sums (map-side combinable, domain-bounded), cumulative weight over
+# the per-flag price order, answer = the smallest price whose
+# cumulative weight reaches half the total (discrete lower weighted
+# median — all-integer test: 2·cumw >= totw with weights in exact
+# units). The unweighted twin is q45; this closes the weighted-quantile
+# gap neither engine has a builtin for.
+# ---------------------------------------------------------------------------
+
+
+def q237_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("w").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    hit = vc.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wall).alias("totw"),
+    ).where(F.col("cumw") * 2 >= F.col("totw"))
+    wpick = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return (
+        hit.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median_price"),
+            F.col("totw").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q237_SQL = """
+WITH vc AS (
+    SELECT l_returnflag, l_extendedprice,
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+cums AS (
+    SELECT l_returnflag, l_extendedprice,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+    FROM vc
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median_price,
+       CAST(MIN(totw) AS BIGINT) AS total_weight
+FROM cums
+WHERE cumw * 2 >= totw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -1656,6 +1968,9 @@ INSIGHTS_QUERIES = {
     "q231_var_cvar": q231_var_cvar,
     "q232_fill_latency": q232_fill_latency,
     "q233_range_frame_window": q233_range_frame_window,
+    "q235_cumulative_distinct": q235_cumulative_distinct,
+    "q236_rake_keyphrases": q236_rake_keyphrases,
+    "q237_weighted_median": q237_weighted_median,
 }
 
 INSIGHTS_ORACLES = {
@@ -1677,4 +1992,7 @@ INSIGHTS_ORACLES = {
     "q231_var_cvar": Q231_SQL,
     "q232_fill_latency": Q232_SQL,
     "q233_range_frame_window": Q233_SQL,
+    "q235_cumulative_distinct": Q235_SQL,
+    "q236_rake_keyphrases": Q236_SQL,
+    "q237_weighted_median": Q237_SQL,
 }

@@ -245,6 +245,12 @@ PINNED_PATTERNS = {
     "q231_var_cvar": ["BroadcastHashJoin", "Window"],
     "q232_fill_latency": ["BroadcastHashJoin", "Window"],
     "q233_range_frame_window": ["BroadcastHashJoin", "Window"],
+    # q236: word stats broadcast back onto the phrase explode; top-50
+    # stays a heap. q237: the value-counts weighted-median form keeps
+    # its per-flag window (a raw percentile rewrite loses it).
+    "q235_cumulative_distinct": ["BroadcastHashJoin", "Window"],
+    "q236_rake_keyphrases": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "q237_weighted_median": ["Window", "partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -297,6 +303,9 @@ SHUFFLE_BUDGETS = {
     "q231_var_cvar": 14,  # daily agg + change/rank windows + tail agg
     "q232_fill_latency": 18,  # key join + value-counts pct + breach agg
     "q233_range_frame_window": 10,  # daily agg + ONE nation window + sort
+    "q235_cumulative_distinct": 22,  # first-seen agg + spine join + cumsum
+    "q236_rake_keyphrases": 14,  # run windows + word/phrase aggs + top-50
+    "q237_weighted_median": 8,  # value-counts agg + ONE flag window chain
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

@@ -667,3 +667,108 @@ def test_q234_stream_bitmap_equals_batch(spark):
     batch = sorted(map(tuple, q222_bitmap_distinct(spark, SF).collect()))
     stream = sorted(map(tuple, q234_stream_bitmap_distinct(spark, SF).collect()))
     assert stream == batch
+
+
+def test_q235_cumulative_distinct_python_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import (
+        q235_cumulative_distinct,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        (r["n_name"], r["month"]): (r["new_parts"], r["cum_parts"])
+        for r in q235_cumulative_distinct(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    rows = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "l_partkey", F.to_date("l_shipdate").alias("day"))
+        .collect()
+    )
+    months = defaultdict(lambda: defaultdict(set))
+    for r in rows:
+        m = f"{r['day'].year:04d}-{r['day'].month:02d}"
+        months[r["n_name"]][m].add(r["l_partkey"])
+    want = {}
+    for nation, by_m in months.items():
+        seen = set()
+        for m in sorted(by_m):
+            new = by_m[m] - seen
+            seen |= by_m[m]
+            want[(nation, m)] = (len(new), len(seen))
+    assert got == want
+
+
+def test_q236_rake_python_replay(spark):
+    """Full RAKE replay: phrases, word stats, and integer-grid scores."""
+    from snowflake_stock_dbt_spark.functions.text import QUALITY_STOPWORDS
+    from snowflake_stock_dbt_spark.plans.insights import (
+        RAKE_MIN_WORDS,
+        RAKE_TOP,
+        q236_rake_keyphrases,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = [
+        (r["phrase"], r["n_words"], r["n_occurrences"], r["score_ppm"])
+        for r in q236_rake_keyphrases(spark, SF).collect()
+    ]
+    stop = set(QUALITY_STOPWORDS)
+    phrases = []
+    for r in load_table(spark, SF, "documents").collect():
+        run = []
+        for w in r["text"].strip().split() + ["the"]:  # sentinel flush
+            if w in stop:
+                if len(run) >= RAKE_MIN_WORDS:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+    freq = Counter()
+    deg = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    occ = Counter(phrases)
+    scored = [
+        (
+            " ".join(p),
+            len(p),
+            c,
+            sum(deg[w] * 1_000_000 // freq[w] for w in p),
+        )
+        for p, c in occ.items()
+    ]
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    assert got == scored[:RAKE_TOP]
+
+
+def test_q237_weighted_median_python_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import q237_weighted_median
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["l_returnflag"]: (r["weighted_median_price"], r["total_weight"])
+        for r in q237_weighted_median(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    by_flag = defaultdict(list)
+    for r in rows:
+        by_flag[r["l_returnflag"]].append(
+            (r["l_extendedprice"], int(r["l_quantity"] + 0.5))
+        )
+    for flag, vals in by_flag.items():
+        vals.sort()
+        tot = sum(w for _, w in vals)
+        cum = 0
+        for price, w in vals:
+            cum += w
+            if 2 * cum >= tot:
+                assert got[flag] == (price, tot), flag
+                break
