@@ -1949,6 +1949,232 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q238 — Decile lift / cumulative-gains chart: customers ranked by
+# exact-decimal monetary value into NTILE(10) deciles (custkey
+# tiebreaker), then each decile reports its cumulative share of
+# customers and of revenue, and the lift ratio. Shares are double
+# divisions of exact decimal/integer cumulatives; the decile window
+# runs over the per-customer AGGREGATE.
+# ---------------------------------------------------------------------------
+
+
+def q238_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary_d")
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        "monetary_d",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("monetary_d").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    deciles = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary_d").alias("rev_d"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return (
+        deciles.select(
+            "decile",
+            "n_customers",
+            F.col("rev_d").cast("double").alias("decile_revenue"),
+            (
+                F.sum("n_customers").over(wcum).cast("double")
+                / F.sum("n_customers").over(wall).cast("double")
+            ).alias("cum_cust_share"),
+            (
+                F.sum("rev_d").over(wcum).cast("double")
+                / F.sum("rev_d").over(wall).cast("double")
+            ).alias("cum_rev_share"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_revenue",
+            "cum_cust_share",
+            "cum_rev_share",
+            (F.col("cum_rev_share") / F.col("cum_cust_share")).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q238_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary_d
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, monetary_d,
+           NTILE(10) OVER (ORDER BY monetary_d DESC, o_custkey) AS decile
+    FROM per_cust
+),
+deciles AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(monetary_d) AS rev_d
+    FROM ranked GROUP BY decile
+),
+cums AS (
+    SELECT decile, n_customers,
+           CAST(rev_d AS DOUBLE) AS decile_revenue,
+           CAST(SUM(n_customers) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(n_customers) OVER () AS DOUBLE) AS cum_cust_share,
+           CAST(SUM(rev_d) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(rev_d) OVER () AS DOUBLE) AS cum_rev_share
+    FROM deciles
+)
+SELECT decile, n_customers, decile_revenue, cum_cust_share, cum_rev_share,
+       cum_rev_share / cum_cust_share AS lift
+FROM cums
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q239 — Next-order affinity ("bought X, next order bought Y"): the
+# TEMPORAL counterpart of q216's same-basket rules. Orders per customer
+# are ranked by (date, orderkey); basket r joins basket r+1 of the same
+# customer, and (X -> Y) pairs are counted across customers. The join
+# fan-out is bounded by (parts per basket)² per consecutive-order pair
+# — never a customer-history cross product.
+# ---------------------------------------------------------------------------
+
+AFFINITY_MIN_N = 2
+
+
+def q239_next_order_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seq = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rank"),
+    )
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .join(seq, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "rank", "l_partkey")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.rank") + 1 == F.col("b.rank")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_x"),
+            F.col("b.l_partkey").alias("part_y"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= AFFINITY_MIN_N)
+    )
+    return pairs.orderBy(F.col("n").desc(), "part_x", "part_y")
+
+
+Q239_SQL = f"""
+WITH seq AS (
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rank
+    FROM orders
+),
+baskets AS (
+    SELECT DISTINCT s.o_custkey, s.rank, l.l_partkey
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+    JOIN seq s ON l.l_orderkey = s.o_orderkey
+)
+SELECT a.l_partkey AS part_x, b.l_partkey AS part_y,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM baskets a
+JOIN baskets b ON a.o_custkey = b.o_custkey AND a.rank + 1 = b.rank
+GROUP BY 1, 2
+HAVING COUNT(*) >= {AFFINITY_MIN_N}
+ORDER BY n DESC, part_x, part_y
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q240 — DAU/WAU stickiness: per ISO week, the weekly active users,
+# the average daily actives (as an exact integral-division ppm of WAU
+# — the canonical product-analytics "stickiness" ratio), and the
+# peak-day share. All counts exact; ratios are integral ppm so the
+# whole row hashes.
+# ---------------------------------------------------------------------------
+
+
+def q240_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = base.groupBy("week", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    weekly = base.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("dau").alias("sum_dau"),
+            F.max("dau").cast("long").alias("peak_dau"),
+        )
+        .join(weekly, "week")
+        .select(
+            "week",
+            "n_days",
+            "wau",
+            F.expr("sum_dau * 1000000 DIV (n_days * wau)")
+            .cast("long")
+            .alias("stickiness_ppm"),
+            F.expr("peak_dau * 1000000 DIV wau").cast("long").alias(
+                "peak_share_ppm"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+Q240_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1, 2
+),
+weekly AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM events GROUP BY 1
+)
+SELECT d.week, CAST(COUNT(*) AS BIGINT) AS n_days, w.wau,
+       CAST(SUM(d.dau) * 1000000 // (COUNT(*) * w.wau) AS BIGINT)
+           AS stickiness_ppm,
+       CAST(MAX(d.dau) * 1000000 // w.wau AS BIGINT) AS peak_share_ppm
+FROM daily d JOIN weekly w ON d.week = w.week
+GROUP BY d.week, w.wau
+ORDER BY d.week
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -1971,6 +2197,9 @@ INSIGHTS_QUERIES = {
     "q235_cumulative_distinct": q235_cumulative_distinct,
     "q236_rake_keyphrases": q236_rake_keyphrases,
     "q237_weighted_median": q237_weighted_median,
+    "q238_decile_lift": q238_decile_lift,
+    "q239_next_order_affinity": q239_next_order_affinity,
+    "q240_stickiness": q240_stickiness,
 }
 
 INSIGHTS_ORACLES = {
@@ -1995,4 +2224,7 @@ INSIGHTS_ORACLES = {
     "q235_cumulative_distinct": Q235_SQL,
     "q236_rake_keyphrases": Q236_SQL,
     "q237_weighted_median": Q237_SQL,
+    "q238_decile_lift": Q238_SQL,
+    "q239_next_order_affinity": Q239_SQL,
+    "q240_stickiness": Q240_SQL,
 }

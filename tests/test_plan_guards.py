@@ -251,6 +251,11 @@ PINNED_PATTERNS = {
     "q235_cumulative_distinct": ["BroadcastHashJoin", "Window"],
     "q236_rake_keyphrases": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "q237_weighted_median": ["Window", "partial_"],
+    # q239: the rank window and the basket self-join (order rank carried
+    # on the keyed join, never a per-customer history cross product).
+    "q238_decile_lift": ["Window", "partial_"],
+    "q239_next_order_affinity": ["Window", "HashJoin"],
+    "q240_stickiness": ["partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -306,6 +311,9 @@ SHUFFLE_BUDGETS = {
     "q235_cumulative_distinct": 22,  # first-seen agg + spine join + cumsum
     "q236_rake_keyphrases": 14,  # run windows + word/phrase aggs + top-50
     "q237_weighted_median": 8,  # value-counts agg + ONE flag window chain
+    "q238_decile_lift": 8,  # cust agg + decile sort + cumulative window
+    "q239_next_order_affinity": 24,  # rank window + basket join + pair agg
+    "q240_stickiness": 18,  # daily/weekly distinct aggs + week join
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

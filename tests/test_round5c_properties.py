@@ -772,3 +772,82 @@ def test_q237_weighted_median_python_replay(spark):
             if 2 * cum >= tot:
                 assert got[flag] == (price, tot), flag
                 break
+
+
+def test_q238_lift_invariants(spark):
+    """Deciles conserve customers/revenue; cumulative shares end at 1;
+    lift is non-increasing down the ranking and >= 1 in decile 1."""
+    from snowflake_stock_dbt_spark.plans.insights import q238_decile_lift
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = sorted(
+        q238_decile_lift(spark, SF).collect(), key=lambda r: r["decile"]
+    )
+    o = load_table(spark, SF, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert abs(rows[-1]["cum_cust_share"] - 1.0) < 1e-12
+    assert abs(rows[-1]["cum_rev_share"] - 1.0) < 1e-12
+    assert rows[0]["lift"] >= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["lift"] <= a["lift"] + 1e-12, (a, b)
+
+
+def test_q239_affinity_python_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import (
+        AFFINITY_MIN_N,
+        q239_next_order_affinity,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        (r["part_x"], r["part_y"]): r["n"]
+        for r in q239_next_order_affinity(spark, SF).collect()
+    }
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("d")
+    ).collect()
+    items = defaultdict(set)
+    for r in load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        items[r["l_orderkey"]].add(r["l_partkey"])
+    by_cust = defaultdict(list)
+    for r in orders:
+        by_cust[r["o_custkey"]].append((str(r["d"]), r["o_orderkey"]))
+    pair_n = Counter()
+    for ok_list in by_cust.values():
+        ok_list.sort()
+        for (_, a), (_, b) in zip(ok_list, ok_list[1:]):
+            for x in items.get(a, ()):
+                for y in items.get(b, ()):
+                    pair_n[(x, y)] += 1
+    want = {p: n for p, n in pair_n.items() if n >= AFFINITY_MIN_N}
+    assert got == want
+
+
+def test_q240_stickiness_bounds_and_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import q240_stickiness
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = q240_stickiness(spark, SF).collect()
+    ev = load_table(spark, SF, "events").select(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).collect()
+    weeks = defaultdict(lambda: defaultdict(set))
+    for r in ev:
+        weeks[str(r["week"])][str(r["day"])].add(r["user_id"])
+    for r in rows:
+        days = weeks[str(r["week"])]
+        wau = len(set().union(*days.values()))
+        daus = [len(u) for u in days.values()]
+        assert r["wau"] == wau and r["n_days"] == len(days)
+        assert r["stickiness_ppm"] == sum(daus) * 1_000_000 // (
+            len(days) * wau
+        )
+        assert r["peak_share_ppm"] == max(daus) * 1_000_000 // wau
+        # stickiness is bounded by (0, 1]; peak day can't exceed WAU
+        assert 0 < r["stickiness_ppm"] <= 1_000_000
+        assert 0 < r["peak_share_ppm"] <= 1_000_000
