@@ -235,49 +235,22 @@ def q218_discount_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight_c"),
     ).join(budgets, F.col("l_orderkey") == F.col("o_orderkey"))
-    w = Window.partitionBy("l_orderkey")
-    with_tot = lines.select(
-        "l_orderkey",
-        "l_linenumber",
-        "budget_c",
-        "weight_c",
-        F.sum("weight_c").over(w).alias("tot_w"),
-    )
-    shares = with_tot.select(
-        "l_orderkey",
-        "l_linenumber",
-        "budget_c",
-        "weight_c",
-        F.expr("budget_c * weight_c DIV tot_w").alias("base_c"),
-        F.expr("(budget_c * weight_c) % tot_w").alias("rem"),
-    )
     # The corpus does NOT guarantee (l_orderkey, l_linenumber) unique —
-    # duplicate line ids with different weights exist. weight_c joins
-    # the tiebreak so rank ties occur only between byte-identical rows,
-    # keeping the output MULTISET deterministic across engines.
-    wr = Window.partitionBy("l_orderkey").orderBy(
-        F.col("rem").desc(), F.col("l_linenumber"), F.col("weight_c")
-    )
+    # duplicate line ids with different weights exist; the operator's
+    # weight-joined tiebreak keeps the output MULTISET deterministic.
+    # Bound: budget <= ~5e5, weight <= ~1e9 => budget·weight <= ~5e14.
+    from ..operators.allocation import largest_remainder
+
     return (
-        shares.select(
-            "l_orderkey",
-            "l_linenumber",
-            "base_c",
-            (F.col("budget_c") - F.sum("base_c").over(w)).alias("leftover"),
-            F.row_number().over(wr).alias("rk"),
+        largest_remainder(
+            lines,
+            ["l_orderkey"],
+            "weight_c",
+            "budget_c",
+            ["l_linenumber"],
+            out_col="alloc_c",
         )
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            (
-                F.col("base_c")
-                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
-                    F.lit(0)
-                )
-            )
-            .cast("long")
-            .alias("alloc_c"),
-        )
+        .select("l_orderkey", "l_linenumber", "alloc_c")
         .orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -1219,21 +1192,10 @@ def q229_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "day")
         .agg(F.sum("net").alias("net"))
     )
-    wcum = (
-        Window.partitionBy("l_partkey")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    series = flows.select(
-        "l_partkey",
-        "day",
-        F.sum("net").over(wcum).alias("s"),
-    ).select(
-        "l_partkey",
-        "day",
-        (
-            F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(wcum))
-        ).alias("balance"),
+    from ..operators.allocation import clamped_running_balance
+
+    series = clamped_running_balance(
+        flows, ["l_partkey"], ["day"], "net", out_col="balance"
     )
     return (
         series.groupBy("l_partkey")
