@@ -360,6 +360,8 @@ HOLD_S = 300
 
 
 def q220_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sweep import max_concurrency
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -369,34 +371,17 @@ def q220_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_end_us"
         ),
     )
-    starts = ev.select(
-        "event_type", "day", F.col("us").alias("t"), F.lit(1).alias("delta"),
-        "event_id",
-    )
-    ends = ev.select(
+    intervals = ev.select(
         "event_type",
         "day",
+        F.col("us").alias("t_start"),
         F.least(F.col("us") + F.lit(HOLD_S * 1_000_000), F.col("day_end_us"))
-        .alias("t"),
-        F.lit(-1).alias("delta"),
+        .alias("t_end"),
         "event_id",
     )
-    w = (
-        Window.partitionBy("event_type", "day")
-        .orderBy("t", "delta", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    swept = starts.unionByName(ends).select(
-        "event_type", "day", "delta", F.sum("delta").over(w).alias("open_now")
-    )
-    return (
-        swept.groupBy("event_type", "day")
-        .agg(
-            F.max("open_now").cast("long").alias("max_concurrent"),
-            (F.count("*") / 2).cast("long").alias("n_events"),
-        )
-        .orderBy("event_type", "day")
-    )
+    return max_concurrency(
+        intervals, ["event_type", "day"], "t_start", "t_end", "event_id"
+    ).orderBy("event_type", "day")
 
 
 Q220_SQL = f"""

@@ -74,3 +74,34 @@ def test_largest_remainder_exact_and_fair(spark, weights, budget):
             base,
             rem,
         )
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_SETTINGS
+@given(iv=intervals)
+def test_sweep_equals_brute_force_half_open(spark, iv):
+    """max_concurrency == brute-force max over event points of the
+    half-open containment count — including zero-length intervals and
+    exact end==start adjacency."""
+    from snowflake_stock_dbt_spark.operators.sweep import max_concurrency
+
+    rows = [(0, s, s + d, i) for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(rows, "g long, s long, e long, id long")
+    got = max_concurrency(df, ["g"], "s", "e", "id").collect()[0]
+    best = 0
+    for s, _ in iv:  # the max is attained at some interval start
+        best = max(
+            best,
+            sum(1 for s2, d2 in iv if s2 <= s < s2 + d2),
+        )
+    assert got["max_concurrent"] == best, (iv, got)
+    assert got["n_events"] == len(iv)
