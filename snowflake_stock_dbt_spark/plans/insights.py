@@ -2122,6 +2122,227 @@ ORDER BY d.week
 """
 
 
+# ---------------------------------------------------------------------------
+# Q241 — Revenue bridge (price-volume-mix): decompose each brand's
+# revenue change between two years into a volume effect and a
+# price/mix residual, with EXACT integer algebra:
+#     volume_effect = R0 · (Q1 - Q0) DIV Q0     (integral division)
+#     price_mix     = ΔR - volume_effect        (residual, exact)
+# The residual absorbs the sub-cent truncation of the integral
+# division, so the bridge ties out to ΔR per part BY CONSTRUCTION —
+# the invariant every float PVM implementation only approximates.
+# Computed per part (the mix grain), aggregated per brand, dims
+# broadcast.
+# ---------------------------------------------------------------------------
+
+BRIDGE_Y0 = 2000
+BRIDGE_Y1 = 2001
+
+
+def q241_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yearly = (
+        li.where(F.year("l_shipdate").isin(BRIDGE_Y0, BRIDGE_Y1))
+        .select(
+            "l_partkey",
+            F.year("l_shipdate").alias("yr"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rev_c"),
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        )
+        .groupBy("l_partkey", "yr")
+        .agg(F.sum("rev_c").alias("r"), F.sum("qty").alias("q"))
+    )
+    pivoted = (
+        yearly.groupBy("l_partkey")
+        .pivot("yr", [BRIDGE_Y0, BRIDGE_Y1])
+        .agg(F.first("r").alias("r"), F.first("q").alias("q"))
+        .where(
+            F.col(f"{BRIDGE_Y0}_r").isNotNull()
+            & F.col(f"{BRIDGE_Y1}_r").isNotNull()
+        )
+        .select(
+            "l_partkey",
+            F.col(f"{BRIDGE_Y0}_r").alias("r0"),
+            F.col(f"{BRIDGE_Y0}_q").alias("q0"),
+            F.col(f"{BRIDGE_Y1}_r").alias("r1"),
+            F.col(f"{BRIDGE_Y1}_q").alias("q1"),
+        )
+    )
+    per_part = pivoted.select(
+        "l_partkey",
+        (F.col("r1") - F.col("r0")).alias("delta_c"),
+        F.expr("r0 * (q1 - q0) DIV q0").alias("volume_c"),
+    ).select(
+        "l_partkey",
+        "delta_c",
+        "volume_c",
+        (F.col("delta_c") - F.col("volume_c")).alias("price_mix_c"),
+    )
+    return (
+        per_part.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            (F.sum("delta_c").cast("double") / 100.0).alias("delta_usd"),
+            (F.sum("volume_c").cast("double") / 100.0).alias("volume_usd"),
+            (F.sum("price_mix_c").cast("double") / 100.0).alias(
+                "price_mix_usd"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q241_SQL = f"""
+WITH yearly AS (
+    SELECT l_partkey, year(l_shipdate) AS yr,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS r,
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem
+    WHERE year(l_shipdate) IN ({BRIDGE_Y0}, {BRIDGE_Y1})
+    GROUP BY 1, 2
+),
+pivoted AS (
+    SELECT a.l_partkey, a.r AS r0, a.q AS q0, b.r AS r1, b.q AS q1
+    FROM yearly a JOIN yearly b
+      ON a.l_partkey = b.l_partkey AND a.yr = {BRIDGE_Y0} AND b.yr = {BRIDGE_Y1}
+),
+per_part AS (
+    -- Spark's DIV truncates toward zero; DuckDB's // floors. The volume
+    -- term can be negative, so pin TRUNCATION explicitly here.
+    SELECT l_partkey, r1 - r0 AS delta_c,
+           CASE WHEN r0 * (q1 - q0) >= 0
+                THEN r0 * (q1 - q0) // q0
+                ELSE -((-(r0 * (q1 - q0))) // q0) END AS volume_c
+    FROM pivoted
+)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(delta_c) AS DOUBLE) / 100.0 AS delta_usd,
+       CAST(SUM(volume_c) AS DOUBLE) / 100.0 AS volume_usd,
+       CAST(SUM(delta_c - volume_c) AS DOUBLE) / 100.0 AS price_mix_usd
+FROM per_part JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q242 — Time-to-convert by cohort: users cohorted by the week of
+# their FIRST view; conversion = their first purchase AFTER that view.
+# Reports per cohort: users, converters, conversion ppm (integral),
+# and the exact median / p90 of the view→purchase latency in seconds
+# (value-counts percentile form on the per-user latency aggregate).
+# First-event extremes are keyed MIN aggregates — no per-user sort.
+# ---------------------------------------------------------------------------
+
+
+def q242_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "view", F.unix_micros(F.col("ts"))
+                )
+            ).alias("first_view_us"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros(F.col("ts")),
+                )
+            ).alias("first_buy_us"),
+        )
+        .where(F.col("first_view_us").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc(
+                "week", F.timestamp_micros(F.col("first_view_us"))
+            )
+            .cast("date")
+            .alias("cohort"),
+            F.when(
+                F.col("first_buy_us") > F.col("first_view_us"),
+                (
+                    (F.col("first_buy_us") - F.col("first_view_us"))
+                    / F.lit(1_000_000)
+                ).cast("long"),
+            ).alias("latency_s"),
+        )
+    )
+    converted = firsts.where(F.col("latency_s").isNotNull())
+    pct = exact_grouped_percentiles(
+        converted,
+        "cohort",
+        "latency_s",
+        {"median_s": 0.5, "p90_s": 0.9},
+    ).select("cohort", "median_s", "p90_s")
+    counts = firsts.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("latency_s").cast("long").alias("n_converted"),
+    )
+    return (
+        counts.join(F.broadcast(pct), "cohort", "left")
+        .select(
+            "cohort",
+            "n_users",
+            "n_converted",
+            F.expr("n_converted * 1000000 DIV n_users").cast("long").alias(
+                "conversion_ppm"
+            ),
+            "median_s",
+            "p90_s",
+        )
+        .orderBy("cohort")
+    )
+
+
+Q242_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS first_view_us,
+           MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_buy_us
+    FROM events WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id
+    HAVING MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           IS NOT NULL
+),
+cohorted AS (
+    SELECT user_id,
+           CAST(date_trunc('week', make_timestamp(first_view_us)) AS DATE)
+               AS cohort,
+           CASE WHEN first_buy_us > first_view_us
+                THEN CAST((first_buy_us - first_view_us) // 1000000 AS BIGINT)
+           END AS latency_s
+    FROM firsts
+)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(latency_s) AS BIGINT) AS n_converted,
+       CAST(COUNT(latency_s) * 1000000 // COUNT(*) AS BIGINT)
+           AS conversion_ppm,
+       quantile_cont(latency_s, 0.5) AS median_s,
+       quantile_cont(latency_s, 0.9) AS p90_s
+FROM cohorted
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -2147,6 +2368,8 @@ INSIGHTS_QUERIES = {
     "q238_decile_lift": q238_decile_lift,
     "q239_next_order_affinity": q239_next_order_affinity,
     "q240_stickiness": q240_stickiness,
+    "q241_revenue_bridge": q241_revenue_bridge,
+    "q242_time_to_convert": q242_time_to_convert,
 }
 
 INSIGHTS_ORACLES = {
@@ -2174,4 +2397,6 @@ INSIGHTS_ORACLES = {
     "q238_decile_lift": Q238_SQL,
     "q239_next_order_affinity": Q239_SQL,
     "q240_stickiness": Q240_SQL,
+    "q241_revenue_bridge": Q241_SQL,
+    "q242_time_to_convert": Q242_SQL,
 }

@@ -256,6 +256,8 @@ PINNED_PATTERNS = {
     "q238_decile_lift": ["Window", "partial_"],
     "q239_next_order_affinity": ["Window", "HashJoin"],
     "q240_stickiness": ["partial_"],
+    "q241_revenue_bridge": ["BroadcastHashJoin", "partial_"],
+    "q242_time_to_convert": ["BroadcastHashJoin", "partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -314,6 +316,8 @@ SHUFFLE_BUDGETS = {
     "q238_decile_lift": 8,  # cust agg + decile sort + cumulative window
     "q239_next_order_affinity": 24,  # rank window + basket join + pair agg
     "q240_stickiness": 18,  # daily/weekly distinct aggs + week join
+    "q241_revenue_bridge": 14,  # yearly agg + pivot + brand broadcast
+    "q242_time_to_convert": 18,  # first-event agg + pct + cohort join
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

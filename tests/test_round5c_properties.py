@@ -851,3 +851,106 @@ def test_q240_stickiness_bounds_and_replay(spark):
         # stickiness is bounded by (0, 1]; peak day can't exceed WAU
         assert 0 < r["stickiness_ppm"] <= 1_000_000
         assert 0 < r["peak_share_ppm"] <= 1_000_000
+
+
+def test_q241_bridge_ties_out_and_replays(spark):
+    """delta == volume + price_mix per brand (exact by construction),
+    and per-part terms match a python replay with truncating division."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        BRIDGE_Y0,
+        BRIDGE_Y1,
+        q241_revenue_bridge,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = q241_revenue_bridge(spark, SF).collect()
+    assert rows, "no common parts between the bridge years"
+    for r in rows:
+        assert (
+            abs(r["delta_usd"] - (r["volume_usd"] + r["price_mix_usd"]))
+            < 1e-9
+        ), r
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    ).collect()
+    p = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, SF, "part").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # r0, q0, r1, q1
+    for r in li:
+        if r["yr"] not in (BRIDGE_Y0, BRIDGE_Y1):
+            continue
+        rev = int(r["l_extendedprice"] * (1.0 - r["l_discount"]) * 100 + 0.5)
+        qty = int(r["l_quantity"] + 0.5)
+        a = agg[r["l_partkey"]]
+        if r["yr"] == BRIDGE_Y0:
+            a[0] += rev
+            a[1] += qty
+        else:
+            a[2] += rev
+            a[3] += qty
+    want = defaultdict(lambda: [0, 0, 0, 0])  # n, delta, volume, pm
+    for pk, (r0, q0, r1, q1) in agg.items():
+        if q0 == 0 or (r1 == 0 and q1 == 0):
+            continue
+        num = r0 * (q1 - q0)
+        vol = num // q0 if num >= 0 else -((-num) // q0)  # truncate
+        w = want[p[pk]]
+        w[0] += 1
+        w[1] += r1 - r0
+        w[2] += vol
+        w[3] += (r1 - r0) - vol
+    got = {
+        r["p_brand"]: (
+            r["n_parts"],
+            round(r["delta_usd"] * 100),
+            round(r["volume_usd"] * 100),
+            round(r["price_mix_usd"] * 100),
+        )
+        for r in rows
+    }
+    assert got == {b: tuple(v) for b, v in want.items()}
+
+
+def test_q242_conversion_python_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import q242_time_to_convert
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        str(r["cohort"]): (r["n_users"], r["n_converted"], r["conversion_ppm"])
+        for r in q242_time_to_convert(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"),
+        F.date_trunc("week", "ts").cast("date").alias("wk"), "ts",
+    ).collect()
+    firsts = {}
+    for r in ev:
+        if r["event_type"] not in ("view", "purchase"):
+            continue
+        u = firsts.setdefault(r["user_id"], {})
+        k = r["event_type"]
+        if k not in u or r["us"] < u[k][0]:
+            u[k] = (r["us"], r["ts"])
+    import datetime
+
+    want = defaultdict(lambda: [0, 0])
+    for u, d in firsts.items():
+        if "view" not in d:
+            continue
+        view_ts = d["view"][1]
+        monday = view_ts.date() - datetime.timedelta(
+            days=view_ts.date().weekday()
+        )
+        w = want[str(monday)]
+        w[0] += 1
+        if "purchase" in d and d["purchase"][0] > d["view"][0]:
+            w[1] += 1
+    assert got == {
+        c: (n, k, k * 1_000_000 // n) for c, (n, k) in want.items()
+    }
