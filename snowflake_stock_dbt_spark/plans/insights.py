@@ -2343,6 +2343,84 @@ ORDER BY cohort
 """
 
 
+# ---------------------------------------------------------------------------
+# Q243 — Single-pass write audit via DataFrame Observation: the
+# production pattern for "load the table AND collect its audit metrics
+# without a second scan". `df.observe(...)` attaches aggregate
+# expressions that are computed as the rows stream through the ONE
+# write action (here a `noop`-sink write standing in for the parquet
+# sink) — at 100 TB this halves the audit cost vs the naive
+# write-then-re-aggregate. The metrics surface as a 1-row DataFrame
+# (bounded driver state, the q03 pattern); revenue runs through the
+# exact-decimal recipe so the row hashes against the oracle.
+#
+# This function is intentionally EAGER (it runs the write when called):
+# Observation semantics require an action — that action is the point.
+# ---------------------------------------------------------------------------
+
+
+def q243_observed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from ..functions.numeric import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    )
+    obs = Observation("load_audit")
+    # Observation bans DISTINCT aggregates (they can't stream through a
+    # single pass) — cardinality checks stay in quality/checks.py; the
+    # observable metrics are streaming-friendly folds only.
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias(
+            "null_shipdates"
+        ),
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    )
+    # The ONE action: a production load writes parquet here; the noop
+    # sink keeps the corpus read-only while driving the identical scan.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["max_orderkey"],
+                m["null_shipdates"],
+                m["revenue"],
+                m["first_ship"],
+                m["last_ship"],
+            )
+        ],
+        "n_rows long, max_orderkey long, null_shipdates long, revenue double,"
+        " first_ship date, last_ship date",
+    )
+
+
+Q243_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_shipdates,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+       MAX(CAST(l_shipdate AS DATE)) AS last_ship
+FROM lineitem
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -2370,6 +2448,7 @@ INSIGHTS_QUERIES = {
     "q240_stickiness": q240_stickiness,
     "q241_revenue_bridge": q241_revenue_bridge,
     "q242_time_to_convert": q242_time_to_convert,
+    "q243_observed_audit": q243_observed_audit,
 }
 
 INSIGHTS_ORACLES = {
@@ -2399,4 +2478,5 @@ INSIGHTS_ORACLES = {
     "q240_stickiness": Q240_SQL,
     "q241_revenue_bridge": Q241_SQL,
     "q242_time_to_convert": Q242_SQL,
+    "q243_observed_audit": Q243_SQL,
 }

@@ -954,3 +954,30 @@ def test_q242_conversion_python_replay(spark):
     assert got == {
         c: (n, k, k * 1_000_000 // n) for c, (n, k) in want.items()
     }
+
+
+def test_q243_observation_matches_direct_aggregate(spark):
+    """The single-pass observed metrics equal a direct aggregation of
+    the same frame (proves the observe expressions see every row of the
+    write exactly once)."""
+    from snowflake_stock_dbt_spark.functions.numeric import dec_sum
+    from snowflake_stock_dbt_spark.plans.insights import q243_observed_audit
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = q243_observed_audit(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem")
+    want = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert got["max_orderkey"] == want["max_orderkey"]
+    assert got["null_shipdates"] == 0
+    assert got["revenue"] == want["revenue"]  # bit-identical (exact decimal)
+    assert got["first_ship"] == want["first_ship"]
+    assert got["last_ship"] == want["last_ship"]
