@@ -2131,8 +2131,10 @@ ORDER BY d.week
 # The residual absorbs the sub-cent truncation of the integral
 # division, so the bridge ties out to ΔR per part BY CONSTRUCTION —
 # the invariant every float PVM implementation only approximates.
-# Computed per part (the mix grain), aggregated per brand, dims
-# broadcast.
+# Parts present in only one year go to explicit NEW (+R1) /
+# DISCONTINUED (-R0) buckets, so the four effects sum to the brand's
+# TOTAL revenue change — nothing silently dropped. Computed per part
+# (the mix grain), aggregated per brand, dims broadcast.
 # ---------------------------------------------------------------------------
 
 BRIDGE_Y0 = 2000
@@ -2163,10 +2165,6 @@ def q241_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         yearly.groupBy("l_partkey")
         .pivot("yr", [BRIDGE_Y0, BRIDGE_Y1])
         .agg(F.first("r").alias("r"), F.first("q").alias("q"))
-        .where(
-            F.col(f"{BRIDGE_Y0}_r").isNotNull()
-            & F.col(f"{BRIDGE_Y1}_r").isNotNull()
-        )
         .select(
             "l_partkey",
             F.col(f"{BRIDGE_Y0}_r").alias("r0"),
@@ -2175,15 +2173,31 @@ def q241_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"{BRIDGE_Y1}_q").alias("q1"),
         )
     )
+    matched = F.col("r0").isNotNull() & F.col("r1").isNotNull()
     per_part = pivoted.select(
         "l_partkey",
-        (F.col("r1") - F.col("r0")).alias("delta_c"),
-        F.expr("r0 * (q1 - q0) DIV q0").alias("volume_c"),
+        (F.coalesce("r1", F.lit(0)) - F.coalesce("r0", F.lit(0))).alias(
+            "delta_c"
+        ),
+        F.when(matched, F.expr("r0 * (q1 - q0) DIV q0"))
+        .otherwise(F.lit(0))
+        .alias("volume_c"),
+        F.when(F.col("r0").isNull(), F.col("r1")).otherwise(F.lit(0)).alias(
+            "new_c"
+        ),
+        F.when(F.col("r1").isNull(), -F.col("r0")).otherwise(F.lit(0)).alias(
+            "disc_c"
+        ),
     ).select(
         "l_partkey",
         "delta_c",
         "volume_c",
-        (F.col("delta_c") - F.col("volume_c")).alias("price_mix_c"),
+        "new_c",
+        "disc_c",
+        (
+            F.col("delta_c") - F.col("volume_c") - F.col("new_c")
+            - F.col("disc_c")
+        ).alias("price_mix_c"),
     )
     return (
         per_part.join(
@@ -2197,6 +2211,10 @@ def q241_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("volume_c").cast("double") / 100.0).alias("volume_usd"),
             (F.sum("price_mix_c").cast("double") / 100.0).alias(
                 "price_mix_usd"
+            ),
+            (F.sum("new_c").cast("double") / 100.0).alias("new_usd"),
+            (F.sum("disc_c").cast("double") / 100.0).alias(
+                "discontinued_usd"
             ),
         )
         .orderBy("p_brand")
@@ -2214,23 +2232,32 @@ WITH yearly AS (
     GROUP BY 1, 2
 ),
 pivoted AS (
-    SELECT a.l_partkey, a.r AS r0, a.q AS q0, b.r AS r1, b.q AS q1
-    FROM yearly a JOIN yearly b
-      ON a.l_partkey = b.l_partkey AND a.yr = {BRIDGE_Y0} AND b.yr = {BRIDGE_Y1}
+    SELECT COALESCE(a.l_partkey, b.l_partkey) AS l_partkey,
+           a.r AS r0, a.q AS q0, b.r AS r1, b.q AS q1
+    FROM (SELECT * FROM yearly WHERE yr = {BRIDGE_Y0}) a
+    FULL OUTER JOIN (SELECT * FROM yearly WHERE yr = {BRIDGE_Y1}) b
+      ON a.l_partkey = b.l_partkey
 ),
 per_part AS (
     -- Spark's DIV truncates toward zero; DuckDB's // floors. The volume
     -- term can be negative, so pin TRUNCATION explicitly here.
-    SELECT l_partkey, r1 - r0 AS delta_c,
-           CASE WHEN r0 * (q1 - q0) >= 0
+    SELECT l_partkey,
+           COALESCE(r1, 0) - COALESCE(r0, 0) AS delta_c,
+           CASE WHEN r0 IS NULL OR r1 IS NULL THEN 0
+                WHEN r0 * (q1 - q0) >= 0
                 THEN r0 * (q1 - q0) // q0
-                ELSE -((-(r0 * (q1 - q0))) // q0) END AS volume_c
+                ELSE -((-(r0 * (q1 - q0))) // q0) END AS volume_c,
+           CASE WHEN r0 IS NULL THEN r1 ELSE 0 END AS new_c,
+           CASE WHEN r1 IS NULL THEN -r0 ELSE 0 END AS disc_c
     FROM pivoted
 )
 SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(delta_c) AS DOUBLE) / 100.0 AS delta_usd,
        CAST(SUM(volume_c) AS DOUBLE) / 100.0 AS volume_usd,
-       CAST(SUM(delta_c - volume_c) AS DOUBLE) / 100.0 AS price_mix_usd
+       CAST(SUM(delta_c - volume_c - new_c - disc_c) AS DOUBLE) / 100.0
+           AS price_mix_usd,
+       CAST(SUM(new_c) AS DOUBLE) / 100.0 AS new_usd,
+       CAST(SUM(disc_c) AS DOUBLE) / 100.0 AS discontinued_usd
 FROM per_part JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand

@@ -867,7 +867,15 @@ def test_q241_bridge_ties_out_and_replays(spark):
     assert rows, "no common parts between the bridge years"
     for r in rows:
         assert (
-            abs(r["delta_usd"] - (r["volume_usd"] + r["price_mix_usd"]))
+            abs(
+                r["delta_usd"]
+                - (
+                    r["volume_usd"]
+                    + r["price_mix_usd"]
+                    + r["new_usd"]
+                    + r["discontinued_usd"]
+                )
+            )
             < 1e-9
         ), r
     li = load_table(spark, SF, "lineitem").select(
@@ -894,23 +902,36 @@ def test_q241_bridge_ties_out_and_replays(spark):
         else:
             a[2] += rev
             a[3] += qty
-    want = defaultdict(lambda: [0, 0, 0, 0])  # n, delta, volume, pm
+    want = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n,delta,vol,pm,new,disc
     for pk, (r0, q0, r1, q1) in agg.items():
-        if q0 == 0 or (r1 == 0 and q1 == 0):
+        in0 = q0 > 0
+        in1 = q1 > 0
+        if not in0 and not in1:
             continue
-        num = r0 * (q1 - q0)
-        vol = num // q0 if num >= 0 else -((-num) // q0)  # truncate
+        delta = r1 - r0
+        if in0 and in1:
+            num = r0 * (q1 - q0)
+            vol = num // q0 if num >= 0 else -((-num) // q0)  # truncate
+            new = disc = 0
+        else:
+            vol = 0
+            new = r1 if not in0 else 0
+            disc = -r0 if not in1 else 0
         w = want[p[pk]]
         w[0] += 1
-        w[1] += r1 - r0
+        w[1] += delta
         w[2] += vol
-        w[3] += (r1 - r0) - vol
+        w[3] += delta - vol - new - disc
+        w[4] += new
+        w[5] += disc
     got = {
         r["p_brand"]: (
             r["n_parts"],
             round(r["delta_usd"] * 100),
             round(r["volume_usd"] * 100),
             round(r["price_mix_usd"] * 100),
+            round(r["new_usd"] * 100),
+            round(r["discontinued_usd"] * 100),
         )
         for r in rows
     }
