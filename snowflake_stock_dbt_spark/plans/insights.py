@@ -492,7 +492,9 @@ ORDER BY edit_dist, name_a, name_b
 # COUNT(DISTINCT), so the hash-match proves bitmap exactness.
 #
 # Bits stay in the low 32 of an int64 (1 << (uid % 32)), so no sign
-# games; bit_count is JVM-side on both engines.
+# games; bit_count is JVM-side on both engines. Assumes NON-NEGATIVE
+# ids (Spark's % takes the dividend's sign) — true for every id column
+# in the corpus; a general deployment would pre-shift by min(id).
 # ---------------------------------------------------------------------------
 
 

@@ -1,6 +1,8 @@
-"""Independent re-proofs for the q216-q224 insight family (beyond the
+"""Independent re-proofs for the q216-q243 insight family (beyond the
 DuckDB oracles): brute-force replays and structural invariants on
-corpora and edge cases the oracle never sees."""
+corpora and edge cases the oracle never sees. The sequential-fold
+differentials for the allocation/sweep OPERATORS live in
+test_round5c_hypothesis.py."""
 
 from __future__ import annotations
 
