@@ -2450,6 +2450,224 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# Q244 — Pareto frontier (2-D skyline): the parts no other part
+# dominates on (retail price, size) — both lower is better. The
+# distributed form is the price-ordered sweep (a point survives iff no
+# strictly-cheaper point has size <= its own, and no same-price point
+# is strictly smaller), computed WITHOUT a global window: per-bucket
+# range-frame minima + a metadata-sized bucket-spine prefix min
+# broadcast back (the SNM bucketed-sweep pattern). The ORACLE takes a
+# genuinely different path — the NOT EXISTS dominance test — so the
+# hash-match cross-validates the sweep derivation itself.
+#
+# Output also carries each frontier part's dominance count (how many
+# parts it dominates), an anti-join-free keyed count via the same
+# ordering trick in the oracle and a broadcast frontier probe in the
+# engine: |frontier| is tiny, so the count join broadcasts.
+# ---------------------------------------------------------------------------
+
+
+PARETO_BUCKET_C = 100_000  # $1000 price buckets for the two-level sweep
+
+
+def q244_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        # integer cents so the strict comparisons are exact cross-engine
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    ).withColumn("bucket", F.expr(f"price_c DIV {PARETO_BUCKET_C}"))
+    # Two-level sweep — NEVER a global window (the q187/SNM bucketed
+    # pattern): (1) running min size over strictly-cheaper parts WITHIN
+    # each price bucket, (2) per-bucket minima rolled into a prefix-min
+    # over the tiny bucket spine, broadcast back as "best of all earlier
+    # buckets". Earlier buckets are strictly cheaper by construction.
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wsame = Window.partitionBy("price_c")
+    local = p.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        "bucket",
+        F.min("size").over(wb).alias("min_in_bucket"),
+        F.min("size").over(wsame).alias("min_same_price"),
+    )
+    bucket_mins = p.groupBy("bucket").agg(F.min("size").alias("bmin"))
+    wspine = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = bucket_mins.select(
+        "bucket", F.min("bmin").over(wspine).alias("min_earlier_buckets")
+    )
+    candidates = local.join(F.broadcast(prefix), "bucket").where(
+        # no strictly-cheaper part with size <= ours ...
+        (
+            F.least(
+                F.coalesce("min_in_bucket", F.lit(2**62)),
+                F.coalesce("min_earlier_buckets", F.lit(2**62)),
+            )
+            > F.col("size")
+        )
+        # ... and no same-price part with size strictly below ours
+        & (F.col("size") == F.col("min_same_price"))
+    )
+    frontier = candidates.select("p_partkey", "price_c", "size")
+    dominated = (
+        p.alias("x")
+        .join(
+            F.broadcast(frontier.alias("f")),
+            (
+                (F.col("f.price_c") <= F.col("x.price_c"))
+                & (F.col("f.size") <= F.col("x.size"))
+                & (
+                    (F.col("f.price_c") < F.col("x.price_c"))
+                    | (F.col("f.size") < F.col("x.size"))
+                )
+            ),
+        )
+        .groupBy(F.col("f.p_partkey").alias("p_partkey"))
+        .agg(F.count("*").cast("long").alias("n_dominated"))
+    )
+    return (
+        frontier.join(F.broadcast(dominated), "p_partkey", "left")
+        .select(
+            "p_partkey",
+            "price_c",
+            "size",
+            F.coalesce("n_dominated", F.lit(0).cast("long")).alias(
+                "n_dominated"
+            ),
+        )
+        .orderBy("price_c", "size", "p_partkey")
+    )
+
+
+Q244_SQL = """
+WITH pts AS (
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+           CAST(p_size AS BIGINT) AS size
+    FROM part
+),
+-- the DOMINANCE definition directly: a different computation path than
+-- the engine's price-ordered sweep (cross-validation, not an echo)
+frontier AS (
+    SELECT a.* FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.price_c <= a.price_c AND b.size <= a.size
+          AND (b.price_c < a.price_c OR b.size < a.size)
+    )
+)
+SELECT f.p_partkey, f.price_c, f.size,
+       CAST((SELECT COUNT(*) FROM pts x
+             WHERE f.price_c <= x.price_c AND f.size <= x.size
+               AND (f.price_c < x.price_c OR f.size < x.size))
+            AS BIGINT) AS n_dominated
+FROM frontier f
+ORDER BY price_c, size, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q245 — Exact two-sample Kolmogorov-Smirnov drift statistic between
+# two years' price distributions, per return flag. The KS statistic is
+# D = max over the merged value domain of |F1(v) - F2(v)|; kept EXACT
+# by cross-multiplying the empirical CDFs to integers:
+#     D_num = max |c1(v)·n2 - c2(v)·n1|,   D = D_num / (n1·n2)
+# where c_i(v) are cumulative counts over the per-(flag, value)
+# aggregate — value-counts state, windows over the (flag × distinct
+# value) grid, never over raw rows. The continuous-domain complement of
+# q90's binned chi-square drift test.
+# ---------------------------------------------------------------------------
+
+KS_Y0 = 2000
+KS_Y1 = 2001
+
+
+def q245_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = (
+        li.where(F.year("l_shipdate").isin(KS_Y0, KS_Y1))
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            (F.year("l_shipdate") == KS_Y0).cast("long").alias("is0"),
+            (F.year("l_shipdate") == KS_Y1).cast("long").alias("is1"),
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("is0").alias("d0"), F.sum("is1").alias("d1"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cums = vc.select(
+        "l_returnflag",
+        F.sum("d0").over(wcum).alias("c0"),
+        F.sum("d1").over(wcum).alias("c1"),
+        F.sum("d0").over(wall).alias("n0"),
+        F.sum("d1").over(wall).alias("n1"),
+    )
+    return (
+        cums.groupBy("l_returnflag", "n0", "n1")
+        .agg(
+            F.max(
+                F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+            ).alias("d_num")
+        )
+        .select(
+            "l_returnflag",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n0") * F.col("n1")).cast("double")
+            ).alias("ks_d"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q245_SQL = f"""
+WITH vc AS (
+    SELECT l_returnflag, l_extendedprice,
+           CAST(SUM(CASE WHEN year(l_shipdate) = {KS_Y0} THEN 1 ELSE 0 END)
+                AS BIGINT) AS d0,
+           CAST(SUM(CASE WHEN year(l_shipdate) = {KS_Y1} THEN 1 ELSE 0 END)
+                AS BIGINT) AS d1
+    FROM lineitem
+    WHERE year(l_shipdate) IN ({KS_Y0}, {KS_Y1})
+    GROUP BY 1, 2
+),
+cums AS (
+    SELECT l_returnflag,
+           SUM(d0) OVER w AS c0, SUM(d1) OVER w AS c1,
+           SUM(d0) OVER wa AS n0, SUM(d1) OVER wa AS n1
+    FROM vc
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wa AS (PARTITION BY l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(MAX(ABS(c0 * n1 - c1 * n0)) AS DOUBLE)
+           / CAST(n0 * n1 AS DOUBLE) AS ks_d
+FROM cums
+GROUP BY l_returnflag, n0, n1
+ORDER BY l_returnflag
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -2478,6 +2696,8 @@ INSIGHTS_QUERIES = {
     "q241_revenue_bridge": q241_revenue_bridge,
     "q242_time_to_convert": q242_time_to_convert,
     "q243_observed_audit": q243_observed_audit,
+    "q244_pareto_frontier": q244_pareto_frontier,
+    "q245_ks_drift": q245_ks_drift,
 }
 
 INSIGHTS_ORACLES = {
@@ -2508,4 +2728,6 @@ INSIGHTS_ORACLES = {
     "q241_revenue_bridge": Q241_SQL,
     "q242_time_to_convert": Q242_SQL,
     "q243_observed_audit": Q243_SQL,
+    "q244_pareto_frontier": Q244_SQL,
+    "q245_ks_drift": Q245_SQL,
 }

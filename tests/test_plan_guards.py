@@ -54,6 +54,7 @@ BNL_ALLOWED = {
     "q213_benford_audit",  # 1-row table-total broadcast (q03 pattern)
     "q216_market_basket",  # 1-row basket-count broadcast (q03 pattern)
     "q217_rfm_segments",  # 1-row anchor-date broadcast (q03 pattern)
+    "q244_pareto_frontier",  # tiny-frontier dominance-count broadcast (q25 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -258,6 +259,11 @@ PINNED_PATTERNS = {
     "q240_stickiness": ["partial_"],
     "q241_revenue_bridge": ["BroadcastHashJoin", "partial_"],
     "q242_time_to_convert": ["BroadcastHashJoin", "partial_"],
+    # q244: bucket-spine prefix min must broadcast back; the sweep stays
+    # windowed per bucket (never a global window). q245: value-counts
+    # CDF windows per flag.
+    "q244_pareto_frontier": ["BroadcastHashJoin", "Window"],
+    "q245_ks_drift": ["Window", "partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -318,6 +324,8 @@ SHUFFLE_BUDGETS = {
     "q240_stickiness": 18,  # daily/weekly distinct aggs + week join
     "q241_revenue_bridge": 14,  # yearly agg + pivot + brand broadcast
     "q242_time_to_convert": 18,  # first-event agg + pct + cohort join
+    "q244_pareto_frontier": 32,  # bucket windows + spine + dominance probe
+    "q245_ks_drift": 8,  # value-counts agg + ONE flag window chain
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

@@ -1004,3 +1004,107 @@ def test_q243_observation_matches_direct_aggregate(spark):
     assert got["revenue"] == want["revenue"]  # bit-identical (exact decimal)
     assert got["first_ship"] == want["first_ship"]
     assert got["last_ship"] == want["last_ship"]
+
+
+def test_q244_frontier_brute_force_replay(spark):
+    """Frontier == brute-force dominance filter; dominance counts match."""
+    from snowflake_stock_dbt_spark.plans.insights import q244_pareto_frontier
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["p_partkey"]: (r["price_c"], r["size"], r["n_dominated"])
+        for r in q244_pareto_frontier(spark, SF).collect()
+    }
+    pts = [
+        (r["p_partkey"], int(r["p_retailprice"] * 100 + 0.5), r["p_size"])
+        for r in load_table(spark, SF, "part").collect()
+    ]
+    want = {}
+    for k, pc, sz in pts:
+        if not any(
+            (pc2 <= pc and sz2 <= sz and (pc2 < pc or sz2 < sz))
+            for _, pc2, sz2 in pts
+        ):
+            nd = sum(
+                1
+                for _, pc2, sz2 in pts
+                if pc <= pc2 and sz <= sz2 and (pc < pc2 or sz < sz2)
+            )
+            want[k] = (pc, sz, nd)
+    assert got == want
+
+
+def test_q244_cross_bucket_domination(spark):
+    """A point whose only dominator sits in an EARLIER price bucket must
+    still be killed (the bucket-spine prefix min path)."""
+    import os
+    import tempfile
+
+    from snowflake_stock_dbt_spark.plans.insights import (
+        PARETO_BUCKET_C,
+        q244_pareto_frontier,
+    )
+
+    rows = [
+        # (partkey, retailprice_usd, size): A dominates C across buckets;
+        # B survives (smaller size, higher price); D same price as A,
+        # bigger size -> dominated within the price group.
+        (1, 10.0, 5, "x", "b", "t"),
+        (2, (2 * PARETO_BUCKET_C + 50) / 100.0, 3, "x", "b", "t"),
+        (3, (2 * PARETO_BUCKET_C + 90) / 100.0, 7, "x", "b", "t"),
+        (4, 10.0, 9, "x", "b", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey bigint, p_retailprice double, p_size int,"
+        " p_name string, p_brand string, p_type string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            r["p_partkey"]: r["n_dominated"]
+            for r in q244_pareto_frontier(spark, d).collect()
+        }
+    # 1 dominates 3 (earlier bucket) and 4 (same price, larger size);
+    # 2 also dominates 3 (same bucket, cheaper AND smaller); 3, 4 killed.
+    assert got == {1: 2, 2: 1}
+
+
+def test_q245_ks_python_replay(spark):
+    from snowflake_stock_dbt_spark.plans.insights import (
+        KS_Y0,
+        KS_Y1,
+        q245_ks_drift,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["l_returnflag"]: (r["n0"], r["n1"], r["ks_d"])
+        for r in q245_ks_drift(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice", F.year("l_shipdate").alias("yr")
+    ).collect()
+    by_flag = defaultdict(lambda: ([], []))
+    for r in rows:
+        if r["yr"] == KS_Y0:
+            by_flag[r["l_returnflag"]][0].append(r["l_extendedprice"])
+        elif r["yr"] == KS_Y1:
+            by_flag[r["l_returnflag"]][1].append(r["l_extendedprice"])
+    for flag, (a, b) in by_flag.items():
+        if not a or not b:
+            assert flag not in got or 0 in (got[flag][0], got[flag][1])
+            continue
+        n0, n1 = len(a), len(b)
+        vals = sorted(set(a) | set(b))
+        sa, sb = sorted(a), sorted(b)
+        import bisect
+
+        dnum = max(
+            abs(bisect.bisect_right(sa, v) * n1 - bisect.bisect_right(sb, v) * n0)
+            for v in vals
+        )
+        want = (n0, n1, dnum / (n0 * n1))
+        have = got[flag]
+        assert have[0] == want[0] and have[1] == want[1]
+        assert abs(have[2] - want[2]) < 1e-12, (flag, have, want)
