@@ -2668,6 +2668,102 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q246 — Exact Mann-Whitney U (rank-sum) between the same two samples
+# as q245, with proper midrank tie handling and ZERO floating point
+# until the final readout: ranks are kept in HALF-UNITS (rank2 =
+# 2·rank, so every midrank is an integer), making R1 and U exact
+# integers over the value-counts grid:
+#     midrank2(v) = 2·cum_before(v) + cnt(v) + 1
+#     R1_2 = Σ d0(v)·midrank2(v);   U1_2 = R1_2 − n0(n0+1)
+# The rank-based complement of q245's CDF-based KS — together they are
+# the standard nonparametric drift pair.
+# ---------------------------------------------------------------------------
+
+
+def q246_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = (
+        li.where(F.year("l_shipdate").isin(KS_Y0, KS_Y1))
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            (F.year("l_shipdate") == KS_Y0).cast("long").alias("is0"),
+            (F.year("l_shipdate") == KS_Y1).cast("long").alias("is1"),
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("is0").alias("d0"), F.sum("is1").alias("d1"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    ranked = vc.select(
+        "l_returnflag",
+        "d0",
+        (
+            2 * F.coalesce(F.sum(F.col("d0") + F.col("d1")).over(wcum), F.lit(0))
+            + F.col("d0")
+            + F.col("d1")
+            + 1
+        ).alias("midrank2"),
+        F.sum("d0").over(wall).alias("n0"),
+        F.sum("d1").over(wall).alias("n1"),
+    )
+    return (
+        ranked.groupBy("l_returnflag", "n0", "n1")
+        .agg(F.sum(F.col("d0") * F.col("midrank2")).alias("r1_2"))
+        .select(
+            "l_returnflag",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+            ((F.col("r1_2") - F.col("n0") * (F.col("n0") + 1)) / 2)
+            .cast("double")
+            .alias("u1"),
+            # normalized effect size: U / (n0·n1) in [0, 1]
+            (
+                (F.col("r1_2") - F.col("n0") * (F.col("n0") + 1)).cast("double")
+                / (2.0 * (F.col("n0") * F.col("n1")).cast("double"))
+            ).alias("auc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q246_SQL = f"""
+WITH vc AS (
+    SELECT l_returnflag, l_extendedprice,
+           CAST(SUM(CASE WHEN year(l_shipdate) = {KS_Y0} THEN 1 ELSE 0 END)
+                AS BIGINT) AS d0,
+           CAST(SUM(CASE WHEN year(l_shipdate) = {KS_Y1} THEN 1 ELSE 0 END)
+                AS BIGINT) AS d1
+    FROM lineitem
+    WHERE year(l_shipdate) IN ({KS_Y0}, {KS_Y1})
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT l_returnflag, d0,
+           2 * COALESCE(SUM(d0 + d1) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + d0 + d1 + 1 AS midrank2,
+           SUM(d0) OVER (PARTITION BY l_returnflag) AS n0,
+           SUM(d1) OVER (PARTITION BY l_returnflag) AS n1
+    FROM vc
+)
+SELECT l_returnflag,
+       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST((SUM(d0 * midrank2) - n0 * (n0 + 1)) / 2 AS DOUBLE) AS u1,
+       CAST(SUM(d0 * midrank2) - n0 * (n0 + 1) AS DOUBLE)
+           / (2.0 * CAST(n0 * n1 AS DOUBLE)) AS auc
+FROM ranked
+GROUP BY l_returnflag, n0, n1
+ORDER BY l_returnflag
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -2698,6 +2794,7 @@ INSIGHTS_QUERIES = {
     "q243_observed_audit": q243_observed_audit,
     "q244_pareto_frontier": q244_pareto_frontier,
     "q245_ks_drift": q245_ks_drift,
+    "q246_mann_whitney": q246_mann_whitney,
 }
 
 INSIGHTS_ORACLES = {
@@ -2730,4 +2827,5 @@ INSIGHTS_ORACLES = {
     "q243_observed_audit": Q243_SQL,
     "q244_pareto_frontier": Q244_SQL,
     "q245_ks_drift": Q245_SQL,
+    "q246_mann_whitney": Q246_SQL,
 }

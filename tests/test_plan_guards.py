@@ -264,6 +264,7 @@ PINNED_PATTERNS = {
     # CDF windows per flag.
     "q244_pareto_frontier": ["BroadcastHashJoin", "Window"],
     "q245_ks_drift": ["Window", "partial_"],
+    "q246_mann_whitney": ["Window", "partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -326,6 +327,7 @@ SHUFFLE_BUDGETS = {
     "q242_time_to_convert": 18,  # first-event agg + pct + cohort join
     "q244_pareto_frontier": 32,  # bucket windows + spine + dominance probe
     "q245_ks_drift": 8,  # value-counts agg + ONE flag window chain
+    "q246_mann_whitney": 8,  # same value-counts scaffold as q245
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

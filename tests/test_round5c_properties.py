@@ -1108,3 +1108,50 @@ def test_q245_ks_python_replay(spark):
         have = got[flag]
         assert have[0] == want[0] and have[1] == want[1]
         assert abs(have[2] - want[2]) < 1e-12, (flag, have, want)
+
+
+def test_q246_mann_whitney_python_replay(spark):
+    """U and AUC equal a scipy-free python replay with midrank ties, and
+    U1 + U2 == n0·n1 (the rank-sum identity)."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        KS_Y0,
+        KS_Y1,
+        q246_mann_whitney,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        r["l_returnflag"]: (r["n0"], r["n1"], r["u1"], r["auc"])
+        for r in q246_mann_whitney(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice", F.year("l_shipdate").alias("yr")
+    ).collect()
+    by_flag = defaultdict(lambda: ([], []))
+    for r in rows:
+        if r["yr"] == KS_Y0:
+            by_flag[r["l_returnflag"]][0].append(r["l_extendedprice"])
+        elif r["yr"] == KS_Y1:
+            by_flag[r["l_returnflag"]][1].append(r["l_extendedprice"])
+    for flag, (a, b) in by_flag.items():
+        if not a or not b:
+            continue
+        pooled = sorted(
+            [(v, 0) for v in a] + [(v, 1) for v in b]
+        )
+        # midranks in half-units
+        r1_2 = 0
+        i = 0
+        while i < len(pooled):
+            j = i
+            while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+                j += 1
+            midrank2 = (i + 1) + j  # 2 * average of ranks i+1..j
+            r1_2 += midrank2 * sum(1 for k in range(i, j) if pooled[k][1] == 0)
+            i = j
+        n0, n1 = len(a), len(b)
+        u1 = (r1_2 - n0 * (n0 + 1)) / 2
+        assert got[flag][0] == n0 and got[flag][1] == n1
+        assert abs(got[flag][2] - u1) < 1e-9, flag
+        assert abs(got[flag][3] - u1 / (n0 * n1)) < 1e-12, flag
+        assert 0.0 <= got[flag][3] <= 1.0
