@@ -2764,6 +2764,108 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q247 — Distribution-similarity matrix by histogram intersection:
+# pairwise between supplier nations, over $1000 price buckets, kept
+# EXACT with the q245 cross-multiplication: for nations a, b with
+# bucket counts c_a(v), c_b(v) and totals n_a, n_b,
+#     HI = Σ_v min(c_a(v)·n_b, c_b(v)·n_a) / (n_a·n_b)   ∈ [0, 1]
+# — one integer sum, one final division. The numeric-distribution
+# sibling of q230's shingle-set overlap matrix. Histograms are keyed
+# aggregates; the pair join runs on the (bucket) key over the
+# |nations|-bounded histogram frame, never over lineitem.
+# Bound: c·n < 2^63 holds up to ~3e9 rows per group; past that,
+# rescale counts to ppm ints first (c·1e6 DIV n) before the min-sum.
+# ---------------------------------------------------------------------------
+
+HI_BUCKET_C = 100_000  # $1000 buckets, in cents
+
+
+def q247_histogram_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    hist = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                f" DIV {HI_BUCKET_C}"
+            ).alias("bucket"),
+        )
+        .groupBy("n_name", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = hist.groupBy("n_name").agg(F.sum("c").alias("n_rows"))
+    h = hist.join(F.broadcast(totals), "n_name")
+    pairs = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.n_name") < F.col("b.n_name")),
+        )
+        .groupBy(
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+            F.col("a.n_rows").alias("n_a"),
+            F.col("b.n_rows").alias("n_b"),
+        )
+        .agg(
+            F.sum(
+                F.least(
+                    F.col("a.c") * F.col("b.n_rows"),
+                    F.col("b.c") * F.col("a.n_rows"),
+                )
+            ).alias("hi_num")
+        )
+    )
+    return pairs.select(
+        "nation_a",
+        "nation_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("hi_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("similarity"),
+    ).orderBy(F.col("similarity").desc(), "nation_a", "nation_b")
+
+
+Q247_SQL = f"""
+WITH hist AS (
+    SELECT n_name,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               // {HI_BUCKET_C} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT n_name, CAST(SUM(c) AS BIGINT) AS n_rows FROM hist GROUP BY 1
+),
+h AS (SELECT hist.*, t.n_rows FROM hist JOIN totals t USING (n_name)),
+pairs AS (
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+           a.n_rows AS n_a, b.n_rows AS n_b,
+           CAST(SUM(LEAST(a.c * b.n_rows, b.c * a.n_rows)) AS BIGINT)
+               AS hi_num
+    FROM h a JOIN h b ON a.bucket = b.bucket AND a.n_name < b.n_name
+    GROUP BY 1, 2, 3, 4
+)
+SELECT nation_a, nation_b, n_a, n_b,
+       CAST(hi_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS similarity
+FROM pairs
+ORDER BY similarity DESC, nation_a, nation_b
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -2795,6 +2897,7 @@ INSIGHTS_QUERIES = {
     "q244_pareto_frontier": q244_pareto_frontier,
     "q245_ks_drift": q245_ks_drift,
     "q246_mann_whitney": q246_mann_whitney,
+    "q247_histogram_intersection": q247_histogram_intersection,
 }
 
 INSIGHTS_ORACLES = {
@@ -2828,4 +2931,5 @@ INSIGHTS_ORACLES = {
     "q244_pareto_frontier": Q244_SQL,
     "q245_ks_drift": Q245_SQL,
     "q246_mann_whitney": Q246_SQL,
+    "q247_histogram_intersection": Q247_SQL,
 }

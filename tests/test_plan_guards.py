@@ -265,6 +265,7 @@ PINNED_PATTERNS = {
     "q244_pareto_frontier": ["BroadcastHashJoin", "Window"],
     "q245_ks_drift": ["Window", "partial_"],
     "q246_mann_whitney": ["Window", "partial_"],
+    "q247_histogram_intersection": ["BroadcastHashJoin", "partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -328,6 +329,9 @@ SHUFFLE_BUDGETS = {
     "q244_pareto_frontier": 32,  # bucket windows + spine + dominance probe
     "q245_ks_drift": 8,  # value-counts agg + ONE flag window chain
     "q246_mann_whitney": 8,  # same value-counts scaffold as q245
+    # hist+totals subtree appears in BOTH self-join branches (no cache by
+    # design — the frame is |nations×buckets| tiny), hence the high count.
+    "q247_histogram_intersection": 44,
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

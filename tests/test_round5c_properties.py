@@ -1155,3 +1155,43 @@ def test_q246_mann_whitney_python_replay(spark):
         assert abs(got[flag][2] - u1) < 1e-9, flag
         assert abs(got[flag][3] - u1 / (n0 * n1)) < 1e-12, flag
         assert 0.0 <= got[flag][3] <= 1.0
+
+
+def test_q247_histogram_intersection_python_replay(spark):
+    """Pairwise HI equals a python replay; similarity bounded (0, 1] and
+    symmetric by construction (only a < b pairs emitted)."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        HI_BUCKET_C,
+        q247_histogram_intersection,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = q247_histogram_intersection(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    data = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "l_extendedprice")
+        .collect()
+    )
+    hists = defaultdict(Counter)
+    for r in data:
+        hists[r["n_name"]][
+            int(r["l_extendedprice"] * 100 + 0.5) // HI_BUCKET_C
+        ] += 1
+    got = {(r["nation_a"], r["nation_b"]): r for r in rows}
+    nations = sorted(hists)
+    for ai, a in enumerate(nations):
+        for b in nations[ai + 1 :]:
+            na = sum(hists[a].values())
+            nb = sum(hists[b].values())
+            hi = sum(
+                min(hists[a][k] * nb, hists[b][k] * na)
+                for k in set(hists[a]) & set(hists[b])
+            )
+            r = got[(a, b)]
+            assert r["n_a"] == na and r["n_b"] == nb
+            assert abs(r["similarity"] - hi / (na * nb)) < 1e-12
+            assert 0.0 < r["similarity"] <= 1.0
