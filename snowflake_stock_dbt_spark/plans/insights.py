@@ -2866,6 +2866,118 @@ ORDER BY similarity DESC, nation_a, nation_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q248 — Shewhart control chart (3σ out-of-control days) on each
+# nation's daily revenue, with the control limits from a TRAILING
+# 28-day window (excluding the day under test) and the 3σ test kept
+# EXACT by cross-multiplication — no sqrt, no float compare:
+#     |x − S/n| > 3·σ   ⟺   (n·x − S)²·(n−1) > 9·n·(n·Q − S²)
+# where S, Q are the window's exact sum and sum-of-squares of integer
+# cents. Squares reach ~1e22, so the algebra runs in DECIMAL(38,0) on
+# the Spark side and HUGEINT (int128) in DuckDB — both exact. The
+# point-based complement of q172's CUSUM drift detector.
+# ---------------------------------------------------------------------------
+
+SPC_WINDOW = 28
+
+
+def q248_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+        .groupBy("n_name", "day")
+        .agg(F.sum("rev_c").alias("rev_c"))
+        .select(
+            "n_name",
+            "day",
+            "rev_c",
+            F.col("rev_c").cast("decimal(38,0)").alias("xd"),
+            (F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c")).alias(
+                "xd2"
+            ),
+        )
+    )
+    wtrail = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(-SPC_WINDOW, -1)
+    )
+    stats = daily.select(
+        "n_name",
+        "day",
+        "rev_c",
+        "xd",
+        F.count("*").over(wtrail).cast("decimal(38,0)").alias("nw"),
+        F.sum("xd").over(wtrail).alias("sw"),
+        F.sum("xd2").over(wtrail).alias("qw"),
+    ).where(F.col("nw") == F.lit(SPC_WINDOW))
+    lhs = (
+        (F.col("nw") * F.col("xd") - F.col("sw"))
+        * (F.col("nw") * F.col("xd") - F.col("sw"))
+        * (F.col("nw") - 1)
+    )
+    rhs = 9 * F.col("nw") * (F.col("nw") * F.col("qw") - F.col("sw") * F.col("sw"))
+    return (
+        stats.where(lhs > rhs)
+        .select(
+            "n_name",
+            "day",
+            (F.col("rev_c").cast("double") / 100.0).alias("rev_usd"),
+            (
+                F.col("sw").cast("double")
+                / (F.lit(float(SPC_WINDOW)) * 100.0)
+            ).alias("window_mean_usd"),
+        )
+        .orderBy("n_name", "day")
+    )
+
+
+Q248_SQL = f"""
+WITH daily AS (
+    SELECT n_name, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+stats AS (
+    SELECT n_name, day, rev_c,
+           CAST(rev_c AS HUGEINT) AS xd,
+           CAST(COUNT(*) OVER w AS HUGEINT) AS nw,
+           CAST(SUM(CAST(rev_c AS HUGEINT)) OVER w AS HUGEINT) AS sw,
+           CAST(SUM(CAST(rev_c AS HUGEINT) * CAST(rev_c AS HUGEINT)) OVER w
+                AS HUGEINT) AS qw
+    FROM daily
+    WINDOW w AS (PARTITION BY n_name ORDER BY day
+                 ROWS BETWEEN {SPC_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT n_name, day,
+       CAST(rev_c AS DOUBLE) / 100.0 AS rev_usd,
+       CAST(sw AS DOUBLE) / ({SPC_WINDOW}.0 * 100.0) AS window_mean_usd
+FROM stats
+WHERE nw = {SPC_WINDOW}
+  AND (nw * xd - sw) * (nw * xd - sw) * (nw - 1)
+      > 9 * nw * (nw * qw - sw * sw)
+ORDER BY n_name, day
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -2898,6 +3010,7 @@ INSIGHTS_QUERIES = {
     "q245_ks_drift": q245_ks_drift,
     "q246_mann_whitney": q246_mann_whitney,
     "q247_histogram_intersection": q247_histogram_intersection,
+    "q248_control_chart": q248_control_chart,
 }
 
 INSIGHTS_ORACLES = {
@@ -2932,4 +3045,5 @@ INSIGHTS_ORACLES = {
     "q245_ks_drift": Q245_SQL,
     "q246_mann_whitney": Q246_SQL,
     "q247_histogram_intersection": Q247_SQL,
+    "q248_control_chart": Q248_SQL,
 }

@@ -266,6 +266,7 @@ PINNED_PATTERNS = {
     "q245_ks_drift": ["Window", "partial_"],
     "q246_mann_whitney": ["Window", "partial_"],
     "q247_histogram_intersection": ["BroadcastHashJoin", "partial_"],
+    "q248_control_chart": ["BroadcastHashJoin", "Window"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -332,6 +333,7 @@ SHUFFLE_BUDGETS = {
     # hist+totals subtree appears in BOTH self-join branches (no cache by
     # design — the frame is |nations×buckets| tiny), hence the high count.
     "q247_histogram_intersection": 44,
+    "q248_control_chart": 10,  # daily agg + ONE trailing-window chain
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

@@ -1195,3 +1195,47 @@ def test_q247_histogram_intersection_python_replay(spark):
             assert r["n_a"] == na and r["n_b"] == nb
             assert abs(r["similarity"] - hi / (na * nb)) < 1e-12
             assert 0.0 < r["similarity"] <= 1.0
+
+
+def test_q248_control_chart_python_replay(spark):
+    """Flagged days equal an exact-integer python replay of the
+    cross-multiplied 3-sigma test on the trailing window."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        SPC_WINDOW,
+        q248_control_chart,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = {
+        (r["n_name"], str(r["day"])) for r in q248_control_chart(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    rows = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.to_date("l_shipdate").alias("day"),
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["n_name"]][str(r["day"])] += int(
+            r["l_extendedprice"] * (1.0 - r["l_discount"]) * 100 + 0.5
+        )
+    want = set()
+    for nation, days in daily.items():
+        ordered = sorted(days)
+        vals = [days[d] for d in ordered]
+        for i, d in enumerate(ordered):
+            w = vals[max(0, i - SPC_WINDOW) : i]
+            if len(w) != SPC_WINDOW:
+                continue
+            nw = SPC_WINDOW
+            sw = sum(w)
+            qw = sum(v * v for v in w)
+            x = vals[i]
+            if (nw * x - sw) ** 2 * (nw - 1) > 9 * nw * (nw * qw - sw * sw):
+                want.add((nation, d))
+    assert got == want
