@@ -251,3 +251,63 @@ def test_zscore_matches_exact_two_pass(spark, sf_dir):
     assert set(got) == set(want)
     for k, v in want.items():
         assert math.isclose(got[k], v, rel_tol=1e-9), k
+
+
+# --- ON_ERROR = CONTINUE (PERMISSIVE) vs ABORT_STATEMENT (FAILFAST) --------
+# The reference only exercises ABORT_STATEMENT (02_load_data.sql:60); the
+# CONTINUE branch of the COPY compiler (worksheet.py: "mode" option) is
+# pinned here on a deliberately ragged CSV.
+
+_ONERR_SCRIPT = """
+CREATE OR REPLACE FILE FORMAT RAGGED_FF
+  TYPE = CSV
+  FIELD_OPTIONALLY_ENCLOSED_BY = '"'
+  SKIP_HEADER = 1
+  TRIM_SPACE = TRUE
+  EMPTY_FIELD_AS_NULL = TRUE;
+
+CREATE OR REPLACE STAGE RAGGED_STAGE
+  FILE_FORMAT = RAGGED_FF;
+
+CREATE OR REPLACE TABLE RAGGED_RAW (
+  sym STRING,
+  px STRING
+);
+
+COPY INTO RAGGED_RAW (sym, px)
+FROM (
+  SELECT $1::STRING, $2::STRING FROM @RAGGED_STAGE
+)
+FILE_FORMAT = (FORMAT_NAME = RAGGED_FF)
+ON_ERROR = {on_error};
+"""
+
+_RAGGED_CSV = 'sym,px\n"AAA",1.5\n"BBB",2.5,EXTRA,COLS\n"CCC",3.5\n'
+
+
+def _run_onerror(spark, tmp_path, on_error):
+    from snowflake_stock_dbt_spark.worksheet import WorksheetRunner
+
+    land = tmp_path / f"stage_{on_error.lower()}"
+    land.mkdir()
+    (land / "ragged.csv").write_text(_RAGGED_CSV)
+    runner = WorksheetRunner(spark)
+    runner.stages["ragged_stage"] = {"path": str(land), "file_format": None}
+    runner.run_script(_ONERR_SCRIPT.format(on_error=on_error))
+    return runner.tables["ragged_raw"].df
+
+
+def test_copy_on_error_continue_is_permissive(spark, tmp_path):
+    df = _run_onerror(spark, tmp_path, "CONTINUE")
+    rows = {(r["sym"], r["px"]) for r in df.collect()}
+    # the two clean rows load verbatim; the ragged row's surviving
+    # columns load (PERMISSIVE keeps what it can parse)
+    assert ("AAA", "1.5") in rows and ("CCC", "3.5") in rows
+    assert df.count() == 3
+
+
+def test_copy_on_error_abort_is_failfast(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+        _run_onerror(spark, tmp_path, "ABORT_STATEMENT").collect()
