@@ -2978,6 +2978,87 @@ ORDER BY n_name, day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q249 — Quarantine routing: classify every lineitem against an ordered
+# rule set and report the routing outcome — the load-time data-quality
+# pattern that complements quality/checks.py's assertions (those FAIL a
+# load; this ROUTES bad rows to a dead-letter table with a reason).
+# First-failing-rule-wins is pinned by evaluation order (CASE WHEN), so
+# a row violating several rules lands in exactly one bucket and the
+# bucket totals always sum to the table count. Single scan, keyed agg.
+# ---------------------------------------------------------------------------
+
+
+def q249_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    routed = li.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    ).select(
+        F.when(F.col("o_orderkey").isNull(), F.lit("orphan_orderkey"))
+        .when(F.col("l_quantity") <= 0, F.lit("nonpositive_qty"))
+        .when(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+            F.lit("discount_out_of_range"),
+        )
+        .when(F.col("l_extendedprice") <= 0, F.lit("nonpositive_price"))
+        .when(
+            F.to_date("l_shipdate") < F.to_date("o_orderdate"),
+            F.lit("ships_before_order"),
+        )
+        .otherwise(F.lit("valid"))
+        .alias("route"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    total = routed.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        routed.groupBy("route")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("price_c").cast("long").alias("total_price_c"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "route",
+            "n_rows",
+            "total_price_c",
+            F.expr("n_rows * 1000000 DIV n_total").cast("long").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("route")
+    )
+
+
+Q249_SQL = """
+WITH routed AS (
+    SELECT CASE
+             WHEN o.o_orderkey IS NULL THEN 'orphan_orderkey'
+             WHEN l.l_quantity <= 0 THEN 'nonpositive_qty'
+             WHEN l.l_discount < 0 OR l.l_discount > 0.5
+                  THEN 'discount_out_of_range'
+             WHEN l.l_extendedprice <= 0 THEN 'nonpositive_price'
+             WHEN CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+                  THEN 'ships_before_order'
+             ELSE 'valid'
+           END AS route,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM routed)
+SELECT route, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_c) AS BIGINT) AS total_price_c,
+       CAST(COUNT(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+FROM routed CROSS JOIN total
+GROUP BY route, n_total
+ORDER BY route
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -3011,6 +3092,7 @@ INSIGHTS_QUERIES = {
     "q246_mann_whitney": q246_mann_whitney,
     "q247_histogram_intersection": q247_histogram_intersection,
     "q248_control_chart": q248_control_chart,
+    "q249_quarantine_routing": q249_quarantine_routing,
 }
 
 INSIGHTS_ORACLES = {
@@ -3046,4 +3128,5 @@ INSIGHTS_ORACLES = {
     "q246_mann_whitney": Q246_SQL,
     "q247_histogram_intersection": Q247_SQL,
     "q248_control_chart": Q248_SQL,
+    "q249_quarantine_routing": Q249_SQL,
 }

@@ -55,6 +55,7 @@ BNL_ALLOWED = {
     "q216_market_basket",  # 1-row basket-count broadcast (q03 pattern)
     "q217_rfm_segments",  # 1-row anchor-date broadcast (q03 pattern)
     "q244_pareto_frontier",  # tiny-frontier dominance-count broadcast (q25 pattern)
+    "q249_quarantine_routing",  # 1-row table-total broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -267,6 +268,7 @@ PINNED_PATTERNS = {
     "q246_mann_whitney": ["Window", "partial_"],
     "q247_histogram_intersection": ["BroadcastHashJoin", "partial_"],
     "q248_control_chart": ["BroadcastHashJoin", "Window"],
+    "q249_quarantine_routing": ["partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as

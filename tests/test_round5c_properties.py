@@ -1239,3 +1239,41 @@ def test_q248_control_chart_python_replay(spark):
             if (nw * x - sw) ** 2 * (nw - 1) > 9 * nw * (nw * qw - sw * sw):
                 want.add((nation, d))
     assert got == want
+
+
+def test_q249_routing_partitions_the_table(spark):
+    """Route buckets sum exactly to the table count (first-rule-wins
+    puts every row in exactly one bucket), and a python replay agrees
+    per bucket."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        q249_quarantine_routing,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = q249_quarantine_routing(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    n_li = li.count()
+    assert sum(r["n_rows"] for r in rows) == n_li
+    odate = {
+        r["o_orderkey"]: r["o_orderdate"] for r in o.collect()
+    }
+    want = Counter()
+    for r in li.select(
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice",
+        F.to_date("l_shipdate").alias("ship"),
+    ).collect():
+        od = odate.get(r["l_orderkey"])
+        if od is None:
+            want["orphan_orderkey"] += 1
+        elif r["l_quantity"] <= 0:
+            want["nonpositive_qty"] += 1
+        elif r["l_discount"] < 0 or r["l_discount"] > 0.5:
+            want["discount_out_of_range"] += 1
+        elif r["l_extendedprice"] <= 0:
+            want["nonpositive_price"] += 1
+        elif r["ship"] < od.date():
+            want["ships_before_order"] += 1
+        else:
+            want["valid"] += 1
+    assert {r["route"]: r["n_rows"] for r in rows} == dict(want)
