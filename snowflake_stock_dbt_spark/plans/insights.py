@@ -3059,6 +3059,183 @@ ORDER BY route
 """
 
 
+# ---------------------------------------------------------------------------
+# Q250 — Daily business healthcheck (insight-family capstone): ONE lazy
+# plan emits, per (nation, recent day): revenue, day-over-day change,
+# the 7-vs-28 MA state (q227's integer crossing test), the 3σ control
+# flag (q248's cross-multiplied algebra), and the pacing drawdown to
+# date (q224's scaled Lindley form) — every signal exact-integer, every
+# window sharing ONE n_name partitioning, so the whole report costs a
+# single shuffle over the (nation × day) aggregate plus the 1-row
+# anchor broadcast that bounds the output to the last 14 days.
+# The capstone proof: the operators compose without re-scanning.
+# ---------------------------------------------------------------------------
+
+HEALTH_DAYS = 14
+
+
+def q250_daily_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.to_date("l_shipdate").alias("day"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+        .groupBy("n_name", "day")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    wd = Window.partitionBy("n_name").orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    ws = wd.rowsBetween(-(MA_SHORT - 1), 0)
+    wl = wd.rowsBetween(-(MA_LONG - 1), 0)
+    wspc = wd.rowsBetween(-SPC_WINDOW, -1)
+    wall = Window.partitionBy("n_name")
+    sig = daily.select(
+        "n_name",
+        "day",
+        "rev_c",
+        (F.col("rev_c") - F.lag("rev_c").over(wd)).alias("dod_c"),
+        # 7-vs-28 MA state by integer cross-multiplication (q227)
+        F.signum(
+            (
+                F.sum("rev_c").over(ws) * F.count("*").over(wl)
+                - F.sum("rev_c").over(wl) * F.count("*").over(ws)
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("ma_sig"),
+        # 3σ control flag on the trailing window (q248, exact decimal)
+        F.count("*").over(wspc).cast("decimal(38,0)").alias("nw"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).over(wspc).alias("sw"),
+        F.sum(
+            (F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c"))
+        )
+        .over(wspc)
+        .alias("qw"),
+        # pacing drawdown to date (q224's scaled demeaned series)
+        (
+            F.count("*").over(wall) * F.sum("rev_c").over(wcum)
+            - F.row_number().over(wd) * F.sum("rev_c").over(wall)
+        ).alias("x"),
+        F.count("*").over(wall).cast("long").alias("n_days"),
+    )
+    xd = F.col("rev_c").cast("decimal(38,0)")
+    spc_flag = (
+        (F.col("nw") == SPC_WINDOW)
+        & (
+            (F.col("nw") * xd - F.col("sw"))
+            * (F.col("nw") * xd - F.col("sw"))
+            * (F.col("nw") - 1)
+            > 9 * F.col("nw") * (F.col("nw") * F.col("qw") - F.col("sw") * F.col("sw"))
+        )
+    )
+    enriched = sig.select(
+        "n_name",
+        "day",
+        "rev_c",
+        "dod_c",
+        F.when(F.col("ma_sig") > 0, F.lit("short_above"))
+        .when(F.col("ma_sig") < 0, F.lit("short_below"))
+        .otherwise(F.lit("level"))
+        .alias("ma_state"),
+        spc_flag.alias("spc_outlier"),
+        (F.max("x").over(wcum) - F.col("x")).alias("dd_x"),
+        "n_days",
+    )
+    anchor = daily.groupBy().agg(F.max("day").alias("max_day"))
+    return (
+        enriched.crossJoin(F.broadcast(anchor))
+        .where(F.col("day") >= F.date_sub("max_day", HEALTH_DAYS - 1))
+        .select(
+            "n_name",
+            "day",
+            (F.col("rev_c").cast("double") / 100.0).alias("rev_usd"),
+            (F.col("dod_c").cast("double") / 100.0).alias("dod_usd"),
+            "ma_state",
+            "spc_outlier",
+            (
+                F.col("dd_x").cast("double")
+                / (F.col("n_days").cast("double") * 100.0)
+            ).alias("drawdown_usd"),
+        )
+        .orderBy("n_name", "day")
+    )
+
+
+Q250_SQL = f"""
+WITH daily AS (
+    SELECT n_name, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT n_name, day, rev_c,
+           rev_c - LAG(rev_c) OVER wd AS dod_c,
+           CAST(SIGN(SUM(rev_c) OVER ws * COUNT(*) OVER wl
+                     - SUM(rev_c) OVER wl * COUNT(*) OVER ws) AS BIGINT)
+               AS ma_sig,
+           CAST(COUNT(*) OVER wspc AS HUGEINT) AS nw,
+           CAST(SUM(CAST(rev_c AS HUGEINT)) OVER wspc AS HUGEINT) AS sw,
+           CAST(SUM(CAST(rev_c AS HUGEINT) * CAST(rev_c AS HUGEINT))
+                OVER wspc AS HUGEINT) AS qw,
+           CAST(COUNT(*) OVER wall AS HUGEINT)
+               * CAST(SUM(rev_c) OVER wcum AS HUGEINT)
+           - CAST(ROW_NUMBER() OVER wd AS HUGEINT)
+               * CAST(SUM(rev_c) OVER wall AS HUGEINT) AS x,
+           CAST(COUNT(*) OVER wall AS BIGINT) AS n_days
+    FROM daily
+    WINDOW wd AS (PARTITION BY n_name ORDER BY day),
+           wcum AS (PARTITION BY n_name ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           ws AS (PARTITION BY n_name ORDER BY day
+                  ROWS BETWEEN {MA_SHORT - 1} PRECEDING AND CURRENT ROW),
+           wl AS (PARTITION BY n_name ORDER BY day
+                  ROWS BETWEEN {MA_LONG - 1} PRECEDING AND CURRENT ROW),
+           wspc AS (PARTITION BY n_name ORDER BY day
+                    ROWS BETWEEN {SPC_WINDOW} PRECEDING AND 1 PRECEDING),
+           wall AS (PARTITION BY n_name)
+),
+enriched AS (
+    SELECT n_name, day, rev_c, dod_c,
+           CASE WHEN ma_sig > 0 THEN 'short_above'
+                WHEN ma_sig < 0 THEN 'short_below'
+                ELSE 'level' END AS ma_state,
+           nw = {SPC_WINDOW}
+             AND (nw * CAST(rev_c AS HUGEINT) - sw)
+                 * (nw * CAST(rev_c AS HUGEINT) - sw) * (nw - 1)
+                 > 9 * nw * (nw * qw - sw * sw) AS spc_outlier,
+           MAX(x) OVER (PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - x AS dd_x,
+           n_days
+    FROM sig
+)
+SELECT n_name, day,
+       CAST(rev_c AS DOUBLE) / 100.0 AS rev_usd,
+       CAST(dod_c AS DOUBLE) / 100.0 AS dod_usd,
+       ma_state, spc_outlier,
+       CAST(dd_x AS DOUBLE) / (CAST(n_days AS DOUBLE) * 100.0)
+           AS drawdown_usd
+FROM enriched
+WHERE day >= (SELECT MAX(day) FROM daily) - INTERVAL {HEALTH_DAYS - 1} DAY
+ORDER BY n_name, day
+"""
+
+
 INSIGHTS_QUERIES = {
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
@@ -3093,6 +3270,7 @@ INSIGHTS_QUERIES = {
     "q247_histogram_intersection": q247_histogram_intersection,
     "q248_control_chart": q248_control_chart,
     "q249_quarantine_routing": q249_quarantine_routing,
+    "q250_daily_healthcheck": q250_daily_healthcheck,
 }
 
 INSIGHTS_ORACLES = {
@@ -3129,4 +3307,5 @@ INSIGHTS_ORACLES = {
     "q247_histogram_intersection": Q247_SQL,
     "q248_control_chart": Q248_SQL,
     "q249_quarantine_routing": Q249_SQL,
+    "q250_daily_healthcheck": Q250_SQL,
 }

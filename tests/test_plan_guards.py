@@ -56,6 +56,7 @@ BNL_ALLOWED = {
     "q217_rfm_segments",  # 1-row anchor-date broadcast (q03 pattern)
     "q244_pareto_frontier",  # tiny-frontier dominance-count broadcast (q25 pattern)
     "q249_quarantine_routing",  # 1-row table-total broadcast (q03 pattern)
+    "q250_daily_healthcheck",  # 1-row max-day anchor broadcast (q03 pattern)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -269,6 +270,8 @@ PINNED_PATTERNS = {
     "q247_histogram_intersection": ["BroadcastHashJoin", "partial_"],
     "q248_control_chart": ["BroadcastHashJoin", "Window"],
     "q249_quarantine_routing": ["partial_"],
+    # every signal window must share the ONE n_name partitioning
+    "q250_daily_healthcheck": ["BroadcastHashJoin", "Window"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as
@@ -336,6 +339,7 @@ SHUFFLE_BUDGETS = {
     # design — the frame is |nations×buckets| tiny), hence the high count.
     "q247_histogram_intersection": 44,
     "q248_control_chart": 10,  # daily agg + ONE trailing-window chain
+    "q250_daily_healthcheck": 20,  # daily agg (+ its copy under the 1-row anchor) + shared nation window chain
 }
 
 #: Python-seam ceilings (counted like SHUFFLE_BUDGETS — formatted explain

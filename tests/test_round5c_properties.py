@@ -1277,3 +1277,61 @@ def test_q249_routing_partitions_the_table(spark):
         else:
             want["valid"] += 1
     assert {r["route"]: r["n_rows"] for r in rows} == dict(want)
+
+
+def test_q250_composes_the_standalone_signals(spark):
+    """The capstone's per-day signals must agree with the standalone
+    operators: SPC flags equal q248's flag set restricted to the report
+    window, and the MA state sign matches q227's integer crossing test
+    recomputed in python."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        MA_LONG,
+        MA_SHORT,
+        q248_control_chart,
+        q250_daily_healthcheck,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    report = q250_daily_healthcheck(spark, SF).collect()
+    assert report
+    days_in_report = {(r["n_name"], str(r["day"])) for r in report}
+    spc_truth = {
+        (r["n_name"], str(r["day"]))
+        for r in q248_control_chart(spark, SF).collect()
+    }
+    got_flags = {
+        (r["n_name"], str(r["day"])) for r in report if r["spc_outlier"]
+    }
+    assert got_flags == spc_truth & days_in_report
+    # MA state replay
+    li = load_table(spark, SF, "lineitem")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    rows = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.to_date("l_shipdate").alias("day"),
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["n_name"]][str(r["day"])] += int(
+            r["l_extendedprice"] * (1.0 - r["l_discount"]) * 100 + 0.5
+        )
+    states = {}
+    for nation, days in daily.items():
+        ordered = sorted(days)
+        vals = [days[d] for d in ordered]
+        for i, d in enumerate(ordered):
+            ss = sum(vals[max(0, i - MA_SHORT + 1) : i + 1])
+            ns = min(i + 1, MA_SHORT)
+            sl = sum(vals[max(0, i - MA_LONG + 1) : i + 1])
+            nl = min(i + 1, MA_LONG)
+            diff = ss * nl - sl * ns
+            states[(nation, d)] = (
+                "short_above" if diff > 0
+                else "short_below" if diff < 0 else "level"
+            )
+    for r in report:
+        assert r["ma_state"] == states[(r["n_name"], str(r["day"]))], r
