@@ -101,10 +101,18 @@ def ensure_protobuf() -> bool:
         # The SDK copy can trail the gencode pyspark ships (observed:
         # gencode 6.33.0 vs runtime 6.32.0-dev, one minor apart) and the
         # runtime refuses newer gencode by default. Use protobuf's OWN
-        # escape hatch (runtime_version.py reads this env var) — scoped
-        # to the fallback path only; a real installation never gets here.
-        # Exported so Spark's Python workers inherit it too. Behavioral
-        # safety is pinned by the q41↔q185 equality test, not assumed.
+        # escape hatch (runtime_version.py reads this env var) — only
+        # reached on the fallback path; a real installation never gets
+        # here. Exported so Spark's Python workers inherit it too.
+        # BLAST RADIUS: the env var is PROCESS-WIDE — it disables the
+        # gencode/runtime version guard for EVERY protobuf consumer in
+        # this driver and all Spark workers, not just the
+        # transformWithState path it was pinned for. Acceptable here
+        # because this process's only protobuf consumer is Spark itself
+        # and the q41<->q185 equality test pins behavior; if a real
+        # `pip install protobuf` ever lands, drop this branch (the
+        # import above succeeds without the fallback path and the var
+        # is never set).
         os.environ.setdefault(
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
         )

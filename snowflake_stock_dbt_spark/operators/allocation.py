@@ -41,6 +41,16 @@ def largest_remainder(
     different weights stay multiset-deterministic. Requires
     budget·max(weight) < 2^63 (document the bound at the call site).
 
+    CONTRACT (callers must guarantee; not checked row-side): weights
+    >= 1 and budgets >= 0. A group whose weight total is 0 divides by
+    zero in DIV, which is NULL in Spark — the group's allocations come
+    back NULL, not 0. Negative weights or budgets break the floor/ceil
+    guarantee outright (Spark's DIV truncates toward zero, so "base +
+    0/1" no longer brackets the exact share). Both registry call sites
+    (q146 token budgets, q175 PPS shards) filter to positive weights
+    upstream; tests/test_properties.py pins the w>=1 contract with
+    Hypothesis.
+
     One shuffle: every window shares the ``group_cols`` partitioning.
     """
     wg = Window.partitionBy(*group_cols)

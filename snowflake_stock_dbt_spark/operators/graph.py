@@ -528,6 +528,8 @@ def hits(
     Per-node integer scores stay below 2^53 while max in-degree x 1e12
     does — at extreme fan-in, lower the grid (1e9) to keep the argument.
     """
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     e = e.persist()
     nodes = (

@@ -481,7 +481,9 @@ ORDER BY edit_dist, name_a, name_b
 
 # ---------------------------------------------------------------------------
 # Q222 — Exact distinct users via bitmap words: users are packed into
-# 32-bit words (word = user_id / 32, bit = user_id % 32), daily
+# 32-bit words (word = user_id DIV 32, bit = pmod(user_id, 32) — exact
+# integer arithmetic, never double-divide-then-truncate, so negative
+# ids and ids past 2^53 still bucket correctly), daily
 # per-word bitmaps are OR-aggregated, and weekly distincts come from
 # OR-ing the DAILY word bitmaps — the raw events are touched exactly
 # once. This is the exact-bitmap answer to "COUNT(DISTINCT) doesn't
@@ -504,8 +506,8 @@ def q222_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
             F.to_date("ts").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("word"),
-            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+            F.expr("user_id DIV 32").alias("word"),
+            F.expr("shiftleft(1L, CAST(pmod(user_id, 32) AS INT))").alias("bit"),
         )
         .groupBy("week", "day", "word")
         .agg(F.bit_or("bit").alias("day_mask"))

@@ -652,8 +652,8 @@ def q234_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
             F.to_date("ts").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("word"),
-            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+            F.expr("user_id DIV 32").alias("word"),
+            F.expr("shiftleft(1L, CAST(pmod(user_id, 32) AS INT))").alias("bit"),
         )
         .groupBy("week", "day", "word")
         .agg(F.bit_or("bit").alias("day_mask"))

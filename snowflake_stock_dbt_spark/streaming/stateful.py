@@ -189,6 +189,21 @@ class SessionizeProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
         self._sessions = handle.getListState("sessions", _FRAG_SCHEMA)
+        # The currently-armed timer's expiry (ms). TWS keeps a SET of
+        # (key, expiry) timers, so re-arming without deleting would
+        # accumulate one stale timer per batch that touches the key;
+        # tracking the armed expiry lets _arm() delete-before-re-arm and
+        # keep the documented one-LIVE-timer-per-key cost model true.
+        self._armed = handle.getValueState("armed_ms", "expiry_ms long")
+
+    def _arm(self, expiry_ms: int) -> None:
+        prev = self._armed.get()[0] if self._armed.exists() else None
+        if prev == expiry_ms:
+            return
+        if prev is not None:
+            self._handle.deleteTimer(prev)
+        self._handle.registerTimer(expiry_ms)
+        self._armed.update((expiry_ms,))
 
     def _stored(self) -> list[tuple]:
         return [tuple(t) for t in self._sessions.get()] if (
@@ -209,16 +224,20 @@ class SessionizeProcessor(StatefulProcessor):
             self._stored() + _fragments_of(pairs, self._gap_us), self._gap_us
         )
         self._sessions.put(merged)
-        # ONE timer per key, at the EARLIEST fragment close (ceil to ms
-        # so the us->ms grain can never fire early): expiry emits every
-        # closeable fragment and re-arms for the next-earliest remaining,
-        # so per-key timer traffic is O(close events), not O(fragments) —
-        # a fragment-per-timer formulation cost 95k Python expiry
-        # round-trips at sf0.1 (17 s); this one costs #users. Stale
-        # timers (a fragment extended after arming) are harmless: expiry
-        # re-checks the watermark against CURRENT state.
+        # ONE LIVE timer per key, at the EARLIEST fragment close (ceil
+        # to ms so the us->ms grain can never fire early): expiry emits
+        # every closeable fragment and re-arms for the next-earliest
+        # remaining, so per-key timer traffic is O(close events), not
+        # O(fragments) — a fragment-per-timer formulation cost 95k
+        # Python expiry round-trips at sf0.1 (17 s); this one costs
+        # #users. _arm() deletes the previously-armed timer before
+        # re-arming (TWS keeps a SET of timers, so a bare registerTimer
+        # would leak one stale timer per batch touching the key); a
+        # stale firing would still be harmless — expiry re-checks the
+        # watermark against CURRENT state — but the cost model holds
+        # only with the delete.
         earliest = min(f[1] for f in merged) + self._gap_us
-        self._handle.registerTimer(-(earliest // -1000))
+        self._arm(-(earliest // -1000))
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
@@ -232,11 +251,14 @@ class SessionizeProcessor(StatefulProcessor):
                 closed.append(frag)
             else:
                 still_open.append(frag)
+        # The timer that just fired is gone from the timer set; drop the
+        # book-keeping so _arm() doesn't try to delete it later.
+        self._armed.clear()
         if still_open:
             # Re-arm for the next-earliest close among surviving
-            # fragments (the one-timer-per-key discipline).
+            # fragments (the one-LIVE-timer-per-key discipline).
             earliest = min(f[1] for f in still_open) + self._gap_us
-            self._handle.registerTimer(-(earliest // -1000))
+            self._arm(-(earliest // -1000))
         if closed:
             if still_open:
                 self._sessions.put(still_open)
