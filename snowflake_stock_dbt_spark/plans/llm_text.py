@@ -1380,7 +1380,11 @@ _BURST_TOP_N = 30
 
 def q184_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # |docs| as a LAZY 1-row broadcast anchor (the q216 pattern) — no
+    # driver-side .count() at plan-construction time, no double scan.
+    n_docs = docs.groupBy().agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
     tf = (
         docs.select(
             "doc_id",
@@ -1395,13 +1399,15 @@ def q184_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    n = F.lit(float(n_docs))
     vmr = (
         F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+        - F.col("sx").cast("double")
+        * F.col("sx").cast("double")
+        / F.col("n_docs")
     ) / F.col("sx").cast("double")
     return (
-        stats.select(
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
             "term",
             "doc_freq",
             F.col("sx").alias("total_occurrences"),

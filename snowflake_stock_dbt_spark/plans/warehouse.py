@@ -1812,7 +1812,12 @@ _PAIR_TOP_N = 100
 def q177_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select("l_orderkey").distinct().count()
+    # Basket total as a LAZY 1-row broadcast anchor (the q216 pattern),
+    # not a driver-side .count(): plan construction stays lazy and the
+    # input is scanned once, inside the same job.
+    n_orders = items.select("l_orderkey").distinct().groupBy().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
     freq = (
         items.groupBy("l_partkey")
         .agg(F.count("*").alias("item_support"))
@@ -1840,11 +1845,12 @@ def q177_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("support") >= _PAIR_MIN_SUPPORT)
     )
-    lift = (F.col("support") * F.lit(n_orders)).cast("double") / (
+    lift = (F.col("support") * F.col("n_orders")).cast("double") / (
         F.col("sa") * F.col("sb")
     ).cast("double")
     return (
-        pairs.select(
+        pairs.crossJoin(F.broadcast(n_orders))
+        .select(
             "pa", "pb", "support", "sa", "sb", F.round(lift, 9).alias("lift")
         )
         .orderBy(F.col("lift").desc(), "pa", "pb")

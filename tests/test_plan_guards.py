@@ -43,7 +43,9 @@ BNL_ALLOWED = {
     "q160_collocations",  # 1-row total-token broadcast (q03 pattern)
     "q161_skipping_manifest",  # q157's 1-row grid-stats broadcast, joined
     "q166_binary_quant_search",  # query-set x packed-corpus Hamming broadcast (q25 pattern)
+    "q177_frequent_pairs",  # 1-row basket-total broadcast (q216 pattern, r6)
     "q183_abc_classification",  # 1-row revenue-total broadcast (q03 pattern)
+    "q184_term_burstiness",  # 1-row |docs| broadcast (q216 pattern, r6)
     "q186_bm25_search",  # 1-row (N, total_len) corpus-stats broadcast
     "q194_equidepth_histogram",  # 1-row total-rows broadcast (q03 pattern)
     "q195_skew_report",  # 1-row (total, n_keys) stats broadcast
@@ -304,7 +306,10 @@ SHUFFLE_BUDGETS = {
     "q178_knn_clusters": 16,  # post-checkpoint CC tail (lost checkpoint -> explodes)
     "q179_spearman": 16,  # two rank passes + moment join-backs
     "q180_percentile_rank": 8,  # value-counts agg + CDF broadcast-back
-    "q184_term_burstiness": 4,  # one keyed moment agg + top-N
+    # one keyed moment agg + top-N, plus the lazy 1-row |docs| anchor's
+    # own global-agg + broadcast exchanges (r6: replaced the eager
+    # driver .count(), which hid that scan in a separate job).
+    "q184_term_burstiness": 8,
     # Insight family (q216-q229): observed plan shapes + headroom.
     "q216_market_basket": 32,  # item agg + pruned self-join + pair agg
     "q217_rfm_segments": 12,  # per-cust agg + three ntile sorts + rollup
@@ -528,3 +533,60 @@ def test_runtime_bloom_filter_injects_on_q190(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_eager_actions_at_plan_construction():
+    """Grep gate (round-5 VERDICT item 5): no ``.count()`` / ``.first()``
+    ACTION may run during plan construction in plans/ — the engine's
+    broadcast-anchor pattern (1-row agg + ``crossJoin(F.broadcast())``,
+    q216 plans/insights.py) expresses every "scalar of the input" need
+    lazily. Whitelisted, each with a pinned justification:
+
+    - ``groupBy(...).count()`` — a lazy TRANSFORMATION, not an action
+      (matched and excluded by the ``groupBy``/agg-chain heuristic);
+    - streaming fixture builders (streaming_plans.py ``_flush_landings``
+      block) — they WRITE a file-feed before any stream exists, so an
+      action is the point;
+    - q118's SemDeDup k-sizing count (vectors.py) — k must be a driver
+      int before training (it sizes the seed collect); memoized per
+      (session, corpus) in ``_SEMDEDUP_N_CACHE`` so it runs once.
+    """
+    import re
+    from pathlib import Path
+
+    plans = Path(__file__).resolve().parents[1] / (
+        "snowflake_stock_dbt_spark/plans"
+    )
+    allowed = {
+        ("streaming_plans.py", ".first()"),  # fixture landing-dir builder
+        ("vectors.py", ".count()"),  # SemDeDup k-sizing, memoized
+    }
+    offenders = []
+    for path in sorted(plans.glob("*.py")):
+        src = path.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            for action in (".count()", ".first()"):
+                # Attached to an expression (ident/paren/bracket before
+                # the dot) — skips prose mentions in docstrings.
+                if not re.search(
+                    r"[\w)\]]" + re.escape(action), code
+                ):
+                    continue
+                # Lazy groupBy().count() chains are transformations.
+                if action == ".count()" and re.search(
+                    r"(groupBy\([^)]*\)|agg\()[^#]*\.count\(\)", code
+                ):
+                    continue
+                if (path.name, action) in allowed:
+                    continue
+                # A bare ".count()" continuation line directly under a
+                # groupBy( line is also lazy — check the previous line.
+                prev = src.splitlines()[i - 2] if i >= 2 else ""
+                if action == ".count()" and "groupBy" in prev:
+                    continue
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "eager driver actions at plan-construction time (use the q216 "
+        "broadcast-anchor pattern): " + "; ".join(offenders)
+    )
