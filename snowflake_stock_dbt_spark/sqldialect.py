@@ -312,3 +312,73 @@ def compile_snowflake_sql(sql: str) -> str:
     rewrite (top-level and inside CTE/subquery bodies), ready for
     ``spark.sql``."""
     return rewrite_qualify_deep(rewrite_snowflake_functions(sql))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic STDDEV: this engine defines the worksheet dialect's
+# STDDEV(x) as the exact closed form
+#
+#     sqrt((n*SUMx2 - SUMx^2) / (n*(n-1)))
+#
+# with every sum carried in DECIMAL(38-bounded) integer arithmetic and
+# exactly ONE double rounding at the end (decimal->double cast, IEEE
+# division, IEEE sqrt — each correctly rounded and engine-independent).
+# Native STDDEV accumulates central moments in engine-internal order
+# (Spark: partitioned tree-agg M2; DuckDB: sequential), so two engines
+# legitimately disagree in the last ulps — measured on the q112 star at
+# sf0.01: Spark ...068957 vs DuckDB ...068942 vs closed form ...068946
+# on BOTH. The closed form is the one STDDEV definition that can carry a
+# cross-engine value oracle; precision bounds: |x| < 10^13,
+# sum(x^2) < 10^26, sum(x) < 10^19, n < 10^12 — integer-valued doubles
+# well past 100 TB star scale (the q248 control-chart algebra, applied
+# at the dialect layer).
+# ---------------------------------------------------------------------------
+
+
+def rewrite_stddev_exact(sql: str) -> str:
+    """Replace every ``STDDEV(<arg>)`` aggregate call with the exact
+    closed form above. The replacement references ``<arg>`` five times —
+    all aggregates over the same group, so semantics are unchanged;
+    NULL handling matches native STDDEV (COUNT/SUM ignore NULLs; n<2
+    yields NULL via 0/0-free NULL propagation: n*(n-1)=0 makes the
+    division +-inf/NaN — guarded with a NULLIF on the denominator)."""
+    out = []
+    rest = sql
+    while True:
+        found = None
+        upper = rest.upper()
+        for i in range(len(upper)):
+            if upper.startswith("STDDEV", i) and (
+                i == 0 or not (upper[i - 1].isalnum() or upper[i - 1] == "_")
+            ):
+                j = i + len("STDDEV")
+                # STDDEV_SAMP spelling shares the definition; skip any
+                # other suffix (STDDEV_POP stays native/unused).
+                if upper.startswith("_SAMP", j):
+                    j += len("_SAMP")
+                elif upper[j : j + 1] == "_":
+                    continue
+                while j < len(rest) and rest[j].isspace():
+                    j += 1
+                if j < len(rest) and rest[j] == "(":
+                    found = (i, j)
+                    break
+        if found is None:
+            out.append(rest)
+            return "".join(out)
+        i, j = found
+        end = _match_paren(rest, j)
+        arg = rest[j + 1 : end - 1].strip()
+        n = f"CAST(COUNT({arg}) AS DECIMAL(12,0))"
+        q = (
+            f"CAST(SUM(CAST({arg} AS DECIMAL(13,0)) * "
+            f"CAST({arg} AS DECIMAL(13,0))) AS DECIMAL(26,0))"
+        )
+        s = f"CAST(SUM(CAST({arg} AS DECIMAL(18,0))) AS DECIMAL(19,0))"
+        closed = (
+            f"SQRT(CAST({n} * {q} - {s} * {s} AS DOUBLE) / "
+            f"CAST(NULLIF({n} * ({n} - 1), 0) AS DOUBLE))"
+        )
+        out.append(rest[:i])
+        out.append(closed)
+        rest = rest[end:]
