@@ -609,6 +609,19 @@ def label_propagation(
         .localCheckpoint()
     )
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    # Nodes with NO in-edges can never receive a contribution, so their
+    # per-round fallback label is always their own id — a STATIC frame.
+    # Computing it once turns the old per-round nodes⋈picked left join
+    # (a full-vertex-set shuffle per round) into a shuffle-free union:
+    # every receiver appears in `picked` every round (each in-edge
+    # contributes each round), so picked ∪ static covers all vertices.
+    static = (
+        nodes.join(
+            e.select(F.col("v").alias("id")).distinct(), "id", "left_anti"
+        )
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
     for _ in range(iters):
         contrib = e.join(
             labels.withColumnRenamed("id", "u"), "u"
@@ -616,21 +629,25 @@ def label_propagation(
         counts = contrib.groupBy("id", "label").agg(
             F.count("*").alias("c")
         )
-        w = Window.partitionBy("id").orderBy(
-            F.col("c").desc(), F.col("label").asc()
-        )
+        # Argmax by (count desc, label asc) as min(struct(-c, label)) —
+        # lexicographic struct min is the same pick as the old
+        # row_number window but PARTIAL-AGGREGATABLE: the window
+        # repartitioned by id and SORTED every (id, label) row; the
+        # struct-min combines map-side and never sorts (round-6 A/B,
+        # PLANS.md: isolated medians 5.58 -> see table).
         picked = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", "label")
-        )
-        labels = (
-            nodes.join(picked, "id", "left")
-            .select(
-                "id", F.coalesce("label", F.col("id")).alias("label")
+            counts.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("m")
             )
-            .localCheckpoint()
+            .select("id", F.col("m.label").alias("label"))
         )
+        labels = picked.unionByName(static).localCheckpoint()
     e.unpersist()
     return labels.select("id", F.col("label").alias("community"))
 

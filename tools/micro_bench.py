@@ -1,0 +1,150 @@
+"""Noise-proof micro-bench: medians of ISOLATED reps for the pinned
+heavy queries (round-5 VERDICT item 3).
+
+Why this exists: BENCH_r{N}.json cross-day suite numbers vary ~14%
+run-to-run on this host (two identical-code runs measured 59.6 s vs
+67.8 s on the common-68 suite), which produced a false "drift" alarm in
+round 4 and a phantom q60 1.84→3.17 s creep across rounds — each burning
+a controlled re-adjudication. A suite pass times every query once inside
+one long-lived JVM where page-cache state, GC pressure, and CPU
+contention from the preceding 249 queries all leak into the number.
+
+The fix is structural, not statistical: each pinned query runs in its
+OWN fresh process (fresh JVM, fresh state-store dirs, no inherited
+cache), does one warm-up pass at sf0.001 to pay codegen/stream/Arrow
+cold-start, then runs ``REPS`` timed reps at the bench corpus with a
+cache clear between reps. The recorded number is the MEDIAN of those
+reps — robust to a single contention spike in a way min-of-two inside a
+suite is not. Results land in ``MICRO_BENCH.json`` at the repo root;
+``bench.py`` embeds them in its one-line JSON (key ``micro``) so the
+driver's BENCH_r{N}.json carries them, and its comparator prefers these
+medians over suite numbers for the pinned set.
+
+Usage: ``python tools/micro_bench.py [--queries a,b] [--reps 4]``
+(also self-invoked with ``--single NAME`` for the per-query child).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_PATH = os.path.join(REPO, "MICRO_BENCH.json")
+
+#: The pinned rotation (round-5 VERDICT item 3): the heaviest iterative /
+#: stateful / candidate-generation plans, i.e. exactly the ones whose
+#: suite numbers have historically moved with host noise.
+PINNED = [
+    "q60_stream_stream_join",
+    "q74_dedup_survivors",
+    "q93_pagerank",
+    "q118_semantic_dedup",
+    "q151_knn_graph",
+    "q169_stream_join_then_window",
+    "q176_minhash_accuracy",
+    "q178_knn_clusters",
+    "q196_sessionize_tws",
+    "q204_lpa_communities",
+]
+
+REPS = 4
+
+
+def run_single(name: str, sf_dir: str, reps: int) -> None:
+    """Child-process body: warm up, then ``reps`` timed reps."""
+    import __spark_entry__ as E
+    from snowflake_stock_dbt_spark.session import get_spark
+
+    spark = get_spark(app_name=f"micro-{name}")
+    fn = E.queries()[name]
+    fn(spark, "/root/testdata/sf0.001").collect()  # cold-start payment
+    spark.catalog.clearCache()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times.append(round(time.perf_counter() - t0, 4))
+        spark.catalog.clearCache()
+    print("MICRO " + json.dumps({"name": name, "reps": times}), flush=True)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = REPS
+    if "--reps" in args:
+        reps = int(args[args.index("--reps") + 1])
+    if "--single" in args:
+        run_single(args[args.index("--single") + 1], sf_dir, reps)
+        return 0
+    names = PINNED
+    if "--queries" in args:
+        names = args[args.index("--queries") + 1].split(",")
+
+    results: dict[str, dict] = {}
+    for name in names:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--single",
+                name,
+                "--reps",
+                str(reps),
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=900,
+        )
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("MICRO ")
+            ),
+            None,
+        )
+        if line is None:
+            print(
+                f"FAIL {name}: no MICRO line\n{proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
+            return 1
+        rec = json.loads(line[len("MICRO ") :])
+        med = round(statistics.median(rec["reps"]), 4)
+        results[name] = {"reps": rec["reps"], "median": med}
+        print(f"{name}: median {med}s reps {rec['reps']}", flush=True)
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    ).stdout.strip()
+    with open(OUT_PATH, "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "commit": commit,
+                "reps_per_query": reps,
+                "queries": results,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
+    print(f"wrote {OUT_PATH} @ {commit}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
