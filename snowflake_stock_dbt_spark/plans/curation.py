@@ -1449,7 +1449,110 @@ ORDER BY c_nationkey, c_mktsegment, bal_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Q254 — TEMPERATURE-SCALED mixture quotas (the mT5/XLM-R α-sampling
+# law, Conneau et al. 2020: sample source s ∝ n_s^α with α = 0.5):
+# per-source character inventories are tempered by the square root —
+# boosting tail sources, damping the head — and a fixed document budget
+# is divided EXACTLY by largest-remainder on the tempered weights
+# (operators/allocation.py, the q218 proration contract: Σ quota ==
+# budget, every quota within 1 of its real share). Distinct from q156,
+# which water-fills toward an externally-given target mix; here the mix
+# IS the tempered inventory. Determinism: inventories are exact int64;
+# w9 = FLOOR(sqrt(chars)·1e6) is one correctly-rounded sqrt + product +
+# floor (identical on both engines — the pagerank grid recipe); the
+# allocation is pure int64. One keyed agg + one |sources|-row window.
+# ---------------------------------------------------------------------------
+
+#: Document budget divided across sources; α is fixed at 0.5 (sqrt).
+TEMP_MIX_BUDGET = 10_000
+_TEMP_WSCALE = 1_000_000
+
+
+def q254_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.allocation import largest_remainder
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    weighted = inv.select(
+        "source",
+        "n_docs",
+        "chars",
+        F.floor(
+            F.sqrt(F.col("chars").cast("double"))
+            * F.lit(float(_TEMP_WSCALE))
+        ).alias("w9"),
+        F.lit(TEMP_MIX_BUDGET).cast("long").alias("budget"),
+        F.lit(1).alias("g"),
+    )
+    alloc = largest_remainder(
+        weighted,
+        group_cols=["g"],
+        weight_col="w9",
+        budget_col="budget",
+        tiebreak_cols=["source"],
+        out_col="quota",
+    )
+    wg = Window.partitionBy("g")
+    return alloc.select(
+        "source",
+        "n_docs",
+        "chars",
+        "w9",
+        "quota",
+        F.round(
+            F.col("chars").cast("double")
+            / F.sum("chars").over(wg).cast("double"),
+            9,
+        ).alias("raw_share"),
+        F.round(
+            F.col("quota").cast("double") / F.lit(float(TEMP_MIX_BUDGET)),
+            9,
+        ).alias("tempered_share"),
+    )
+
+
+Q254_SQL = f"""
+WITH inv AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source
+),
+weighted AS (
+    SELECT *,
+           CAST(FLOOR(sqrt(CAST(chars AS DOUBLE)) * {float(_TEMP_WSCALE)})
+                AS BIGINT) AS w9
+    FROM inv
+),
+shares AS (
+    SELECT *,
+           SUM(w9) OVER () AS tot_w,
+           SUM(chars) OVER () AS tot_chars,
+           ({TEMP_MIX_BUDGET} * w9) // SUM(w9) OVER () AS base,
+           ({TEMP_MIX_BUDGET} * w9) % SUM(w9) OVER () AS rem
+    FROM weighted
+)
+SELECT source, n_docs, chars, w9,
+       CAST(base + CASE WHEN ROW_NUMBER() OVER (
+                ORDER BY rem DESC, source, w9
+            ) <= {TEMP_MIX_BUDGET} - SUM(base) OVER ()
+            THEN 1 ELSE 0 END AS BIGINT) AS quota,
+       round(CAST(chars AS DOUBLE) / CAST(tot_chars AS DOUBLE), 9)
+           AS raw_share,
+       round(CAST(base + CASE WHEN ROW_NUMBER() OVER (
+                ORDER BY rem DESC, source, w9
+            ) <= {TEMP_MIX_BUDGET} - SUM(base) OVER ()
+            THEN 1 ELSE 0 END AS DOUBLE) / {float(TEMP_MIX_BUDGET)}, 9)
+           AS tempered_share
+FROM shares
+"""
+
+
 CURATION_QUERIES = {
+    "q254_temperature_mixture": q254_temperature_mixture,
     "q200_curation_pipeline": q200_curation_pipeline,
     "q208_k_anonymity": q208_k_anonymity,
     "q70_repetition_signals": q70_repetition_signals,
@@ -1470,6 +1573,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "q254_temperature_mixture": Q254_SQL,
     "q200_curation_pipeline": Q200_SQL,
     "q208_k_anonymity": Q208_SQL,
     "q70_repetition_signals": Q70_SQL,

@@ -1495,7 +1495,137 @@ ORDER BY event_type, day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q257 — U-SHAPED (position-based) MULTI-TOUCH ATTRIBUTION: each user's
+# LAST purchase is the conversion; every earlier non-purchase event is a
+# touch; 100 credit units split 40/20/40 (first / middle / last — the
+# standard U-shape marketers run next to q158's last-touch single-credit
+# model). Credit is EXACT INTEGER by construction: k=1 → 100, k=2 →
+# 50/50, k≥3 → 40 + 40 at the ends and the middle 20 divided by
+# largest-remainder among the k−2 middles (base = 20 DIV (k−2), the
+# first 20 % (k−2) middles in journey order get +1) — Σ credit = 100
+# per converting user, always. Rolled up per event_type.
+#
+# Plan: one user-keyed window chain (conversion timestamp via max-when,
+# journey position + count via two frames of the same window partition)
+# + one keyed agg. No joins at all — the conversion anchor rides the
+# window, the q27 single-shuffle shape.
+# ---------------------------------------------------------------------------
+
+
+def q257_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        "user_id", "event_type", us.alias("us"), "event_id"
+    )
+    w_all = Window.partitionBy("user_id")
+    conv = F.max(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct("us", "event_id"),
+        )
+    ).over(w_all)
+    touches = (
+        base.withColumn("conv", conv)
+        .where(
+            F.col("conv").isNotNull()
+            & (F.col("event_type") != "purchase")
+            & (
+                (F.col("us") < F.col("conv.us"))
+                | (
+                    (F.col("us") == F.col("conv.us"))
+                    & (F.col("event_id") < F.col("conv.event_id"))
+                )
+            )
+        )
+        .select("user_id", "event_type", "us", "event_id")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_cnt = Window.partitionBy("user_id")
+    ranked = touches.withColumn(
+        "pos", F.row_number().over(w_ord)
+    ).withColumn("k", F.count("*").over(w_cnt))
+    m = F.col("k") - 2
+    credit = (
+        F.when(F.col("k") == 1, F.lit(100))
+        .when(F.col("k") == 2, F.lit(50))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(40))
+        .otherwise(
+            F.expr("20 div (k - 2)")
+            + F.when(F.col("pos") - 1 <= F.expr("20 % (k - 2)"), 1).otherwise(
+                0
+            )
+        )
+    )
+    return (
+        ranked.withColumn("credit", credit)
+        .groupBy("event_type")
+        .agg(
+            F.sum("credit").cast("long").alias("total_credit"),
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum(F.when(F.col("pos") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("pos") == F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_last"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q257_SQL = """
+WITH base AS (
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+    FROM events
+),
+with_conv AS (
+    SELECT *,
+           MAX(CASE WHEN event_type = 'purchase'
+                    THEN {'us': us, 'event_id': event_id} END)
+               OVER (PARTITION BY user_id) AS conv
+    FROM base
+),
+touches AS (
+    SELECT user_id, event_type, us, event_id
+    FROM with_conv
+    WHERE conv IS NOT NULL AND event_type <> 'purchase'
+      AND (us < conv.us OR (us = conv.us AND event_id < conv.event_id))
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS pos,
+           COUNT(*) OVER (PARTITION BY user_id) AS k
+    FROM touches
+),
+credited AS (
+    SELECT event_type, pos, k,
+           CASE WHEN k = 1 THEN 100
+                WHEN k = 2 THEN 50
+                WHEN pos = 1 OR pos = k THEN 40
+                ELSE 20 // (k - 2)
+                     + CASE WHEN pos - 1 <= 20 % (k - 2)
+                            THEN 1 ELSE 0 END
+           END AS credit
+    FROM ranked
+)
+SELECT event_type,
+       CAST(SUM(credit) AS BIGINT) AS total_credit,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(SUM(CASE WHEN pos = k THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+FROM credited
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EVENT_QUERIES = {
+    "q257_ushape_attribution": q257_ushape_attribution,
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
     "q209_ohlc_bars": q209_ohlc_bars,
     "q205_daily_movers": q205_daily_movers,
@@ -1519,6 +1649,7 @@ EVENT_QUERIES = {
 }
 
 EVENT_ORACLES = {
+    "q257_ushape_attribution": Q257_SQL,
     "q199_rolling_distinct_users": Q199_SQL,
     "q209_ohlc_bars": Q209_SQL,
     "q205_daily_movers": Q205_SQL,

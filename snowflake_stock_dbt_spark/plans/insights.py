@@ -3238,7 +3238,266 @@ ORDER BY n_name, day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q252 — INTERVAL-UNION ISLANDS over VARIABLE-length activity spans: each
+# event opens [ts, ts + dur) with a per-event duration derived from its
+# value (exact integer seconds in [60, 3600]); overlapping/touching
+# spans per user merge into maximal "islands" (total engaged-time
+# blocks). This is the general interval-union operator — NOT gap
+# sessionization (q27), which only looks at consecutive-event gaps: with
+# variable durations an earlier event can outlast several later ones, so
+# a new island starts only when an event's start exceeds the RUNNING MAX
+# of all previous ends. One user-keyed window chain (running max →
+# boundary flag → cumulative island id) + one keyed agg — single
+# shuffle, the q27 scale shape. All arithmetic integer µs/seconds.
+# ---------------------------------------------------------------------------
+
+_ISLAND_MIN_S = 60
+_ISLAND_MOD_S = 3541  # duration = 60 + |value*60| % 3541 -> [60, 3600]
+
+
+def q252_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    # NULL/NaN values (the corpus ships both — q08 counts them) pin to
+    # duration 0 BEFORE the cast: Spark's non-ANSI NaN->long is 0 while
+    # DuckDB's raises, so the guard is a determinism requirement.
+    v = F.when(
+        F.col("value").isNull() | F.isnan("value"), F.lit(0.0)
+    ).otherwise(F.col("value"))
+    # FLOOR(ABS(...)) explicitly: a bare double->BIGINT cast truncates
+    # in Spark but ROUNDS half-even in DuckDB (the F6-F8 parity lesson).
+    dur_us = (
+        F.lit(_ISLAND_MIN_S)
+        + F.pmod(F.floor(F.abs(v) * 60), F.lit(_ISLAND_MOD_S))
+    ) * F.lit(1_000_000)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    spans = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        (us + dur_us).alias("end_us"),
+    )
+    flagged = (
+        spans.withColumn("prev_max_end", F.max("end_us").over(wprev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("us") > F.col("prev_max_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(wcum))
+    )
+    return (
+        flagged.groupBy("user_id", "island")
+        .agg(
+            F.min("us").alias("island_start_us"),
+            F.max("end_us").alias("island_end_us"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .withColumn(
+            "engaged_s",
+            (
+                (F.col("island_end_us") - F.col("island_start_us"))
+                / F.lit(1_000_000)
+            ).cast("long"),
+        )
+    )
+
+
+Q252_SQL = f"""
+WITH spans AS (
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             + ({_ISLAND_MIN_S}
+                + (CAST(FLOOR(ABS(CASE WHEN value IS NULL OR isnan(value)
+                                      THEN 0.0 ELSE value END) * 60)
+                        AS BIGINT)
+                   % {_ISLAND_MOD_S}))
+               * 1000000 AS end_us
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           MAX(end_us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max_end
+    FROM spans
+),
+islands AS (
+    SELECT *, SUM(CASE WHEN prev_max_end IS NULL OR us > prev_max_end
+                       THEN 1 ELSE 0 END) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS island
+    FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       MIN(us) AS island_start_us,
+       MAX(end_us) AS island_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (MAX(end_us) - MIN(us)) // 1000000 AS engaged_s
+FROM islands
+GROUP BY user_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q256 — KAPLAN-MEIER SURVIVAL CURVE with right-censoring: the estimator
+# S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ), where subjects whose failure has not
+# been observed by the corpus horizon are RIGHT-CENSORED (still alive —
+# they leave the risk set without a death). Censoring handling
+# is exactly what q66's retention matrix lacks: naive retention treats
+# a still-active user as churned at their last observed day, biasing
+# survival down; KM is the standard correction (Kaplan & Meier 1958).
+#
+# SUBJECTS: each purchase event, with "failure" = the same user's NEXT
+# error event (time-to-failure in whole hours) and right-censoring at
+# the corpus horizon when no later error exists — the case a naive
+# "mean time to error" silently drops. The next-error lookup is ONE
+# user-keyed window (min over the following frame), never a join.
+#
+# Determinism of the product: at-risk counts nᵢ and death counts dᵢ are
+# exact integers (reverse-cumulative window sums); S(t) is a LEFT FOLD
+# over the day-ascending step array — Spark `aggregate` over the sorted
+# collected array, DuckDB `list_reduce` over the identically-sorted
+# list — so both engines execute the SAME sequence of correctly-rounded
+# IEEE (1 − d/n) multiplications. The step array is bounded by the
+# corpus day span (#distinct event days), so the single-row collect is
+# driver-bounded state like a k-means codebook, not data-scale state.
+# The horizon is a lazy 1-row broadcast anchor (q216 pattern).
+# ---------------------------------------------------------------------------
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def q256_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.where(
+        F.col("event_type").isin("purchase", "error")
+    ).select("user_id", "event_type", us.alias("us"), "event_id")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_err = F.min(
+        F.when(F.col("event_type") == "error", F.col("us"))
+    ).over(w_next)
+    subjects = base.withColumn("err_us", next_err).where(
+        F.col("event_type") == "purchase"
+    )
+    horizon = ev.select(us.alias("us")).groupBy().agg(
+        F.max("us").alias("h")
+    )
+    lifed = subjects.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(coalesce(err_us, h) - us) div 3600000000").alias("t"),
+        F.col("err_us").isNull().cast("int").alias("censored"),
+    )
+    per_day = lifed.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    w_rev = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    steps = (
+        per_day.withColumn(
+            "n", F.sum(F.col("d") + F.col("c")).over(w_rev)
+        )
+        .where(F.col("d") > 0)
+        .select("t", "d", "n")
+    )
+    arr = steps.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "n"))).alias("a")
+    )
+    exploded = arr.select(
+        F.col("a"), F.posexplode("a").alias("i", "s")
+    )
+    s_hat = F.aggregate(
+        F.slice(F.col("a"), 1, F.col("i") + 1),
+        F.lit(1.0),
+        lambda acc, x: acc * (F.lit(1.0) - x["d"] / x["n"]),
+    )
+    return exploded.select(
+        F.col("s.t").alias("t_days"),
+        F.col("s.n").alias("n_at_risk"),
+        F.col("s.d").alias("deaths"),
+        F.round(s_hat, 9).alias("s_hat"),
+    ).orderBy("t_days")
+
+
+Q256_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+    FROM events
+),
+base AS (
+    SELECT user_id, event_type, us, event_id
+    FROM ev WHERE event_type IN ('purchase', 'error')
+),
+with_next AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = 'error' THEN us END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS err_us
+    FROM base
+),
+horizon AS (SELECT MAX(us) AS h FROM ev),
+lifed AS (
+    SELECT (COALESCE(err_us, h) - us) // {_US_PER_HOUR} AS t,
+           CASE WHEN err_us IS NULL THEN 1 ELSE 0 END AS censored
+    FROM with_next CROSS JOIN horizon
+    WHERE event_type = 'purchase'
+),
+per_day AS (
+    SELECT t, CAST(SUM(1 - censored) AS BIGINT) AS d,
+           CAST(SUM(censored) AS BIGINT) AS c
+    FROM lifed GROUP BY t
+),
+steps AS (
+    SELECT t, d,
+           SUM(d + c) OVER (
+               ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n
+    FROM per_day
+),
+stepped AS (SELECT t, d, n FROM steps WHERE d > 0),
+arr AS (
+    SELECT list_sort(list({{'t': t, 'd': d, 'n': n}})) AS a FROM stepped
+),
+exploded AS (
+    SELECT a, a[r.i + 1] AS s, CAST(r.i AS INT) AS i
+    FROM arr CROSS JOIN range(0, 100000) r(i)
+    WHERE r.i < len(a)
+)
+SELECT s.t AS t_days, s.n AS n_at_risk, s.d AS deaths,
+       round(list_reduce(
+           list_prepend(1.0::DOUBLE,
+               list_transform(a[1 : i + 1],
+                              x -> 1.0 - CAST(x.d AS DOUBLE)
+                                   / CAST(x.n AS DOUBLE))),
+           (acc, x) -> acc * x
+       ), 9) AS s_hat
+FROM exploded
+ORDER BY t_days
+"""
+
+
 INSIGHTS_QUERIES = {
+    "q252_interval_islands": q252_interval_islands,
+    "q256_km_survival": q256_km_survival,
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
     "q218_discount_allocation": q218_discount_allocation,
@@ -3276,6 +3535,8 @@ INSIGHTS_QUERIES = {
 }
 
 INSIGHTS_ORACLES = {
+    "q252_interval_islands": Q252_SQL,
+    "q256_km_survival": Q256_SQL,
     "q216_market_basket": Q216_SQL,
     "q217_rfm_segments": Q217_SQL,
     "q218_discount_allocation": Q218_SQL,

@@ -735,7 +735,87 @@ LIMIT {RRF_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q255 — POSITIONAL PHRASE SEARCH: exact-adjacency phrase matching
+# ("term1 term2" as a quoted query) via a positional posting join — the
+# capability q201's frequency-only postings can't serve (tf postings
+# prove co-occurrence, not adjacency; every real search engine keeps
+# positions precisely for this). Tokens are numbered over the
+# EMPTY-FILTERED token array (so positions are adjacency-meaningful
+# regardless of whitespace runs); a phrase hit is p1 ⋈ p2 on (doc_id,
+# pos2 = pos1 + 1). The fixed query set joins in as a BROADCAST frame,
+# which pushes term selectivity into the posting build. Per phrase and
+# doc: match count. All integers. Scale: postings are linear in corpus
+# tokens; the phrase join is equi on (term-selected) postings keyed by
+# doc — never a cross product.
+# ---------------------------------------------------------------------------
+
+#: Quoted phrase queries (terms drawn from the synthetic vocabulary).
+PHRASE_QUERIES = [
+    ("p1", "table", "hash"),
+    ("p2", "customer", "join"),
+    ("p3", "merge", "order"),
+]
+
+
+def q255_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "term"),
+    )
+    phrases = spark.createDataFrame(
+        PHRASE_QUERIES, "phrase_id string, t1 string, t2 string"
+    )
+    first = pos.join(
+        F.broadcast(phrases), pos.term == phrases.t1
+    ).select("phrase_id", "t2", "doc_id", "pos")
+    hits = first.join(
+        pos.alias("p2"),
+        (F.col("p2.doc_id") == first.doc_id)
+        & (F.col("p2.term") == first.t2)
+        & (F.col("p2.pos") == first.pos + 1),
+    )
+    return (
+        hits.groupBy("phrase_id", first.doc_id.alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .orderBy("phrase_id", "doc_id")
+    )
+
+
+_PHRASE_VALUES = ", ".join(
+    f"('{p}', '{a}', '{b}')" for p, a, b in PHRASE_QUERIES
+)
+
+Q255_SQL = rf"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(TRIM(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+p AS (
+    SELECT doc_id, toks[r.i + 1] AS term, CAST(r.i AS INT) AS pos
+    FROM d CROSS JOIN range(0, 100000) r(i)
+    WHERE r.i < len(toks)
+),
+phrases(phrase_id, t1, t2) AS (VALUES {_PHRASE_VALUES})
+SELECT ph.phrase_id, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM phrases ph
+JOIN p a ON a.term = ph.t1
+JOIN p b ON b.doc_id = a.doc_id AND b.term = ph.t2 AND b.pos = a.pos + 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 RETRIEVAL_QUERIES = {
+    "q255_phrase_search": q255_phrase_search,
     "q211_rrf_hybrid": q211_rrf_hybrid,
     "q201_inverted_index": q201_inverted_index,
     "q202_cdc_apply": q202_cdc_apply,
@@ -745,6 +825,7 @@ RETRIEVAL_QUERIES = {
 }
 
 RETRIEVAL_ORACLES = {
+    "q255_phrase_search": Q255_SQL,
     "q211_rrf_hybrid": Q211_SQL,
     "q201_inverted_index": Q201_SQL,
     "q202_cdc_apply": Q202_SQL,

@@ -1283,6 +1283,309 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Q258 — TOP PRINCIPAL COMPONENT by exact-integer power iteration: the
+# dimensionality-reduction primitive (PCA direction) embedding pipelines
+# run before whitening / low-rank ANN, computed fully DISTRIBUTED with
+# the engine's deterministic-iteration recipe (pagerank/HITS family):
+#
+#   1. quantize components to the KMEANS_SCALE integer grid;
+#   2. center on the integer grid (mean9 = SUM(v9) DIV n — integral
+#      division, identical on both engines; bias ≤ one grid unit);
+#   3. power-iterate w ← Cᵀ(Cw): per-vector score sᵢ = Σ c9·w9 is an
+#      exact int64 sum (|c9| ≤ 2e7, |w9| ≤ 1e6, dim 64 → < 2^63); the
+#      re-projection Σ sᵢ·c9 runs in DECIMAL(38,0); each round
+#      max-normalizes back to the 1e6 integer grid with exactly one
+#      double rounding chain (decimal→double cast, division, ×1e6,
+#      floor — every step correctly rounded, so both engines land on
+#      the SAME integer grid point, and the next round is exact again).
+#
+# No driver state at all — the weight vector is a dim-bounded (64-row)
+# broadcast frame, unlike k-means' collected centroids. Per round: two
+# keyed shuffles (by vec_id, by pos); everything else is broadcast.
+# Sign is pinned by the all-positive start vector. At 100 TB: linear
+# scans, dim-bounded joins, DECIMAL(38) headroom to n ~ 1e12 rows.
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 2
+#: Weight-vector grid: loadings live on the 1e6 integer lattice.
+PCA_WSCALE = 1_000_000
+
+
+def q258_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ui = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(_KMEANS_SCALE))
+                ),
+            )
+        ).alias("pos", "v9"),
+    )
+    mean = ui.groupBy("pos").agg(
+        F.expr("sum(v9) div count(*)").alias("m9")
+    )
+    c = ui.join(F.broadcast(mean), "pos").select(
+        "vec_id", "pos", (F.col("v9") - F.col("m9")).alias("c9")
+    )
+    w = spark.range(EMBED_DIM).select(
+        F.col("id").cast("int").alias("pos"),
+        F.lit(PCA_WSCALE).cast("long").alias("w9"),
+    )
+    for _ in range(PCA_ITERS):
+        s = (
+            c.join(F.broadcast(w), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("c9") * F.col("w9")).alias("s"))
+        )
+        r = (
+            c.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.col("s").cast("decimal(20,0)")
+                    * F.col("c9").cast("decimal(9,0)")
+                ).alias("r")
+            )
+        )
+        m = r.agg(F.max(F.abs(F.col("r"))).alias("m"))
+        w = (
+            r.crossJoin(F.broadcast(m))
+            .select(
+                "pos",
+                F.floor(
+                    F.col("r").cast("double")
+                    / F.col("m").cast("double")
+                    * F.lit(float(PCA_WSCALE))
+                ).alias("w9"),
+            )
+        )
+    return w.select(
+        "pos",
+        F.col("w9").cast("long").alias("loading9"),
+        (F.col("w9").cast("double") / F.lit(float(PCA_WSCALE))).alias(
+            "loading"
+        ),
+    ).orderBy("pos")
+
+
+def _pca_round_sql(t: int) -> str:
+    """One unrolled power-iteration round (DuckDB): score, re-project in
+    HUGEINT, max-normalize back to the PCA_WSCALE grid."""
+    return f"""s{t} AS (
+    SELECT c.vec_id, SUM(c.c9 * w.w9) AS s
+    FROM c JOIN w{t - 1} w USING (pos) GROUP BY 1
+),
+r{t} AS (
+    SELECT c.pos, SUM(CAST(s.s AS HUGEINT) * CAST(c.c9 AS HUGEINT)) AS r
+    FROM c JOIN s{t} s USING (vec_id) GROUP BY 1
+),
+m{t} AS (SELECT MAX(ABS(r)) AS m FROM r{t}),
+w{t} AS (
+    SELECT pos,
+           CAST(FLOOR(CAST(r AS DOUBLE) / CAST(m AS DOUBLE)
+                      * {float(PCA_WSCALE)}) AS BIGINT) AS w9
+    FROM r{t} CROSS JOIN m{t}
+)"""
+
+
+Q258_SQL = f"""
+WITH u AS (
+    SELECT vec_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, {EMBED_DIM}) r(i)
+),
+ui AS (
+    SELECT vec_id, pos,
+           CAST(FLOOR(v * {float(_KMEANS_SCALE)}) AS BIGINT) AS v9
+    FROM u
+),
+mean AS (SELECT pos, SUM(v9) // COUNT(*) AS m9 FROM ui GROUP BY pos),
+c AS (
+    SELECT ui.vec_id, ui.pos, ui.v9 - mean.m9 AS c9
+    FROM ui JOIN mean USING (pos)
+),
+w0 AS (
+    SELECT CAST(r.i AS INT) AS pos, CAST({PCA_WSCALE} AS BIGINT) AS w9
+    FROM range(0, {EMBED_DIM}) r(i)
+),
+{",".join(_pca_round_sql(t) for t in range(1, PCA_ITERS + 1))}
+SELECT pos, w9 AS loading9,
+       CAST(w9 AS DOUBLE) / {float(PCA_WSCALE)} AS loading
+FROM w{PCA_ITERS}
+ORDER BY pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q259 — MUTUAL NEAREST NEIGHBORS: pairs where each vector is the
+# other's top-1 cosine neighbor — the reciprocal-best-match criterion
+# dataset-alignment and cross-lingual mining pipelines use to accept a
+# pair without a threshold (MNN is far more precise than one-directional
+# top-1: a hub vector is many vectors' nearest neighbor, but is mutual
+# with at most one of them). Composition: q151's IVF-blocked k-NN edges
+# (same trained coarse quantizer, same exact integer-grid cosine), rank-1
+# edges self-joined on (src=dst, dst=src), emitted once with id_a <
+# id_b. The oracle replays Q151's CTE chain and the same mutual join.
+# Scale: adds one equi-join on (lo, hi) over the already-bounded rank-1
+# edge set (|V| rows) — nothing quadratic.
+# ---------------------------------------------------------------------------
+
+
+def q259_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_assign, knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed, cent = kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"),
+        return_centroids=True,
+    )
+    top1 = (
+        knn_graph(
+            bucketed, cent, bucket_col="bucket", k=1, nprobe=IVF_NPROBE
+        )
+        .where(F.col("rank") == 1)
+        .select("src_id", "dst_id", "cosine")
+    )
+    a = top1.alias("a")
+    b = top1.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src_id") == F.col("b.dst_id"))
+            & (F.col("a.dst_id") == F.col("b.src_id")),
+        )
+        .where(F.col("a.src_id") < F.col("a.dst_id"))
+        .select(
+            F.col("a.src_id").alias("id_a"),
+            F.col("a.dst_id").alias("id_b"),
+            F.round(F.col("a.cosine"), 9).alias("cosine"),
+        )
+    )
+
+
+Q259_SQL = f"""
+WITH {Q151_BODY},
+top1 AS (SELECT src_id, dst_id, r_cosine FROM ranked WHERE rank = 1)
+SELECT a.src_id AS id_a, a.dst_id AS id_b, a.r_cosine AS cosine
+FROM top1 a
+JOIN top1 b ON a.src_id = b.dst_id AND a.dst_id = b.src_id
+WHERE a.src_id < a.dst_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q260 — CLUSTER-QUALITY REPORT for the trained k-means quantizer: per
+# bucket, population, exact integer inertia (Σ squared grid distance to
+# the assigned centroid — kmeans_assign's argmin already carries it),
+# mean squared error, the exact integer squared distance to the NEAREST
+# OTHER centroid, and the Davies-Bouldin-style compactness/separation
+# ratio mean_sqerr / nearest_d2. This is the go/no-go gauge for every
+# IVF/SemDeDup consumer of the codebook (q26/q106/q118/q150/q151): a
+# bucket with ratio ≫ its peers means the quantizer under-fits there
+# and ANN recall will sag. All integers exact on the KMEANS_SCALE grid;
+# the two doubles are single correctly-rounded divisions, so the report
+# carries a full value oracle. Scale: inertia is one keyed agg over the
+# assignment (DECIMAL(38) sums — n·2.6e16 overflows int64 at corpus
+# scale); centroid separation is k×k over BOUNDED broadcast state.
+# ---------------------------------------------------------------------------
+
+
+def q260_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cent = kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"),
+        return_centroids=True, attach_centroid=True,
+    )
+    per_bucket = assigned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("sq_err").cast("decimal(20,0)")).alias("inertia_d"),
+    )
+    cdf = spark.createDataFrame(
+        [(int(b), [int(v) for v in cv]) for b, cv in cent],
+        "bucket INT, cq ARRAY<BIGINT>",
+    )
+    pair_d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.cq"), F.col("b.cq"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    nearest = (
+        cdf.alias("a")
+        .join(
+            F.broadcast(cdf.alias("b")),
+            F.col("a.bucket") != F.col("b.bucket"),
+        )
+        .select(F.col("a.bucket").alias("bucket"), pair_d2.alias("d2"))
+        .groupBy("bucket")
+        .agg(F.min("d2").alias("nearest_d2"))
+    )
+    mean_sqerr = F.col("inertia_d").cast("double") / F.col("n").cast(
+        "double"
+    )
+    return (
+        per_bucket.join(F.broadcast(nearest), "bucket")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            F.col("inertia_d").cast("double").alias("inertia"),
+            F.round(mean_sqerr, 6).alias("mean_sqerr"),
+            F.col("nearest_d2").cast("long").alias("nearest_d2"),
+            F.round(
+                mean_sqerr / F.col("nearest_d2").cast("double"), 9
+            ).alias("db_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q260_SQL = f"""
+WITH {{KMEANS_CTES}},
+err AS (
+    SELECT a.vec_id, a.bucket,
+           SUM(CAST(ui.v9 - c.c9 AS HUGEINT)
+             * CAST(ui.v9 - c.c9 AS HUGEINT)) AS sq_err
+    FROM asgf a
+    JOIN ui ON ui.vec_id = a.vec_id
+    JOIN cent{KMEANS_ITERS} c ON c.bucket = a.bucket AND c.pos = ui.pos
+    GROUP BY 1, 2
+),
+per_bucket AS (
+    SELECT bucket, COUNT(*) AS n, SUM(sq_err) AS inertia
+    FROM err GROUP BY bucket
+),
+cpairs AS (
+    SELECT a.bucket AS ab, b.bucket AS bb,
+           SUM(CAST(a.c9 - b.c9 AS HUGEINT)
+             * CAST(a.c9 - b.c9 AS HUGEINT)) AS d2
+    FROM cent{KMEANS_ITERS} a
+    JOIN cent{KMEANS_ITERS} b
+      ON a.pos = b.pos AND a.bucket <> b.bucket
+    GROUP BY 1, 2
+),
+nearest AS (SELECT ab AS bucket, MIN(d2) AS nearest_d2 FROM cpairs GROUP BY 1)
+SELECT CAST(p.bucket AS INT) AS bucket, CAST(n AS BIGINT) AS n,
+       CAST(inertia AS DOUBLE) AS inertia,
+       round(CAST(inertia AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_sqerr,
+       CAST(nearest_d2 AS BIGINT) AS nearest_d2,
+       round(CAST(inertia AS DOUBLE) / CAST(n AS DOUBLE)
+             / CAST(nearest_d2 AS DOUBLE), 9) AS db_ratio
+FROM per_bucket p JOIN nearest USING (bucket)
+ORDER BY bucket
+""".replace(
+    "{KMEANS_CTES}", _kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS)
+)
+
+
 VECTOR_QUERIES = {
     "q25_cosine_topk": q25_cosine_topk,
     "q192_embedding_drift": q192_embedding_drift,
@@ -1297,9 +1600,15 @@ VECTOR_QUERIES = {
     "q151_knn_graph": q151_knn_graph,
     "q166_binary_quant_search": q166_binary_quant_search,
     "q178_knn_clusters": q178_knn_clusters,
+    "q258_pca_power_iteration": q258_pca_power_iteration,
+    "q259_mutual_nn": q259_mutual_nn,
+    "q260_cluster_quality": q260_cluster_quality,
 }
 
 VECTOR_ORACLES = {
+    "q258_pca_power_iteration": Q258_SQL,
+    "q259_mutual_nn": Q259_SQL,
+    "q260_cluster_quality": Q260_SQL,
     "q151_knn_graph": Q151_SQL,
     "q166_binary_quant_search": Q166_SQL,
     "q178_knn_clusters": Q178_SQL,

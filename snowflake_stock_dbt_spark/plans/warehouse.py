@@ -2612,7 +2612,218 @@ SELECT id AS node_id, cost FROM d{_SSSP_ROUNDS} ORDER BY node_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q251 — ITEM-ITEM COLLABORATIVE FILTERING neighbor lists (the classic
+# Amazon item-to-item recommender, Linden et al. 2003): for every part,
+# the top-K most-similar parts by co-purchase COSINE
+# n_ab / (sqrt(n_a)·sqrt(n_b)) over order baskets. Distinct from q177
+# (global association-rule mining by LIFT): this serves a ranked
+# PER-ITEM neighbor list — the artifact a recommender ships — and the
+# cosine normalization penalizes blockbuster items the way lift doesn't.
+#
+# Plan: the q177/q216 apriori scaffold bounds pair volume (items below
+# min support pruned BEFORE the in-basket self-join), pairs generated
+# once with pa < pb then mirrored (cosine is symmetric — generating both
+# directions in the join would double the shuffle), and the per-item
+# top-K is one row_number window on the small pair set. Determinism:
+# n_a·n_b can pass 2^53 at corpus scale, so the denominator is
+# sqrt(n_a)·sqrt(n_b) — two correctly-rounded sqrts of exact ints and
+# one correctly-rounded product, identical on both engines.
+# ---------------------------------------------------------------------------
+
+_CF_MIN_ITEM = 3
+_CF_MIN_PAIR = 2
+_CF_TOP_K = 3
+
+
+def q251_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= _CF_MIN_ITEM)
+    )
+    fi = items.join(F.broadcast(freq), "l_partkey")
+    a = fi.select(
+        "l_orderkey", F.col("l_partkey").alias("pa"), F.col("n").alias("na")
+    )
+    b = fi.select(
+        "l_orderkey", F.col("l_partkey").alias("pb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count("*").alias("n_ab"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+        .where(F.col("n_ab") >= _CF_MIN_PAIR)
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("pb").alias("pa"),
+            F.col("pa").alias("pb"),
+            "n_ab",
+            F.col("nb").alias("na"),
+            F.col("na").alias("nb"),
+        )
+    )
+    cos = F.col("n_ab").cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double"))
+    )
+    w = Window.partitionBy("pa").orderBy(
+        cos.desc(), F.col("pb").asc()
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _CF_TOP_K)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("neighbor"),
+            F.col("n_ab").alias("co_orders"),
+            F.round(cos, 9).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+Q251_SQL = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+freq AS (
+    SELECT l_partkey, COUNT(*) AS n
+    FROM items GROUP BY 1 HAVING COUNT(*) >= {_CF_MIN_ITEM}
+),
+fi AS (
+    SELECT i.l_orderkey, i.l_partkey, f.n
+    FROM items i JOIN freq f USING (l_partkey)
+),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab,
+           MIN(a.n) AS na, MIN(b.n) AS nb
+    FROM fi a JOIN fi b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_CF_MIN_PAIR}
+),
+mirrored AS (
+    SELECT pa, pb, n_ab, na, nb FROM pairs
+    UNION ALL
+    SELECT pb AS pa, pa AS pb, n_ab, nb AS na, na AS nb FROM pairs
+),
+scored AS (
+    SELECT pa, pb, n_ab,
+           CAST(n_ab AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+               AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY pa
+               ORDER BY CAST(n_ab AS DOUBLE)
+                        / (sqrt(CAST(na AS DOUBLE))
+                           * sqrt(CAST(nb AS DOUBLE))) DESC, pb
+           ) AS rank
+    FROM mirrored
+)
+SELECT pa AS part, pb AS neighbor, n_ab AS co_orders,
+       round(cosine, 9) AS cosine, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= {_CF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q253 — RATIO-TO-PARENT contribution report down the geography
+# hierarchy (region → nation → supplier): every supplier row carries its
+# exact revenue plus its share of its nation, the nation's share of its
+# region, and the region's share of the grand total — the drill-down
+# decomposition a rollup (q31/q43: totals per level) doesn't give you:
+# ratio-to-parent is what a treemap / contribution dashboard actually
+# renders, and (share_sup × share_nat × share_reg) recovers each
+# supplier's global share by construction.
+#
+# Plan: ONE fact-side agg to supplier grain (revenue kept as exact
+# DECIMAL(38,6) — window sums over doubles would be order-dependent),
+# then three window sums over the tiny supplier-grain frame; ratios are
+# doubles of exactly-agreed decimals (cast-then-divide, each step
+# correctly rounded). Dimensions broadcast. At 100 TB the fact agg is
+# the only big shuffle; the window chain runs on |suppliers| rows.
+# ---------------------------------------------------------------------------
+
+
+def q253_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    sup = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "s_suppkey", rev.alias("rev"))
+        .groupBy("r_name", "n_name", "s_suppkey")
+        .agg(F.sum(F.col("rev").cast("decimal(38,6)")).alias("rev_d"))
+    )
+    w_nat = Window.partitionBy("r_name", "n_name")
+    w_reg = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    nat_d = F.sum("rev_d").over(w_nat)
+    reg_d = F.sum("rev_d").over(w_reg)
+    tot_d = F.sum("rev_d").over(w_all)
+    return sup.select(
+        "r_name",
+        "n_name",
+        "s_suppkey",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_d").cast("double") / nat_d.cast("double"), 9
+        ).alias("share_of_nation"),
+        F.round(nat_d.cast("double") / reg_d.cast("double"), 9).alias(
+            "nation_share_of_region"
+        ),
+        F.round(reg_d.cast("double") / tot_d.cast("double"), 9).alias(
+            "region_share_of_total"
+        ),
+    )
+
+
+Q253_SQL = """
+WITH sup AS (
+    SELECT r_name, n_name, s_suppkey,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(38,6))) AS rev_d
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2, 3
+),
+shares AS (
+    SELECT r_name, n_name, s_suppkey, rev_d,
+           SUM(rev_d) OVER (PARTITION BY r_name, n_name) AS nat_d,
+           SUM(rev_d) OVER (PARTITION BY r_name) AS reg_d,
+           SUM(rev_d) OVER () AS tot_d
+    FROM sup
+)
+SELECT r_name, n_name, s_suppkey,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       round(CAST(rev_d AS DOUBLE) / CAST(nat_d AS DOUBLE), 9)
+           AS share_of_nation,
+       round(CAST(nat_d AS DOUBLE) / CAST(reg_d AS DOUBLE), 9)
+           AS nation_share_of_region,
+       round(CAST(reg_d AS DOUBLE) / CAST(tot_d AS DOUBLE), 9)
+           AS region_share_of_total
+FROM shares
+"""
+
+
 WAREHOUSE_QUERIES = {
+    "q251_item_item_cf": q251_item_item_cf,
+    "q253_ratio_to_parent": q253_ratio_to_parent,
     "q214_incremental_join": q214_incremental_join,
     "q215_weighted_paths": q215_weighted_paths,
     "q82_pricing_summary": q82_pricing_summary,
@@ -2656,6 +2867,8 @@ WAREHOUSE_QUERIES = {
 }
 
 WAREHOUSE_ORACLES = {
+    "q251_item_item_cf": Q251_SQL,
+    "q253_ratio_to_parent": Q253_SQL,
     "q82_pricing_summary": Q82_SQL,
     "q83_shipping_priority": Q83_SQL,
     "q84_local_supplier_volume": Q84_SQL,

@@ -47,6 +47,10 @@ BNL_ALLOWED = {
     "q183_abc_classification",  # 1-row revenue-total broadcast (q03 pattern)
     "q184_term_burstiness",  # 1-row |docs| broadcast (q216 pattern, r6)
     "q186_bm25_search",  # 1-row (N, total_len) corpus-stats broadcast
+    "q256_km_survival",  # 1-row horizon anchor + 1-row step-array fold
+    "q258_pca_power_iteration",  # 1-row max-normalizer broadcast per round
+    "q259_mutual_nn",  # packed-centroid broadcasts (q151 pattern)
+    "q260_cluster_quality",  # k-row centroid-pair non-equi join (bounded)
     "q194_equidepth_histogram",  # 1-row total-rows broadcast (q03 pattern)
     "q195_skew_report",  # 1-row (total, n_keys) stats broadcast
     "q206_ab_test_readout",  # two 1-row arm summaries crossed (q03 pattern)
