@@ -1436,11 +1436,25 @@ ORDER BY pos
 
 
 def q259_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ..operators.similarity import kmeans_assign, knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # SIZE-DERIVED coarse quantizer (the q118 SemDeDup contract:
+    # k = ceil(n / target) keeps cluster SIZE constant as the corpus
+    # grows, so candidate volume is n × target = LINEAR — the round-6
+    # probe measured exponent 1.04 trending quadratic with fixed k=8,
+    # the round-3 q118 hazard reappearing; see PLANS.md round-6).
+    # At the sf0.01 gate the formula yields exactly k=8, so results are
+    # bit-identical to a fixed-k=8 registration, and the codebook is
+    # the SAME cached training q118 uses (shared cache key).
+    n_key = (id(spark), sf_dir)
+    if n_key not in _SEMDEDUP_N_CACHE:
+        _SEMDEDUP_N_CACHE[n_key] = emb.count()
+    k = max(1, math.ceil(_SEMDEDUP_N_CACHE[n_key] / SEMDEDUP_TARGET_CLUSTER))
     bucketed, cent = kmeans_assign(
-        emb, k=KMEANS_K, iters=KMEANS_ITERS,
+        emb, k=k, iters=KMEANS_ITERS,
         cache_key=(id(spark), sf_dir, "full"),
         return_centroids=True,
     )
@@ -1450,6 +1464,10 @@ def q259_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") == 1)
         .select("src_id", "dst_id", "cosine")
+        # The mutual join reads this frame TWICE (a ⋈ b); without the
+        # checkpoint the whole kNN build executes twice per action
+        # (measured 2x at the x4 probe).
+        .localCheckpoint()
     )
     a = top1.alias("a")
     b = top1.alias("b")
@@ -1468,8 +1486,17 @@ def q259_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q259's oracle is Q151's CTE chain with the SIZE-DERIVED cluster count
+# swapped in for the fixed k (the chain after the k-means CTEs is
+# k-independent — it reads cent{iters}/asgf by name).
+_Q259_BODY = _kmeans_unrolled_sql(
+    "SELECT CAST(CEIL(COUNT(*) / "
+    f"{float(SEMDEDUP_TARGET_CLUSTER)}) AS BIGINT) FROM embeddings",
+    KMEANS_ITERS,
+) + Q151_BODY[len(_kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS)) :]
+
 Q259_SQL = f"""
-WITH {Q151_BODY},
+WITH {_Q259_BODY},
 top1 AS (SELECT src_id, dst_id, r_cosine FROM ranked WHERE rank = 1)
 SELECT a.src_id AS id_a, a.dst_id AS id_b, a.r_cosine AS cosine
 FROM top1 a

@@ -1,0 +1,437 @@
+"""Independent re-proofs for the round-6 additions (q251-q260).
+
+Each test recomputes the claimed semantics with a DIFFERENT mechanism
+(Python folds, math.sqrt replays, brute-force scans) than either the
+Spark plan or its DuckDB oracle, so a bug shared by both engines' SQL
+formulations still gets caught.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_item_item_cf_matches_bruteforce(spark, sf_dir):
+    """q251's cosine neighbor lists must equal a raw-row Python replay
+    (dict-of-sets co-occurrence, math.sqrt cosine, same tiebreaks)."""
+    from snowflake_stock_dbt_spark.plans.warehouse import (
+        _CF_MIN_ITEM,
+        _CF_MIN_PAIR,
+        _CF_TOP_K,
+        q251_item_item_cf,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    supp = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            supp[p] += 1
+    freq = {p for p, n in supp.items() if n >= _CF_MIN_ITEM}
+    pair = defaultdict(int)
+    for parts in baskets.values():
+        fp = sorted(p for p in parts if p in freq)
+        for i, a in enumerate(fp):
+            for b in fp[i + 1 :]:
+                pair[(a, b)] += 1
+    neighbors = defaultdict(list)
+    for (a, b), n_ab in pair.items():
+        if n_ab < _CF_MIN_PAIR:
+            continue
+        cos = n_ab / (math.sqrt(supp[a]) * math.sqrt(supp[b]))
+        neighbors[a].append((-cos, b, n_ab))
+        neighbors[b].append((-cos, a, n_ab))
+    expect = set()
+    for part, cands in neighbors.items():
+        for rank, (negcos, nb, n_ab) in enumerate(sorted(cands), 1):
+            if rank <= _CF_TOP_K:
+                expect.add((part, nb, n_ab, round(-negcos, 9), rank))
+    got = {
+        (r.part, r.neighbor, r.co_orders, r.cosine, r.rank)
+        for r in q251_item_item_cf(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_interval_islands_cover_and_disjoint(spark, sf_dir):
+    """q252's islands must (a) reproduce a sequential Python sweep
+    exactly and (b) be non-overlapping and ordered per user."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        _ISLAND_MIN_S,
+        _ISLAND_MOD_S,
+        q252_interval_islands,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "value",
+        )
+        .collect()
+    )
+    spans = defaultdict(list)
+    for r in ev:
+        v = 0.0 if r.value is None or math.isnan(r.value) else r.value
+        dur = (
+            _ISLAND_MIN_S + int(math.floor(abs(v) * 60)) % _ISLAND_MOD_S
+        ) * 1_000_000
+        spans[r.user_id].append((r.us, r.event_id, r.us + dur))
+    expect = set()
+    for uid, lst in spans.items():
+        lst.sort()
+        idx, max_end, start, n = 0, None, None, 0
+        for us, _eid, end in lst:
+            if max_end is None or us > max_end:
+                if idx:
+                    expect.add((uid, idx, start, max_end, n))
+                idx += 1
+                start, max_end, n = us, end, 1
+            else:
+                max_end = max(max_end, end)
+                n += 1
+        if idx:
+            expect.add((uid, idx, start, max_end, n))
+    got_rows = q252_interval_islands(spark, sf_dir).collect()
+    got = {
+        (r.user_id, r.island, r.island_start_us, r.island_end_us, r.n_events)
+        for r in got_rows
+    }
+    assert got == expect
+    by_user = defaultdict(list)
+    for r in got_rows:
+        by_user[r.user_id].append((r.island_start_us, r.island_end_us))
+    for uid, islands in by_user.items():
+        islands.sort()
+        for (s1, e1), (s2, _e2) in zip(islands, islands[1:]):
+            assert e1 < s2, f"user {uid}: islands overlap or touch"
+
+
+def test_ratio_to_parent_shares_multiply_and_sum(spark, sf_dir):
+    """q253: child shares sum to 1 within every parent, and the product
+    share_sup x share_nat x share_reg equals the supplier's global
+    share (checked against independently-recomputed decimals)."""
+    from snowflake_stock_dbt_spark.plans.warehouse import (
+        q253_ratio_to_parent,
+    )
+
+    rows = q253_ratio_to_parent(spark, sf_dir).collect()
+    by_nation = defaultdict(float)
+    for r in rows:
+        by_nation[(r.r_name, r.n_name)] += r.share_of_nation
+    for key, s in by_nation.items():
+        assert abs(s - 1.0) < 1e-6, f"{key}: supplier shares sum {s}"
+    total = sum(r.revenue for r in rows)
+    for r in rows:
+        global_share = (
+            r.share_of_nation
+            * r.nation_share_of_region
+            * r.region_share_of_total
+        )
+        assert abs(global_share - r.revenue / total) < 1e-6
+
+
+def test_temperature_mixture_conserves_and_flattens(spark, sf_dir):
+    """q254: quotas sum exactly to the budget, and temperature sampling
+    FLATTENS the mix (tempered shares closer to uniform than raw, in
+    max-share terms) whenever the raw mix is non-uniform."""
+    from snowflake_stock_dbt_spark.plans.curation import (
+        TEMP_MIX_BUDGET,
+        q254_temperature_mixture,
+    )
+
+    rows = q254_temperature_mixture(spark, sf_dir).collect()
+    assert sum(r.quota for r in rows) == TEMP_MIX_BUDGET
+    max_raw = max(r.raw_share for r in rows)
+    max_temp = max(r.tempered_share for r in rows)
+    uniform = 1.0 / len(rows)
+    assert max_temp <= max_raw + 1e-9
+    assert max_temp >= uniform - 1e-3  # can't flatten past uniform
+
+
+def test_phrase_search_matches_bruteforce(spark, sf_dir):
+    """q255 must equal a raw-text Python scan for every query phrase."""
+    from snowflake_stock_dbt_spark.plans.retrieval import (
+        PHRASE_QUERIES,
+        q255_phrase_search,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    expect = set()
+    for pid, t1, t2 in PHRASE_QUERIES:
+        for doc_id, text in docs:
+            toks = [t for t in text.strip().split() if t]
+            n = sum(
+                1
+                for i in range(len(toks) - 1)
+                if toks[i] == t1 and toks[i + 1] == t2
+            )
+            if n:
+                expect.add((pid, doc_id, n))
+    got = {
+        (r.phrase_id, r.doc_id, r.n_matches)
+        for r in q255_phrase_search(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_km_survival_matches_python_replay(spark, sf_dir):
+    """q256 must equal a sequential Python Kaplan-Meier over the same
+    subjects, and S(t) must be nonincreasing from 1."""
+    from snowflake_stock_dbt_spark.plans.insights import q256_km_survival
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .collect()
+    )
+    horizon = max(r.us for r in ev)
+    by_user = defaultdict(list)
+    for r in ev:
+        if r.event_type in ("purchase", "error"):
+            by_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    subjects = []  # (duration_hours, censored)
+    for lst in by_user.values():
+        lst.sort()
+        for i, (us, _eid, et) in enumerate(lst):
+            if et != "purchase":
+                continue
+            nxt = next(
+                (u for u, _e, t in lst[i + 1 :] if t == "error"), None
+            )
+            if nxt is None:
+                subjects.append(((horizon - us) // 3_600_000_000, True))
+            else:
+                subjects.append(((nxt - us) // 3_600_000_000, False))
+    per_t = defaultdict(lambda: [0, 0])  # t -> [d, c]
+    for t, censored in subjects:
+        per_t[t][1 if censored else 0] += 1
+    s, expect = 1.0, []
+    at_risk = len(subjects)
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        if d > 0:
+            s = s * (1.0 - d / at_risk)
+            expect.append((t, at_risk, d, round(s, 9)))
+        at_risk -= d + c
+    got = [
+        (r.t_days, r.n_at_risk, r.deaths, r.s_hat)
+        for r in q256_km_survival(spark, sf_dir)
+        .orderBy("t_days")
+        .collect()
+    ]
+    assert got == expect
+    s_vals = [s for _, _, _, s in got]
+    assert all(a >= b for a, b in zip(s_vals, s_vals[1:]))
+    assert s_vals[0] <= 1.0
+
+
+def test_ushape_credit_conserves_per_user(spark, sf_dir):
+    """q257: the credit rule hands out exactly 100 units per converting
+    user with >= 1 touch — checked by replaying journeys in Python and
+    comparing the per-channel totals."""
+    from snowflake_stock_dbt_spark.plans.events import (
+        q257_ushape_attribution,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    totals = defaultdict(int)
+    n_converting = 0
+    for lst in by_user.values():
+        lst.sort()
+        purchases = [x for x in lst if x[2] == "purchase"]
+        if not purchases:
+            continue
+        conv = purchases[-1]
+        touches = [
+            x for x in lst if x[2] != "purchase" and (x[0], x[1]) < conv[:2]
+        ]
+        k = len(touches)
+        if k == 0:
+            continue
+        n_converting += 1
+        user_sum = 0
+        for pos, (_us, _eid, et) in enumerate(touches, 1):
+            if k == 1:
+                cr = 100
+            elif k == 2:
+                cr = 50
+            elif pos in (1, k):
+                cr = 40
+            else:
+                cr = 20 // (k - 2) + (1 if pos - 1 <= 20 % (k - 2) else 0)
+            totals[et] += cr
+            user_sum += cr
+        assert user_sum == 100
+    got = {
+        r.event_type: r.total_credit
+        for r in q257_ushape_attribution(spark, sf_dir).collect()
+    }
+    assert got == dict(totals)
+    assert sum(got.values()) == 100 * n_converting
+
+
+def test_pca_power_iteration_matches_numpy_integer_replay(spark, sf_dir):
+    """q258 must equal an integer-arithmetic Python replay of the same
+    two power-iteration rounds, and the final loading vector must be
+    max-normalized (exactly one component at +-1e6)."""
+    import numpy as np
+
+    from snowflake_stock_dbt_spark.operators.similarity import KMEANS_SCALE
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        PCA_ITERS,
+        PCA_WSCALE,
+        q258_pca_power_iteration,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array(
+        [
+            [math.floor(float(v) * KMEANS_SCALE) for v in r.embedding]
+            for r in emb
+        ],
+        dtype=object,
+    )
+    n, dim = X.shape
+    # Spark `div` / DuckDB `//`-on-ints truncate toward zero — Python's
+    # floor-div differs on negatives, so replicate trunc explicitly.
+    mean = [int(sum(int(x) for x in X[:, j])) for j in range(dim)]
+    mean = [m // n if m >= 0 else -((-m) // n) for m in mean]
+    C = [[int(X[i][j]) - mean[j] for j in range(dim)] for i in range(n)]
+    w = [PCA_WSCALE] * dim
+    for _ in range(PCA_ITERS):
+        s = [sum(C[i][j] * w[j] for j in range(dim)) for i in range(n)]
+        r = [sum(s[i] * C[i][j] for i in range(n)) for j in range(dim)]
+        m = max(abs(x) for x in r)
+        # float() first: the engines CAST the big decimals to double and
+        # divide those (two roundings); Python's exact int/int division
+        # rounds once and can land one ulp away near a floor boundary.
+        w = [math.floor(float(x) / float(m) * PCA_WSCALE) for x in r]
+    got = {
+        row.pos: row.loading9
+        for row in q258_pca_power_iteration(spark, sf_dir).collect()
+    }
+    assert got == {j: w[j] for j in range(dim)}
+    assert max(abs(v) for v in got.values()) == PCA_WSCALE
+
+
+def test_mutual_nn_symmetric_and_unique(spark, sf_dir):
+    """q259: mutual pairs must be consistent with the rank-1 kNN edges
+    (each side is the other's top-1), and no vector appears in more
+    than one mutual pair."""
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        kmeans_assign,
+        knn_graph,
+    )
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        IVF_NPROBE,
+        KMEANS_ITERS,
+        SEMDEDUP_TARGET_CLUSTER,
+        q259_mutual_nn,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The same size-derived cluster count q259 itself uses (q118's
+    # k = ceil(n/target) contract).
+    k = max(1, math.ceil(emb.count() / SEMDEDUP_TARGET_CLUSTER))
+    bucketed, cent = kmeans_assign(
+        emb, k=k, iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"), return_centroids=True,
+    )
+    top1 = {
+        r.src_id: r.dst_id
+        for r in knn_graph(
+            bucketed, cent, bucket_col="bucket", k=1, nprobe=IVF_NPROBE
+        ).collect()
+    }
+    expect = {
+        (a, b)
+        for a, b in ((a, top1[a]) for a in top1)
+        if a < b and top1.get(b) == a
+    }
+    rows = q259_mutual_nn(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == expect
+    seen: set[int] = set()
+    for a, b in got:
+        assert a not in seen and b not in seen
+        seen.update((a, b))
+
+
+def test_cluster_quality_inertia_matches_assignment(spark, sf_dir):
+    """q260's per-bucket inertia must equal the sum of each member's
+    exact integer squared distance to its assigned centroid, recomputed
+    in Python from the trained codebook."""
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        KMEANS_SCALE,
+        kmeans_assign,
+    )
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        q260_cluster_quality,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cent = kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"), return_centroids=True,
+    )
+    cent_map = {b: cv for b, cv in cent}
+    rows = assigned.select("vec_id", "bucket", "embedding").collect()
+    inertia = defaultdict(int)
+    counts = defaultdict(int)
+    for r in rows:
+        q = [math.floor(float(v) * KMEANS_SCALE) for v in r.embedding]
+        c = cent_map[r.bucket]
+        inertia[r.bucket] += sum((a - b) ** 2 for a, b in zip(q, c))
+        counts[r.bucket] += 1
+    got = {r.bucket: r for r in q260_cluster_quality(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for b, row in got.items():
+        assert row.n == counts[b]
+        assert row.inertia == float(inertia[b])
+        assert row.nearest_d2 > 0
+        assert row.db_ratio == pytest.approx(
+            (inertia[b] / counts[b]) / row.nearest_d2, rel=1e-6
+        )
