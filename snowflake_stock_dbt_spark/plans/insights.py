@@ -3467,10 +3467,10 @@ per_day AS (
 ),
 steps AS (
     SELECT t, d,
-           SUM(d + c) OVER (
+           CAST(SUM(d + c) OVER (
                ORDER BY t DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS n
+           ) AS BIGINT) AS n
     FROM per_day
 ),
 stepped AS (SELECT t, d, n FROM steps WHERE d > 0),
@@ -3495,9 +3495,177 @@ ORDER BY t_days
 """
 
 
+# ---------------------------------------------------------------------------
+# Q265 — SLIDING-WINDOW RATE-LIMITER AUDIT: for every event, the count
+# of the same user's events in the trailing 24 h (RANGE frame on epoch
+# µs — the "last 24 hours ≠ last N rows" discipline q233 pins), flagged
+# THROTTLED where the rolling count exceeds the quota; reported per
+# user (events, throttled, peak rolling rate). This is the offline
+# audit of an API rate limiter: which users would have been throttled,
+# how often, and how hot their worst burst ran. One user-keyed RANGE
+# window + one keyed agg — all integers; ties at the same microsecond
+# are all inside the frame on both engines (RANGE semantics), so no
+# tiebreak ambiguity exists.
+# ---------------------------------------------------------------------------
+
+_RATE_QUOTA = 3  # max events per trailing 24 h before throttling
+_RATE_WINDOW_US = 86_400_000_000
+
+
+def q265_rate_limiter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"))
+        .rangeBetween(-(_RATE_WINDOW_US - 1), 0)
+    )
+    rolled = ev.select("user_id", us.alias("us")).withColumn(
+        "rolling", F.count("*").over(w)
+    )
+    return (
+        rolled.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                (F.col("rolling") > _RATE_QUOTA).cast("int")
+            ).cast("long").alias("n_throttled"),
+            F.max("rolling").cast("long").alias("peak_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q265_SQL = f"""
+WITH rolled AS (
+    SELECT user_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN {_RATE_WINDOW_US - 1} PRECEDING
+                         AND CURRENT ROW
+           ) AS BIGINT) AS rolling
+    FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rolling > {_RATE_QUOTA} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_throttled,
+       CAST(MAX(rolling) AS BIGINT) AS peak_rate
+FROM rolled
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q266 — QUANTILE MAPPING (empirical quantile normalization, the
+# batch-effect / score-calibration transform): map supplier account
+# balances onto the CUSTOMER balance distribution by percentile — each
+# supplier value lands at the customer value occupying the same
+# quantile, on a Q=100 percentile grid. mapped(b) is the classic
+# empirical quantile function: the SMALLEST customer value whose
+# cumulative count covers fraction b/Q — evaluated with the
+# cross-multiplied integer test cum_c·Q ≥ b·n_c, never a float CDF
+# compare. Both CDFs are value-counts (distinct-value-bounded, the q45
+# lesson); the percentile spine is Q rows broadcast against the
+# customer CDF, so the whole mapping is linear in distinct values.
+# ---------------------------------------------------------------------------
+
+_QMAP_Q = 100
+
+
+def q266_quantile_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    sv = s.groupBy(F.col("s_acctbal").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_s = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    s_tot = sv.groupBy().agg(F.sum("cnt").alias("n_s"))
+    s_cdf = (
+        sv.withColumn("before", F.coalesce(F.sum("cnt").over(w_s), F.lit(0)))
+        .crossJoin(F.broadcast(s_tot))
+        .select(
+            "v",
+            F.expr(f"CAST({_QMAP_Q} * before DIV n_s AS INT)").alias(
+                "bucket"
+            ),
+        )
+    )
+    cv = c.groupBy(F.col("c_acctbal").alias("cval")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_c = Window.orderBy("cval").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c_tot = cv.groupBy().agg(F.sum("cnt").alias("n_c"))
+    c_cdf = (
+        cv.withColumn("cum", F.sum("cnt").over(w_c))
+        .crossJoin(F.broadcast(c_tot))
+        .select("cval", "cum", "n_c")
+    )
+    spine = spark.range(_QMAP_Q).select(F.col("id").cast("int").alias("bucket"))
+    mapping = (
+        c_cdf.join(
+            F.broadcast(spine),
+            F.col("cum") * _QMAP_Q >= F.col("bucket") * F.col("n_c"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("cval").alias("mapped"))
+    )
+    return (
+        s_cdf.join(F.broadcast(mapping), "bucket")
+        .select(
+            F.col("v").alias("supplier_balance"),
+            "bucket",
+            F.col("mapped").alias("mapped_customer_balance"),
+        )
+        .orderBy("supplier_balance")
+    )
+
+
+Q266_SQL = f"""
+WITH sv AS (
+    SELECT s_acctbal AS v, COUNT(*) AS cnt FROM supplier GROUP BY 1
+),
+s_tot AS (SELECT SUM(cnt) AS n_s FROM sv),
+s_cdf AS (
+    SELECT v,
+           CAST({_QMAP_Q} * COALESCE(SUM(cnt) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) // n_s AS INT) AS bucket
+    FROM sv CROSS JOIN s_tot
+),
+cv AS (
+    SELECT c_acctbal AS cval, COUNT(*) AS cnt FROM customer GROUP BY 1
+),
+c_tot AS (SELECT SUM(cnt) AS n_c FROM cv),
+c_cdf AS (
+    SELECT cval,
+           SUM(cnt) OVER (
+               ORDER BY cval ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+           n_c
+    FROM cv CROSS JOIN c_tot
+),
+spine AS (SELECT CAST(r.i AS INT) AS bucket FROM range(0, {_QMAP_Q}) r(i)),
+mapping AS (
+    SELECT bucket, MIN(cval) AS mapped
+    FROM c_cdf JOIN spine ON cum * {_QMAP_Q} >= bucket * n_c
+    GROUP BY bucket
+)
+SELECT s_cdf.v AS supplier_balance, s_cdf.bucket,
+       mapping.mapped AS mapped_customer_balance
+FROM s_cdf JOIN mapping USING (bucket)
+ORDER BY supplier_balance
+"""
+
+
 INSIGHTS_QUERIES = {
     "q252_interval_islands": q252_interval_islands,
     "q256_km_survival": q256_km_survival,
+    "q265_rate_limiter_audit": q265_rate_limiter_audit,
+    "q266_quantile_mapping": q266_quantile_mapping,
     "q216_market_basket": q216_market_basket,
     "q217_rfm_segments": q217_rfm_segments,
     "q218_discount_allocation": q218_discount_allocation,
@@ -3537,6 +3705,8 @@ INSIGHTS_QUERIES = {
 INSIGHTS_ORACLES = {
     "q252_interval_islands": Q252_SQL,
     "q256_km_survival": Q256_SQL,
+    "q265_rate_limiter_audit": Q265_SQL,
+    "q266_quantile_mapping": Q266_SQL,
     "q216_market_basket": Q216_SQL,
     "q217_rfm_segments": Q217_SQL,
     "q218_discount_allocation": Q218_SQL,

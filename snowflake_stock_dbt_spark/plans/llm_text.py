@@ -1446,7 +1446,129 @@ LIMIT {_BURST_TOP_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q262 — SPAN-DEDUP REWRITE (first-occurrence-wins): the TRANSFORM
+# counterpart of q115's repeated-passage REPORT — instead of flagging
+# duplicated spans, it removes them and emits the cleaned corpus, the
+# way training pipelines strip boilerplate/recurring passages before
+# tokenization. Documents are cut into fixed 8-token chunks; a chunk
+# occurrence survives iff it is the GLOBAL first occurrence of its
+# token sequence (min (doc_id, chunk_idx) — a total order, so the keep
+# set is unique), and each document is reassembled from its surviving
+# chunks in order. Output: per-doc kept/dropped counts + cleaned text.
+#
+# Everything is deterministic string/array algebra — no hashing, no
+# floats. Scale: one explode (linear in tokens), one chunk-keyed argmin
+# agg (the dedup shuffle), one doc-keyed ordered reassembly; the
+# same shape as exact dedup q19 with a rewrite stage on top.
+# ---------------------------------------------------------------------------
+
+_SPAN_CHUNK_TOKENS = 8
+
+
+def q262_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(_SPAN_CHUNK_TOKENS)).cast(
+        "int"
+    )
+    chunked = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("toks"),
+                            i * _SPAN_CHUNK_TOKENS + 1,
+                            _SPAN_CHUNK_TOKENS,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    first = chunked.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "idx")).alias("f")
+    )
+    kept = chunked.join(first, "chunk").where(
+        (F.col("doc_id") == F.col("f.doc_id"))
+        & (F.col("idx") == F.col("f.idx"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = chunked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q262_SQL = rf"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(TRIM(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+chunked AS (
+    SELECT doc_id, CAST(r.i AS INT) AS idx,
+           array_to_string(
+               toks[r.i * {_SPAN_CHUNK_TOKENS} + 1 :
+                    (r.i + 1) * {_SPAN_CHUNK_TOKENS}], ' ') AS chunk
+    FROM d CROSS JOIN range(0, 100000) r(i)
+    WHERE r.i < CAST(CEIL(len(toks) / {_SPAN_CHUNK_TOKENS}.0) AS BIGINT)
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY chunk ORDER BY doc_id, idx
+    ) AS rn
+    FROM chunked
+),
+rebuilt AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+    FROM chunked GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_chunks,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 LLM_TEXT_QUERIES = {
+    "q262_span_dedup_rewrite": q262_span_dedup_rewrite,
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
     "q18_fingerprint": q18_fingerprint,
@@ -1476,6 +1598,7 @@ LLM_TEXT_QUERIES = {
 }
 
 LLM_TEXT_ORACLES = {
+    "q262_span_dedup_rewrite": Q262_SQL,
     "q16_text_stats": Q16_SQL,
     "q17_lang_id": Q17_SQL,
     "q18_fingerprint": Q18_SQL,

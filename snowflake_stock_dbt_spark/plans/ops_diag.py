@@ -391,7 +391,94 @@ ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# Q264 — JOIN-SIZE PROFILER: predict an M:N join's output cardinality
+# and its skew BEFORE running it, from per-key counts alone — the
+# pre-flight check a 100 TB deployment runs before an orders⋈events
+# subject join (output rows = Σ_k c_o(k)·c_e(k), a quantity the
+# optimizer only estimates; computing it exactly costs two keyed
+# COUNTs, never the join itself). Reports the top-10 heaviest keys
+# (the candidates for operators/skew.py salting), each key's exact
+# output contribution and ppm share, and the total — q195 profiles one
+# table's key skew; this profiles the JOIN the two tables are about to
+# do. All counts/products exact int64 (c_o·c_e < 2^63 far past any real
+# per-key fan-out); shares by integral ppm division.
+# ---------------------------------------------------------------------------
+
+_PROFILE_TOP = 10
+
+
+def q264_join_size_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    co = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_orders")
+    )
+    ce = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("n_events")
+    )
+    per_key = co.join(ce, "k").select(
+        "k",
+        "n_orders",
+        "n_events",
+        (F.col("n_orders") * F.col("n_events")).alias("out_rows"),
+    )
+    totals = per_key.groupBy().agg(
+        F.sum("out_rows").cast("long").alias("total_out"),
+        F.count("*").cast("long").alias("n_join_keys"),
+    )
+    w = Window.orderBy(F.col("out_rows").desc(), F.col("k"))
+    return (
+        per_key.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _PROFILE_TOP)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("k").alias("join_key"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("out_rows").cast("long").alias("out_rows"),
+            F.col("rank").cast("int").alias("rank"),
+            "total_out",
+            "n_join_keys",
+            F.expr("out_rows * 1000000 div total_out").alias("share_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+Q264_SQL = f"""
+WITH co AS (
+    SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1
+),
+ce AS (
+    SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1
+),
+per_key AS (
+    SELECT co.k, n_orders, n_events, n_orders * n_events AS out_rows
+    FROM co JOIN ce USING (k)
+),
+totals AS (
+    SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out,
+           CAST(COUNT(*) AS BIGINT) AS n_join_keys
+    FROM per_key
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY out_rows DESC, k) AS rank
+    FROM per_key
+)
+SELECT k AS join_key, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(out_rows AS BIGINT) AS out_rows, CAST(rank AS INT) AS rank,
+       total_out, n_join_keys,
+       CAST(out_rows AS BIGINT) * 1000000 // total_out AS share_ppm
+FROM ranked CROSS JOIN totals
+WHERE rank <= {_PROFILE_TOP}
+ORDER BY rank
+"""
+
+
 OPS_DIAG_QUERIES = {
+    "q264_join_size_profiler": q264_join_size_profiler,
     "q213_benford_audit": q213_benford_audit,
     "q189_replica_checksum_diff": q189_replica_checksum_diff,
     "q190_runtime_filter_join": q190_runtime_filter_join,
@@ -400,6 +487,7 @@ OPS_DIAG_QUERIES = {
 }
 
 OPS_DIAG_ORACLES = {
+    "q264_join_size_profiler": Q264_SQL,
     "q213_benford_audit": Q213_SQL,
     "q189_replica_checksum_diff": Q189_SQL,
     "q190_runtime_filter_join": Q190_SQL,

@@ -686,7 +686,100 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# Q263 — RIGHT-TO-BE-FORGOTTEN BLAST-RADIUS audit: given a deletion
+# request set (subjects = customers with c_custkey ≡ 0 mod 97 — a
+# deterministic stand-in for an uploaded forget list), report how many
+# rows each table loses when the delete CASCADES down the FK graph
+# (customer → orders → lineitem, plus events keyed by the same subject
+# id) — the planning report a data-platform team runs BEFORE executing
+# a GDPR/CCPA erasure, sized per table with exact ppm shares. The
+# cascade is pure semi-join algebra: subjects broadcast into orders,
+# affected orderkeys semi-join into lineitem — one broadcast + one
+# equi-join, no row is ever materialized twice. Output is
+# metadata-sized (one row per table) at any corpus scale.
+# ---------------------------------------------------------------------------
+
+_FORGET_MOD = 97
+
+
+def q263_forget_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    subjects = c.where(
+        F.col("c_custkey") % _FORGET_MOD == 0
+    ).select("c_custkey")
+    aff_orders = o.join(
+        F.broadcast(subjects), o.o_custkey == subjects.c_custkey, "left_semi"
+    )
+    aff_orderkeys = aff_orders.select("o_orderkey")
+    aff_lineitem = li.join(
+        aff_orderkeys, li.l_orderkey == aff_orderkeys.o_orderkey, "left_semi"
+    )
+    aff_events = ev.join(
+        F.broadcast(subjects), ev.user_id == subjects.c_custkey, "left_semi"
+    )
+
+    def _row(name: str, affected, total) -> DataFrame:
+        a = affected.groupBy().agg(F.count("*").alias("affected_rows"))
+        t = total.groupBy().agg(F.count("*").alias("total_rows"))
+        return a.crossJoin(F.broadcast(t)).select(
+            F.lit(name).alias("table_name"),
+            F.col("affected_rows").cast("long"),
+            F.col("total_rows").cast("long"),
+            F.expr(
+                "affected_rows * 1000000 div total_rows"
+            ).alias("share_ppm"),
+        )
+
+    return (
+        _row("customer", subjects, c)
+        .unionByName(_row("orders", aff_orders, o))
+        .unionByName(_row("lineitem", aff_lineitem, li))
+        .unionByName(_row("events", aff_events, ev))
+        .orderBy("table_name")
+    )
+
+
+Q263_SQL = f"""
+WITH subjects AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % {_FORGET_MOD} = 0
+),
+aff_orders AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+),
+rows_per AS (
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM subjects) AS affected_rows,
+           (SELECT COUNT(*) FROM customer) AS total_rows
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM aff_orders),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders)),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events
+            WHERE user_id IN (SELECT c_custkey FROM subjects)),
+           (SELECT COUNT(*) FROM events)
+)
+SELECT table_name, CAST(affected_rows AS BIGINT) AS affected_rows,
+       CAST(total_rows AS BIGINT) AS total_rows,
+       CAST(affected_rows AS BIGINT) * 1000000 // total_rows AS share_ppm
+FROM rows_per
+ORDER BY table_name
+"""
+
+
 RELATIONAL_QUERIES = {
+    "q263_forget_blast_radius": q263_forget_blast_radius,
     "q31_rollup": q31_rollup,
     "q32_cube": q32_cube,
     "q33_grouping_sets": q33_grouping_sets,
@@ -705,6 +798,7 @@ RELATIONAL_QUERIES = {
 }
 
 RELATIONAL_ORACLES = {
+    "q263_forget_blast_radius": Q263_SQL,
     "q31_rollup": Q31_SQL,
     "q32_cube": Q32_SQL,
     "q33_grouping_sets": Q33_SQL,

@@ -1397,7 +1397,106 @@ ORDER BY lag
 Q210_SQL = _acf_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q261 — KENDALL'S τ-b rank correlation per return flag: does daily
+# revenue move with daily quantity? τ-b counts CONCORDANT vs DISCORDANT
+# day pairs with the standard tie correction
+# τ_b = (C − D) / (√(n₀−T_x)·√(n₀−T_y)) — the rank-correlation sibling
+# of q179's Spearman ρ with a fundamentally different estimator (pair
+# orientation, not rank moments): τ is the one with the direct
+# probabilistic reading P(concordant) − P(discordant) and is the robust
+# choice under heavy ties. ALL counts are exact int64 from one pair
+# join; the three-operation double chain at the end is identical IEEE
+# on both engines. Pair volume is |days|² per group — the DAILY series
+# grows with time, not data volume (the q171 adjudication verbatim), so
+# the pair stage is metadata-scale at any corpus size; the raw scan
+# reduces in the first keyed agg.
+# ---------------------------------------------------------------------------
+
+
+def q261_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            "l_returnflag", F.col("l_shipdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("x"),
+            F.sum(F.col("l_quantity").cast("long")).alias("y"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
+        & (F.col("a.day") < F.col("b.day")),
+    )
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    counts = pairs.groupBy(
+        F.col("a.l_returnflag").alias("l_returnflag")
+    ).agg(
+        F.count("*").alias("n0"),
+        F.sum(
+            ((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0)).cast("long")
+        ).alias("c"),
+        F.sum(
+            ((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0)).cast("long")
+        ).alias("d"),
+        F.sum((dx == 0).cast("long")).alias("tx"),
+        F.sum((dy == 0).cast("long")).alias("ty"),
+    )
+    tau = (F.col("c") - F.col("d")).cast("double") / (
+        F.sqrt((F.col("n0") - F.col("tx")).cast("double"))
+        * F.sqrt((F.col("n0") - F.col("ty")).cast("double"))
+    )
+    return counts.select(
+        "l_returnflag",
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round(tau, 9).alias("tau_b"),
+    ).orderBy("l_returnflag")
+
+
+Q261_SQL = """
+WITH daily AS (
+    SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS x,
+           SUM(CAST(l_quantity AS BIGINT)) AS y
+    FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.l_returnflag, b.x - a.x AS dx, b.y - a.y AS dy
+    FROM daily a
+    JOIN daily b ON a.l_returnflag = b.l_returnflag AND a.day < b.day
+),
+counts AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+           CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+    FROM pairs GROUP BY 1
+)
+SELECT l_returnflag, n0 AS n_pairs, c AS concordant, d AS discordant,
+       round(CAST(c - d AS DOUBLE)
+             / (sqrt(CAST(n0 - tx AS DOUBLE))
+                * sqrt(CAST(n0 - ty AS DOUBLE))), 9) AS tau_b
+FROM counts
+ORDER BY l_returnflag
+"""
+
+
 SCALE_QUERIES = {
+    "q261_kendall_tau": q261_kendall_tau,
     "q210_autocorrelation": q210_autocorrelation,
     "q203_seasonal_decomposition": q203_seasonal_decomposition,
     "q45_quantiles": q45_quantiles,
@@ -1418,6 +1517,7 @@ SCALE_QUERIES = {
 }
 
 SCALE_ORACLES = {
+    "q261_kendall_tau": Q261_SQL,
     "q210_autocorrelation": Q210_SQL,
     "q203_seasonal_decomposition": Q203_SQL,
     "q45_quantiles": Q45_SQL,

@@ -48,6 +48,11 @@ BNL_ALLOWED = {
     "q184_term_burstiness",  # 1-row |docs| broadcast (q216 pattern, r6)
     "q186_bm25_search",  # 1-row (N, total_len) corpus-stats broadcast
     "q256_km_survival",  # 1-row horizon anchor + 1-row step-array fold
+    "q263_forget_blast_radius",  # four 1-row count-pair anchors (q216 pattern)
+    "q264_join_size_profiler",  # 1-row totals broadcast (q216 pattern)
+    # Q-row percentile spine non-equi-joined to the value-counts CDF
+    # (bounded at Q x |distinct values|, the empirical quantile function).
+    "q266_quantile_mapping",
     "q258_pca_power_iteration",  # 1-row max-normalizer broadcast per round
     "q259_mutual_nn",  # packed-centroid broadcasts (q151 pattern)
     "q260_cluster_quality",  # k-row centroid-pair non-equi join (bounded)

@@ -435,3 +435,229 @@ def test_cluster_quality_inertia_matches_assignment(spark, sf_dir):
         assert row.db_ratio == pytest.approx(
             (inertia[b] / counts[b]) / row.nearest_d2, rel=1e-6
         )
+
+
+def test_kendall_tau_matches_python_pairs(spark, sf_dir):
+    """q261 must equal an O(n^2) Python pair scan with the same tie
+    rules, and tau_b must sit in [-1, 1]."""
+    import duckdb
+
+    from snowflake_stock_dbt_spark.plans.scale import q261_kendall_tau
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS x,
+               SUM(CAST(l_quantity AS BIGINT)) AS y
+           FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(list)
+    for flag, day, x, y in daily:
+        series[flag].append((day, int(x), int(y)))
+    expect = {}
+    for flag, pts in series.items():
+        pts.sort()
+        c = d = tx = ty = n0 = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dx = pts[j][1] - pts[i][1]
+                dy = pts[j][2] - pts[i][2]
+                n0 += 1
+                if dx == 0:
+                    tx += 1
+                if dy == 0:
+                    ty += 1
+                if (dx > 0 and dy > 0) or (dx < 0 and dy < 0):
+                    c += 1
+                elif (dx > 0 and dy < 0) or (dx < 0 and dy > 0):
+                    d += 1
+        tau = (c - d) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+        expect[flag] = (n0, c, d, round(tau, 9))
+    got = {
+        r.l_returnflag: (r.n_pairs, r.concordant, r.discordant, r.tau_b)
+        for r in q261_kendall_tau(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(-1.0 <= t[3] <= 1.0 for t in got.values())
+
+
+def test_span_dedup_first_occurrence_and_reassembly(spark, sf_dir):
+    """q262: every surviving chunk is the global first occurrence of its
+    token sequence; cleaned text is the ordered join of survivors; the
+    union of all survivors covers every distinct chunk exactly once."""
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        _SPAN_CHUNK_TOKENS,
+        q262_span_dedup_rewrite,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    first = {}
+    chunks_of = {}
+    for doc_id, text in sorted(docs):
+        toks = [t for t in text.strip().split() if t]
+        cs = [
+            " ".join(toks[i : i + _SPAN_CHUNK_TOKENS])
+            for i in range(0, len(toks), _SPAN_CHUNK_TOKENS)
+        ]
+        chunks_of[doc_id] = cs
+        for idx, ch in enumerate(cs):
+            if ch not in first or (doc_id, idx) < first[ch]:
+                first[ch] = (doc_id, idx)
+    rows = q262_span_dedup_rewrite(spark, sf_dir).collect()
+    survivors = 0
+    for r in rows:
+        cs = chunks_of[r.doc_id]
+        kept = [
+            ch
+            for idx, ch in enumerate(cs)
+            if first[ch] == (r.doc_id, idx)
+        ]
+        assert r.n_chunks == len(cs)
+        assert r.n_kept == len(kept)
+        assert r.n_dropped == len(cs) - len(kept)
+        assert r.cleaned_text == " ".join(kept)
+        survivors += len(kept)
+    assert survivors == len(first)  # each distinct chunk survives once
+
+
+def test_forget_blast_radius_matches_python_cascade(spark, sf_dir):
+    """q263's per-table counts must equal a Python set cascade."""
+    import duckdb
+
+    from snowflake_stock_dbt_spark.plans.relational import (
+        _FORGET_MOD,
+        q263_forget_blast_radius,
+    )
+
+    con = duckdb.connect()
+    custkeys = {
+        k
+        for (k,) in con.sql(
+            f"SELECT c_custkey FROM '{sf_dir}/customer.parquet'"
+        ).fetchall()
+    }
+    subjects = {k for k in custkeys if k % _FORGET_MOD == 0}
+    orders = con.sql(
+        f"SELECT o_orderkey, o_custkey FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    aff_orders = {ok for ok, ck in orders if ck in subjects}
+    li = con.sql(
+        f"SELECT l_orderkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    aff_li = sum(1 for (ok,) in li if ok in aff_orders)
+    ev = con.sql(
+        f"SELECT user_id FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    aff_ev = sum(1 for (u,) in ev if u in subjects)
+    got = {
+        r.table_name: (r.affected_rows, r.total_rows, r.share_ppm)
+        for r in q263_forget_blast_radius(spark, sf_dir).collect()
+    }
+    assert got["customer"][0] == len(subjects)
+    assert got["orders"][0] == len(aff_orders)
+    assert got["lineitem"][0] == aff_li
+    assert got["events"][0] == aff_ev
+    for name, (a, t, ppm) in got.items():
+        assert ppm == a * 1_000_000 // t
+
+
+def test_join_size_profiler_predicts_actual_join(spark, sf_dir):
+    """q264's total_out must equal the ACTUAL row count of the join it
+    profiles (the whole point), and per-key contributions must match."""
+    from snowflake_stock_dbt_spark.plans.ops_diag import (
+        q264_join_size_profiler,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    actual = o.join(ev, o.o_custkey == ev.user_id).count()
+    rows = q264_join_size_profiler(spark, sf_dir).collect()
+    assert rows and rows[0].total_out == actual
+    for r in rows:
+        assert r.out_rows == r.n_orders * r.n_events
+        assert r.share_ppm == r.out_rows * 1_000_000 // r.total_out
+
+
+def test_rate_limiter_matches_python_sliding_window(spark, sf_dir):
+    """q265 must equal a two-pointer Python sliding-window count."""
+    from snowflake_stock_dbt_spark.plans.insights import (
+        _RATE_QUOTA,
+        _RATE_WINDOW_US,
+        q265_rate_limiter_audit,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r.us)
+    expect = {}
+    for uid, times in by_user.items():
+        times.sort()
+        throttled = 0
+        peak = 0
+        lo = 0
+        for i, t in enumerate(times):
+            while times[lo] < t - (_RATE_WINDOW_US - 1):
+                lo += 1
+            # RANGE frame counts ALL rows with us in window, including
+            # ties after i — count by value, not index.
+            hi = i
+            while hi + 1 < len(times) and times[hi + 1] == t:
+                hi += 1
+            rolling = hi - lo + 1
+            peak = max(peak, rolling)
+            if rolling > _RATE_QUOTA:
+                throttled += 1
+        expect[uid] = (len(times), throttled, peak)
+    got = {
+        r.user_id: (r.n_events, r.n_throttled, r.peak_rate)
+        for r in q265_rate_limiter_audit(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_quantile_mapping_is_monotone_and_quantile_correct(spark, sf_dir):
+    """q266: the mapping must be monotone in the supplier value, and
+    each mapped value must be the exact empirical customer quantile for
+    the supplier value's percentile bucket."""
+    import duckdb
+
+    from snowflake_stock_dbt_spark.plans.insights import (
+        _QMAP_Q,
+        q266_quantile_mapping,
+    )
+
+    con = duckdb.connect()
+    cust = sorted(
+        v
+        for (v,) in con.sql(
+            f"SELECT c_acctbal FROM '{sf_dir}/customer.parquet'"
+        ).fetchall()
+    )
+    n_c = len(cust)
+
+    def empirical_quantile(b: int) -> float:
+        # smallest customer value with cum*Q >= b*n_c
+        for i, v in enumerate(cust):
+            if (i + 1) * _QMAP_Q >= b * n_c:
+                return v
+        return cust[-1]
+
+    rows = q266_quantile_mapping(spark, sf_dir).collect()
+    prev_v, prev_m = None, None
+    for r in sorted(rows, key=lambda r: r.supplier_balance):
+        assert r.mapped_customer_balance == empirical_quantile(r.bucket)
+        if prev_v is not None:
+            assert r.mapped_customer_balance >= prev_m
+        prev_v, prev_m = r.supplier_balance, r.mapped_customer_balance
