@@ -1624,7 +1624,218 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q267 — GROWTH ACCOUNTING (new / retained / resurrected / churned): the
+# canonical weekly active-user decomposition every growth team runs.
+# Grain is the Monday-start week (date_trunc 'week' agrees between Spark
+# and DuckDB). For each user-week of activity:
+#   new         — the user's first-ever active week,
+#   retained    — also active the immediately preceding week,
+#   resurrected — active before, but not the preceding week.
+# churned(w) counts users active in w−1 and not in w — emitted from each
+# user-week whose NEXT active week is not w+1, landed at week w+1, and
+# kept only for weeks that exist in the activity table (no phantom
+# post-corpus week). Identity: active(w) = new + retained + resurrected,
+# pinned by construction.
+#
+# Plan: one distinct user-week frame, one user-keyed window chain
+# (lag/lead/min over the same partition — single shuffle), one keyed
+# agg per status, one semi-join for the churn clamp. All integers.
+# ---------------------------------------------------------------------------
+
+
+def q267_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    marked = (
+        uw.withColumn("prev_w", F.lag("week").over(w))
+        .withColumn("next_w", F.lead("week").over(w))
+        .withColumn("first_w", F.min("week").over(Window.partitionBy("user_id")))
+    )
+    status = (
+        F.when(F.col("week") == F.col("first_w"), F.lit("new"))
+        .when(F.col("prev_w") == F.date_sub(F.col("week"), 7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    active = marked.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum((status == "new").cast("int")).cast("long").alias("n_new"),
+        F.sum((status == "retained").cast("int")).cast("long").alias("n_retained"),
+        F.sum((status == "resurrected").cast("int"))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn_rows = (
+        marked.where(
+            F.col("next_w").isNull()
+            | (F.col("next_w") > F.date_add(F.col("week"), 7))
+        )
+        .select(F.date_add(F.col("week"), 7).alias("week"))
+        .join(uw.select("week").distinct(), "week", "left_semi")
+        .groupBy("week")
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        active.join(churn_rows, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+Q267_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+    FROM events
+),
+marked AS (
+    SELECT user_id, week,
+           LAG(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+           LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w,
+           MIN(week)  OVER (PARTITION BY user_id) AS first_w
+    FROM uw
+),
+active AS (
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN week = first_w THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN week <> first_w
+                          AND prev_w = week - INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN week <> first_w
+                          AND (prev_w IS NULL
+                               OR prev_w <> week - INTERVAL 7 DAY)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+    FROM marked GROUP BY week
+),
+churn AS (
+    SELECT CAST(week + INTERVAL 7 DAY AS DATE) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_churned
+    FROM marked
+    WHERE next_w IS NULL OR next_w > week + INTERVAL 7 DAY
+    GROUP BY 1
+)
+SELECT a.week, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+       CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM active a LEFT JOIN churn c ON a.week = c.week
+ORDER BY a.week
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q272 — TIME-DECAY MULTI-TOUCH ATTRIBUTION: q257's sibling with the
+# third canonical credit model — each touch earns weight 2^(−Δdays)
+# where Δdays = whole days between the touch and the user's converting
+# purchase (q257's anchor, same tiebreak). EXACT arithmetIC: the decay
+# is a power of two, so scaling by 2^CAP turns every weight into the
+# integer 2^(CAP − min(Δdays, CAP)) — no floats anywhere, and a 30-day
+# cap bounds the exponent (a touch a month out earns the 1-unit floor,
+# the standard half-life-capped convention). Shares are integer ppm of
+# the grand total via a window over the |event_type|-row agg result.
+# ---------------------------------------------------------------------------
+
+_DECAY_CAP_DAYS = 30
+
+
+def q272_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select("user_id", "event_type", us.alias("us"), "event_id")
+    w_all = Window.partitionBy("user_id")
+    conv = F.max(
+        F.when(F.col("event_type") == "purchase", F.struct("us", "event_id"))
+    ).over(w_all)
+    touches = (
+        base.withColumn("conv", conv)
+        .where(
+            F.col("conv").isNotNull()
+            & (F.col("event_type") != "purchase")
+            & (
+                (F.col("us") < F.col("conv.us"))
+                | (
+                    (F.col("us") == F.col("conv.us"))
+                    & (F.col("event_id") < F.col("conv.event_id"))
+                )
+            )
+        )
+        .withColumn(
+            "d",
+            F.least(
+                F.expr("(conv.us - us) div 86400000000"),
+                F.lit(_DECAY_CAP_DAYS),
+            ),
+        )
+        .withColumn(
+            "weight",
+            F.expr(f"shiftleft(1L, {_DECAY_CAP_DAYS} - CAST(d AS INT))"),
+        )
+    )
+    per_type = touches.groupBy("event_type").agg(
+        F.sum("weight").cast("long").alias("total_weight"),
+        F.count("*").cast("long").alias("n_touches"),
+    )
+    return per_type.select(
+        "event_type",
+        "total_weight",
+        "n_touches",
+        F.expr(
+            "CAST(total_weight * 1000000 DIV "
+            "SUM(total_weight) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("event_type")
+
+
+Q272_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+    FROM events
+),
+with_conv AS (
+    SELECT *,
+           MAX(CASE WHEN event_type = 'purchase'
+                    THEN {{'us': us, 'event_id': event_id}} END)
+               OVER (PARTITION BY user_id) AS conv
+    FROM base
+),
+touches AS (
+    SELECT event_type,
+           (1::BIGINT << {_DECAY_CAP_DAYS})
+           // (1::BIGINT << CAST(LEAST((conv.us - us) // 86400000000,
+                                       {_DECAY_CAP_DAYS}) AS INT)) AS weight
+    FROM with_conv
+    WHERE conv IS NOT NULL AND event_type <> 'purchase'
+      AND (us < conv.us OR (us = conv.us AND event_id < conv.event_id))
+),
+per_type AS (
+    SELECT event_type,
+           CAST(SUM(weight) AS BIGINT) AS total_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM touches GROUP BY event_type
+)
+SELECT event_type, total_weight, n_touches,
+       CAST(total_weight * 1000000 // SUM(total_weight) OVER () AS BIGINT)
+           AS share_ppm
+FROM per_type
+ORDER BY event_type
+"""
+
+
 EVENT_QUERIES = {
+    "q267_growth_accounting": q267_growth_accounting,
+    "q272_time_decay_attribution": q272_time_decay_attribution,
     "q257_ushape_attribution": q257_ushape_attribution,
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
     "q209_ohlc_bars": q209_ohlc_bars,
@@ -1649,6 +1860,8 @@ EVENT_QUERIES = {
 }
 
 EVENT_ORACLES = {
+    "q267_growth_accounting": Q267_SQL,
+    "q272_time_decay_attribution": Q272_SQL,
     "q257_ushape_attribution": Q257_SQL,
     "q199_rolling_distinct_users": Q199_SQL,
     "q209_ohlc_bars": Q209_SQL,

@@ -13,7 +13,7 @@ joins; hash60(x) = int(md5(x)[:15], 16).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -27,6 +27,7 @@ from ..functions.text import (
     quality_score,
     stopword_count,
     token_count,
+    tokens,
 )
 from ..operators.textdedup import (
     novelty_scores,
@@ -1567,7 +1568,196 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q268 — χ² FEATURE SELECTION: the most language-discriminative terms
+# per lang over the documents corpus — the classic supervised
+# term-selection step before training a text classifier (and the
+# data-curation gauge for "which tokens leak the label"). For each
+# (term, lang) the 2×2 contingency table over DOC PRESENCE is
+#   a = docs of lang containing term      b = other docs containing term
+#   c = docs of lang without term         d = other docs without term
+# and χ²·1000 = 1000·N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), computed on
+# DECIMAL(38)/HUGEINT so the integral quotient is exact on both engines
+# (int64 would overflow at the x4 probe: N·(ad−bc)² can pass 2e20).
+# Terms seen in < MIN_DF docs or in every doc are pruned (zero/noise
+# denominators). Top 5 per lang, χ² desc, term asc tiebreak.
+#
+# Plan: doc-presence explode → (term, lang) counts → term totals join
+# (term-keyed equi-join) → lang totals + N as 1-row broadcast anchors
+# (the q216 pattern) → one window rank on the term-grain frame.
+# ---------------------------------------------------------------------------
+
+_CHI2_MIN_DF = 5
+_CHI2_TOP = 5
+
+
+def q268_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select("doc_id", "lang", F.col("text").alias("t"))
+        .withColumn("tok", tokens(F.col("t")))
+        .select("doc_id", "lang", F.explode(F.array_distinct("tok")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tl = pres.groupBy("term", "lang").agg(F.count("*").alias("a"))
+    tt = pres.groupBy("term").agg(F.count("*").alias("n_t"))
+    lt = pres.select("doc_id", "lang").distinct().groupBy("lang").agg(
+        F.count("*").alias("n_l")
+    )
+    n = pres.select("doc_id").distinct().groupBy().agg(
+        F.count("*").alias("n_docs")
+    )
+    d38 = "DECIMAL(38,0)"
+    joined = (
+        tl.join(tt, "term")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(n))
+        .where((F.col("n_t") >= _CHI2_MIN_DF) & (F.col("n_t") < F.col("n_docs")))
+        .selectExpr(
+            "term",
+            "lang",
+            f"CAST(a AS {d38}) AS a",
+            f"CAST(n_t - a AS {d38}) AS b",
+            f"CAST(n_l - a AS {d38}) AS c",
+            f"CAST(n_docs - n_t - n_l + a AS {d38}) AS d",
+            f"CAST(n_docs AS {d38}) AS n",
+        )
+        .selectExpr(
+            "term",
+            "lang",
+            "CAST(a AS BIGINT) AS df_in_lang",
+            "CAST(1000 * n * (a*d - b*c) * (a*d - b*c) DIV "
+            "((a+b) * (c+d) * (a+c) * (b+d)) AS BIGINT) AS chi2_milli",
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2_milli").desc(), F.col("term").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _CHI2_TOP)
+        .select("lang", "rank", "term", "df_in_lang", "chi2_milli")
+        .orderBy("lang", "rank")
+    )
+
+
+Q268_SQL = f"""
+WITH pres AS (
+    SELECT DISTINCT doc_id, lang, t.term
+    FROM documents,
+         UNNEST(string_split_regex(TRIM(text), '\\s+')) AS t(term)
+    WHERE t.term <> ''
+),
+tl AS (SELECT term, lang, COUNT(*) AS a FROM pres GROUP BY 1, 2),
+tt AS (SELECT term, COUNT(*) AS n_t FROM pres GROUP BY 1),
+lt AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_l FROM pres GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM pres),
+cells AS (
+    SELECT tl.term, tl.lang,
+           CAST(tl.a AS HUGEINT) AS a,
+           CAST(tt.n_t - tl.a AS HUGEINT) AS b,
+           CAST(lt.n_l - tl.a AS HUGEINT) AS c,
+           CAST(n.n_docs - tt.n_t - lt.n_l + tl.a AS HUGEINT) AS d,
+           CAST(n.n_docs AS HUGEINT) AS nn
+    FROM tl JOIN tt USING (term) JOIN lt USING (lang) CROSS JOIN n
+    WHERE tt.n_t >= {_CHI2_MIN_DF} AND tt.n_t < n.n_docs
+),
+scored AS (
+    SELECT term, lang, CAST(a AS BIGINT) AS df_in_lang,
+           CAST(1000 * nn * (a*d - b*c) * (a*d - b*c)
+                // ((a+b) * (c+d) * (a+c) * (b+d)) AS BIGINT) AS chi2_milli
+    FROM cells
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY chi2_milli DESC, term ASC
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT lang, rank, term, df_in_lang, chi2_milli
+FROM ranked WHERE rank <= {_CHI2_TOP}
+ORDER BY lang, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q274 — VOCABULARY PRUNING + OOV AUDIT: build the min-count vocabulary
+# (tokens with global occurrence count ≥ MIN_COUNT — the standard
+# embedding-table pruning rule) and report, per source, how much of its
+# token stream falls out-of-vocabulary: total token occurrences, OOV
+# occurrences, OOV ppm, and distinct OOV types. The go/no-go gauge for
+# "can this source be tokenized by the pruned vocab without flooding
+# <unk>".
+#
+# Plan: ONE explode → (source, token) occurrence counts (the only
+# full-corpus shuffle) → token-grain global counts derived FROM that
+# grouped frame (never a second scan) → token-keyed equi-join at
+# token grain → one keyed agg per source. Output is |sources| rows.
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_COUNT = 3
+
+
+def q274_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select("source", F.col("text").alias("t"))
+        .withColumn("tok", tokens(F.col("t")))
+        .select("source", F.explode("tok").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    glob = occ.groupBy("token").agg(F.sum("cnt").alias("g"))
+    return (
+        occ.join(glob, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("g") < _VOCAB_MIN_COUNT, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum((F.col("g") < _VOCAB_MIN_COUNT).cast("int"))
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "CAST(n_oov * 1000000 DIV n_tokens AS BIGINT) AS oov_ppm",
+            "n_oov_types",
+        )
+        .orderBy("source")
+    )
+
+
+Q274_SQL = f"""
+WITH occ AS (
+    SELECT source, t.token, COUNT(*) AS cnt
+    FROM documents,
+         UNNEST(string_split_regex(TRIM(text), '\\s+')) AS t(token)
+    WHERE t.token <> ''
+    GROUP BY 1, 2
+),
+gl AS (SELECT token, SUM(cnt) AS g FROM occ GROUP BY 1)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN g < {_VOCAB_MIN_COUNT} THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN g < {_VOCAB_MIN_COUNT} THEN cnt ELSE 0 END)
+            * 1000000 // SUM(cnt) AS BIGINT) AS oov_ppm,
+       CAST(SUM(CASE WHEN g < {_VOCAB_MIN_COUNT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov_types
+FROM occ JOIN gl USING (token)
+GROUP BY source
+ORDER BY source
+"""
+
+
 LLM_TEXT_QUERIES = {
+    "q268_chi2_terms": q268_chi2_terms,
+    "q274_vocab_oov": q274_vocab_oov,
     "q262_span_dedup_rewrite": q262_span_dedup_rewrite,
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -1598,6 +1788,8 @@ LLM_TEXT_QUERIES = {
 }
 
 LLM_TEXT_ORACLES = {
+    "q268_chi2_terms": Q268_SQL,
+    "q274_vocab_oov": Q274_SQL,
     "q262_span_dedup_rewrite": Q262_SQL,
     "q16_text_stats": Q16_SQL,
     "q17_lang_id": Q17_SQL,

@@ -477,7 +477,224 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Q270 — COLUMN-PROFILE DRIFT (the data-diff tool): split orders into
+# two date halves at the midpoint of the observed o_orderdate range and
+# report, per column, non-null counts and exact distinct counts on each
+# side plus drift ppm — the snapshot-over-snapshot schema health check
+# a pipeline runs before promoting a new partition (q69's profile,
+# diffed across time). The midpoint pivot rides the lazy 1-row
+# broadcast-anchor pattern (q216) — no driver scalar at plan build.
+#
+# Every stat is a COUNT: type-blind and exactly portable. Values are
+# unpivoted through CAST(... AS STRING) only to share one column —
+# both engines' renderings are injective per type, so distinct counts
+# agree even where the rendered text differs.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q270_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.groupBy().agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    stack_expr = "stack({n}, {args}) AS (col, v)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+        ),
+    )
+    halves = (
+        orders.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "half",
+            F.when(
+                F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")) * 2
+                < F.datediff(F.col("d1"), F.col("d0")),
+                F.lit("a"),
+            ).otherwise(F.lit("b")),
+        )
+        .selectExpr("half", stack_expr)
+    )
+    per = halves.groupBy("col", "half").agg(
+        F.count("v").alias("n"), F.count_distinct("v").alias("d")
+    )
+    wide = per.groupBy("col").agg(
+        F.coalesce(
+            F.max(F.when(F.col("half") == "a", F.col("n"))), F.lit(0)
+        ).cast("long").alias("n_a"),
+        F.coalesce(
+            F.max(F.when(F.col("half") == "b", F.col("n"))), F.lit(0)
+        ).cast("long").alias("n_b"),
+        F.coalesce(
+            F.max(F.when(F.col("half") == "a", F.col("d"))), F.lit(0)
+        ).cast("long").alias("d_a"),
+        F.coalesce(
+            F.max(F.when(F.col("half") == "b", F.col("d"))), F.lit(0)
+        ).cast("long").alias("d_b"),
+    )
+    return wide.selectExpr(
+        "col",
+        "n_a",
+        "n_b",
+        "d_a",
+        "d_b",
+        "CAST(abs(n_b - n_a) * 1000000 DIV greatest(n_a, 1) AS BIGINT)"
+        " AS count_drift_ppm",
+        "CAST(abs(d_b - d_a) * 1000000 DIV greatest(d_a, 1) AS BIGINT)"
+        " AS distinct_drift_ppm",
+    ).orderBy("col")
+
+
+_PROFILE_UNION = "\n    UNION ALL\n".join(
+    f"    SELECT half, '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM based"
+    for c in _PROFILE_COLS
+)
+
+Q270_SQL = f"""
+WITH anchor AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+           MAX(CAST(o_orderdate AS DATE)) AS d1
+    FROM orders
+),
+based AS (
+    SELECT o.*,
+           CASE WHEN (CAST(o_orderdate AS DATE) - d0) * 2 < (d1 - d0)
+                THEN 'a' ELSE 'b' END AS half
+    FROM orders o CROSS JOIN anchor
+),
+unp AS (
+{_PROFILE_UNION}
+),
+per AS (
+    SELECT col, half, COUNT(v) AS n, COUNT(DISTINCT v) AS d
+    FROM unp GROUP BY 1, 2
+),
+wide AS (
+    SELECT col,
+           CAST(COALESCE(MAX(CASE WHEN half = 'a' THEN n END), 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(MAX(CASE WHEN half = 'b' THEN n END), 0) AS BIGINT) AS n_b,
+           CAST(COALESCE(MAX(CASE WHEN half = 'a' THEN d END), 0) AS BIGINT) AS d_a,
+           CAST(COALESCE(MAX(CASE WHEN half = 'b' THEN d END), 0) AS BIGINT) AS d_b
+    FROM per GROUP BY col
+)
+SELECT col, n_a, n_b, d_a, d_b,
+       CAST(abs(n_b - n_a) * 1000000 // GREATEST(n_a, 1) AS BIGINT)
+           AS count_drift_ppm,
+       CAST(abs(d_b - d_a) * 1000000 // GREATEST(d_a, 1) AS BIGINT)
+           AS distinct_drift_ppm
+FROM wide
+ORDER BY col
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q273 — COHEN'S KAPPA inter-rater agreement, per language: two
+# independent rule-based quality raters over documents — rater A passes
+# docs with ≥ 50 whitespace tokens (length gate), rater B passes docs
+# whose distinct-token ratio is ≥ 1/2 (repetition gate; 2·|distinct| ≥
+# |tokens| in integers). κ corrects raw agreement for chance:
+#   κ = (N·(n11+n00) − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0))
+# reported as exact ppm — numerator can go NEGATIVE (worse than
+# chance), so the oracle pins Spark DIV's truncation-toward-zero
+# explicitly (the q241 idiom). The calibration gauge for rule-based
+# labeling pipelines: low κ means the rules measure different things.
+#
+# Plan: one scan → per-doc booleans → one keyed agg per lang → pure
+# column algebra on the |langs|-row frame. No joins, no windows.
+# ---------------------------------------------------------------------------
+
+_KAPPA_MIN_TOKENS = 50
+
+
+def q273_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    rated = docs.select(
+        "lang",
+        (F.size(toks) >= _KAPPA_MIN_TOKENS).cast("int").alias("ra"),
+        (F.size(F.array_distinct(toks)) * 2 >= F.size(toks))
+        .cast("int")
+        .alias("rb"),
+    )
+    cells = rated.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr("ra * rb")).cast("long").alias("n11"),
+        F.sum(F.expr("ra * (1 - rb)")).cast("long").alias("n10"),
+        F.sum(F.expr("(1 - ra) * rb")).cast("long").alias("n01"),
+        F.sum(F.expr("(1 - ra) * (1 - rb)")).cast("long").alias("n00"),
+    )
+    return cells.selectExpr(
+        "lang",
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        # kden = 0 iff both raters are constant AND agree (pe = po = 1);
+        # κ is conventionally 1 there — pinned to avoid a 0/0.
+        "CAST(CASE WHEN n_docs * n_docs"
+        " = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"
+        " THEN 1000000 ELSE"
+        " 1000000 * (n_docs * (n11 + n00)"
+        " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))"
+        " DIV (n_docs * n_docs"
+        " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))"
+        " END AS BIGINT) AS kappa_ppm",
+    ).orderBy("lang")
+
+
+Q273_SQL = f"""
+WITH rated AS (
+    SELECT lang,
+           CASE WHEN len(string_split_regex(TRIM(text), '\\s+'))
+                     >= {_KAPPA_MIN_TOKENS} THEN 1 ELSE 0 END AS ra,
+           CASE WHEN len(list_distinct(string_split_regex(TRIM(text), '\\s+')))
+                     * 2 >= len(string_split_regex(TRIM(text), '\\s+'))
+                THEN 1 ELSE 0 END AS rb
+    FROM documents
+),
+cells AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ra * rb) AS BIGINT) AS n11,
+           CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+           CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+           CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+    FROM rated GROUP BY lang
+),
+terms AS (
+    SELECT *,
+           1000000 * (n_docs * (n11 + n00)
+               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+               AS knum,
+           n_docs * n_docs
+               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+               AS kden
+    FROM cells
+)
+SELECT lang, n_docs, n11, n10, n01, n00,
+       CAST(CASE WHEN kden = 0 THEN 1000000
+                 WHEN knum >= 0 THEN knum // kden
+                 ELSE -((-knum) // kden) END AS BIGINT) AS kappa_ppm
+FROM terms
+ORDER BY lang
+"""
+
+
 OPS_DIAG_QUERIES = {
+    "q270_profile_drift": q270_profile_drift,
+    "q273_cohens_kappa": q273_cohens_kappa,
     "q264_join_size_profiler": q264_join_size_profiler,
     "q213_benford_audit": q213_benford_audit,
     "q189_replica_checksum_diff": q189_replica_checksum_diff,
@@ -487,6 +704,8 @@ OPS_DIAG_QUERIES = {
 }
 
 OPS_DIAG_ORACLES = {
+    "q270_profile_drift": Q270_SQL,
+    "q273_cohens_kappa": Q273_SQL,
     "q264_join_size_profiler": Q264_SQL,
     "q213_benford_audit": Q213_SQL,
     "q189_replica_checksum_diff": Q189_SQL,

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import SQL_DEC_SUM as SQL_DEC_SUM_X
 from ..functions.numeric import exact_grouped_percentiles
-from ..functions.text import hash60_sql
+from ..functions.text import hash60, hash60_sql
 from ..sources.tables import load_table
 
 APPROX_RSD = 0.01
@@ -1495,7 +1495,130 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q269 — CONSISTENT-HASH REBALANCE REPORT: what fraction of documents
+# moves shards when the fleet grows 16 → 17, under (a) naive mod-hash
+# placement and (b) a consistent-hash ring with 64 virtual nodes per
+# shard. The capacity-planning number every sharded store needs: mod
+# placement moves ~N/(N+1) ≈ 94 % of all keys on a single-node add;
+# the ring moves ~1/(N+1) ≈ 6 % — this query measures both exactly on
+# the engine's cross-engine md5 hash60.
+#
+# Plan: the two rings are 1024/1088-row frames packed into ONE sorted
+# array-of-structs row each and broadcast (the q151 packed-centroid
+# pattern) — per doc, the assigned vnode is the first array element
+# with pos ≥ h (wrap → element 1), a JVM-side higher-order filter; no
+# join explosion, one scan, one final 2-row unpivot.
+# ---------------------------------------------------------------------------
+
+_RING_SHARDS = 16
+_RING_VNODES = 64
+
+
+def _ring_packed(spark: SparkSession, n_shards: int, out: str) -> DataFrame:
+    """One row: ``out`` = array<struct<pos,shard>> sorted by pos."""
+    vn = spark.range(n_shards * _RING_VNODES).select(
+        (F.col("id") / _RING_VNODES).cast("int").alias("shard"),
+        (F.col("id") % _RING_VNODES).cast("int").alias("v"),
+    )
+    pos = hash60(F.concat_ws(":", F.lit("vn"), F.col("shard"), F.col("v")))
+    return vn.select(pos.alias("pos"), "shard").groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("pos", "shard"))).alias(out)
+    )
+
+
+def q269_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rings = _ring_packed(spark, _RING_SHARDS, "ring_a").crossJoin(
+        _ring_packed(spark, _RING_SHARDS + 1, "ring_b")
+    )
+    h = hash60(F.concat(F.lit("doc:"), F.col("doc_id")))
+
+    def assign(ring: str) -> F.Column:
+        hit = F.element_at(
+            F.filter(F.col(ring), lambda x: x["pos"] >= F.col("h")), 1
+        )
+        return F.coalesce(hit, F.element_at(F.col(ring), 1))["shard"]
+
+    per_doc = (
+        docs.select(h.alias("h"))
+        .crossJoin(F.broadcast(rings))
+        .select(
+            ((F.col("h") % _RING_SHARDS)
+             != (F.col("h") % (_RING_SHARDS + 1))).cast("int").alias("mv_mod"),
+            (assign("ring_a") != assign("ring_b")).cast("int").alias("mv_ring"),
+        )
+    )
+    totals = per_doc.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("mv_mod").cast("long").alias("moved_mod"),
+        F.sum("mv_ring").cast("long").alias("moved_ring"),
+    )
+    return (
+        totals.selectExpr(
+            "n_docs",
+            "stack(2, 'mod', moved_mod, 'ring', moved_ring)"
+            " AS (scheme, n_moved)",
+        )
+        .selectExpr(
+            "scheme",
+            "n_docs",
+            "CAST(n_moved AS BIGINT) AS n_moved",
+            "CAST(n_moved * 1000000 DIV n_docs AS BIGINT) AS moved_ppm",
+        )
+        .orderBy("scheme")
+    )
+
+
+Q269_SQL = f"""
+WITH vn AS (
+    SELECT CAST(s.i AS INT) AS shard, CAST(v.i AS INT) AS v
+    FROM range(0, {_RING_SHARDS + 1}) s(i), range(0, {_RING_VNODES}) v(i)
+),
+ring AS (
+    SELECT shard, v,
+           CAST(('0x' || substr(md5('vn:' || shard || ':' || v), 1, 15))
+                AS BIGINT) AS pos
+    FROM vn
+),
+docs AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('doc:' || doc_id), 1, 15)) AS BIGINT) AS h
+    FROM documents
+),
+asg AS (
+    SELECT d.doc_id, d.h,
+           COALESCE(arg_min(r.shard, r.pos)
+                        FILTER (WHERE r.pos >= d.h
+                                  AND r.shard < {_RING_SHARDS}),
+                    arg_min(r.shard, r.pos)
+                        FILTER (WHERE r.shard < {_RING_SHARDS})) AS shard_a,
+           COALESCE(arg_min(r.shard, r.pos) FILTER (WHERE r.pos >= d.h),
+                    arg_min(r.shard, r.pos)) AS shard_b
+    FROM docs d CROSS JOIN ring r
+    GROUP BY d.doc_id, d.h
+),
+moved AS (
+    SELECT COUNT(*) AS n_docs,
+           SUM(CASE WHEN h % {_RING_SHARDS} <> h % {_RING_SHARDS + 1}
+                    THEN 1 ELSE 0 END) AS moved_mod,
+           SUM(CASE WHEN shard_a <> shard_b THEN 1 ELSE 0 END) AS moved_ring
+    FROM asg
+)
+SELECT scheme, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_moved AS BIGINT) AS n_moved,
+       CAST(n_moved * 1000000 // n_docs AS BIGINT) AS moved_ppm
+FROM (
+    SELECT n_docs, 'mod' AS scheme, moved_mod AS n_moved FROM moved
+    UNION ALL
+    SELECT n_docs, 'ring' AS scheme, moved_ring AS n_moved FROM moved
+)
+ORDER BY scheme
+"""
+
+
 SCALE_QUERIES = {
+    "q269_shard_rebalance": q269_shard_rebalance,
     "q261_kendall_tau": q261_kendall_tau,
     "q210_autocorrelation": q210_autocorrelation,
     "q203_seasonal_decomposition": q203_seasonal_decomposition,
@@ -1517,6 +1640,7 @@ SCALE_QUERIES = {
 }
 
 SCALE_ORACLES = {
+    "q269_shard_rebalance": Q269_SQL,
     "q261_kendall_tau": Q261_SQL,
     "q210_autocorrelation": Q210_SQL,
     "q203_seasonal_decomposition": Q203_SQL,

@@ -1613,7 +1613,74 @@ ORDER BY bucket
 )
 
 
+# ---------------------------------------------------------------------------
+# Q271 — ANN RECALL EVALUATION: recall@k of the IVF approximate search
+# (q26's pipeline, nprobe=2) against exact brute-force top-k (q25's
+# pipeline) on the same query set — THE metric that decides whether an
+# approximate index is shippable, computed inside the engine instead of
+# in a notebook. Both sides use the identical deterministic ranking
+# (cosine desc, neighbor_id tiebreak), so the top-k sets — and hence
+# the exact-integer recall — are reproducible across engines. Per query:
+# hits, k, recall ppm.
+#
+# Plan: the two operators' frames joined on (query_id, neighbor_id) —
+# query-count-bounded (N_QUERY_VECS·k rows each side), one keyed agg.
+# The oracle nests the full Q25 and Q26 SQL chains as CTEs.
+# ---------------------------------------------------------------------------
+
+
+def q271_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    exact = cosine_topk_exact(queries, emb, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        ivf_topk_exact(queries, emb, k=TOP_K, nprobe=IVF_NPROBE)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .selectExpr(
+            "query_id",
+            "k",
+            "n_hits",
+            "CAST(n_hits * 1000000 DIV k AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("query_id")
+    )
+
+
+Q271_SQL = f"""
+WITH exact AS (
+{Q25_SQL}
+),
+approx AS (
+{Q26_SQL}
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.neighbor_id) * 1000000 // COUNT(*) AS BIGINT)
+           AS recall_ppm
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 VECTOR_QUERIES = {
+    "q271_ann_recall": q271_ann_recall,
     "q25_cosine_topk": q25_cosine_topk,
     "q192_embedding_drift": q192_embedding_drift,
     "q26_ann_ivf": q26_ann_ivf,
@@ -1633,6 +1700,7 @@ VECTOR_QUERIES = {
 }
 
 VECTOR_ORACLES = {
+    "q271_ann_recall": Q271_SQL,
     "q258_pca_power_iteration": Q258_SQL,
     "q259_mutual_nn": Q259_SQL,
     "q260_cluster_quality": Q260_SQL,

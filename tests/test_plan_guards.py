@@ -53,6 +53,10 @@ BNL_ALLOWED = {
     # Q-row percentile spine non-equi-joined to the value-counts CDF
     # (bounded at Q x |distinct values|, the empirical quantile function).
     "q266_quantile_mapping",
+    "q268_chi2_terms",  # 1-row |docs| broadcast (q216 pattern, r6)
+    "q269_shard_rebalance",  # two packed-ring 1-row broadcasts (q151 pattern)
+    "q270_profile_drift",  # 1-row date-range anchor (q216 pattern, r6)
+    "q271_ann_recall",  # inherits q25/q26 packed-corpus broadcasts
     "q258_pca_power_iteration",  # 1-row max-normalizer broadcast per round
     "q259_mutual_nn",  # packed-centroid broadcasts (q151 pattern)
     "q260_cluster_quality",  # k-row centroid-pair non-equi join (bounded)

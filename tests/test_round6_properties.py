@@ -661,3 +661,341 @@ def test_quantile_mapping_is_monotone_and_quantile_correct(spark, sf_dir):
         if prev_v is not None:
             assert r.mapped_customer_balance >= prev_m
         prev_v, prev_m = r.supplier_balance, r.mapped_customer_balance
+
+
+def test_growth_accounting_identity_and_python_replay(spark, sf_dir):
+    """q267: active = new + retained + resurrected per week, and every
+    status count must equal a Python set-per-week replay (ISO-Monday
+    truncation recomputed with datetime.weekday, not date_trunc)."""
+    from datetime import timedelta
+
+    from snowflake_stock_dbt_spark.plans.events import q267_growth_accounting
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("t"))
+        .collect()
+    )
+    weeks = defaultdict(set)
+    user_weeks = defaultdict(set)
+    for r in rows:
+        d = r.t.date()
+        wk = d - timedelta(days=d.weekday())
+        weeks[wk].add(r.user_id)
+        user_weeks[r.user_id].add(wk)
+    expect = {}
+    for wk, users in weeks.items():
+        prev = wk - timedelta(days=7)
+        new = retained = resurrected = 0
+        for u in users:
+            first = min(user_weeks[u])
+            if wk == first:
+                new += 1
+            elif prev in user_weeks[u]:
+                retained += 1
+            else:
+                resurrected += 1
+        churned = sum(
+            1
+            for u, uws in user_weeks.items()
+            if prev in uws and wk not in uws
+        )
+        expect[wk] = (len(users), new, retained, resurrected, churned)
+    got = {
+        r.week: (r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in q267_growth_accounting(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for n_active, n_new, n_ret, n_res, _ in got.values():
+        assert n_active == n_new + n_ret + n_res
+
+
+def test_chi2_terms_match_exact_integer_replay(spark, sf_dir):
+    """q268: χ²·1000 must equal a Python big-int contingency replay
+    (arbitrary-precision — no overflow or rounding by construction),
+    with the same top-5 ranking and tiebreak."""
+    import re
+
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        _CHI2_MIN_DF,
+        _CHI2_TOP,
+        q268_chi2_terms,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    pres = set()
+    for r in docs:
+        for tok in set(re.split(r"\s+", r.text.strip())):
+            if tok:
+                pres.add((r.doc_id, r.lang, tok))
+    n_docs = len({(d, l) for d, l, _ in pres})
+    tl = defaultdict(int)
+    tt = defaultdict(int)
+    lt = defaultdict(set)
+    for d, l, t in pres:
+        tl[(t, l)] += 1
+        tt[t] += 1
+        lt[l].add(d)
+    scored = defaultdict(list)
+    for (t, l), a in tl.items():
+        n_t = tt[t]
+        if n_t < _CHI2_MIN_DF or n_t >= n_docs:
+            continue
+        n_l = len(lt[l])
+        b, c = n_t - a, n_l - a
+        d = n_docs - n_t - n_l + a
+        num = 1000 * n_docs * (a * d - b * c) ** 2
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        scored[l].append((-(num // den), t, a))
+    expect = set()
+    for lang, cands in scored.items():
+        for rank, (negchi, term, a) in enumerate(sorted(cands), 1):
+            if rank <= _CHI2_TOP:
+                expect.add((lang, rank, term, a, -negchi))
+    got = {
+        (r.lang, r.rank, r.term, r.df_in_lang, r.chi2_milli)
+        for r in q268_chi2_terms(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_shard_rebalance_matches_bisect_replay(spark, sf_dir):
+    """q269: both schemes' moved counts must equal a hashlib+bisect
+    Python replay, and the consistent-hash ring must move an order of
+    magnitude less than mod placement."""
+    import bisect
+    import hashlib
+
+    from snowflake_stock_dbt_spark.plans.scale import (
+        _RING_SHARDS,
+        _RING_VNODES,
+        q269_shard_rebalance,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ring(n: int):
+        pts = sorted(
+            (h60(f"vn:{s}:{v}"), s)
+            for s in range(n)
+            for v in range(_RING_VNODES)
+        )
+        keys = [p for p, _ in pts]
+        return keys, [s for _, s in pts]
+
+    ka, sa = ring(_RING_SHARDS)
+    kb, sb = ring(_RING_SHARDS + 1)
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [
+        i
+        for (i,) in con.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    moved_mod = moved_ring = 0
+    for doc_id in ids:
+        h = h60(f"doc:{doc_id}")
+        if h % _RING_SHARDS != h % (_RING_SHARDS + 1):
+            moved_mod += 1
+        ia = bisect.bisect_left(ka, h)
+        ib = bisect.bisect_left(kb, h)
+        if sa[ia % len(sa)] != sb[ib % len(sb)]:
+            moved_ring += 1
+    got = {
+        r.scheme: (r.n_docs, r.n_moved)
+        for r in q269_shard_rebalance(spark, sf_dir).collect()
+    }
+    assert got["mod"] == (len(ids), moved_mod)
+    assert got["ring"] == (len(ids), moved_ring)
+    assert moved_ring * 4 < moved_mod
+
+
+def test_profile_drift_matches_python_counts(spark, sf_dir):
+    """q270: per-column half counts and distincts must equal a raw-row
+    Python replay with the same midpoint pivot."""
+    from snowflake_stock_dbt_spark.plans.ops_diag import (
+        _PROFILE_COLS,
+        q270_profile_drift,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "orders").collect()
+    days = [r.o_orderdate.date() for r in rows]
+    d0, d1 = min(days), max(days)
+    expect = {}
+    for c in _PROFILE_COLS:
+        vals = {"a": [], "b": []}
+        for r in rows:
+            half = "a" if (r.o_orderdate.date() - d0).days * 2 < (d1 - d0).days else "b"
+            v = r[c]
+            if v is not None:
+                vals[half].append(v)
+        expect[c] = (
+            len(vals["a"]),
+            len(vals["b"]),
+            len(set(vals["a"])),
+            len(set(vals["b"])),
+        )
+    got = {
+        r.col: (r.n_a, r.n_b, r.d_a, r.d_b)
+        for r in q270_profile_drift(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_ann_recall_counts_exact_overlap(spark, sf_dir):
+    """q271: per query, n_hits must equal |exact top-k ∩ ivf top-k| of
+    the two underlying operators, and recall_ppm the exact integral
+    quotient."""
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        IVF_NPROBE,
+        N_QUERY_VECS,
+        TOP_K,
+        q271_ann_recall,
+    )
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        cosine_topk_exact,
+        ivf_topk_exact,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    exact = defaultdict(set)
+    for r in cosine_topk_exact(queries, emb, k=TOP_K).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    approx = defaultdict(set)
+    for r in ivf_topk_exact(queries, emb, k=TOP_K, nprobe=IVF_NPROBE).collect():
+        approx[r.query_id].add(r.neighbor_id)
+    got = {r.query_id: r for r in q271_ann_recall(spark, sf_dir).collect()}
+    assert set(got) == set(exact)
+    for qid, nbrs in exact.items():
+        hits = len(nbrs & approx[qid])
+        assert got[qid].n_hits == hits
+        assert got[qid].k == len(nbrs)
+        assert got[qid].recall_ppm == hits * 1_000_000 // len(nbrs)
+        assert got[qid].n_hits <= got[qid].k
+
+
+def test_time_decay_attribution_matches_python_replay(spark, sf_dir):
+    """q272: per-type totals must equal a Python replay of the capped
+    power-of-two decay, and shares must sum to ~1e6 (within |types|
+    truncation slack)."""
+    from snowflake_stock_dbt_spark.plans.events import (
+        _DECAY_CAP_DAYS,
+        q272_time_decay_attribution,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .collect()
+    )
+    conv = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            key = (r.us, r.event_id)
+            if r.user_id not in conv or key > conv[r.user_id]:
+                conv[r.user_id] = key
+    totals = defaultdict(int)
+    counts = defaultdict(int)
+    for r in rows:
+        if r.user_id not in conv or r.event_type == "purchase":
+            continue
+        cus, cid = conv[r.user_id]
+        if not (r.us < cus or (r.us == cus and r.event_id < cid)):
+            continue
+        d = min((cus - r.us) // 86_400_000_000, _DECAY_CAP_DAYS)
+        totals[r.event_type] += 1 << (_DECAY_CAP_DAYS - d)
+        counts[r.event_type] += 1
+    got = {r.event_type: r for r in q272_time_decay_attribution(spark, sf_dir).collect()}
+    assert {t: (r.total_weight, r.n_touches) for t, r in got.items()} == {
+        t: (totals[t], counts[t]) for t in totals
+    }
+    grand = sum(totals.values())
+    share_sum = sum(r.share_ppm for r in got.values())
+    assert 1_000_000 - len(got) <= share_sum <= 1_000_000
+    for t, r in got.items():
+        assert r.share_ppm == totals[t] * 1_000_000 // grand
+
+
+def test_cohens_kappa_matches_python_replay(spark, sf_dir):
+    """q273: the contingency cells and κ ppm must equal a Python
+    fractions-free integer replay of both raters."""
+    import re
+
+    from snowflake_stock_dbt_spark.plans.ops_diag import (
+        _KAPPA_MIN_TOKENS,
+        q273_cohens_kappa,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # n11 n10 n01 n00
+    for r in docs:
+        toks = re.split(r"\s+", r.text.strip())
+        ra = len(toks) >= _KAPPA_MIN_TOKENS
+        rb = 2 * len(set(toks)) >= len(toks)
+        idx = (0 if rb else 1) if ra else (2 if rb else 3)
+        cells[r.lang][idx] += 1
+    got = {r.lang: r for r in q273_cohens_kappa(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for lang, (n11, n10, n01, n00) in cells.items():
+        n = n11 + n10 + n01 + n00
+        pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        knum = 1_000_000 * (n * (n11 + n00) - pe_num)
+        kden = n * n - pe_num
+        if kden == 0:
+            kappa = 1_000_000
+        elif knum >= 0:
+            kappa = knum // kden
+        else:
+            kappa = -((-knum) // kden)
+        r = got[lang]
+        assert (r.n11, r.n10, r.n01, r.n00) == (n11, n10, n01, n00)
+        assert r.kappa_ppm == kappa
+
+
+def test_vocab_oov_matches_python_replay(spark, sf_dir):
+    """q274: per-source token totals, OOV counts and ppm must equal a
+    Python counter replay of the min-count vocabulary."""
+    import re
+    from collections import Counter
+
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        _VOCAB_MIN_COUNT,
+        q274_vocab_oov,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per_src = defaultdict(Counter)
+    glob = Counter()
+    for r in docs:
+        toks = [t for t in re.split(r"\s+", r.text.strip()) if t]
+        per_src[r.source].update(toks)
+        glob.update(toks)
+    got = {r.source: r for r in q274_vocab_oov(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        n_tokens = sum(cnt.values())
+        n_oov = sum(c for t, c in cnt.items() if glob[t] < _VOCAB_MIN_COUNT)
+        n_types = sum(1 for t in cnt if glob[t] < _VOCAB_MIN_COUNT)
+        r = got[src]
+        assert (r.n_tokens, r.n_oov, r.n_oov_types) == (n_tokens, n_oov, n_types)
+        assert r.oov_ppm == n_oov * 1_000_000 // n_tokens
