@@ -1551,7 +1551,175 @@ FROM shares
 """
 
 
+# ---------------------------------------------------------------------------
+# Q276 — DETERMINISTIC SOURCE-INTERLEAVE SCHEDULE: the strided global
+# training order data-mixing pipelines materialize — document r of
+# source s lands at global position r·K + idx(s) (K sources, idx by
+# source-name order), so every source drains round-robin and the
+# schedule is reproducible from keys alone, no RNG. Emits the first 50
+# schedule rows (global_pos is unique by construction — a collision-
+# free mixed-radix code — so the LIMIT is deterministic).
+#
+# Plan: one per-source rank window + a broadcast join to the
+# |sources|-row index map; TakeOrderedAndProject caps the output.
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_HEAD = 50
+
+
+def q276_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    srcmap = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1).alias("idx"),
+        )
+        .withColumn("n_src", F.count("*").over(Window.partitionBy()))
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            )
+            - 1
+        ).alias("rnk"),
+    )
+    return (
+        ranked.join(F.broadcast(srcmap), "source")
+        .select(
+            (F.col("rnk") * F.col("n_src") + F.col("idx"))
+            .cast("long")
+            .alias("global_pos"),
+            "source",
+            "doc_id",
+        )
+        .orderBy("global_pos")
+        .limit(_INTERLEAVE_HEAD)
+    )
+
+
+Q276_SQL = f"""
+WITH srcmap AS (
+    SELECT source,
+           ROW_NUMBER() OVER (ORDER BY source) - 1 AS idx,
+           COUNT(*) OVER () AS n_src
+    FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rnk
+    FROM documents
+)
+SELECT CAST(r.rnk * s.n_src + s.idx AS BIGINT) AS global_pos,
+       r.source, r.doc_id
+FROM ranked r JOIN srcmap s USING (source)
+ORDER BY global_pos
+LIMIT {_INTERLEAVE_HEAD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q280 — TRAIN/VAL/TEST SPLIT CONTAMINATION MATRIX: distinct 3-word
+# shingle overlap between q65's hash splits, for the three canonical
+# leakage directions (train→val, train→test, val→test) — the
+# pre-training check that the eval splits aren't already memorized
+# verbatim in train. Contamination ppm is |A∩B| / |B's distinct
+# shingles| in exact integers (B = the eval side).
+#
+# Plan: ONE tokenize/shingle explode → distinct (split, shingle) frame
+# reused by both the pair join and the per-split denominators; the
+# shingle-keyed equi-join produces only co-occurring shingles (never
+# all-pairs); output is 3 rows.
+# ---------------------------------------------------------------------------
+
+_CONTAM_PAIRS = [("train", "val"), ("train", "test"), ("val", "test")]
+
+
+def q280_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string")) % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    toks = ensure_min_parallelism(docs, F.col("doc_id")).select(
+        split.alias("split"), tokens("text").alias("t")
+    )
+    sh = (
+        toks.select(
+            "split", F.explode(shingles_from_tokens("t")).alias("s")
+        )
+        .distinct()
+    )
+    denom = sh.groupBy("split").agg(F.count("*").alias("n_shingles"))
+    pair_cond = F.lit(False)
+    for a, b in _CONTAM_PAIRS:
+        pair_cond = pair_cond | (
+            (F.col("l.split") == a) & (F.col("r.split") == b)
+        )
+    shared = (
+        sh.alias("l")
+        .join(sh.alias("r"), on="s")
+        .where(pair_cond)
+        .groupBy(
+            F.col("l.split").alias("from_split"),
+            F.col("r.split").alias("to_split"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(denom.withColumnRenamed("split", "to_split")),
+            "to_split",
+        )
+        .selectExpr(
+            "from_split",
+            "to_split",
+            "n_shared",
+            "CAST(n_shingles AS BIGINT) AS n_eval_shingles",
+            "CAST(n_shared * 1000000 DIV n_shingles AS BIGINT)"
+            " AS contamination_ppm",
+        )
+        .orderBy("from_split", "to_split")
+    )
+
+
+Q280_SQL = f"""
+WITH marked AS (
+    SELECT CASE WHEN {hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 80
+                THEN 'train'
+                WHEN {hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                THEN 'val' ELSE 'test' END AS split,
+           string_split_regex(TRIM(text), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT split,
+           concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+    FROM marked, UNNEST(range(0, GREATEST(len(t) - 2, 0))) AS r(i)
+),
+denom AS (SELECT split, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+shared AS (
+    SELECT l.split AS from_split, r.split AS to_split, COUNT(*) AS n_shared
+    FROM sh l JOIN sh r USING (s)
+    WHERE (l.split, r.split) IN (('train','val'), ('train','test'),
+                                 ('val','test'))
+    GROUP BY 1, 2
+)
+SELECT from_split, to_split,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(d.n_shingles AS BIGINT) AS n_eval_shingles,
+       CAST(n_shared * 1000000 // d.n_shingles AS BIGINT)
+           AS contamination_ppm
+FROM shared JOIN denom d ON d.split = shared.to_split
+ORDER BY from_split, to_split
+"""
+
+
 CURATION_QUERIES = {
+    "q276_interleave_schedule": q276_interleave_schedule,
+    "q280_split_contamination": q280_split_contamination,
     "q254_temperature_mixture": q254_temperature_mixture,
     "q200_curation_pipeline": q200_curation_pipeline,
     "q208_k_anonymity": q208_k_anonymity,
@@ -1573,6 +1741,8 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "q276_interleave_schedule": Q276_SQL,
+    "q280_split_contamination": Q280_SQL,
     "q254_temperature_mixture": Q254_SQL,
     "q200_curation_pipeline": Q200_SQL,
     "q208_k_anonymity": Q208_SQL,

@@ -1833,8 +1833,89 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q277 — FREQUENT EVENT TRIGRAMS (sequential 3-pattern mining): the
+# most common consecutive event-type triples across all user journeys —
+# q219's Markov bigrams extended one step, the pattern miner product
+# teams use to find canonical flows (browse→cart→purchase). Two leads
+# over the same user-keyed window (one shuffle), a keyed count, and a
+# rank over the ≤|types|³ trigram frame; support ppm is exact.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_TOP = 20
+
+
+def q277_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_id",
+        )
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    )
+    counts = seq.groupBy(
+        F.col("event_type").alias("e1"), "e2", "e3"
+    ).agg(F.count("*").cast("long").alias("n"))
+    ranked = counts.select(
+        "e1",
+        "e2",
+        "e3",
+        "n",
+        F.expr("CAST(n * 1000000 DIV SUM(n) OVER () AS BIGINT)").alias(
+            "support_ppm"
+        ),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("n").desc(),
+                F.col("e1").asc(),
+                F.col("e2").asc(),
+                F.col("e3").asc(),
+            )
+        )
+        .cast("int")
+        .alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= _TRIGRAM_TOP).orderBy("rank")
+
+
+Q277_SQL = f"""
+WITH seq AS (
+    SELECT event_type AS e1,
+           LEAD(event_type, 1) OVER w AS e2,
+           LEAD(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+),
+counts AS (
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT e1, e2, e3, n,
+           CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS support_ppm,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+           ) AS INT) AS rank
+    FROM counts
+)
+SELECT e1, e2, e3, n, support_ppm, rank
+FROM ranked WHERE rank <= {_TRIGRAM_TOP}
+ORDER BY rank
+"""
+
+
 EVENT_QUERIES = {
     "q267_growth_accounting": q267_growth_accounting,
+    "q277_event_trigrams": q277_event_trigrams,
     "q272_time_decay_attribution": q272_time_decay_attribution,
     "q257_ushape_attribution": q257_ushape_attribution,
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
@@ -1861,6 +1942,7 @@ EVENT_QUERIES = {
 
 EVENT_ORACLES = {
     "q267_growth_accounting": Q267_SQL,
+    "q277_event_trigrams": Q277_SQL,
     "q272_time_decay_attribution": Q272_SQL,
     "q257_ushape_attribution": Q257_SQL,
     "q199_rolling_distinct_users": Q199_SQL,

@@ -3661,8 +3661,126 @@ ORDER BY supplier_balance
 """
 
 
+# ---------------------------------------------------------------------------
+# Q278 — MAX DRAWDOWN + UNDERWATER STREAKS per event_type: from the
+# daily close series (q209's last-tick-of-day pick, (us, event_id)
+# tiebreak), the running peak via a cumulative-max window, drawdown =
+# peak − close (one IEEE subtraction of identical doubles on both
+# engines — deterministic), plus how many days the series spent below
+# its peak and the LONGEST consecutive underwater run (gaps-and-islands
+# on the below-peak flag: island id = running count of at-peak days) —
+# the risk triple every pacing/treasury dashboard shows.
+#
+# Plan: one keyed day agg + three frames over ONE (event_type, day)
+# window partitioning + a small keyed island agg. Daily grain keeps
+# every window partition calendar-bounded.
+# ---------------------------------------------------------------------------
+
+
+def q278_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("us"),
+                F.col("event_id").alias("event_id"),
+                F.col("value").alias("v"),
+            ).alias("tick"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max("tick")["v"].alias("close"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    marked = (
+        daily.withColumn("peak", F.max("close").over(w))
+        .withColumn("uw", (F.col("close") < F.col("peak")).cast("int"))
+        .withColumn(
+            "island",
+            F.sum(1 - F.col("uw")).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    streaks = (
+        marked.where(F.col("uw") == 1)
+        .groupBy("event_type", "island")
+        .agg(F.count("*").alias("run"))
+        .groupBy("event_type")
+        .agg(F.max("run").cast("long").alias("max_underwater_days"))
+    )
+    base = marked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max(F.col("peak") - F.col("close")).alias("max_drawdown"),
+        F.sum("uw").cast("long").alias("n_underwater_days"),
+    )
+    return (
+        base.join(streaks, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "max_drawdown",
+            "n_underwater_days",
+            F.coalesce("max_underwater_days", F.lit(0))
+            .cast("long")
+            .alias("max_underwater_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q278_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           MAX({'us': epoch_us(CAST(ts AS TIMESTAMP)),
+                'event_id': event_id, 'v': value}).v AS close
+    FROM events
+    GROUP BY 1, 2
+),
+marked AS (
+    SELECT event_type, day, close,
+           MAX(close) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+    FROM daily
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN close < peak THEN 1 ELSE 0 END AS uw,
+           SUM(CASE WHEN close < peak THEN 0 ELSE 1 END) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+),
+streaks AS (
+    SELECT event_type, CAST(MAX(run) AS BIGINT) AS max_underwater_days
+    FROM (
+        SELECT event_type, island, COUNT(*) AS run
+        FROM flagged WHERE uw = 1 GROUP BY 1, 2
+    ) GROUP BY event_type
+),
+base AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(peak - close) AS max_drawdown,
+           CAST(SUM(uw) AS BIGINT) AS n_underwater_days
+    FROM flagged GROUP BY event_type
+)
+SELECT b.event_type, b.n_days, b.max_drawdown, b.n_underwater_days,
+       CAST(COALESCE(s.max_underwater_days, 0) AS BIGINT)
+           AS max_underwater_days
+FROM base b LEFT JOIN streaks s USING (event_type)
+ORDER BY b.event_type
+"""
+
+
 INSIGHTS_QUERIES = {
     "q252_interval_islands": q252_interval_islands,
+    "q278_drawdown": q278_drawdown,
     "q256_km_survival": q256_km_survival,
     "q265_rate_limiter_audit": q265_rate_limiter_audit,
     "q266_quantile_mapping": q266_quantile_mapping,
@@ -3704,6 +3822,7 @@ INSIGHTS_QUERIES = {
 
 INSIGHTS_ORACLES = {
     "q252_interval_islands": Q252_SQL,
+    "q278_drawdown": Q278_SQL,
     "q256_km_survival": Q256_SQL,
     "q265_rate_limiter_audit": Q265_SQL,
     "q266_quantile_mapping": Q266_SQL,

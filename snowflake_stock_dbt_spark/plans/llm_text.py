@@ -1755,9 +1755,210 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q275 — HEAPS'-LAW VOCABULARY GROWTH: cumulative distinct vocabulary
+# vs cumulative token count at 10 corpus checkpoints (doc_id deciles) —
+# the curve that says whether a corpus is still yielding new types or
+# has gone repetitive (sublinear growth V ∝ n^β, β≈0.5 for natural
+# text; β→0 means duplication). NO global row sort: each token's
+# FIRST-occurrence doc rides min(doc_id), deciles are VALUE-based
+# buckets off a lazy 1-row max-doc anchor, and the only running sums
+# are over the 10-row decile frame.
+# ---------------------------------------------------------------------------
+
+_HEAPS_BUCKETS = 10
+
+
+def q275_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    anchor = docs.groupBy().agg((F.max("doc_id") + 1).alias("n_ids"))
+    base = (
+        docs.select("doc_id", F.col("text").alias("t"))
+        .withColumn("tok", tokens(F.col("t")))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(doc_id * {_HEAPS_BUCKETS} DIV n_ids AS INT)"
+            ).alias("bucket"),
+            "tok",
+        )
+    )
+    toks_per_bucket = (
+        base.select(
+            "bucket", F.explode("tok").alias("token")
+        )
+        .where(F.col("token") != "")
+    )
+    token_counts = toks_per_bucket.groupBy("bucket").agg(
+        F.count("*").alias("n_tok")
+    )
+    first_seen = (
+        toks_per_bucket.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new_types"))
+    )
+    docs_per_bucket = base.groupBy("bucket").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per_bucket.join(token_counts, "bucket", "left")
+        .join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+            F.sum(F.coalesce("n_tok", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce("n_new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .selectExpr(
+            "bucket",
+            "cum_docs",
+            "cum_tokens",
+            "cum_vocab",
+            "CAST(cum_vocab * 1000000 DIV greatest(cum_tokens, 1) AS BIGINT)"
+            " AS type_token_ppm",
+        )
+        .orderBy("bucket")
+    )
+
+
+Q275_SQL = f"""
+WITH anchor AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
+base AS (
+    SELECT doc_id,
+           CAST(doc_id * {_HEAPS_BUCKETS} // n_ids AS INT) AS bucket,
+           string_split_regex(TRIM(text), '\\s+') AS tok
+    FROM documents CROSS JOIN anchor
+),
+tpb AS (
+    SELECT bucket, t.token
+    FROM base, UNNEST(tok) AS t(token)
+    WHERE t.token <> ''
+),
+token_counts AS (SELECT bucket, COUNT(*) AS n_tok FROM tpb GROUP BY 1),
+first_seen AS (
+    SELECT bucket, COUNT(*) AS n_new_types FROM (
+        SELECT token, MIN(bucket) AS bucket FROM tpb GROUP BY token
+    ) GROUP BY bucket
+),
+dpb AS (SELECT bucket, COUNT(*) AS n_docs FROM base GROUP BY 1),
+cum AS (
+    SELECT d.bucket,
+           CAST(SUM(d.n_docs) OVER (ORDER BY d.bucket) AS BIGINT) AS cum_docs,
+           CAST(SUM(COALESCE(tc.n_tok, 0)) OVER (ORDER BY d.bucket)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(fs.n_new_types, 0)) OVER (ORDER BY d.bucket)
+                AS BIGINT) AS cum_vocab
+    FROM dpb d
+    LEFT JOIN token_counts tc ON tc.bucket = d.bucket
+    LEFT JOIN first_seen fs ON fs.bucket = d.bucket
+)
+SELECT bucket, cum_docs, cum_tokens, cum_vocab,
+       CAST(cum_vocab * 1000000 // GREATEST(cum_tokens, 1) AS BIGINT)
+           AS type_token_ppm
+FROM cum
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q279 — SENTENCE-SEGMENTATION QUALITY REPORT, per source: split each
+# doc on terminal-punctuation runs ([.!?]+), count non-blank sentences,
+# and gauge readability — mean sentences per doc (milli), mean tokens
+# per sentence (milli), and how many docs contain a RUN-ON sentence
+# (> _RUNON_TOKENS whitespace tokens) — the low-cost proxy quality
+# filters use for "is this prose or a token dump". Pure string/array
+# algebra on both engines; every ratio is an exact integral quotient.
+# ---------------------------------------------------------------------------
+
+_RUNON_TOKENS = 60
+
+
+def q279_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(sents).cast("long").alias("n_sents"),
+        token_count("text").alias("n_toks"),
+        F.exists(
+            sents,
+            lambda s: F.size(F.split(s, r"\s+")) > _RUNON_TOKENS,
+        ).cast("int").alias("has_runon"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_sents").cast("long").alias("n_sentences"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("has_runon").cast("long").alias("n_runon_docs"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_sentences",
+            "CAST(n_sentences * 1000 DIV n_docs AS BIGINT)"
+            " AS sents_per_doc_milli",
+            "CAST(n_tokens * 1000 DIV greatest(n_sentences, 1) AS BIGINT)"
+            " AS tokens_per_sent_milli",
+            "n_runon_docs",
+        )
+        .orderBy("source")
+    )
+
+
+Q279_SQL = f"""
+WITH per_doc AS (
+    SELECT source,
+           len(list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'),
+                              s -> TRIM(s)),
+               s -> s <> '')) AS n_sents,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+               AS n_toks,
+           CASE WHEN len(list_filter(
+                    list_transform(string_split_regex(text, '[.!?]+'),
+                                   s -> TRIM(s)),
+                    s -> s <> ''
+                        AND len(string_split_regex(s, '\\s+'))
+                            > {_RUNON_TOKENS})) > 0
+                THEN 1 ELSE 0 END AS has_runon
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sents) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_sents) * 1000 // COUNT(*) AS BIGINT)
+           AS sents_per_doc_milli,
+       CAST(SUM(n_toks) * 1000 // GREATEST(SUM(n_sents), 1) AS BIGINT)
+           AS tokens_per_sent_milli,
+       CAST(SUM(has_runon) AS BIGINT) AS n_runon_docs
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q268_chi2_terms": q268_chi2_terms,
     "q274_vocab_oov": q274_vocab_oov,
+    "q275_heaps_law": q275_heaps_law,
+    "q279_sentence_stats": q279_sentence_stats,
     "q262_span_dedup_rewrite": q262_span_dedup_rewrite,
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -1790,6 +1991,8 @@ LLM_TEXT_QUERIES = {
 LLM_TEXT_ORACLES = {
     "q268_chi2_terms": Q268_SQL,
     "q274_vocab_oov": Q274_SQL,
+    "q275_heaps_law": Q275_SQL,
+    "q279_sentence_stats": Q279_SQL,
     "q262_span_dedup_rewrite": Q262_SQL,
     "q16_text_stats": Q16_SQL,
     "q17_lang_id": Q17_SQL,

@@ -999,3 +999,250 @@ def test_vocab_oov_matches_python_replay(spark, sf_dir):
         r = got[src]
         assert (r.n_tokens, r.n_oov, r.n_oov_types) == (n_tokens, n_oov, n_types)
         assert r.oov_ppm == n_oov * 1_000_000 // n_tokens
+
+
+def test_heaps_law_matches_python_replay(spark, sf_dir):
+    """q275: cumulative vocab/token counts at every decile checkpoint
+    must equal a Python first-occurrence replay, and cum_vocab must be
+    nondecreasing and <= cum_tokens."""
+    import re
+
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        _HEAPS_BUCKETS,
+        q275_heaps_law,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_ids = max(r.doc_id for r in docs) + 1
+    per_bucket_tok = defaultdict(int)
+    per_bucket_docs = defaultdict(int)
+    first_bucket = {}
+    for r in docs:
+        b = r.doc_id * _HEAPS_BUCKETS // n_ids
+        per_bucket_docs[b] += 1
+        for t in re.split(r"\s+", r.text.strip()):
+            if not t:
+                continue
+            per_bucket_tok[b] += 1
+            if t not in first_bucket or b < first_bucket[t]:
+                first_bucket[t] = b
+    new_types = defaultdict(int)
+    for t, b in first_bucket.items():
+        new_types[b] += 1
+    buckets = sorted(per_bucket_docs)
+    cum_d = cum_t = cum_v = 0
+    expect = {}
+    for b in buckets:
+        cum_d += per_bucket_docs[b]
+        cum_t += per_bucket_tok[b]
+        cum_v += new_types[b]
+        expect[b] = (cum_d, cum_t, cum_v, cum_v * 1_000_000 // max(cum_t, 1))
+    got = {
+        r.bucket: (r.cum_docs, r.cum_tokens, r.cum_vocab, r.type_token_ppm)
+        for r in q275_heaps_law(spark, sf_dir).collect()
+    }
+    assert got == expect
+    vocabs = [got[b][2] for b in sorted(got)]
+    assert vocabs == sorted(vocabs)
+    for b in got:
+        assert got[b][2] <= got[b][1]
+
+
+def test_interleave_schedule_is_strided_and_gapless_prefix(spark, sf_dir):
+    """q276: the first 50 global positions must be exactly the strided
+    mixed-radix code — position r*K+idx for source-rank r — and form a
+    gapless prefix 0..49 when every source is deep enough."""
+    from snowflake_stock_dbt_spark.plans.curation import (
+        _INTERLEAVE_HEAD,
+        q276_interleave_schedule,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id").collect()
+    sources = sorted({r.source for r in docs})
+    idx = {s: i for i, s in enumerate(sources)}
+    k = len(sources)
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r.doc_id)
+    expect = []
+    for s, ids in by_src.items():
+        for rnk, did in enumerate(sorted(ids)):
+            expect.append((rnk * k + idx[s], s, did))
+    expect = sorted(expect)[:_INTERLEAVE_HEAD]
+    got = [
+        (r.global_pos, r.source, r.doc_id)
+        for r in q276_interleave_schedule(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    # every source has >= HEAD/K docs in this corpus -> gapless prefix
+    if all(len(v) >= _INTERLEAVE_HEAD // k + 1 for v in by_src.values()):
+        assert [p for p, _, _ in got] == list(range(_INTERLEAVE_HEAD))
+
+
+def test_event_trigrams_match_python_replay(spark, sf_dir):
+    """q277: trigram counts and top-20 ranking must equal a Python
+    per-user sequence replay with the same tiebreaks."""
+    from snowflake_stock_dbt_spark.plans.events import (
+        _TRIGRAM_TOP,
+        q277_event_trigrams,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    counts = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            counts[(types[i], types[i + 1], types[i + 2])] += 1
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [
+        (e1, e2, e3, n, n * 1_000_000 // total, rank)
+        for rank, ((e1, e2, e3), n) in enumerate(ranked[:_TRIGRAM_TOP], 1)
+    ]
+    got = [
+        (r.e1, r.e2, r.e3, r.n, r.support_ppm, r.rank)
+        for r in q277_event_trigrams(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_drawdown_matches_python_replay(spark, sf_dir):
+    """q278: max drawdown, underwater-day counts and longest streak
+    must equal a sequential Python replay over the daily closes."""
+    from snowflake_stock_dbt_spark.plans.insights import q278_drawdown
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "value",
+        )
+        .collect()
+    )
+    last_tick = {}
+    for r in rows:
+        key = (r.event_type, r.day)
+        tick = (r.us, r.event_id, r.value)
+        if key not in last_tick or tick > last_tick[key]:
+            last_tick[key] = tick
+    series = defaultdict(list)
+    for (et, day), (_, _, v) in last_tick.items():
+        series[et].append((day, v))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        peak = float("-inf")
+        max_dd = 0.0
+        uw_days = 0
+        streak = best = 0
+        for _, close in pts:
+            peak = max(peak, close)
+            dd = peak - close
+            max_dd = max(max_dd, dd)
+            if close < peak:
+                uw_days += 1
+                streak += 1
+                best = max(best, streak)
+            else:
+                streak = 0
+        expect[et] = (len(pts), max_dd, uw_days, best)
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.max_drawdown,
+            r.n_underwater_days,
+            r.max_underwater_days,
+        )
+        for r in q278_drawdown(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_sentence_stats_match_python_replay(spark, sf_dir):
+    """q279: per-source sentence counts, ratios, and run-on flags must
+    equal a Python re.split replay."""
+    import re
+
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        _RUNON_TOKENS,
+        q279_sentence_stats,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, sents, toks, runon
+    for r in docs:
+        sents = [s.strip() for s in re.split(r"[.!?]+", r.text) if s.strip()]
+        toks = re.split(r"\s+", r.text.strip()) if r.text.strip() else []
+        runon = any(
+            len(re.split(r"\s+", s)) > _RUNON_TOKENS for s in sents
+        )
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += len(sents)
+        a[2] += len(toks)
+        a[3] += 1 if runon else 0
+    got = {r.source: r for r in q279_sentence_stats(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for src, (nd, ns, nt, nr) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.n_sentences, r.n_runon_docs) == (nd, ns, nr)
+        assert r.sents_per_doc_milli == ns * 1000 // nd
+        assert r.tokens_per_sent_milli == nt * 1000 // max(ns, 1)
+
+
+def test_split_contamination_matches_python_replay(spark, sf_dir):
+    """q280: the 3-row contamination matrix must equal a hashlib +
+    set-intersection Python replay of q65's split rule and 3-gram
+    shingles."""
+    import hashlib
+    import re
+
+    from snowflake_stock_dbt_spark.plans.curation import (
+        _CONTAM_PAIRS,
+        q280_split_contamination,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sets = defaultdict(set)
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 100
+        split = "train" if h < 80 else ("val" if h < 90 else "test")
+        toks = re.split(r"\s+", r.text.strip())
+        for i in range(len(toks) - 2):
+            sets[split].add(" ".join(toks[i : i + 3]))
+    expect = {}
+    for a, b in _CONTAM_PAIRS:
+        shared = len(sets[a] & sets[b])
+        expect[(a, b)] = (
+            shared,
+            len(sets[b]),
+            shared * 1_000_000 // len(sets[b]),
+        )
+    got = {
+        (r.from_split, r.to_split): (
+            r.n_shared,
+            r.n_eval_shingles,
+            r.contamination_ppm,
+        )
+        for r in q280_split_contamination(spark, sf_dir).collect()
+    }
+    assert got == expect
