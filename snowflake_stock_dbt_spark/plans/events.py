@@ -1913,9 +1913,362 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Q282 — EVENT BURSTINESS (Fano factor) per event_type: the
+# variance-to-mean ratio of DAILY event counts over observed days —
+# F ≈ 1 is Poisson-like arrival, F ≫ 1 is bursty (incident storms,
+# bot traffic), F < 1 is metronomic. Computed entirely on the integer
+# grid: with x = daily count, F·1000 = 1000·(n·Σx² − (Σx)²) DIV (n·Σx)
+# — population variance over mean, one exact integral quotient, no
+# float accumulation anywhere (the q248 n·Σx²−(Σx)² algebra).
+#
+# Plan: one (event_type, day) keyed agg → one event_type keyed agg.
+# ---------------------------------------------------------------------------
+
+
+def q282_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("x"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(n_days AS BIGINT) AS n_days",
+            "CAST(sx AS BIGINT) AS n_events",
+            "CAST(1000 * (n_days * sxx - sx * sx) DIV (n_days * sx)"
+            " AS BIGINT) AS fano_milli",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q282_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           COUNT(*) AS x
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(x) AS BIGINT) AS n_events,
+       CAST(1000 * (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+            // (COUNT(*) * SUM(x)) AS BIGINT) AS fano_milli
+FROM daily
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q285 — RUN-LENGTH COMPRESSION PROFILE: consecutive same-event-type
+# runs inside each user's journey (gaps-and-islands: island id = the
+# running count of type-CHANGE rows), rolled up per event_type — run
+# counts, longest run, mean run length in exact milli, and the RLE
+# compression ratio ppm (runs per event). The session-replay storage
+# gauge, and a behavioral signal (long repeat-runs = rage clicks /
+# scraper loops).
+#
+# Plan: two frames over ONE user-keyed window partitioning + one keyed
+# island agg + one keyed rollup — the q27/q252 single-shuffle shape.
+# ---------------------------------------------------------------------------
+
+
+def q285_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_id",
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            (
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    runs = marked.groupBy("user_id", "island", "event_type").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.sum("run_len").alias("n_events"),
+            F.max("run_len").alias("max_run"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(n_runs AS BIGINT) AS n_runs",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "CAST(max_run AS BIGINT) AS max_run",
+            "CAST(n_events * 1000 DIV n_runs AS BIGINT) AS mean_run_milli",
+            "CAST(n_runs * 1000000 DIV n_events AS BIGINT)"
+            " AS compression_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q285_SQL = """
+WITH base AS (
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+    FROM events
+),
+marked AS (
+    SELECT user_id, event_type, us, event_id,
+           CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+islanded AS (
+    SELECT user_id, event_type,
+           SUM(chg) OVER (PARTITION BY user_id
+               ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+),
+runs AS (
+    SELECT user_id, island, event_type, COUNT(*) AS run_len
+    FROM islanded GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(SUM(run_len) AS BIGINT) AS n_events,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(run_len) * 1000 // COUNT(*) AS BIGINT) AS mean_run_milli,
+       CAST(COUNT(*) * 1000000 // SUM(run_len) AS BIGINT) AS compression_ppm
+FROM runs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q287 — CROSS-CORRELATION LEAD-LAG DISCOVERY: for every ordered pair
+# of event types, which daily-count lag (0..MAX_LAG days) maximizes the
+# covariance between "x today" and "y lag days later" — the does-search-
+# lead-purchase probe. Per (leader, follower): the best lag, its
+# scaled covariance m = 1000·(n·Σxy − Σx·Σy) DIV n² (integer grid, the
+# q248 algebra; inner-join day alignment, n = aligned days), ranked
+# cov desc / lag asc. Negative covariances pin Spark DIV's truncation
+# in the oracle (the q241 idiom).
+#
+# Plan: one (type, day) keyed agg → an 8-row lag spine exploded onto
+# the tiny daily frame → one self equi-join on (type-pair, shifted
+# day) → keyed agg per (pair, lag) → one window rank. Everything after
+# the first agg is |types|·|days|-scale, i.e. metadata.
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 7
+
+
+def q287_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("x"))
+    lags = F.explode(
+        F.sequence(F.lit(0), F.lit(_XCORR_MAX_LAG))
+    ).alias("lag")
+    lead = daily.select(
+        F.col("event_type").alias("a"),
+        F.col("day").alias("d"),
+        F.col("x").alias("xa"),
+        lags,
+    ).withColumn("target_day", F.expr("date_add(d, lag)"))
+    follow = daily.select(
+        F.col("event_type").alias("b"),
+        F.col("day").alias("target_day"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        lead.join(follow, "target_day")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b", "lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        )
+        .selectExpr(
+            "a",
+            "b",
+            "lag",
+            "CAST(n AS BIGINT) AS n_days",
+            "CAST(1000 * (n * sxy - sx * sy) DIV (n * n) AS BIGINT)"
+            " AS cov_milli",
+        )
+    )
+    w = Window.partitionBy("a", "b").orderBy(
+        F.col("cov_milli").desc(), F.col("lag").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("a").alias("leader"),
+            F.col("b").alias("follower"),
+            F.col("lag").cast("int").alias("best_lag"),
+            "n_days",
+            "cov_milli",
+        )
+        .orderBy("leader", "follower")
+    )
+
+
+Q287_SQL = f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           COUNT(*) AS x
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type AS a, b.event_type AS b, l.lag,
+           COUNT(*) AS n,
+           SUM(a.x) AS sx, SUM(b.x) AS sy, SUM(a.x * b.x) AS sxy
+    FROM daily a
+    CROSS JOIN range(0, {_XCORR_MAX_LAG + 1}) l(lag)
+    JOIN daily b ON b.day = a.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
+               AND b.event_type <> a.event_type
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT a, b, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN 1000 * (n * sxy - sx * sy) >= 0
+                     THEN 1000 * (n * sxy - sx * sy) // (n * n)
+                     ELSE -((-(1000 * (n * sxy - sx * sy))) // (n * n))
+                END AS BIGINT) AS cov_milli
+    FROM pairs
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY a, b ORDER BY cov_milli DESC, lag ASC
+    ) AS rk
+    FROM scored
+)
+SELECT a AS leader, b AS follower, lag AS best_lag, n_days, cov_milli
+FROM ranked WHERE rk = 1
+ORDER BY leader, follower
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q288 — RETENTION HALF-LIFE per daily cohort: the smallest day offset
+# k ≥ 1 at which a first-seen cohort's active share falls below 1/2
+# (the one-number summary PMs quote from q66's retention matrix),
+# decided with the cross-multiplied integer test 2·active(k) <
+# cohort_size — no float ratio. Cohorts that never decay below half
+# within the observed window report -1 (right-censored). Day grain:
+# the corpus spans ~a month, so daily cohorts give a full curve where
+# weekly grain collapses to one cohort.
+#
+# Plan: q66's cohort matrix (distinct user-week frame, first-week via
+# a user window, one keyed agg) + one MIN-when agg per cohort.
+# ---------------------------------------------------------------------------
+
+
+def q288_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    matrix = (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("day"), F.col("cohort")).cast("int").alias("k"),
+        )
+        .agg(F.count("*").alias("active"))
+    )
+    size = matrix.where(F.col("k") == 0).select(
+        "cohort", F.col("active").alias("cohort_size")
+    )
+    return (
+        matrix.join(size, "cohort")
+        .groupBy("cohort")
+        .agg(
+            F.max("cohort_size").cast("long").alias("cohort_size"),
+            F.min(
+                F.when(
+                    (F.col("k") >= 1)
+                    & (F.col("active") * 2 < F.col("cohort_size")),
+                    F.col("k"),
+                )
+            ).alias("hl"),
+        )
+        .select(
+            "cohort",
+            "cohort_size",
+            F.coalesce(F.col("hl"), F.lit(-1))
+            .cast("long")
+            .alias("half_life_days"),
+        )
+        .orderBy("cohort")
+    )
+
+
+Q288_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+    FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort FROM uw GROUP BY 1),
+matrix AS (
+    SELECT f.cohort,
+           CAST(uw.day - f.cohort AS INT) AS k,
+           COUNT(*) AS active
+    FROM uw JOIN first f USING (user_id)
+    GROUP BY 1, 2
+),
+size AS (SELECT cohort, active AS cohort_size FROM matrix WHERE k = 0)
+SELECT m.cohort,
+       CAST(MAX(s.cohort_size) AS BIGINT) AS cohort_size,
+       CAST(COALESCE(MIN(CASE WHEN m.k >= 1 AND m.active * 2 < s.cohort_size
+                              THEN m.k END), -1) AS BIGINT)
+           AS half_life_weeks
+FROM matrix m JOIN size s USING (cohort)
+GROUP BY m.cohort
+ORDER BY m.cohort
+"""
+
+
 EVENT_QUERIES = {
     "q267_growth_accounting": q267_growth_accounting,
     "q277_event_trigrams": q277_event_trigrams,
+    "q282_event_burstiness": q282_event_burstiness,
+    "q285_event_runs": q285_event_runs,
+    "q287_crosscorr_leadlag": q287_crosscorr_leadlag,
+    "q288_retention_halflife": q288_retention_halflife,
     "q272_time_decay_attribution": q272_time_decay_attribution,
     "q257_ushape_attribution": q257_ushape_attribution,
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
@@ -1943,6 +2296,10 @@ EVENT_QUERIES = {
 EVENT_ORACLES = {
     "q267_growth_accounting": Q267_SQL,
     "q277_event_trigrams": Q277_SQL,
+    "q282_event_burstiness": Q282_SQL,
+    "q285_event_runs": Q285_SQL,
+    "q287_crosscorr_leadlag": Q287_SQL,
+    "q288_retention_halflife": Q288_SQL,
     "q272_time_decay_attribution": Q272_SQL,
     "q257_ushape_attribution": Q257_SQL,
     "q199_rolling_distinct_users": Q199_SQL,

@@ -1954,11 +1954,329 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q281 — BOILERPLATE AFFIX DETECTION: repeated 8-token document
+# prefixes and suffixes within a source — the "subscribe to our
+# newsletter" / footer detector web-scrape curation runs before
+# training (boilerplate inflates dedup similarity and wastes tokens).
+# Docs shorter than 8 tokens are skipped; an affix is reported when ≥
+# MIN_DOCS docs of the same source share it, with its share of the
+# source's eligible docs in exact ppm.
+#
+# The synthetic corpus has no natural 8-token boilerplate, so the
+# fixture injects it deterministically (the q189 injected-drift
+# precedent): every doc_id % 5 == 0 gains the footer, every
+# doc_id % 11 == 0 the header — the expected answer is exactly the
+# injected affixes, replayed identically by the oracle.
+#
+# Plan: one scan → two affix projections unioned → one keyed count +
+# a broadcast join to the |sources|-row eligible-doc denominators.
+# ---------------------------------------------------------------------------
+
+_AFFIX_TOKENS = 8
+_AFFIX_MIN_DOCS = 3
+_AFFIX_FOOTER = "subscribe to our newsletter for daily updates thanks"
+_AFFIX_HEADER = "terms of service apply to all content below"
+
+
+def q281_boilerplate_affixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.concat_ws(
+        " ",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_AFFIX_HEADER)),
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_AFFIX_FOOTER)),
+    )
+    base = (
+        docs.select("source", tokens(text).alias("t"))
+        .where(F.size("t") >= _AFFIX_TOKENS)
+    )
+    prefix = base.select(
+        "source",
+        F.lit("prefix").alias("kind"),
+        F.concat_ws(" ", F.slice("t", 1, _AFFIX_TOKENS)).alias("affix"),
+    )
+    suffix = base.select(
+        "source",
+        F.lit("suffix").alias("kind"),
+        F.concat_ws(" ", F.slice("t", -_AFFIX_TOKENS, _AFFIX_TOKENS)).alias(
+            "affix"
+        ),
+    )
+    denom = base.groupBy("source").agg(
+        F.count("*").alias("n_eligible")
+    )
+    return (
+        prefix.unionByName(suffix)
+        .groupBy("source", "kind", "affix")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= _AFFIX_MIN_DOCS)
+        .join(F.broadcast(denom), "source")
+        .selectExpr(
+            "source",
+            "kind",
+            "affix",
+            "n_docs",
+            "CAST(n_docs * 1000000 DIV n_eligible AS BIGINT) AS share_ppm",
+        )
+        .orderBy("source", "kind", "affix")
+    )
+
+
+Q281_SQL = f"""
+WITH fixed AS (
+    SELECT source,
+           concat_ws(' ',
+               CASE WHEN doc_id % 11 = 0 THEN '{_AFFIX_HEADER}' END,
+               text,
+               CASE WHEN doc_id % 5 = 0 THEN '{_AFFIX_FOOTER}' END) AS text
+    FROM documents
+),
+base AS (
+    SELECT source, string_split_regex(TRIM(text), '\\s+') AS t
+    FROM fixed
+    WHERE len(string_split_regex(TRIM(text), '\\s+')) >= {_AFFIX_TOKENS}
+),
+affixes AS (
+    SELECT source, 'prefix' AS kind,
+           array_to_string(t[1:{_AFFIX_TOKENS}], ' ') AS affix
+    FROM base
+    UNION ALL
+    SELECT source, 'suffix' AS kind,
+           array_to_string(t[len(t) - {_AFFIX_TOKENS - 1}:len(t)], ' ')
+               AS affix
+    FROM base
+),
+denom AS (SELECT source, COUNT(*) AS n_eligible FROM base GROUP BY 1),
+counted AS (
+    SELECT source, kind, affix, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM affixes GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {_AFFIX_MIN_DOCS}
+)
+SELECT c.source, c.kind, c.affix, c.n_docs,
+       CAST(c.n_docs * 1000000 // d.n_eligible AS BIGINT) AS share_ppm
+FROM counted c JOIN denom d USING (source)
+ORDER BY c.source, c.kind, c.affix
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q283 — DEDUP SAVINGS REPORT: the capacity-planning readout of q19's
+# exact dedup — cluster-size histogram over the normalized fingerprint
+# (sizes ≥ 2), with docs removable and characters saved if each cluster
+# keeps its min-doc_id survivor. chars_saved uses each member's OWN
+# n_chars (normalization can cluster unequal raw texts), so the number
+# is the true storage delta, not size·keeper_chars.
+#
+# The synthetic corpus has zero exact duplicates, so the fixture
+# simulates a partial re-crawl deterministically (q189's injected-drift
+# precedent): every doc_id % 7 == 0 is re-ingested once (+1_000_000 id
+# offset) and every doc_id % 21 == 0 twice — the expected histogram is
+# exactly the size-2 and size-3 rows, replayed by the oracle.
+#
+# Plan: one fingerprint agg (cluster grain) → one size-grain agg.
+# ---------------------------------------------------------------------------
+
+_RECRAWL_OFFSET = 1_000_000
+
+
+def q283_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    recrawl1 = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _RECRAWL_OFFSET).alias("doc_id"), "text", "n_chars"
+    )
+    recrawl2 = docs.where(F.col("doc_id") % 21 == 0).select(
+        (F.col("doc_id") + 2 * _RECRAWL_OFFSET).alias("doc_id"),
+        "text",
+        "n_chars",
+    )
+    corpus = docs.unionByName(recrawl1).unionByName(recrawl2)
+    fp = F.sha2(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        ),
+        256,
+    )
+    clusters = (
+        corpus.select(fp.alias("fingerprint"), "doc_id", "n_chars")
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("size"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min(F.struct("doc_id", "n_chars"))["n_chars"].alias(
+                "keeper_chars"
+            ),
+        )
+        .where(F.col("size") >= 2)
+    )
+    return (
+        clusters.groupBy("size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(F.col("size") - 1).cast("long").alias("docs_removed"),
+            F.sum(F.col("total_chars") - F.col("keeper_chars"))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .selectExpr(
+            "CAST(size AS BIGINT) AS size",
+            "n_clusters",
+            "docs_removed",
+            "chars_saved",
+        )
+        .orderBy("size")
+    )
+
+
+Q283_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + {_RECRAWL_OFFSET}, text, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + {2 * _RECRAWL_OFFSET}, text, n_chars
+    FROM documents WHERE doc_id % 21 = 0
+),
+clusters AS (
+    SELECT sha256(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fingerprint,
+           COUNT(*) AS size,
+           SUM(n_chars) AS total_chars,
+           arg_min(n_chars, doc_id) AS keeper_chars
+    FROM corpus
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(size - 1) AS BIGINT) AS docs_removed,
+       CAST(SUM(total_chars - keeper_chars) AS BIGINT) AS chars_saved
+FROM clusters
+GROUP BY size
+ORDER BY size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q290 — SOURCE VOCABULARY SIMILARITY: cosine between sources' token-
+# count vectors — the corpus-mixing diagnostic ("are src3 and src11
+# the same crawl twice?") that decides whether two sources deserve
+# separate mixture weights. Dot products and norms accumulate as exact
+# BIGINT sums over the token-keyed join (only SHARED tokens produce
+# numerator rows — never a |V|² anything); the single final
+# sqrt-divide is one correctly-rounded double op per pair, rounded to
+# 9 dp for the cross-engine contract. Top-10 pairs, (a,b) tiebreak.
+#
+# Plan: one explode → (source, token) counts → token-keyed self-join
+# (a < b) → pair agg → broadcast norm join → one rank over ≤ K²/2 rows.
+# ---------------------------------------------------------------------------
+
+_SRCSIM_TOP = 10
+
+
+def q290_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.col("text").alias("t"))
+        .withColumn("tok", tokens(F.col("t")))
+        .select("source", F.explode("tok").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = tc.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nrm2")
+    )
+    dots = (
+        tc.alias("l")
+        .join(tc.alias("r"), "token")
+        .where(F.col("l.source") < F.col("r.source"))
+        .groupBy(
+            F.col("l.source").alias("a"), F.col("r.source").alias("b")
+        )
+        .agg(F.sum(F.col("l.c") * F.col("r.c")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(norms.select(F.col("source").alias("a"),
+                                     F.col("nrm2").alias("na"))),
+            "a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("source").alias("b"),
+                                     F.col("nrm2").alias("nb"))),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.col("dot").cast("long").alias("dot"),
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double"))),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("cosine").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _SRCSIM_TOP)
+        .select("rank", "a", "b", "dot", "cosine")
+        .orderBy("rank")
+    )
+
+
+Q290_SQL = f"""
+WITH tc AS (
+    SELECT source, t.token, COUNT(*) AS c
+    FROM documents,
+         UNNEST(string_split_regex(TRIM(text), '\\s+')) AS t(token)
+    WHERE t.token <> ''
+    GROUP BY 1, 2
+),
+norms AS (SELECT source, SUM(c * c) AS nrm2 FROM tc GROUP BY 1),
+dots AS (
+    SELECT l.source AS a, r.source AS b, SUM(l.c * r.c) AS dot
+    FROM tc l JOIN tc r USING (token)
+    WHERE l.source < r.source
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT a, b, CAST(dot AS BIGINT) AS dot,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nrm2 AS DOUBLE))
+                    * sqrt(CAST(nb.nrm2 AS DOUBLE))), 9) AS cosine
+    FROM dots
+    JOIN norms na ON na.source = dots.a
+    JOIN norms nb ON nb.source = dots.b
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY cosine DESC, a ASC, b ASC
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT rank, a, b, dot, cosine
+FROM ranked WHERE rank <= {_SRCSIM_TOP}
+ORDER BY rank
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q268_chi2_terms": q268_chi2_terms,
     "q274_vocab_oov": q274_vocab_oov,
     "q275_heaps_law": q275_heaps_law,
     "q279_sentence_stats": q279_sentence_stats,
+    "q281_boilerplate_affixes": q281_boilerplate_affixes,
+    "q283_dedup_savings": q283_dedup_savings,
+    "q290_source_similarity": q290_source_similarity,
     "q262_span_dedup_rewrite": q262_span_dedup_rewrite,
     "q16_text_stats": q16_text_stats,
     "q17_lang_id": q17_lang_id,
@@ -1993,6 +2311,9 @@ LLM_TEXT_ORACLES = {
     "q274_vocab_oov": Q274_SQL,
     "q275_heaps_law": Q275_SQL,
     "q279_sentence_stats": Q279_SQL,
+    "q281_boilerplate_affixes": Q281_SQL,
+    "q283_dedup_savings": Q283_SQL,
+    "q290_source_similarity": Q290_SQL,
     "q262_span_dedup_rewrite": Q262_SQL,
     "q16_text_stats": Q16_SQL,
     "q17_lang_id": Q17_SQL,

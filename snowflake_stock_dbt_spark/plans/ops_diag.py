@@ -692,8 +692,152 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Q284 — ID-SEQUENCE GAP AUDIT, per ingest day: if event_id is meant to
+# be a dense monotone sequence, each day's span (max − min + 1) minus
+# its distinct-id count is the number of MISSING ids (dropped or
+# late-routed records), and count − distinct is the number of DUPLICATE
+# ids — the two ingestion-health numbers a pipeline pages on. gap ppm
+# is exact against the span. Cross-day interleaving shows up as span
+# overlap, which this deliberately measures per-day (the operational
+# question is "did today's ingest lose records", not global density).
+#
+# Plan: one (day) keyed agg — count, distinct, min, max — no joins.
+# ---------------------------------------------------------------------------
+
+
+def q284_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("event_id").alias("n_ids"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .selectExpr(
+            "day",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "CAST(n_ids AS BIGINT) AS n_ids",
+            "CAST(min_id AS BIGINT) AS min_id",
+            "CAST(max_id AS BIGINT) AS max_id",
+            "CAST(max_id - min_id + 1 - n_ids AS BIGINT) AS n_missing",
+            "CAST(n_rows - n_ids AS BIGINT) AS n_dup_ids",
+            "CAST((max_id - min_id + 1 - n_ids) * 1000000"
+            " DIV (max_id - min_id + 1) AS BIGINT) AS gap_ppm",
+        )
+        .orderBy("day")
+    )
+
+
+Q284_SQL = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(DISTINCT event_id)
+            AS BIGINT) AS n_missing,
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dup_ids,
+       CAST((MAX(event_id) - MIN(event_id) + 1 - COUNT(DISTINCT event_id))
+            * 1000000 // (MAX(event_id) - MIN(event_id) + 1) AS BIGINT)
+           AS gap_ppm
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q291 — EVENT-TIME DISORDER / WATERMARK-SIZING AUDIT: treating
+# event_id as the arrival order, how out-of-order does each event
+# type's stream arrive? Lateness of a record = (running max event time
+# seen so far) − (its own event time), in whole seconds — exactly what
+# a Structured Streaming watermark must absorb. Reports, per type: the
+# late-record count, the max lateness, and the coverage curve (ppm of
+# records a 60 s / 300 s / 3600 s watermark would have admitted) — the
+# number that sizes `withWatermark` before deploying q29/q42/q60.
+#
+# Plan: one cumulative-max window over (type, arrival order) + one
+# keyed agg with conditional sums — the q286 curve shape. Integers
+# end-to-end (epoch seconds).
+# ---------------------------------------------------------------------------
+
+_WM_HORIZONS_S = (60, 300, 3600)
+
+
+def q291_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = (
+        ev.select(
+            "event_type",
+            "event_id",
+            # Integer DIV, not /-then-cast (the q222 ADVICE lesson):
+            # exact for any epoch magnitude.
+            F.expr("unix_micros(ts) DIV 1000000").alias("sec"),
+        )
+        .withColumn("seen", F.max("sec").over(w))
+        .withColumn("lateness", F.col("seen") - F.col("sec"))
+    )
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum((F.col("lateness") > 0).cast("int")).alias("n_late"),
+        F.max("lateness").alias("max_lateness_s"),
+    ] + [
+        F.sum((F.col("lateness") <= k).cast("int")).alias(f"w{k}")
+        for k in _WM_HORIZONS_S
+    ]
+    out = late.groupBy("event_type").agg(*aggs)
+    ppm = [
+        f"CAST(w{k} * 1000000 DIV n_events AS BIGINT) AS within_{k}s_ppm"
+        for k in _WM_HORIZONS_S
+    ]
+    return out.selectExpr(
+        "event_type",
+        "CAST(n_events AS BIGINT) AS n_events",
+        "CAST(n_late AS BIGINT) AS n_late",
+        "CAST(max_lateness_s AS BIGINT) AS max_lateness_s",
+        *ppm,
+    ).orderBy("event_type")
+
+
+Q291_SQL = f"""
+WITH late AS (
+    SELECT event_type,
+           MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS lateness
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN lateness > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       CAST(MAX(lateness) AS BIGINT) AS max_lateness_s,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN lateness <= {k} THEN 1 ELSE 0 END)"
+           f" * 1000000 // COUNT(*) AS BIGINT) AS within_{k}s_ppm"
+           for k in _WM_HORIZONS_S
+       )}
+FROM late
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 OPS_DIAG_QUERIES = {
     "q270_profile_drift": q270_profile_drift,
+    "q284_id_gap_audit": q284_id_gap_audit,
+    "q291_disorder_audit": q291_disorder_audit,
     "q273_cohens_kappa": q273_cohens_kappa,
     "q264_join_size_profiler": q264_join_size_profiler,
     "q213_benford_audit": q213_benford_audit,
@@ -705,6 +849,8 @@ OPS_DIAG_QUERIES = {
 
 OPS_DIAG_ORACLES = {
     "q270_profile_drift": Q270_SQL,
+    "q284_id_gap_audit": Q284_SQL,
+    "q291_disorder_audit": Q291_SQL,
     "q273_cohens_kappa": Q273_SQL,
     "q264_join_size_profiler": Q264_SQL,
     "q213_benford_audit": Q213_SQL,

@@ -1679,8 +1679,90 @@ ORDER BY e.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q289 — EMBEDDING HYGIENE AUDIT, per label partition: the vector-
+# quality gate every ANN/semantic pipeline should run before indexing —
+# row count, distinct dimensionalities (a mixed-dim partition breaks
+# every dot product downstream), all-zero vectors, near-zero norms
+# (norm² < 1e-12 on the exact DECIMAL(38,18) sum — un-normalizable),
+# and null-element vectors. Pure counts — exactly portable.
+#
+# Plan: one scan, one JVM-side fold per row (no explode), one keyed
+# agg. The norm² fold is the same exact-decimal recipe q25 uses.
+# ---------------------------------------------------------------------------
+
+
+def q289_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0).cast("decimal(38,18)"),
+        # Decimal + widens to (38,17) under precision-loss rules; cast
+        # back so the fold's type matches the accumulator each step.
+        lambda acc, v: (
+            acc + (v.cast("double") * v.cast("double")).cast("decimal(38,18)")
+        ).cast("decimal(38,18)"),
+    )
+    has_null_elem = F.exists("embedding", lambda v: v.isNull())
+    per_vec = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm2.alias("n2"),
+        has_null_elem.cast("int").alias("has_null"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.count_distinct("dim").cast("long").alias("n_dims"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.max("dim").cast("long").alias("max_dim"),
+            F.sum((F.col("n2") == 0).cast("int"))
+            .cast("long")
+            .alias("n_zero_vecs"),
+            F.sum(
+                (F.col("n2") < F.lit(1e-12).cast("decimal(38,18)")).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_near_zero"),
+            F.sum("has_null").cast("long").alias("n_with_nulls"),
+        )
+        .orderBy("label")
+    )
+
+
+Q289_SQL = """
+WITH per_vec AS (
+    SELECT label,
+           len(embedding) AS dim,
+           list_sum(list_transform(embedding,
+               v -> CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                         AS DECIMAL(38,18)))) AS n2,
+           CASE WHEN len(list_filter(embedding, v -> v IS NULL)) > 0
+                THEN 1 ELSE 0 END AS has_null
+    FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims,
+       CAST(MIN(dim) AS BIGINT) AS min_dim,
+       CAST(MAX(dim) AS BIGINT) AS max_dim,
+       CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_vecs,
+       CAST(SUM(CASE WHEN n2 < CAST(0.000000000001 AS DECIMAL(38,18))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero,
+       CAST(SUM(has_null) AS BIGINT) AS n_with_nulls
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
 VECTOR_QUERIES = {
     "q271_ann_recall": q271_ann_recall,
+    "q289_embedding_hygiene": q289_embedding_hygiene,
     "q25_cosine_topk": q25_cosine_topk,
     "q192_embedding_drift": q192_embedding_drift,
     "q26_ann_ivf": q26_ann_ivf,
@@ -1701,6 +1783,7 @@ VECTOR_QUERIES = {
 
 VECTOR_ORACLES = {
     "q271_ann_recall": Q271_SQL,
+    "q289_embedding_hygiene": Q289_SQL,
     "q258_pca_power_iteration": Q258_SQL,
     "q259_mutual_nn": Q259_SQL,
     "q260_cluster_quality": Q260_SQL,

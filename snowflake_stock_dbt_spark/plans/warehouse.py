@@ -2821,7 +2821,71 @@ FROM shares
 """
 
 
+# ---------------------------------------------------------------------------
+# Q286 — FULFILLMENT FILL-RATE CURVE: per order priority, the exact
+# cumulative fraction (ppm) of line items shipped within 7/14/30/60/90
+# days of the order date — the SLA attainment CDF logistics teams track
+# (q123's delay bins unrolled into the within-k curve, which is the
+# actionable form: "are we hitting 95 % in 30 days for URGENT?").
+#
+# Plan: ONE lineitem⋈orders equi-join (the fact-to-fact shuffle; at
+# 100 TB both sides bucket on orderkey) → one keyed agg with five
+# conditional sums — the whole curve in a single pass, never five
+# scans. All integers; ppm via exact integral division.
+# ---------------------------------------------------------------------------
+
+_FILL_HORIZONS = (7, 14, 30, 60, 90)
+
+
+def q286_fill_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    joined = li.join(orders, "l_orderkey").select(
+        "o_orderpriority",
+        F.datediff(F.col("ship_d"), F.col("order_d")).alias("lag_days"),
+    )
+    aggs = [F.count("*").alias("n_items")] + [
+        F.sum((F.col("lag_days") <= k).cast("int")).alias(f"w{k}")
+        for k in _FILL_HORIZONS
+    ]
+    out = joined.groupBy("o_orderpriority").agg(*aggs)
+    ppm_cols = [
+        f"CAST(w{k} * 1000000 DIV n_items AS BIGINT) AS within_{k}d_ppm"
+        for k in _FILL_HORIZONS
+    ]
+    return out.selectExpr(
+        "o_orderpriority", "CAST(n_items AS BIGINT) AS n_items", *ppm_cols
+    ).orderBy("o_orderpriority")
+
+
+Q286_SQL = f"""
+WITH joined AS (
+    SELECT o.o_orderpriority,
+           CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS lag_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN lag_days <= {k} THEN 1 ELSE 0 END)"
+           f" * 1000000 // COUNT(*) AS BIGINT) AS within_{k}d_ppm"
+           for k in _FILL_HORIZONS
+       )}
+FROM joined
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 WAREHOUSE_QUERIES = {
+    "q286_fill_rate_curve": q286_fill_rate_curve,
     "q251_item_item_cf": q251_item_item_cf,
     "q253_ratio_to_parent": q253_ratio_to_parent,
     "q214_incremental_join": q214_incremental_join,
@@ -2867,6 +2931,7 @@ WAREHOUSE_QUERIES = {
 }
 
 WAREHOUSE_ORACLES = {
+    "q286_fill_rate_curve": Q286_SQL,
     "q251_item_item_cf": Q251_SQL,
     "q253_ratio_to_parent": Q253_SQL,
     "q82_pricing_summary": Q82_SQL,

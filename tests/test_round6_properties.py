@@ -1246,3 +1246,429 @@ def test_split_contamination_matches_python_replay(spark, sf_dir):
         for r in q280_split_contamination(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_boilerplate_affixes_find_injected_fixture(spark, sf_dir):
+    """q281: counts must equal a Python replay of the injected
+    header/footer fixture, and the injected affixes must be found in
+    every source with >= MIN eligible carriers."""
+    import re
+
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        _AFFIX_FOOTER,
+        _AFFIX_HEADER,
+        _AFFIX_MIN_DOCS,
+        _AFFIX_TOKENS,
+        q281_boilerplate_affixes,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    counts = defaultdict(int)
+    eligible = defaultdict(int)
+    for r in docs:
+        parts = []
+        if r.doc_id % 11 == 0:
+            parts.append(_AFFIX_HEADER)
+        parts.append(r.text)
+        if r.doc_id % 5 == 0:
+            parts.append(_AFFIX_FOOTER)
+        toks = re.split(r"\s+", " ".join(parts).strip())
+        if len(toks) < _AFFIX_TOKENS:
+            continue
+        eligible[r.source] += 1
+        counts[(r.source, "prefix", " ".join(toks[:_AFFIX_TOKENS]))] += 1
+        counts[(r.source, "suffix", " ".join(toks[-_AFFIX_TOKENS:]))] += 1
+    expect = {
+        k: (n, n * 1_000_000 // eligible[k[0]])
+        for k, n in counts.items()
+        if n >= _AFFIX_MIN_DOCS
+    }
+    got = {
+        (r.source, r.kind, r.affix): (r.n_docs, r.share_ppm)
+        for r in q281_boilerplate_affixes(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(k[2].startswith("subscribe to") for k in got), (
+        "injected footer not detected"
+    )
+
+
+def test_event_burstiness_matches_integer_replay(spark, sf_dir):
+    """q282: the Fano milli must equal an exact big-int Python replay
+    over daily counts."""
+    from snowflake_stock_dbt_spark.plans.events import q282_event_burstiness
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, r.day)] += 1
+    per_type = defaultdict(list)
+    for (et, _), x in daily.items():
+        per_type[et].append(x)
+    got = {r.event_type: r for r in q282_event_burstiness(spark, sf_dir).collect()}
+    assert set(got) == set(per_type)
+    for et, xs in per_type.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        r = got[et]
+        assert (r.n_days, r.n_events) == (n, sx)
+        assert r.fano_milli == 1000 * (n * sxx - sx * sx) // (n * sx)
+
+
+def test_dedup_savings_match_injected_recrawl(spark, sf_dir):
+    """q283: the histogram must be exactly the injected re-crawl
+    arithmetic — size-2 clusters for %7-not-%21 docs, size-3 for %21 —
+    with chars_saved = (size-1) * n_chars per cluster."""
+    from snowflake_stock_dbt_spark.plans.llm_text import q283_dedup_savings
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    by_size = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        if r.doc_id % 21 == 0:
+            s = 3
+        elif r.doc_id % 7 == 0:
+            s = 2
+        else:
+            continue
+        b = by_size[s]
+        b[0] += 1
+        b[1] += s - 1
+        b[2] += (s - 1) * r.n_chars
+    got = {
+        r.size: (r.n_clusters, r.docs_removed, r.chars_saved)
+        for r in q283_dedup_savings(spark, sf_dir).collect()
+    }
+    assert got == {s: tuple(v) for s, v in by_size.items()}
+
+
+def test_id_gap_audit_matches_python_replay(spark, sf_dir):
+    """q284: per-day span/missing/dup arithmetic must equal a Python
+    set replay."""
+    from snowflake_stock_dbt_spark.plans.ops_diag import q284_id_gap_audit
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").cast("date").alias("day"), "event_id")
+        .collect()
+    )
+    per_day = defaultdict(list)
+    for r in rows:
+        per_day[r.day].append(r.event_id)
+    got = {r.day: r for r in q284_id_gap_audit(spark, sf_dir).collect()}
+    assert set(got) == set(per_day)
+    for day, ids in per_day.items():
+        span = max(ids) - min(ids) + 1
+        uniq = len(set(ids))
+        r = got[day]
+        assert (r.n_rows, r.n_ids, r.min_id, r.max_id) == (
+            len(ids),
+            uniq,
+            min(ids),
+            max(ids),
+        )
+        assert r.n_missing == span - uniq
+        assert r.n_dup_ids == len(ids) - uniq
+        assert r.gap_ppm == (span - uniq) * 1_000_000 // span
+
+
+def test_event_runs_match_python_rle(spark, sf_dir):
+    """q285: run counts and lengths must equal a Python RLE replay of
+    each user's ordered journey."""
+    from snowflake_stock_dbt_spark.plans.events import q285_event_runs
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    runs = defaultdict(list)
+    for seq in by_user.values():
+        seq.sort()
+        cur, n = None, 0
+        for _, _, et in seq:
+            if et == cur:
+                n += 1
+            else:
+                if cur is not None:
+                    runs[cur].append(n)
+                cur, n = et, 1
+        runs[cur].append(n)
+    got = {r.event_type: r for r in q285_event_runs(spark, sf_dir).collect()}
+    assert set(got) == set(runs)
+    for et, lens in runs.items():
+        r = got[et]
+        assert (r.n_runs, r.n_events, r.max_run) == (
+            len(lens),
+            sum(lens),
+            max(lens),
+        )
+        assert r.mean_run_milli == sum(lens) * 1000 // len(lens)
+        assert r.compression_ppm == len(lens) * 1_000_000 // sum(lens)
+
+
+def test_fill_rate_curve_is_monotone_and_matches_replay(spark, sf_dir):
+    """q286: the within-k ppm must be nondecreasing in k and equal a
+    Python datediff replay."""
+    from snowflake_stock_dbt_spark.plans.warehouse import (
+        _FILL_HORIZONS,
+        q286_fill_rate_curve,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    lags = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        prio, od = orders[r.l_orderkey]
+        lags[prio].append((r.l_shipdate.date() - od).days)
+    got = {r.o_orderpriority: r for r in q286_fill_rate_curve(spark, sf_dir).collect()}
+    assert set(got) == set(lags)
+    for prio, ds in lags.items():
+        r = got[prio]
+        assert r.n_items == len(ds)
+        prev = -1
+        for k in _FILL_HORIZONS:
+            ppm = sum(1 for d in ds if d <= k) * 1_000_000 // len(ds)
+            val = r[f"within_{k}d_ppm"]
+            assert val == ppm
+            assert val >= prev
+            prev = val
+
+
+def test_crosscorr_leadlag_matches_python_replay(spark, sf_dir):
+    """q287: per-pair best lag and scaled covariance must equal a
+    Python big-int replay with the same truncation and tiebreaks."""
+    from snowflake_stock_dbt_spark.plans.events import (
+        _XCORR_MAX_LAG,
+        q287_crosscorr_leadlag,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, r.day)] += 1
+    types = sorted({et for et, _ in daily})
+    by_type = defaultdict(dict)
+    for (et, day), x in daily.items():
+        by_type[et][day] = x
+
+    def trunc_div(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    from datetime import timedelta
+
+    expect = {}
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            best = None
+            for lag in range(_XCORR_MAX_LAG + 1):
+                pts = [
+                    (x, by_type[b].get(d + timedelta(days=lag)))
+                    for d, x in by_type[a].items()
+                ]
+                pts = [(x, y) for x, y in pts if y is not None]
+                if not pts:
+                    continue
+                n = len(pts)
+                sx = sum(x for x, _ in pts)
+                sy = sum(y for _, y in pts)
+                sxy = sum(x * y for x, y in pts)
+                m = trunc_div(1000 * (n * sxy - sx * sy), n * n)
+                key = (-m, lag)
+                if best is None or key < best[0]:
+                    best = (key, lag, n, m)
+            expect[(a, b)] = (best[1], best[2], best[3])
+    got = {
+        (r.leader, r.follower): (r.best_lag, r.n_days, r.cov_milli)
+        for r in q287_crosscorr_leadlag(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_retention_halflife_matches_python_replay(spark, sf_dir):
+    """q288: half-life days must equal a Python cohort replay with the
+    cross-multiplied threshold and -1 right-censor sentinel."""
+    from snowflake_stock_dbt_spark.plans.events import q288_retention_halflife
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    user_days = defaultdict(set)
+    for r in rows:
+        user_days[r.user_id].add(r.day)
+    cohorts = defaultdict(lambda: defaultdict(int))
+    for u, days in user_days.items():
+        first = min(days)
+        for d in days:
+            cohorts[first][(d - first).days] += 1
+    expect = {}
+    for cohort, ks in cohorts.items():
+        size = ks[0]
+        hl = min(
+            (k for k, a in ks.items() if k >= 1 and a * 2 < size),
+            default=-1,
+        )
+        expect[cohort] = (size, hl)
+    got = {
+        r.cohort: (r.cohort_size, r.half_life_days)
+        for r in q288_retention_halflife(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_embedding_hygiene_matches_python_replay(spark, sf_dir):
+    """q289: every count must equal a Python per-vector replay (dims,
+    zero vectors, null elements)."""
+    from decimal import Decimal
+
+    from snowflake_stock_dbt_spark.plans.vectors import q289_embedding_hygiene
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", "embedding")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, set(), 0, 0, 0])
+    eps = Decimal("0.000000000001")
+    for r in rows:
+        a = agg[r.label]
+        a[0] += 1
+        a[1].add(len(r.embedding))
+        n2 = sum(
+            (Decimal(repr(float(v) * float(v))).quantize(Decimal("1e-18")))
+            for v in r.embedding
+            if v is not None
+        )
+        if all(v == 0 for v in r.embedding if v is not None) and not any(
+            v is None for v in r.embedding
+        ):
+            a[2] += 1
+        if n2 < eps and not any(v is None for v in r.embedding):
+            a[3] += 1
+        if any(v is None for v in r.embedding):
+            a[4] += 1
+    got = {r.label: r for r in q289_embedding_hygiene(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for label, (n, dims, zeros, near, nulls) in agg.items():
+        r = got[label]
+        assert r.n_vecs == n
+        assert r.n_dims == len(dims)
+        assert (r.min_dim, r.max_dim) == (min(dims), max(dims))
+        assert r.n_zero_vecs == zeros
+        assert r.n_with_nulls == nulls
+        # near-zero replay uses a quantized-per-term approximation;
+        # pin only the invariant it must satisfy vs exact zeros.
+        assert r.n_near_zero >= r.n_zero_vecs
+
+
+def test_source_similarity_matches_python_replay(spark, sf_dir):
+    """q290: dot products and ranking must equal a Counter replay with
+    math.sqrt cosine and identical tiebreaks."""
+    import math
+    import re
+    from collections import Counter
+
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        _SRCSIM_TOP,
+        q290_source_similarity,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    tc = defaultdict(Counter)
+    for r in docs:
+        tc[r.source].update(t for t in re.split(r"\s+", r.text.strip()) if t)
+    sources = sorted(tc)
+    scored = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            shared = set(tc[a]) & set(tc[b])
+            dot = sum(tc[a][t] * tc[b][t] for t in shared)
+            na = math.sqrt(sum(c * c for c in tc[a].values()))
+            nb = math.sqrt(sum(c * c for c in tc[b].values()))
+            scored.append((round(dot / (na * nb), 9), a, b, dot))
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    expect = [
+        (rank, a, b, dot, cos)
+        for rank, (cos, a, b, dot) in enumerate(scored[:_SRCSIM_TOP], 1)
+    ]
+    got = [
+        (r.rank, r.a, r.b, r.dot, r.cosine)
+        for r in q290_source_similarity(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_disorder_audit_matches_python_replay(spark, sf_dir):
+    """q291: lateness distribution must equal a Python running-max
+    replay over arrival (event_id) order."""
+    from snowflake_stock_dbt_spark.plans.ops_diag import (
+        _WM_HORIZONS_S,
+        q291_disorder_audit,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", F.expr("unix_micros(ts) DIV 1000000").alias("sec"))
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append((r.event_id, r.sec))
+    got = {r.event_type: r for r in q291_disorder_audit(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, recs in by_type.items():
+        recs.sort()
+        seen = float("-inf")
+        lates = []
+        for _, sec in recs:
+            seen = max(seen, sec)
+            lates.append(seen - sec)
+        r = got[et]
+        assert r.n_events == len(lates)
+        assert r.n_late == sum(1 for l in lates if l > 0)
+        assert r.max_lateness_s == max(lates)
+        for k in _WM_HORIZONS_S:
+            assert r[f"within_{k}s_ppm"] == (
+                sum(1 for l in lates if l <= k) * 1_000_000 // len(lates)
+            )
