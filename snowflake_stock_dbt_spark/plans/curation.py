@@ -1717,8 +1717,156 @@ ORDER BY from_split, to_split
 """
 
 
+# ---------------------------------------------------------------------------
+# Q300 — RELEASE-READINESS REPORT (round-6 capstone): one row per
+# source with the go/no-go signals a training-data release review
+# reads, all exact integers and all from ONE token explode + one
+# doc-grain pass + one fingerprint agg:
+#   oov_ppm            — q274's min-count-vocab OOV share,
+#   tokens_per_sent    — q279's run-on proxy (milli),
+#   dup_doc_ppm        — docs sharing a normalized fingerprint WITHIN
+#                        the source (q19's fingerprint),
+#   verdict            — PASS iff oov < 20 %, toks/sent < 120, and
+#                        dups < 5 % (pinned thresholds).
+# The composition capstone for the q267–q299 additions: every signal
+# is independently oracle-checked elsewhere; this query certifies the
+# JOIN of those signals at source grain stays consistent.
+# ---------------------------------------------------------------------------
+
+_RR_OOV_MAX_PPM = 200_000
+_RR_TPS_MAX_MILLI = 120_000
+_RR_DUP_MAX_PPM = 50_000
+
+
+def q300_release_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        ensure_min_parallelism(docs, F.col("doc_id"))
+        .select("source", tokens("text").alias("t"))
+        .select("source", F.explode("t").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gl = occ.groupBy("token").agg(F.sum("cnt").alias("g"))
+    oov = (
+        occ.join(gl, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.when(F.col("g") < 3, F.col("cnt")).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(sents).cast("long").alias("n_sents"),
+        F.sha2(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+            ),
+            256,
+        ).alias("fp"),
+    )
+    dups = (
+        per_doc.groupBy("source", "fp")
+        .agg(F.count("*").alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.sum("k").alias("n_docs"),
+            F.sum(F.when(F.col("k") >= 2, F.col("k")).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+        )
+    )
+    sent_tot = per_doc.groupBy("source").agg(
+        F.sum("n_sents").alias("n_sentences")
+    )
+    joined = (
+        oov.join(F.broadcast(dups), "source")
+        .join(F.broadcast(sent_tot), "source")
+        .selectExpr(
+            "source",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_oov * 1000000 DIV n_tokens AS BIGINT) AS oov_ppm",
+            "CAST(n_tokens * 1000 DIV greatest(n_sentences, 1) AS BIGINT)"
+            " AS tokens_per_sent_milli",
+            "CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)"
+            " AS dup_doc_ppm",
+        )
+    )
+    verdict = (
+        (F.col("oov_ppm") < _RR_OOV_MAX_PPM)
+        & (F.col("tokens_per_sent_milli") < _RR_TPS_MAX_MILLI)
+        & (F.col("dup_doc_ppm") < _RR_DUP_MAX_PPM)
+    )
+    return joined.withColumn(
+        "verdict", F.when(verdict, "PASS").otherwise("HOLD")
+    ).orderBy("source")
+
+
+Q300_SQL = f"""
+WITH occ AS (
+    SELECT source, t.token, COUNT(*) AS cnt
+    FROM documents,
+         UNNEST(string_split_regex(TRIM(text), '\\s+')) AS t(token)
+    WHERE t.token <> ''
+    GROUP BY 1, 2
+),
+gl AS (SELECT token, SUM(cnt) AS g FROM occ GROUP BY 1),
+oov AS (
+    SELECT source, SUM(cnt) AS n_tokens,
+           SUM(CASE WHEN g < 3 THEN cnt ELSE 0 END) AS n_oov
+    FROM occ JOIN gl USING (token) GROUP BY 1
+),
+per_doc AS (
+    SELECT source,
+           len(list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'),
+                              s -> TRIM(s)),
+               s -> s <> '')) AS n_sents,
+           sha256(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+    FROM documents
+),
+dups AS (
+    SELECT source, SUM(k) AS n_docs,
+           SUM(CASE WHEN k >= 2 THEN k ELSE 0 END) AS n_dup_docs
+    FROM (SELECT source, fp, COUNT(*) AS k FROM per_doc GROUP BY 1, 2)
+    GROUP BY 1
+),
+sent_tot AS (SELECT source, SUM(n_sents) AS n_sentences
+             FROM per_doc GROUP BY 1),
+joined AS (
+    SELECT o.source,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(o.n_tokens AS BIGINT) AS n_tokens,
+           CAST(o.n_oov * 1000000 // o.n_tokens AS BIGINT) AS oov_ppm,
+           CAST(o.n_tokens * 1000 // GREATEST(s.n_sentences, 1) AS BIGINT)
+               AS tokens_per_sent_milli,
+           CAST(d.n_dup_docs * 1000000 // d.n_docs AS BIGINT) AS dup_doc_ppm
+    FROM oov o JOIN dups d USING (source) JOIN sent_tot s USING (source)
+)
+SELECT *,
+       CASE WHEN oov_ppm < {_RR_OOV_MAX_PPM}
+             AND tokens_per_sent_milli < {_RR_TPS_MAX_MILLI}
+             AND dup_doc_ppm < {_RR_DUP_MAX_PPM}
+            THEN 'PASS' ELSE 'HOLD' END AS verdict
+FROM joined
+ORDER BY source
+"""
+
+
 CURATION_QUERIES = {
     "q276_interleave_schedule": q276_interleave_schedule,
+    "q300_release_readiness": q300_release_readiness,
     "q280_split_contamination": q280_split_contamination,
     "q254_temperature_mixture": q254_temperature_mixture,
     "q200_curation_pipeline": q200_curation_pipeline,
@@ -1742,6 +1890,7 @@ CURATION_QUERIES = {
 
 CURATION_ORACLES = {
     "q276_interleave_schedule": Q276_SQL,
+    "q300_release_readiness": Q300_SQL,
     "q280_split_contamination": Q280_SQL,
     "q254_temperature_mixture": Q254_SQL,
     "q200_curation_pipeline": Q200_SQL,

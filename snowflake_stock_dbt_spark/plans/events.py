@@ -2262,6 +2262,274 @@ ORDER BY m.cohort
 """
 
 
+# ---------------------------------------------------------------------------
+# Q292 — SEGMENTED FUNNEL BY GEOGRAPHY: q67's ordered
+# signup→click→purchase funnel, broken out by the user's nation
+# (events.user_id ⋈ customer.c_custkey ⋈ nation — the cross-domain
+# join the warehouse exists for), with exact per-step conversion ppm.
+# Same strictly-later-timestamp step semantics as q67; the dims ride
+# broadcast joins so the fact scans stay shuffle-free on the segment.
+# ---------------------------------------------------------------------------
+
+
+def q292_segmented_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "c_ts"), "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    seg = (
+        s.select("user_id")
+        .join(F.broadcast(cust), "user_id")
+        .join(F.broadcast(nation), "c_nationkey")
+        .join(c.select("user_id", F.lit(1).alias("clicked")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("purchased")), "user_id", "left")
+    )
+    return (
+        seg.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_signup"),
+            F.sum(F.coalesce("clicked", F.lit(0))).cast("long").alias("n_click"),
+            F.sum(F.coalesce("purchased", F.lit(0)))
+            .cast("long")
+            .alias("n_purchase"),
+        )
+        .selectExpr(
+            "nation",
+            "n_signup",
+            "n_click",
+            "n_purchase",
+            "CAST(n_click * 1000000 DIV n_signup AS BIGINT)"
+            " AS click_conv_ppm",
+            "CAST(CASE WHEN n_click = 0 THEN 0"
+            " ELSE n_purchase * 1000000 DIV n_click END AS BIGINT)"
+            " AS purchase_conv_ppm",
+        )
+        .orderBy("nation")
+    )
+
+
+Q292_SQL = """
+WITH s AS (
+    SELECT user_id, MIN(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS c_ts
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.s_ts
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    GROUP BY 1
+),
+seg AS (
+    SELECT n.n_name AS nation, s.user_id,
+           CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS clicked,
+           CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS purchased
+    FROM s
+    JOIN customer cu ON cu.c_custkey = s.user_id
+    JOIN nation n ON n.n_nationkey = cu.c_nationkey
+    LEFT JOIN c ON c.user_id = s.user_id
+    LEFT JOIN p ON p.user_id = s.user_id
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_signup,
+       CAST(SUM(clicked) AS BIGINT) AS n_click,
+       CAST(SUM(purchased) AS BIGINT) AS n_purchase,
+       CAST(SUM(clicked) * 1000000 // COUNT(*) AS BIGINT)
+           AS click_conv_ppm,
+       CAST(CASE WHEN SUM(clicked) = 0 THEN 0
+                 ELSE SUM(purchased) * 1000000 // SUM(clicked) END AS BIGINT)
+           AS purchase_conv_ppm
+FROM seg
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q294 — POWER-USER CONCENTRATION: what share of all events do the top
+# 1 % most-active users generate (k = ceil(n_users/100), rank by count
+# desc / user_id asc — deterministic under count ties)? The abuse /
+# multi-tenant-fairness gauge. k rides the rank frame itself (count
+# window over the user-grain agg), so there is no driver scalar.
+# ---------------------------------------------------------------------------
+
+
+def q294_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("n_users"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return (
+        ranked.where(
+            F.col("rk") <= F.expr("CAST((n_users + 99) DIV 100 AS INT)")
+        )
+        .groupBy()
+        .agg(
+            F.max("n_users").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("k_top"),
+            F.sum("n").cast("long").alias("top_events"),
+            F.max("total").cast("long").alias("total_events"),
+        )
+        .selectExpr(
+            "n_users",
+            "k_top",
+            "top_events",
+            "total_events",
+            "CAST(top_events * 1000000 DIV total_events AS BIGINT)"
+            " AS top1pct_share_ppm",
+        )
+    )
+
+
+Q294_SQL = """
+WITH per_user AS (
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rk,
+           COUNT(*) OVER () AS n_users,
+           SUM(n) OVER () AS total
+    FROM per_user
+)
+SELECT CAST(MAX(n_users) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS k_top,
+       CAST(SUM(n) AS BIGINT) AS top_events,
+       CAST(MAX(total) AS BIGINT) AS total_events,
+       CAST(SUM(n) * 1000000 // MAX(total) AS BIGINT) AS top1pct_share_ppm
+FROM ranked
+WHERE rk <= (n_users + 99) // 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q295 — DOUBLE-FIRE AUDIT: events of the same (user, type) arriving
+# within DEDUP_WINDOW seconds of the previous one — the client-side
+# double-click / retry-storm detector that sizes a dedup-within-
+# watermark rule (q30's batch twin). Per event_type: duplicate-
+# suspect counts and ppm, plus the worst same-second burst.
+#
+# Plan: one (user, type)-keyed window (lag + a RANGE frame count),
+# one keyed agg.
+# ---------------------------------------------------------------------------
+
+_DOUBLE_FIRE_S = 5
+
+
+def q295_double_fire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    w_rng = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("us")
+        .rangeBetween(0, 0)
+    )
+    marked = base.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+        "same_us", F.count("*").over(w_rng)
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                (
+                    F.col("prev_us").isNotNull()
+                    & (
+                        F.col("us") - F.col("prev_us")
+                        <= _DOUBLE_FIRE_S * 1_000_000
+                    )
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_suspect"),
+            F.max("same_us").cast("long").alias("max_same_us_burst"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "n_suspect",
+            "CAST(n_suspect * 1000000 DIV n_events AS BIGINT)"
+            " AS suspect_ppm",
+            "max_same_us_burst",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q295_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           event_id
+    FROM events
+),
+marked AS (
+    SELECT event_type, us,
+           LAG(us) OVER (PARTITION BY user_id, event_type
+                         ORDER BY us, event_id) AS prev_us,
+           COUNT(*) OVER (PARTITION BY user_id, event_type
+                          ORDER BY us
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               AS same_us
+    FROM base
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                      AND us - prev_us <= {_DOUBLE_FIRE_S * 1_000_000}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+       CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                      AND us - prev_us <= {_DOUBLE_FIRE_S * 1_000_000}
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+           AS suspect_ppm,
+       CAST(MAX(same_us) AS BIGINT) AS max_same_us_burst
+FROM marked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EVENT_QUERIES = {
     "q267_growth_accounting": q267_growth_accounting,
     "q277_event_trigrams": q277_event_trigrams,
@@ -2269,6 +2537,9 @@ EVENT_QUERIES = {
     "q285_event_runs": q285_event_runs,
     "q287_crosscorr_leadlag": q287_crosscorr_leadlag,
     "q288_retention_halflife": q288_retention_halflife,
+    "q292_segmented_funnel": q292_segmented_funnel,
+    "q294_power_user_share": q294_power_user_share,
+    "q295_double_fire_audit": q295_double_fire_audit,
     "q272_time_decay_attribution": q272_time_decay_attribution,
     "q257_ushape_attribution": q257_ushape_attribution,
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
@@ -2300,6 +2571,9 @@ EVENT_ORACLES = {
     "q285_event_runs": Q285_SQL,
     "q287_crosscorr_leadlag": Q287_SQL,
     "q288_retention_halflife": Q288_SQL,
+    "q292_segmented_funnel": Q292_SQL,
+    "q294_power_user_share": Q294_SQL,
+    "q295_double_fire_audit": Q295_SQL,
     "q272_time_decay_attribution": Q272_SQL,
     "q257_ushape_attribution": Q257_SQL,
     "q199_rolling_distinct_users": Q199_SQL,

@@ -2269,7 +2269,123 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Q296 — DOC-LENGTH MAD OUTLIERS per source: robust per-source length
+# fences — the grouped twin of q153's MAD gauge, on n_chars. Median
+# and MAD use the LOWER-median convention (smallest value whose
+# cumulative count covers half, cross-multiplied: 2·cum ≥ n), so every
+# statistic is an integer from the data and the whole chain — median,
+# |x−med|, MAD, the 3-MAD fence — is exact on both engines. Flags docs
+# beyond 3·MAD (truncated dumps / concatenation accidents).
+#
+# Plan: value-counts CDFs at (source, length) grain (the q45 lesson —
+# never a per-group sort of raw rows), two median passes, one count.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3
+
+
+def _lower_median(counted: DataFrame, key: str, val: str) -> DataFrame:
+    """Lower median per key from a (key, val, cnt) value-counts frame."""
+    w_cum = Window.partitionBy(key).orderBy(val).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(key)
+    cdf = counted.select(
+        key,
+        val,
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return (
+        cdf.where(F.col("cum") * 2 >= F.col("n"))
+        .groupBy(key)
+        .agg(F.min(val).alias("med"))
+    )
+
+
+def q296_doclen_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    vc = docs.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    med = _lower_median(vc, "source", "n_chars")
+    dev = (
+        vc.join(F.broadcast(med), "source")
+        .select(
+            "source",
+            F.abs(F.col("n_chars") - F.col("med")).alias("d"),
+            "cnt",
+        )
+        .groupBy("source", "d")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _lower_median(dev, "source", "d").withColumnRenamed("med", "mad")
+    fences = med.join(F.broadcast(mad), "source")
+    return (
+        docs.join(F.broadcast(fences), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("med").cast("long").alias("median_chars"),
+            F.max("mad").cast("long").alias("mad_chars"),
+            F.sum(
+                (
+                    F.abs(F.col("n_chars") - F.col("med"))
+                    > _MAD_K * F.col("mad")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+Q296_SQL = f"""
+WITH vc AS (
+    SELECT source, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+),
+cdf AS (
+    SELECT source, n_chars,
+           SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY source) AS n
+    FROM vc
+),
+med AS (
+    SELECT source, MIN(n_chars) AS med FROM cdf
+    WHERE cum * 2 >= n GROUP BY 1
+),
+dev AS (
+    SELECT vc.source, abs(vc.n_chars - med.med) AS d, SUM(vc.cnt) AS cnt
+    FROM vc JOIN med USING (source)
+    GROUP BY 1, 2
+),
+dcdf AS (
+    SELECT source, d,
+           SUM(cnt) OVER (PARTITION BY source ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY source) AS n
+    FROM dev
+),
+mad AS (
+    SELECT source, MIN(d) AS mad FROM dcdf WHERE cum * 2 >= n GROUP BY 1
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(med.med) AS BIGINT) AS median_chars,
+       CAST(MAX(mad.mad) AS BIGINT) AS mad_chars,
+       CAST(SUM(CASE WHEN abs(d.n_chars - med.med) > {_MAD_K} * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents d
+JOIN med USING (source)
+JOIN mad USING (source)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 LLM_TEXT_QUERIES = {
+    "q296_doclen_outliers": q296_doclen_outliers,
     "q268_chi2_terms": q268_chi2_terms,
     "q274_vocab_oov": q274_vocab_oov,
     "q275_heaps_law": q275_heaps_law,
@@ -2314,6 +2430,7 @@ LLM_TEXT_ORACLES = {
     "q281_boilerplate_affixes": Q281_SQL,
     "q283_dedup_savings": Q283_SQL,
     "q290_source_similarity": Q290_SQL,
+    "q296_doclen_outliers": Q296_SQL,
     "q262_span_dedup_rewrite": Q262_SQL,
     "q16_text_stats": Q16_SQL,
     "q17_lang_id": Q17_SQL,

@@ -778,7 +778,120 @@ ORDER BY table_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q299 — AS-OF LATE-DATA BLAST RADIUS: how many of q36's as-of matches
+# CHANGE when a late batch of clicks lands (deterministic fixture, the
+# q189 precedent: clicks with event_id % 10 == 0 are "late")? Runs the
+# identical backward-inclusive as-of join twice — without and with the
+# late batch — and diffs the matched click per purchase with null-safe
+# equality. THE number a backfill planner needs before re-running
+# downstream attribution: if changed_ppm is tiny, patch incrementally;
+# if large, recompute the window.
+#
+# Plan: two asof joins (operators/asof.py single-shuffle formulation)
+# + one purchase-keyed equi-join + one 1-row agg.
+# ---------------------------------------------------------------------------
+
+_LATE_MOD = 10
+
+
+def q299_asof_late_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("purchase_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("click_us"),
+    )
+    on_time = clicks.where(F.col("click_id") % _LATE_MOD != 0)
+    j_base = asof_join(
+        purchases,
+        on_time,
+        on=["user_id"],
+        left_time="purchase_us",
+        right_time="click_us",
+        right_payload=["click_id"],
+        tiebreak="click_id",
+    ).select("purchase_id", F.col("click_id").alias("base_click"))
+    j_full = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="purchase_us",
+        right_time="click_us",
+        right_payload=["click_id"],
+        tiebreak="click_id",
+    ).select("purchase_id", F.col("click_id").alias("full_click"))
+    diff = j_base.join(j_full, "purchase_id")
+    return diff.groupBy().agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.col("base_click").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_matched_base"),
+        F.sum(F.col("full_click").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_matched_full"),
+        F.sum(
+            (~F.col("base_click").eqNullSafe(F.col("full_click"))).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_changed"),
+    ).selectExpr(
+        "n_purchases",
+        "n_matched_base",
+        "n_matched_full",
+        "n_changed",
+        "CAST(n_changed * 1000000 DIV n_purchases AS BIGINT)"
+        " AS changed_ppm",
+    )
+
+
+Q299_SQL = f"""
+WITH p AS (
+    SELECT user_id, event_id AS purchase_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, event_id AS click_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+    FROM events WHERE event_type = 'click'
+),
+jb AS (
+    SELECT p.purchase_id, c.click_id AS base_click
+    FROM p ASOF LEFT JOIN (
+        SELECT * FROM c WHERE click_id % {_LATE_MOD} <> 0
+    ) c ON p.user_id = c.user_id AND c.click_us <= p.purchase_us
+),
+jf AS (
+    SELECT p.purchase_id, c.click_id AS full_click
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.click_us <= p.purchase_us
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN base_click IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched_base,
+       CAST(SUM(CASE WHEN full_click IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched_full,
+       CAST(SUM(CASE WHEN base_click IS DISTINCT FROM full_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN base_click IS DISTINCT FROM full_click
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+           AS changed_ppm
+FROM jb JOIN jf USING (purchase_id)
+"""
+
+
 RELATIONAL_QUERIES = {
+    "q299_asof_late_impact": q299_asof_late_impact,
     "q263_forget_blast_radius": q263_forget_blast_radius,
     "q31_rollup": q31_rollup,
     "q32_cube": q32_cube,
@@ -798,6 +911,7 @@ RELATIONAL_QUERIES = {
 }
 
 RELATIONAL_ORACLES = {
+    "q299_asof_late_impact": Q299_SQL,
     "q263_forget_blast_radius": Q263_SQL,
     "q31_rollup": Q31_SQL,
     "q32_cube": Q32_SQL,

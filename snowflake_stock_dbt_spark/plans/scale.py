@@ -1617,8 +1617,91 @@ ORDER BY scheme
 """
 
 
+# ---------------------------------------------------------------------------
+# Q297 — χ² INDEPENDENCE TEST (weekday × order priority): is order
+# priority independent of the day of week? The contingency-table
+# independence check (q90's drift χ² compares two snapshots of ONE
+# variable; this tests association BETWEEN two variables). Per cell,
+# the exact contribution 1e6·(o·N − r·c)² / (N·r·c) is computed on
+# HUGEINT/DECIMAL(38) (int64 overflows at the x4 probe) with per-cell
+# truncation — the declared cross-engine semantics — and rolled up per
+# weekday with the cell count (dof = (R−1)(C−1) reconstructible).
+#
+# Plan: one contingency agg + two marginal aggs joined back (weekday
+# marginal broadcast, priority marginal broadcast, 1-row N anchor).
+# ---------------------------------------------------------------------------
+
+
+def q297_independence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.dayofweek(F.col("o_orderdate")).alias("weekday"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    obs = base.groupBy("weekday", "prio").agg(F.count("*").alias("o"))
+    row_m = obs.groupBy("weekday").agg(F.sum("o").alias("r"))
+    col_m = obs.groupBy("prio").agg(F.sum("o").alias("c"))
+    n = obs.groupBy().agg(F.sum("o").alias("nn"))
+    d38 = "DECIMAL(38,0)"
+    cells = (
+        obs.join(F.broadcast(row_m), "weekday")
+        .join(F.broadcast(col_m), "prio")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "weekday",
+            f"CAST(o AS {d38}) AS o",
+            f"CAST(r AS {d38}) AS r",
+            f"CAST(c AS {d38}) AS c",
+            f"CAST(nn AS {d38}) AS nn",
+        )
+        .selectExpr(
+            "weekday",
+            "CAST(1000000 * (o * nn - r * c) * (o * nn - r * c)"
+            " DIV (nn * r * c) AS BIGINT) AS contrib_micro",
+        )
+    )
+    return (
+        cells.groupBy("weekday")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("contrib_micro").cast("long").alias("chi2_micro"),
+        )
+        .orderBy("weekday")
+    )
+
+
+Q297_SQL = """
+WITH base AS (
+    SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1 AS weekday,
+           o_orderpriority AS prio
+    FROM orders
+),
+obs AS (SELECT weekday, prio, COUNT(*) AS o FROM base GROUP BY 1, 2),
+row_m AS (SELECT weekday, SUM(o) AS r FROM obs GROUP BY 1),
+col_m AS (SELECT prio, SUM(o) AS c FROM obs GROUP BY 1),
+n AS (SELECT SUM(o) AS nn FROM obs),
+cells AS (
+    SELECT obs.weekday,
+           CAST(1000000 * (CAST(obs.o AS HUGEINT) * nn - r * c)
+                        * (CAST(obs.o AS HUGEINT) * nn - r * c)
+                // (CAST(nn AS HUGEINT) * r * c) AS BIGINT) AS contrib_micro
+    FROM obs
+    JOIN row_m USING (weekday)
+    JOIN col_m USING (prio)
+    CROSS JOIN n
+)
+SELECT weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+FROM cells
+GROUP BY weekday
+ORDER BY weekday
+"""
+
+
 SCALE_QUERIES = {
     "q269_shard_rebalance": q269_shard_rebalance,
+    "q297_independence_chi2": q297_independence_chi2,
     "q261_kendall_tau": q261_kendall_tau,
     "q210_autocorrelation": q210_autocorrelation,
     "q203_seasonal_decomposition": q203_seasonal_decomposition,
@@ -1641,6 +1724,7 @@ SCALE_QUERIES = {
 
 SCALE_ORACLES = {
     "q269_shard_rebalance": Q269_SQL,
+    "q297_independence_chi2": Q297_SQL,
     "q261_kendall_tau": Q261_SQL,
     "q210_autocorrelation": Q210_SQL,
     "q203_seasonal_decomposition": Q203_SQL,

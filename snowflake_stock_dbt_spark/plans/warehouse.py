@@ -2884,8 +2884,182 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Q293 — WITHIN-BRAND PRICE DISPERSION: the squared coefficient of
+# variation of retail prices inside each brand, exact to the milli —
+# the assortment-pricing gauge ("is Brand#13 one price point or a
+# spread?"). Prices enter as integer CENTS (double → DECIMAL(18,2) →
+# ×100, exact for money-grained values), then
+# CV²·1000 = 1000·(n·Σx² − (Σx)²) DIV (Σx)² — the q248/q282 integer
+# algebra; mean ships as exact milli-cents. Σx² of cents can pass
+# int64 at the x4 probe, so sums ride DECIMAL(38,0).
+#
+# Plan: one keyed agg over part — no joins, |brands| output rows.
+# ---------------------------------------------------------------------------
+
+
+def q293_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    cents = (
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x")
+    )
+    return (
+        part.select("p_brand", cents)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(
+                (F.col("x") * F.col("x")).cast("decimal(38,0)")
+            ).alias("sxx"),
+        )
+        .selectExpr(
+            "p_brand",
+            "CAST(n AS BIGINT) AS n_parts",
+            "CAST(sx * 1000 DIV n AS BIGINT) AS mean_millicents",
+            "CAST(1000 * (n * sxx - sx * sx) DIV (sx * sx) AS BIGINT)"
+            " AS cv2_milli",
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q293_SQL = """
+WITH cents AS (
+    SELECT p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+    FROM part
+),
+sums AS (
+    SELECT p_brand, COUNT(*) AS n,
+           SUM(CAST(x AS HUGEINT)) AS sx,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+    FROM cents GROUP BY 1
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_parts,
+       CAST(sx * 1000 // n AS BIGINT) AS mean_millicents,
+       CAST(1000 * (n * sxx - sx * sx) // (sx * sx) AS BIGINT) AS cv2_milli
+FROM sums
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q298 — CYCLE-TIME DECOMPOSITION: per order priority, the (lower)
+# median days from order to FIRST shipment and the median shipping
+# WINDOW (first → last line shipped) — splits "slow to start" from
+# "slow to finish", the two levers fulfillment actually tunes.
+# Medians use the engine's cross-multiplied value-counts convention
+# (2·cum ≥ n → MIN value; the q296 integer-median recipe) so the whole
+# report is exact.
+#
+# Plan: one lineitem keyed agg (order grain) → broadcast-joined to
+# orders → two value-counts CDFs at (priority, days) grain. Never a
+# per-group sort of raw rows.
+# ---------------------------------------------------------------------------
+
+
+def _priority_lower_median(spans: DataFrame, col: str) -> DataFrame:
+    vc = spans.groupBy("prio", col).agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("prio").orderBy(col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("prio")
+    cdf = vc.select(
+        "prio",
+        col,
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return (
+        cdf.where(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("prio")
+        .agg(F.min(col).alias(f"med_{col}"))
+    )
+
+
+def q298_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    spans = ship.join(orders, "l_orderkey").select(
+        "prio",
+        F.datediff(F.col("first_ship"), F.col("order_d")).alias("to_first"),
+        F.datediff(F.col("last_ship"), F.col("first_ship")).alias("window"),
+    )
+    m1 = _priority_lower_median(spans, "to_first")
+    m2 = _priority_lower_median(spans, "window")
+    base = spans.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    return (
+        base.join(F.broadcast(m1), "prio")
+        .join(F.broadcast(m2), "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n_orders",
+            F.col("med_to_first").cast("long").alias("med_days_to_first_ship"),
+            F.col("med_window").cast("long").alias("med_ship_window_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q298_SQL = """
+WITH ship AS (
+    SELECT l_orderkey,
+           MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS last_ship
+    FROM lineitem GROUP BY 1
+),
+spans AS (
+    SELECT o.o_orderpriority AS prio,
+           s.first_ship - CAST(o.o_orderdate AS DATE) AS to_first,
+           s.last_ship - s.first_ship AS wdw
+    FROM ship s JOIN orders o ON o.o_orderkey = s.l_orderkey
+),
+cdf1 AS (
+    SELECT prio, to_first,
+           SUM(cnt) OVER (PARTITION BY prio ORDER BY to_first
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY prio) AS n
+    FROM (SELECT prio, to_first, COUNT(*) AS cnt FROM spans GROUP BY 1, 2)
+),
+m1 AS (SELECT prio, MIN(to_first) AS med1 FROM cdf1
+       WHERE cum * 2 >= n GROUP BY 1),
+cdf2 AS (
+    SELECT prio, wdw,
+           SUM(cnt) OVER (PARTITION BY prio ORDER BY wdw
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY prio) AS n
+    FROM (SELECT prio, wdw, COUNT(*) AS cnt FROM spans GROUP BY 1, 2)
+),
+m2 AS (SELECT prio, MIN(wdw) AS med2 FROM cdf2
+       WHERE cum * 2 >= n GROUP BY 1),
+base AS (SELECT prio, COUNT(*) AS n_orders FROM spans GROUP BY 1)
+SELECT b.prio AS o_orderpriority,
+       CAST(b.n_orders AS BIGINT) AS n_orders,
+       CAST(m1.med1 AS BIGINT) AS med_days_to_first_ship,
+       CAST(m2.med2 AS BIGINT) AS med_ship_window_days
+FROM base b JOIN m1 USING (prio) JOIN m2 USING (prio)
+ORDER BY o_orderpriority
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q286_fill_rate_curve": q286_fill_rate_curve,
+    "q293_brand_price_dispersion": q293_brand_price_dispersion,
+    "q298_cycle_time": q298_cycle_time,
     "q251_item_item_cf": q251_item_item_cf,
     "q253_ratio_to_parent": q253_ratio_to_parent,
     "q214_incremental_join": q214_incremental_join,
@@ -2932,6 +3106,8 @@ WAREHOUSE_QUERIES = {
 
 WAREHOUSE_ORACLES = {
     "q286_fill_rate_curve": Q286_SQL,
+    "q293_brand_price_dispersion": Q293_SQL,
+    "q298_cycle_time": Q298_SQL,
     "q251_item_item_cf": Q251_SQL,
     "q253_ratio_to_parent": Q253_SQL,
     "q82_pricing_summary": Q82_SQL,

@@ -1672,3 +1672,336 @@ def test_disorder_audit_matches_python_replay(spark, sf_dir):
             assert r[f"within_{k}s_ppm"] == (
                 sum(1 for l in lates if l <= k) * 1_000_000 // len(lates)
             )
+
+
+def test_segmented_funnel_matches_python_replay(spark, sf_dir):
+    """q292: per-nation funnel counts must equal a Python replay of the
+    strictly-later step semantics, and sum to q67's global funnel."""
+    from snowflake_stock_dbt_spark.plans.events import q292_segmented_funnel
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    per_user = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        per_user[r.user_id][r.event_type].append(r.ts)
+    agg = defaultdict(lambda: [0, 0, 0])
+    for uid, evs in per_user.items():
+        if "signup" not in evs:
+            continue
+        s_ts = min(evs["signup"])
+        nat = nation[cust[uid]]
+        a = agg[nat]
+        a[0] += 1
+        clicks = [t for t in evs.get("click", []) if t > s_ts]
+        if not clicks:
+            continue
+        a[1] += 1
+        c_ts = min(clicks)
+        if any(t > c_ts for t in evs.get("purchase", [])):
+            a[2] += 1
+    got = {r.nation: r for r in q292_segmented_funnel(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for nat, (ns, nc, np_) in agg.items():
+        r = got[nat]
+        assert (r.n_signup, r.n_click, r.n_purchase) == (ns, nc, np_)
+        assert r.click_conv_ppm == nc * 1_000_000 // ns
+        assert r.purchase_conv_ppm == (np_ * 1_000_000 // nc if nc else 0)
+
+
+def test_brand_price_dispersion_matches_bigint_replay(spark, sf_dir):
+    """q293: CV² milli must equal an arbitrary-precision cents replay."""
+    from decimal import Decimal
+
+    from snowflake_stock_dbt_spark.plans.warehouse import (
+        q293_brand_price_dispersion,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "part")
+        .select("p_brand", "p_retailprice")
+        .collect()
+    )
+    per_brand = defaultdict(list)
+    for r in rows:
+        cents = int(
+            Decimal(repr(r.p_retailprice)).quantize(Decimal("0.01")) * 100
+        )
+        per_brand[r.p_brand].append(cents)
+    got = {r.p_brand: r for r in q293_brand_price_dispersion(spark, sf_dir).collect()}
+    assert set(got) == set(per_brand)
+    for brand, xs in per_brand.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        r = got[brand]
+        assert r.n_parts == n
+        assert r.mean_millicents == sx * 1000 // n
+        assert r.cv2_milli == 1000 * (n * sxx - sx * sx) // (sx * sx)
+
+
+def test_power_user_share_matches_python_replay(spark, sf_dir):
+    """q294: the top-1% set and its share must equal a sorted replay."""
+    from snowflake_stock_dbt_spark.plans.events import q294_power_user_share
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select("user_id").collect()
+    counts = defaultdict(int)
+    for r in rows:
+        counts[r.user_id] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    k = (len(ranked) + 99) // 100
+    top = sum(n for _, n in ranked[:k])
+    total = sum(counts.values())
+    r = q294_power_user_share(spark, sf_dir).collect()[0]
+    assert (r.n_users, r.k_top, r.top_events, r.total_events) == (
+        len(ranked),
+        k,
+        top,
+        total,
+    )
+    assert r.top1pct_share_ppm == top * 1_000_000 // total
+
+
+def test_double_fire_audit_matches_python_replay(spark, sf_dir):
+    """q295: suspect counts and same-µs bursts must equal a sequential
+    per-(user,type) replay."""
+    from snowflake_stock_dbt_spark.plans.events import (
+        _DOUBLE_FIRE_S,
+        q295_double_fire_audit,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in rows:
+        streams[(r.user_id, r.event_type)].append((r.us, r.event_id))
+    suspects = defaultdict(int)
+    totals = defaultdict(int)
+    bursts = defaultdict(int)
+    for (uid, et), recs in streams.items():
+        recs.sort()
+        same = defaultdict(int)
+        for i, (us, _) in enumerate(recs):
+            totals[et] += 1
+            same[us] += 1
+            if i > 0 and us - recs[i - 1][0] <= _DOUBLE_FIRE_S * 1_000_000:
+                suspects[et] += 1
+        for us, c in same.items():
+            bursts[et] = max(bursts[et], c)
+    got = {r.event_type: r for r in q295_double_fire_audit(spark, sf_dir).collect()}
+    assert set(got) == set(totals)
+    for et in totals:
+        r = got[et]
+        assert (r.n_events, r.n_suspect, r.max_same_us_burst) == (
+            totals[et],
+            suspects[et],
+            bursts[et],
+        )
+        assert r.suspect_ppm == suspects[et] * 1_000_000 // totals[et]
+
+
+def test_doclen_outliers_match_python_replay(spark, sf_dir):
+    """q296: lower medians, MAD and fence counts must equal a sorted
+    Python replay of the same convention."""
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        _MAD_K,
+        q296_doclen_outliers,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r.source].append(r.n_chars)
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        # smallest value whose cumulative count covers half (2*cum >= n)
+        return xs[(len(xs) - 1) // 2]
+
+    got = {r.source: r for r in q296_doclen_outliers(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, xs in per_src.items():
+        med = lower_median(xs)
+        mad = lower_median([abs(x - med) for x in xs])
+        outl = sum(1 for x in xs if abs(x - med) > _MAD_K * mad)
+        r = got[src]
+        assert (r.n_docs, r.median_chars, r.mad_chars, r.n_outliers) == (
+            len(xs),
+            med,
+            mad,
+            outl,
+        )
+
+
+def test_independence_chi2_matches_bigint_replay(spark, sf_dir):
+    """q297: per-weekday χ² contributions must equal an arbitrary-
+    precision contingency replay with per-cell truncation."""
+    from snowflake_stock_dbt_spark.plans.scale import q297_independence_chi2
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.dayofweek("o_orderdate").alias("weekday"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .collect()
+    )
+    obs = defaultdict(int)
+    for r in rows:
+        obs[(r.weekday, r.prio)] += 1
+    row_m = defaultdict(int)
+    col_m = defaultdict(int)
+    for (w, p), o in obs.items():
+        row_m[w] += o
+        col_m[p] += o
+    n = sum(obs.values())
+    expect = defaultdict(lambda: [0, 0])
+    for (w, p), o in obs.items():
+        r, c = row_m[w], col_m[p]
+        contrib = 1_000_000 * (o * n - r * c) ** 2 // (n * r * c)
+        e = expect[w]
+        e[0] += 1
+        e[1] += contrib
+    got = {r.weekday: r for r in q297_independence_chi2(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for w, (cells, chi2) in expect.items():
+        assert (got[w].n_cells, got[w].chi2_micro) == (cells, chi2)
+
+
+def test_cycle_time_matches_python_replay(spark, sf_dir):
+    """q298: both lower medians must equal a sorted Python replay."""
+    from snowflake_stock_dbt_spark.plans.warehouse import q298_cycle_time
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ships = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        ships[r.l_orderkey].append(r.l_shipdate.date())
+    spans = defaultdict(lambda: ([], []))
+    for r in load_table(spark, sf_dir, "orders").collect():
+        ds = ships.get(r.o_orderkey)
+        if not ds:
+            continue
+        first, last = min(ds), max(ds)
+        a, b = spans[r.o_orderpriority]
+        a.append((first - r.o_orderdate.date()).days)
+        b.append((last - first).days)
+
+    def lower_median(xs):
+        return sorted(xs)[(len(xs) - 1) // 2]
+
+    got = {r.o_orderpriority: r for r in q298_cycle_time(spark, sf_dir).collect()}
+    assert set(got) == set(spans)
+    for prio, (to_first, wdw) in spans.items():
+        r = got[prio]
+        assert r.n_orders == len(to_first)
+        assert r.med_days_to_first_ship == lower_median(to_first)
+        assert r.med_ship_window_days == lower_median(wdw)
+
+
+def test_asof_late_impact_matches_python_replay(spark, sf_dir):
+    """q299: the changed-match count must equal a bisect replay of both
+    as-of joins, and every change must involve a late click."""
+    import bisect
+
+    from snowflake_stock_dbt_spark.plans.relational import (
+        _LATE_MOD,
+        q299_asof_late_impact,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .collect()
+    )
+    clicks = defaultdict(list)
+    purchases = []
+    for r in rows:
+        if r.event_type == "click":
+            clicks[r.user_id].append((r.us, r.event_id))
+        elif r.event_type == "purchase":
+            purchases.append((r.user_id, r.event_id, r.us))
+
+    def match(sorted_clicks, t):
+        # latest click at/before t; (us, id) tuple order = tiebreak on id
+        i = bisect.bisect_right(sorted_clicks, (t, float("inf")))
+        return sorted_clicks[i - 1][1] if i else None
+
+    n_changed = n_mb = n_mf = 0
+    for uid, _, pus in purchases:
+        full = sorted(clicks.get(uid, []))
+        base = [c for c in full if c[1] % _LATE_MOD != 0]
+        mb, mf = match(base, pus), match(full, pus)
+        n_mb += mb is not None
+        n_mf += mf is not None
+        if mb != mf:
+            n_changed += 1
+            assert mf is not None and mf % _LATE_MOD == 0
+    r = q299_asof_late_impact(spark, sf_dir).collect()[0]
+    assert (r.n_purchases, r.n_matched_base, r.n_matched_full, r.n_changed) == (
+        len(purchases),
+        n_mb,
+        n_mf,
+        n_changed,
+    )
+    assert r.changed_ppm == n_changed * 1_000_000 // len(purchases)
+
+
+def test_release_readiness_consistent_with_components(spark, sf_dir):
+    """q300: every signal must agree with the standalone operators it
+    composes (q274 OOV, q279 tokens/sentence), and the verdict must
+    follow the pinned thresholds."""
+    from snowflake_stock_dbt_spark.plans.curation import (
+        _RR_DUP_MAX_PPM,
+        _RR_OOV_MAX_PPM,
+        _RR_TPS_MAX_MILLI,
+        q300_release_readiness,
+    )
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        q274_vocab_oov,
+        q279_sentence_stats,
+    )
+
+    got = {r.source: r for r in q300_release_readiness(spark, sf_dir).collect()}
+    oov = {r.source: r for r in q274_vocab_oov(spark, sf_dir).collect()}
+    sent = {r.source: r for r in q279_sentence_stats(spark, sf_dir).collect()}
+    assert set(got) == set(oov) == set(sent)
+    for src, r in got.items():
+        assert r.oov_ppm == oov[src].oov_ppm
+        assert r.n_tokens == oov[src].n_tokens
+        assert r.tokens_per_sent_milli == sent[src].tokens_per_sent_milli
+        expect_pass = (
+            r.oov_ppm < _RR_OOV_MAX_PPM
+            and r.tokens_per_sent_milli < _RR_TPS_MAX_MILLI
+            and r.dup_doc_ppm < _RR_DUP_MAX_PPM
+        )
+        assert r.verdict == ("PASS" if expect_pass else "HOLD")
