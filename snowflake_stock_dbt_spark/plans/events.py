@@ -2255,7 +2255,7 @@ SELECT m.cohort,
        CAST(MAX(s.cohort_size) AS BIGINT) AS cohort_size,
        CAST(COALESCE(MIN(CASE WHEN m.k >= 1 AND m.active * 2 < s.cohort_size
                               THEN m.k END), -1) AS BIGINT)
-           AS half_life_weeks
+           AS half_life_days
 FROM matrix m JOIN size s USING (cohort)
 GROUP BY m.cohort
 ORDER BY m.cohort

@@ -51,11 +51,20 @@ def main() -> int:
             res = con.sql(osql[name])
             orows = res.fetchall()
             ocols = [d[0] for d in res.description]
-            ok = value_hash(sdf.columns, srows) == value_hash(ocols, orows)
+            # Match the driver: schema (sorted column names) AND values.
+            # Hash-only compare missed a renamed column once (q288 r6) —
+            # sorted values are position-identical under a pure rename.
+            schema_ok = sorted(sdf.columns) == sorted(ocols)
+            ok = schema_ok and (
+                value_hash(sdf.columns, srows) == value_hash(ocols, orows)
+            )
             failed += 0 if ok else 1
             print(
                 f"RESULT {name} rows: {len(srows)}/{len(orows)} "
-                f"hash-match: {ok}",
+                f"hash-match: {ok}"
+                + ("" if schema_ok else
+                   f" SCHEMA-MISMATCH spark={sorted(sdf.columns)}"
+                   f" oracle={sorted(ocols)}"),
                 flush=True,
             )
             if not ok and "--diff" in sys.argv:

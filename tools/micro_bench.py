@@ -52,6 +52,10 @@ PINNED = [
     "q178_knn_clusters",
     "q196_sessionize_tws",
     "q204_lpa_communities",
+    # Round-6 additions to the rotation: the heaviest new plans (kept
+    # ADDITIVE — prior keys stay comparable across rounds).
+    "q251_item_item_cf",
+    "q259_mutual_nn",
 ]
 
 REPS = 4
