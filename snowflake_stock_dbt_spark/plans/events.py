@@ -2530,6 +2530,66 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q304 — HOUR-OF-DAY LOAD PROFILE: per event type, the peak UTC hour
+# (argmax count via min(struct(-n, hour)) — the map-side-combinable
+# argmax, q204's lesson), its exact share ppm of the type's traffic,
+# and the peak-to-mean ratio milli (peak·24·1000 DIV total) — the
+# capacity-planning diurnal gauge.
+# ---------------------------------------------------------------------------
+
+
+def q304_hourly_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour(F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("n"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("total"),
+            F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("hr"))).alias(
+                "pick"
+            ),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(total AS BIGINT) AS n_events",
+            "CAST(pick.hr AS INT) AS peak_hour",
+            "CAST(-pick.neg_n AS BIGINT) AS peak_count",
+            "CAST(-pick.neg_n * 1000000 DIV total AS BIGINT)"
+            " AS peak_share_ppm",
+            "CAST(-pick.neg_n * 24 * 1000 DIV total AS BIGINT)"
+            " AS peak_to_mean_milli",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q304_SQL = """
+WITH hourly AS (
+    SELECT event_type,
+           EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hr,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+picked AS (
+    SELECT event_type, SUM(n) AS total,
+           MIN({'neg_n': -n, 'hr': hr}) AS pick
+    FROM hourly GROUP BY 1
+)
+SELECT event_type,
+       CAST(total AS BIGINT) AS n_events,
+       CAST(pick.hr AS INT) AS peak_hour,
+       CAST(-pick.neg_n AS BIGINT) AS peak_count,
+       CAST(-pick.neg_n * 1000000 // total AS BIGINT) AS peak_share_ppm,
+       CAST(-pick.neg_n * 24 * 1000 // total AS BIGINT)
+           AS peak_to_mean_milli
+FROM picked
+ORDER BY event_type
+"""
+
+
 EVENT_QUERIES = {
     "q267_growth_accounting": q267_growth_accounting,
     "q277_event_trigrams": q277_event_trigrams,
@@ -2540,6 +2600,7 @@ EVENT_QUERIES = {
     "q292_segmented_funnel": q292_segmented_funnel,
     "q294_power_user_share": q294_power_user_share,
     "q295_double_fire_audit": q295_double_fire_audit,
+    "q304_hourly_peaks": q304_hourly_peaks,
     "q272_time_decay_attribution": q272_time_decay_attribution,
     "q257_ushape_attribution": q257_ushape_attribution,
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
@@ -2574,6 +2635,7 @@ EVENT_ORACLES = {
     "q292_segmented_funnel": Q292_SQL,
     "q294_power_user_share": Q294_SQL,
     "q295_double_fire_audit": Q295_SQL,
+    "q304_hourly_peaks": Q304_SQL,
     "q272_time_decay_attribution": Q272_SQL,
     "q257_ushape_attribution": Q257_SQL,
     "q199_rolling_distinct_users": Q199_SQL,

@@ -2384,8 +2384,58 @@ ORDER BY d.source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q303 — LANGUAGE-ID CONFUSION MATRIX: declared lang × q17's predicted
+# lang, counts + within-declared-language share ppm + the per-language
+# recall on the diagonal — the evaluation harness for the engine's own
+# lang-id heuristic (an eval op, not another classifier: the registry
+# gains the CONFUSION-MATRIX shape every model-quality pipeline needs).
+# Composes q17's exact marker-count prediction; the oracle nests
+# Q17_SQL as a CTE so both engines score the identical classifier.
+# ---------------------------------------------------------------------------
+
+
+def q303_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = q17_lang_id(spark, sf_dir)
+    counts = preds.groupBy("declared_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("declared_lang")
+    return counts.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr(
+            "CAST(n_docs * 1000000 DIV "
+            "SUM(n_docs) OVER (PARTITION BY declared_lang) AS BIGINT)"
+        ).alias("share_ppm"),
+        (F.col("declared_lang") == F.col("predicted_lang"))
+        .cast("int")
+        .alias("is_correct"),
+    ).orderBy("declared_lang", "predicted_lang")
+
+
+Q303_SQL = f"""
+WITH preds AS (
+{Q17_SQL}
+),
+counts AS (
+    SELECT declared_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM preds GROUP BY 1, 2
+)
+SELECT declared_lang, predicted_lang, n_docs,
+       CAST(n_docs * 1000000 // SUM(n_docs)
+            OVER (PARTITION BY declared_lang) AS BIGINT) AS share_ppm,
+       CAST(CASE WHEN declared_lang = predicted_lang THEN 1 ELSE 0 END
+            AS INT) AS is_correct
+FROM counts
+ORDER BY declared_lang, predicted_lang
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q296_doclen_outliers": q296_doclen_outliers,
+    "q303_langid_confusion": q303_langid_confusion,
     "q268_chi2_terms": q268_chi2_terms,
     "q274_vocab_oov": q274_vocab_oov,
     "q275_heaps_law": q275_heaps_law,
@@ -2431,6 +2481,7 @@ LLM_TEXT_ORACLES = {
     "q283_dedup_savings": Q283_SQL,
     "q290_source_similarity": Q290_SQL,
     "q296_doclen_outliers": Q296_SQL,
+    "q303_langid_confusion": Q303_SQL,
     "q262_span_dedup_rewrite": Q262_SQL,
     "q16_text_stats": Q16_SQL,
     "q17_lang_id": Q17_SQL,

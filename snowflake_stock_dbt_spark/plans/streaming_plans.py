@@ -626,6 +626,49 @@ FROM events GROUP BY user_id, event_type
 """
 
 
+def q301_rate_limiter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window rate limiter on transformWithState:
+    per-user ListState of in-window event stamps + ValueState running
+    (events, throttled, peak) — the STREAMING twin of the batch q265
+    audit, and the fourth TWS exercise (ValueState q185, ListState +
+    timers q196, initial state q197, MapState q198; this one composes
+    ListState AND ValueState in one processor with window pruning).
+    Counters are monotone, so max-per-user over the update-mode
+    emissions recovers the final table; the oracle is q265's batch SQL,
+    proving stream state == the batch RANGE-frame truth."""
+    from ..compat import ensure_protobuf_for_session
+    from ..streaming.pipeline import ROCKSDB_PROVIDER
+    from ..streaming.stateful import stateful_rate_limiter
+
+    ensure_protobuf_for_session(spark)
+    ev = stream_events(spark, sf_dir)
+    out = run_streaming_query(
+        spark,
+        stateful_rate_limiter(ev),
+        output_mode="update",
+        state_partitions=STATE_PARTITIONS,
+        state_provider=ROCKSDB_PROVIDER,
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("n_throttled").cast("long").alias("n_throttled"),
+            F.max("peak_rate").cast("long").alias("peak_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q301_oracle() -> str:
+    from .insights import Q265_SQL
+
+    return Q265_SQL
+
+
+Q301_SQL = _q301_oracle()
+
+
 def _has_tws() -> bool:
     from ..compat import ensure_protobuf
 
@@ -719,3 +762,5 @@ if HAS_TWS:
     STREAMING_ORACLES["q197_warmstart_totals_tws"] = Q197_SQL
     STREAMING_QUERIES["q198_type_counts_tws"] = q198_type_counts_tws
     STREAMING_ORACLES["q198_type_counts_tws"] = Q198_SQL
+    STREAMING_QUERIES["q301_rate_limiter_tws"] = q301_rate_limiter_tws
+    STREAMING_ORACLES["q301_rate_limiter_tws"] = Q301_SQL

@@ -3056,10 +3056,177 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Q302 — OPEN-ORDER AGING (WIP report): unfulfilled orders
+# (o_orderstatus = 'O') bucketed by age in days relative to the
+# newest order date in the corpus (the "as of the data" clock, a lazy
+# 1-row anchor — q216 pattern), per priority: the working-capital /
+# backlog report. Buckets 0–30 / 31–60 / 61–90 / 90+, exact counts +
+# oldest order age.
+# ---------------------------------------------------------------------------
+
+
+def q302_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.groupBy().agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("asof")
+    )
+    aged = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("asof"), F.col("o_orderdate").cast("date")
+            ).alias("age"),
+        )
+    )
+    return (
+        aged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_open"),
+            F.sum((F.col("age") <= 30).cast("int"))
+            .cast("long")
+            .alias("d0_30"),
+            F.sum(((F.col("age") > 30) & (F.col("age") <= 60)).cast("int"))
+            .cast("long")
+            .alias("d31_60"),
+            F.sum(((F.col("age") > 60) & (F.col("age") <= 90)).cast("int"))
+            .cast("long")
+            .alias("d61_90"),
+            F.sum((F.col("age") > 90).cast("int"))
+            .cast("long")
+            .alias("d90_plus"),
+            F.max("age").cast("long").alias("oldest_age_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q302_SQL = """
+WITH anchor AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS asof_d FROM orders
+),
+aged AS (
+    SELECT o_orderpriority,
+           asof_d - CAST(o_orderdate AS DATE) AS age
+    FROM orders CROSS JOIN anchor
+    WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN age <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d0_30,
+       CAST(SUM(CASE WHEN age > 30 AND age <= 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d31_60,
+       CAST(SUM(CASE WHEN age > 60 AND age <= 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d61_90,
+       CAST(SUM(CASE WHEN age > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90_plus,
+       CAST(MAX(age) AS BIGINT) AS oldest_age_days
+FROM aged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q305 — DISCOUNT LIFT: does discounting move volume? Line items
+# bucketed by discount band (0 / ≤5 % / ≤10 % / >10 %): item counts,
+# exact revenue in 1e-4 dollars (price cents × (100 − disc pct) —
+# integer arithmetic end-to-end, no float product), mean quantity in
+# exact milli, and the volume lift of each band vs the zero-discount
+# baseline in ppm (cross-multiplied integers, |bands|-row broadcast).
+# ---------------------------------------------------------------------------
+
+
+def q305_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = (
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("int")
+        .alias("dp")
+    )
+    base = li.select(
+        disc_pct,
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).select(
+        F.when(F.col("dp") == 0, "0_none")
+        .when(F.col("dp") <= 5, "1_to5pct")
+        .when(F.col("dp") <= 10, "2_to10pct")
+        .otherwise("3_over10pct")
+        .alias("band"),
+        "dp",
+        "price_c",
+        "qty",
+    )
+    bands = base.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(
+            (F.col("price_c") * (100 - F.col("dp"))).cast("decimal(38,0)")
+        ).alias("rev"),
+        F.sum("qty").alias("sq"),
+    )
+    zero = bands.where(F.col("band") == "0_none").select(
+        F.col("n_items").alias("z_n"), F.col("sq").alias("z_sq")
+    )
+    return (
+        bands.crossJoin(F.broadcast(zero))
+        .selectExpr(
+            "band",
+            "n_items",
+            "CAST(rev AS BIGINT) AS revenue_e4",
+            "CAST(sq * 1000 DIV n_items AS BIGINT) AS mean_qty_milli",
+            # lift vs zero band: (band mean qty) / (zero mean qty) ppm,
+            # cross-multiplied to integers.
+            "CAST(sq * z_n * 1000000 DIV (n_items * z_sq) AS BIGINT)"
+            " AS qty_lift_ppm",
+        )
+        .orderBy("band")
+    )
+
+
+Q305_SQL = """
+WITH base AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT) AS dp,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+),
+banded AS (
+    SELECT CASE WHEN dp = 0 THEN '0_none'
+                WHEN dp <= 5 THEN '1_to5pct'
+                WHEN dp <= 10 THEN '2_to10pct'
+                ELSE '3_over10pct' END AS band,
+           dp, price_c, qty
+    FROM base
+),
+bands AS (
+    SELECT band, COUNT(*) AS n_items,
+           SUM(CAST(price_c AS HUGEINT) * (100 - dp)) AS rev,
+           SUM(qty) AS sq
+    FROM banded GROUP BY 1
+),
+zero AS (SELECT n_items AS z_n, sq AS z_sq FROM bands WHERE band = '0_none')
+SELECT band,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(rev AS BIGINT) AS revenue_e4,
+       CAST(sq * 1000 // n_items AS BIGINT) AS mean_qty_milli,
+       CAST(sq * z_n * 1000000 // (n_items * z_sq) AS BIGINT)
+           AS qty_lift_ppm
+FROM bands CROSS JOIN zero
+ORDER BY band
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q286_fill_rate_curve": q286_fill_rate_curve,
     "q293_brand_price_dispersion": q293_brand_price_dispersion,
     "q298_cycle_time": q298_cycle_time,
+    "q302_open_order_aging": q302_open_order_aging,
+    "q305_discount_lift": q305_discount_lift,
     "q251_item_item_cf": q251_item_item_cf,
     "q253_ratio_to_parent": q253_ratio_to_parent,
     "q214_incremental_join": q214_incremental_join,
@@ -3108,6 +3275,8 @@ WAREHOUSE_ORACLES = {
     "q286_fill_rate_curve": Q286_SQL,
     "q293_brand_price_dispersion": Q293_SQL,
     "q298_cycle_time": Q298_SQL,
+    "q302_open_order_aging": Q302_SQL,
+    "q305_discount_lift": Q305_SQL,
     "q251_item_item_cf": Q251_SQL,
     "q253_ratio_to_parent": Q253_SQL,
     "q82_pricing_summary": Q82_SQL,

@@ -407,3 +407,82 @@ def stateful_type_counts(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+RATE_LIMIT_SCHEMA = (
+    "user_id long, n_events long, n_throttled long, peak_rate long"
+)
+_RL_WINDOW_US = 86_400_000_000  # trailing 24 h, q265's window
+_RL_QUOTA = 3  # q265's quota
+
+
+class RateLimiterProcessor(StatefulProcessor):
+    """Per-user sliding-window rate limiter: ListState of event-time
+    stamps (µs) inside the trailing window + ValueState running
+    (n_events, n_throttled, peak). The streaming twin of the batch
+    q265 audit — for each event, the rolling count is |stamps in
+    (t − W, t]| over ALL stamps known when its batch lands, which
+    equals the batch RANGE-frame count under the engine's event-time-
+    ordered feed contract (the q196 assumption). Stamps older than
+    (newest − W) are pruned each batch, so state per key is bounded by
+    the window's event capacity, not history length.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._stamps = handle.getListState("stamps", "us long")
+        self._totals = handle.getValueState(
+            "totals", "n long, throttled long, peak long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        import bisect
+
+        new = []
+        for pdf in rows:
+            new.extend(int(v) for v in pdf["us"])
+        prior = (
+            [int(t[0]) for t in self._stamps.get()]
+            if self._stamps.exists()
+            else []
+        )
+        stamps = sorted(prior + new)
+        n, throttled, peak = (
+            tuple(int(v) for v in self._totals.get())
+            if self._totals.exists()
+            else (0, 0, 0)
+        )
+        for us in sorted(new):
+            lo = bisect.bisect_left(stamps, us - (_RL_WINDOW_US - 1))
+            hi = bisect.bisect_right(stamps, us)
+            rolling = hi - lo
+            n += 1
+            peak = max(peak, rolling)
+            if rolling > _RL_QUOTA:
+                throttled += 1
+        self._totals.update((n, throttled, peak))
+        keep_from = stamps[-1] - (_RL_WINDOW_US - 1)
+        self._stamps.put([(s,) for s in stamps if s >= keep_from])
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_throttled": [throttled],
+                "peak_rate": [peak],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_rate_limiter(events: DataFrame) -> DataFrame:
+    prepared = events.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RateLimiterProcessor(),
+        outputStructType=RATE_LIMIT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -2005,3 +2005,155 @@ def test_release_readiness_consistent_with_components(spark, sf_dir):
             and r.dup_doc_ppm < _RR_DUP_MAX_PPM
         )
         assert r.verdict == ("PASS" if expect_pass else "HOLD")
+
+
+def test_streaming_rate_limiter_equals_batch_audit(spark, sf_dir):
+    """q301: the streaming TWS rate limiter must equal the batch q265
+    audit row-for-row (stream state == batch RANGE-frame truth)."""
+    import pytest as _pytest
+
+    from snowflake_stock_dbt_spark.plans.streaming_plans import HAS_TWS
+
+    if not HAS_TWS:
+        _pytest.skip("transformWithState needs protobuf")
+    from snowflake_stock_dbt_spark.plans.insights import (
+        q265_rate_limiter_audit,
+    )
+    from snowflake_stock_dbt_spark.plans.streaming_plans import (
+        q301_rate_limiter_tws,
+    )
+
+    batch = {
+        r.user_id: (r.n_events, r.n_throttled, r.peak_rate)
+        for r in q265_rate_limiter_audit(spark, sf_dir).collect()
+    }
+    stream = {
+        r.user_id: (r.n_events, r.n_throttled, r.peak_rate)
+        for r in q301_rate_limiter_tws(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_open_order_aging_matches_python_replay(spark, sf_dir):
+    """q302: bucket counts must equal a raw-row replay against the same
+    as-of anchor, and buckets must partition n_open."""
+    from snowflake_stock_dbt_spark.plans.warehouse import q302_open_order_aging
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "orders").collect()
+    asof = max(r.o_orderdate.date() for r in rows)
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, -1])
+    for r in rows:
+        if r.o_orderstatus != "O":
+            continue
+        age = (asof - r.o_orderdate.date()).days
+        a = agg[r.o_orderpriority]
+        a[0] += 1
+        if age <= 30:
+            a[1] += 1
+        elif age <= 60:
+            a[2] += 1
+        elif age <= 90:
+            a[3] += 1
+        else:
+            a[4] += 1
+        a[5] = max(a[5], age)
+    got = {r.o_orderpriority: r for r in q302_open_order_aging(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for prio, (n, b1, b2, b3, b4, oldest) in agg.items():
+        r = got[prio]
+        assert (r.n_open, r.d0_30, r.d31_60, r.d61_90, r.d90_plus) == (
+            n, b1, b2, b3, b4,
+        )
+        assert r.oldest_age_days == oldest
+        assert r.n_open == r.d0_30 + r.d31_60 + r.d61_90 + r.d90_plus
+
+
+def test_langid_confusion_consistent_with_q17(spark, sf_dir):
+    """q303: the matrix must be exactly the grouped q17 predictions,
+    rows must sum to each declared language's doc count, and share ppm
+    must be the exact integral quotient."""
+    from snowflake_stock_dbt_spark.plans.llm_text import (
+        q17_lang_id,
+        q303_langid_confusion,
+    )
+
+    preds = defaultdict(int)
+    declared = defaultdict(int)
+    for r in q17_lang_id(spark, sf_dir).collect():
+        preds[(r.declared_lang, r.predicted_lang)] += 1
+        declared[r.declared_lang] += 1
+    got = {
+        (r.declared_lang, r.predicted_lang): r
+        for r in q303_langid_confusion(spark, sf_dir).collect()
+    }
+    assert set(got) == set(preds)
+    for (dl, pl), r in got.items():
+        assert r.n_docs == preds[(dl, pl)]
+        assert r.share_ppm == preds[(dl, pl)] * 1_000_000 // declared[dl]
+        assert r.is_correct == int(dl == pl)
+
+
+def test_hourly_peaks_match_python_replay(spark, sf_dir):
+    """q304: the argmax hour and ratios must equal a Counter replay
+    with the hour-asc tiebreak."""
+    from snowflake_stock_dbt_spark.plans.events import q304_hourly_peaks
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.hour("ts").alias("hr"))
+        .collect()
+    )
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        counts[r.event_type][r.hr] += 1
+    got = {r.event_type: r for r in q304_hourly_peaks(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for et, hrs in counts.items():
+        total = sum(hrs.values())
+        peak_hr, peak_n = min(hrs.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[et]
+        assert (r.n_events, r.peak_hour, r.peak_count) == (total, peak_hr, peak_n)
+        assert r.peak_share_ppm == peak_n * 1_000_000 // total
+        assert r.peak_to_mean_milli == peak_n * 24 * 1000 // total
+
+
+def test_discount_lift_matches_python_replay(spark, sf_dir):
+    """q305: band revenue/quantity arithmetic must equal an exact cents
+    replay, and the zero band's lift must be exactly 1e6."""
+    from decimal import Decimal
+
+    from snowflake_stock_dbt_spark.plans.warehouse import q305_discount_lift
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_discount", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    bands = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        dp = int(Decimal(repr(r.l_discount)).quantize(Decimal("0.01")) * 100)
+        price_c = int(
+            Decimal(repr(r.l_extendedprice)).quantize(Decimal("0.01")) * 100
+        )
+        band = (
+            "0_none" if dp == 0
+            else "1_to5pct" if dp <= 5
+            else "2_to10pct" if dp <= 10
+            else "3_over10pct"
+        )
+        b = bands[band]
+        b[0] += 1
+        b[1] += price_c * (100 - dp)
+        b[2] += int(r.l_quantity)
+    z_n, _, z_sq = bands["0_none"]
+    got = {r.band: r for r in q305_discount_lift(spark, sf_dir).collect()}
+    assert set(got) == set(bands)
+    for band, (n, rev, sq) in bands.items():
+        r = got[band]
+        assert (r.n_items, r.revenue_e4) == (n, rev)
+        assert r.mean_qty_milli == sq * 1000 // n
+        assert r.qty_lift_ppm == sq * z_n * 1_000_000 // (n * z_sq)
+    assert got["0_none"].qty_lift_ppm == 1_000_000
