@@ -1864,9 +1864,54 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q310 — CORPUS COMPOSITION MATRIX (the data card table): source ×
+# lang doc and character counts with row-within-source and overall
+# share ppm — the composition table every dataset release publishes.
+# One keyed agg + two window shares over the |sources|×|langs| frame.
+# ---------------------------------------------------------------------------
+
+
+def q310_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return cells.selectExpr(
+        "source",
+        "lang",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_chars AS BIGINT) AS n_chars",
+        "CAST(n_docs * 1000000 DIV "
+        "SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)"
+        " AS share_of_source_ppm",
+        "CAST(n_chars * 1000000 DIV SUM(n_chars) OVER () AS BIGINT)"
+        " AS share_of_corpus_chars_ppm",
+    ).orderBy("source", "lang")
+
+
+Q310_SQL = """
+WITH cells AS (
+    SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    FROM documents GROUP BY 1, 2
+)
+SELECT source, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_docs * 1000000 // SUM(n_docs)
+            OVER (PARTITION BY source) AS BIGINT) AS share_of_source_ppm,
+       CAST(n_chars * 1000000 // SUM(n_chars) OVER () AS BIGINT)
+           AS share_of_corpus_chars_ppm
+FROM cells
+ORDER BY source, lang
+"""
+
+
 CURATION_QUERIES = {
     "q276_interleave_schedule": q276_interleave_schedule,
     "q300_release_readiness": q300_release_readiness,
+    "q310_corpus_composition": q310_corpus_composition,
     "q280_split_contamination": q280_split_contamination,
     "q254_temperature_mixture": q254_temperature_mixture,
     "q200_curation_pipeline": q200_curation_pipeline,
@@ -1891,6 +1936,7 @@ CURATION_QUERIES = {
 CURATION_ORACLES = {
     "q276_interleave_schedule": Q276_SQL,
     "q300_release_readiness": Q300_SQL,
+    "q310_corpus_composition": Q310_SQL,
     "q280_split_contamination": Q280_SQL,
     "q254_temperature_mixture": Q254_SQL,
     "q200_curation_pipeline": Q200_SQL,

@@ -2531,6 +2531,108 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Q306 — INTER-EVENT GAP PROFILE: per event type, the lower-median and
+# p90 (same cross-multiplied convention, 10·cum ≥ 9·n) of the gaps in
+# seconds between a user's consecutive events of that type — the
+# cadence fingerprint ("how often does a user click?") and the input
+# for session-gap / TTL tuning. Gaps are integers (µs DIV 1e6); both
+# quantiles come from value-counts CDFs, never per-group sorts of raw
+# rows (the q45 lesson).
+# ---------------------------------------------------------------------------
+
+
+def q306_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+        )
+        .withColumn("prev", F.lag("us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(us - prev) DIV 1000000").alias("gap_s"),
+        )
+    )
+    vc = gaps.groupBy("event_type", "gap_s").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("event_type").orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("event_type")
+    cdf = vc.select(
+        "event_type",
+        "gap_s",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    med = (
+        cdf.where(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("gap_s").alias("med_gap_s"))
+    )
+    p90 = (
+        cdf.where(F.col("cum") * 10 >= F.col("n") * 9)
+        .groupBy("event_type")
+        .agg(F.min("gap_s").alias("p90_gap_s"))
+    )
+    base = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps")
+    )
+    return (
+        base.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(p90), "event_type")
+        .selectExpr(
+            "event_type",
+            "n_gaps",
+            "CAST(med_gap_s AS BIGINT) AS med_gap_s",
+            "CAST(p90_gap_s AS BIGINT) AS p90_gap_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q306_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+           (us - prev) // 1000000 AS gap_s
+    FROM (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+               ) AS prev
+        FROM events
+    )
+    WHERE prev IS NOT NULL
+),
+vc AS (SELECT event_type, gap_s, COUNT(*) AS cnt FROM gaps GROUP BY 1, 2),
+cdf AS (
+    SELECT event_type, gap_s,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM vc
+),
+med AS (SELECT event_type, MIN(gap_s) AS med_gap_s FROM cdf
+        WHERE cum * 2 >= n GROUP BY 1),
+p90 AS (SELECT event_type, MIN(gap_s) AS p90_gap_s FROM cdf
+        WHERE cum * 10 >= n * 9 GROUP BY 1),
+base AS (SELECT event_type, COUNT(*) AS n_gaps FROM gaps GROUP BY 1)
+SELECT b.event_type,
+       CAST(b.n_gaps AS BIGINT) AS n_gaps,
+       CAST(m.med_gap_s AS BIGINT) AS med_gap_s,
+       CAST(p.p90_gap_s AS BIGINT) AS p90_gap_s
+FROM base b JOIN med m USING (event_type) JOIN p90 p USING (event_type)
+ORDER BY b.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q304 — HOUR-OF-DAY LOAD PROFILE: per event type, the peak UTC hour
 # (argmax count via min(struct(-n, hour)) — the map-side-combinable
 # argmax, q204's lesson), its exact share ppm of the type's traffic,
@@ -2601,6 +2703,7 @@ EVENT_QUERIES = {
     "q294_power_user_share": q294_power_user_share,
     "q295_double_fire_audit": q295_double_fire_audit,
     "q304_hourly_peaks": q304_hourly_peaks,
+    "q306_interevent_gaps": q306_interevent_gaps,
     "q272_time_decay_attribution": q272_time_decay_attribution,
     "q257_ushape_attribution": q257_ushape_attribution,
     "q199_rolling_distinct_users": q199_rolling_distinct_users,
@@ -2636,6 +2739,7 @@ EVENT_ORACLES = {
     "q294_power_user_share": Q294_SQL,
     "q295_double_fire_audit": Q295_SQL,
     "q304_hourly_peaks": Q304_SQL,
+    "q306_interevent_gaps": Q306_SQL,
     "q272_time_decay_attribution": Q272_SQL,
     "q257_ushape_attribution": Q257_SQL,
     "q199_rolling_distinct_users": Q199_SQL,

@@ -1760,9 +1760,59 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Q309 — LABEL BALANCE REPORT: class distribution of the embedding
+# corpus — per label: count, share ppm, and the exact χ² contribution
+# vs the uniform expectation (micro, the q297 per-cell algebra on
+# HUGEINT/DECIMAL(38)) — the class-imbalance gate before training any
+# classifier on these labels. |labels|-row output from one keyed agg
+# + a 1-row (N, K) anchor.
+# ---------------------------------------------------------------------------
+
+
+def q309_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    anchor = counts.groupBy().agg(
+        F.sum("n").alias("total"), F.count("*").alias("k")
+    )
+    d38 = "DECIMAL(38,0)"
+    return (
+        counts.crossJoin(F.broadcast(anchor))
+        .selectExpr(
+            "label",
+            "CAST(n AS BIGINT) AS n_vecs",
+            "CAST(n * 1000000 DIV total AS BIGINT) AS share_ppm",
+            # chi2 vs uniform: (n - total/k)^2 / (total/k), scaled 1e6,
+            # cross-multiplied to integers: 1e6 * (n*k - total)^2 / (k*total)
+            f"CAST(1000000 * (CAST(n AS {d38}) * k - total)"
+            f" * (CAST(n AS {d38}) * k - total)"
+            f" DIV (CAST(k AS {d38}) * total) AS BIGINT)"
+            " AS chi2_uniform_micro",
+        )
+        .orderBy("label")
+    )
+
+
+Q309_SQL = """
+WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+anchor AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM counts)
+SELECT label,
+       CAST(n AS BIGINT) AS n_vecs,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(1000000 * (CAST(n AS HUGEINT) * k - total)
+                    * (CAST(n AS HUGEINT) * k - total)
+            // (CAST(k AS HUGEINT) * total) AS BIGINT)
+           AS chi2_uniform_micro
+FROM counts CROSS JOIN anchor
+ORDER BY label
+"""
+
+
 VECTOR_QUERIES = {
     "q271_ann_recall": q271_ann_recall,
     "q289_embedding_hygiene": q289_embedding_hygiene,
+    "q309_label_balance": q309_label_balance,
     "q25_cosine_topk": q25_cosine_topk,
     "q192_embedding_drift": q192_embedding_drift,
     "q26_ann_ivf": q26_ann_ivf,
@@ -1784,6 +1834,7 @@ VECTOR_QUERIES = {
 VECTOR_ORACLES = {
     "q271_ann_recall": Q271_SQL,
     "q289_embedding_hygiene": Q289_SQL,
+    "q309_label_balance": Q309_SQL,
     "q258_pca_power_iteration": Q258_SQL,
     "q259_mutual_nn": Q259_SQL,
     "q260_cluster_quality": Q260_SQL,

@@ -3221,7 +3221,128 @@ ORDER BY band
 """
 
 
+# ---------------------------------------------------------------------------
+# Q307 — SINGLE-SOURCE RISK: parts observed shipping from exactly one
+# supplier (lineitem evidence), rolled up per brand with risk ppm —
+# the supply-chain fragility report ("which brands die if one supplier
+# does?"). One (part, supplier) distinct frame → part-grain distinct
+# counts → brand rollup via a broadcast part-dim join.
+# ---------------------------------------------------------------------------
+
+
+def q307_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    suppliers_per_part = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        suppliers_per_part.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum((F.col("n_suppliers") == 1).cast("int"))
+            .cast("long")
+            .alias("n_single_source"),
+        )
+        .selectExpr(
+            "p_brand",
+            "n_parts",
+            "n_single_source",
+            "CAST(n_single_source * 1000000 DIV n_parts AS BIGINT)"
+            " AS risk_ppm",
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q307_SQL = """
+WITH spp AS (
+    SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN s.n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_single_source,
+       CAST(SUM(CASE WHEN s.n_suppliers = 1 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS risk_ppm
+FROM spp s JOIN part p ON p.p_partkey = s.l_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q308 — RETURN RATES BY BRAND: share of line items flagged returned
+# (l_returnflag = 'R') per part brand, with the returned revenue in
+# exact cents — the product-quality league table. One fact scan + a
+# broadcast part-dim join + one keyed agg.
+# ---------------------------------------------------------------------------
+
+
+def q308_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    cents = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c")
+    )
+    flagged = li.select(
+        "l_partkey",
+        cents,
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+    )
+    return (
+        flagged.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("ret").cast("long").alias("n_returned"),
+            F.sum(F.col("ret") * F.col("price_c"))
+            .cast("long")
+            .alias("returned_cents"),
+        )
+        .selectExpr(
+            "p_brand",
+            "n_items",
+            "n_returned",
+            "CAST(n_returned * 1000000 DIV n_items AS BIGINT)"
+            " AS return_ppm",
+            "returned_cents",
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q308_SQL = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS return_ppm,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                     THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS returned_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
 WAREHOUSE_QUERIES = {
+    "q307_single_source_risk": q307_single_source_risk,
+    "q308_return_rates": q308_return_rates,
     "q286_fill_rate_curve": q286_fill_rate_curve,
     "q293_brand_price_dispersion": q293_brand_price_dispersion,
     "q298_cycle_time": q298_cycle_time,
@@ -3277,6 +3398,8 @@ WAREHOUSE_ORACLES = {
     "q298_cycle_time": Q298_SQL,
     "q302_open_order_aging": Q302_SQL,
     "q305_discount_lift": Q305_SQL,
+    "q307_single_source_risk": Q307_SQL,
+    "q308_return_rates": Q308_SQL,
     "q251_item_item_cf": Q251_SQL,
     "q253_ratio_to_parent": Q253_SQL,
     "q82_pricing_summary": Q82_SQL,

@@ -2157,3 +2157,163 @@ def test_discount_lift_matches_python_replay(spark, sf_dir):
         assert r.mean_qty_milli == sq * 1000 // n
         assert r.qty_lift_ppm == sq * z_n * 1_000_000 // (n * z_sq)
     assert got["0_none"].qty_lift_ppm == 1_000_000
+
+
+def test_interevent_gaps_match_python_replay(spark, sf_dir):
+    """q306: median and p90 gap seconds must equal a sorted replay of
+    the same cross-multiplied conventions."""
+    from snowflake_stock_dbt_spark.plans.events import q306_interevent_gaps
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in rows:
+        streams[(r.user_id, r.event_type)].append((r.us, r.event_id))
+    gaps = defaultdict(list)
+    for (uid, et), recs in streams.items():
+        recs.sort()
+        for i in range(1, len(recs)):
+            gaps[et].append((recs[i][0] - recs[i - 1][0]) // 1_000_000)
+
+    def quantile(xs, num, den):
+        # smallest value with den*cum >= num*n
+        xs = sorted(xs)
+        n = len(xs)
+        for i, v in enumerate(xs):
+            if (i + 1) * den >= num * n:
+                return v
+        return xs[-1]
+
+    got = {r.event_type: r for r in q306_interevent_gaps(spark, sf_dir).collect()}
+    assert set(got) == set(gaps)
+    for et, xs in gaps.items():
+        r = got[et]
+        assert r.n_gaps == len(xs)
+        assert r.med_gap_s == quantile(xs, 1, 2)
+        assert r.p90_gap_s == quantile(xs, 9, 10)
+
+
+def test_single_source_risk_matches_python_replay(spark, sf_dir):
+    """q307: single-source part counts must equal a set replay."""
+    from snowflake_stock_dbt_spark.plans.warehouse import q307_single_source_risk
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    supp = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    ):
+        supp[r.l_partkey].add(r.l_suppkey)
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for pk, ss in supp.items():
+        a = agg[brand[pk]]
+        a[0] += 1
+        a[1] += 1 if len(ss) == 1 else 0
+    got = {r.p_brand: r for r in q307_single_source_risk(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for b, (n, single) in agg.items():
+        r = got[b]
+        assert (r.n_parts, r.n_single_source) == (n, single)
+        assert r.risk_ppm == single * 1_000_000 // n
+
+
+def test_return_rates_match_exact_cents_replay(spark, sf_dir):
+    """q308: returned counts and cents must equal a Decimal replay."""
+    from decimal import Decimal
+
+    from snowflake_stock_dbt_spark.plans.warehouse import q308_return_rates
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        a = agg[brand[r.l_partkey]]
+        a[0] += 1
+        if r.l_returnflag == "R":
+            a[1] += 1
+            a[2] += int(
+                Decimal(repr(r.l_extendedprice)).quantize(Decimal("0.01"))
+                * 100
+            )
+    got = {r.p_brand: r for r in q308_return_rates(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for b, (n, ret, cents) in agg.items():
+        r = got[b]
+        assert (r.n_items, r.n_returned, r.returned_cents) == (n, ret, cents)
+        assert r.return_ppm == ret * 1_000_000 // n
+
+
+def test_label_balance_matches_bigint_replay(spark, sf_dir):
+    """q309: shares and uniform-χ² contributions must equal a big-int
+    replay, and shares must sum to ~1e6."""
+    from snowflake_stock_dbt_spark.plans.vectors import q309_label_balance
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    counts = defaultdict(int)
+    for r in load_table(spark, sf_dir, "embeddings").select("label").collect():
+        counts[r.label] += 1
+    total = sum(counts.values())
+    k = len(counts)
+    got = {r.label: r for r in q309_label_balance(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for label, n in counts.items():
+        r = got[label]
+        assert r.n_vecs == n
+        assert r.share_ppm == n * 1_000_000 // total
+        assert r.chi2_uniform_micro == (
+            1_000_000 * (n * k - total) ** 2 // (k * total)
+        )
+    share_sum = sum(r.share_ppm for r in got.values())
+    assert 1_000_000 - k <= share_sum <= 1_000_000
+
+
+def test_corpus_composition_shares_sum(spark, sf_dir):
+    """q310: cells must equal a Counter replay; per-source shares and
+    corpus char shares must sum to ~1e6 within truncation slack."""
+    from snowflake_stock_dbt_spark.plans.curation import q310_corpus_composition
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    cells = defaultdict(lambda: [0, 0])
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "lang", "n_chars")
+        .collect()
+    ):
+        c = cells[(r.source, r.lang)]
+        c[0] += 1
+        c[1] += r.n_chars
+    got = {
+        (r.source, r.lang): r
+        for r in q310_corpus_composition(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    src_docs = defaultdict(int)
+    tot_chars = 0
+    for (s, _), (nd, nc) in cells.items():
+        src_docs[s] += nd
+        tot_chars += nc
+    for (s, l), (nd, nc) in cells.items():
+        r = got[(s, l)]
+        assert (r.n_docs, r.n_chars) == (nd, nc)
+        assert r.share_of_source_ppm == nd * 1_000_000 // src_docs[s]
+        assert r.share_of_corpus_chars_ppm == nc * 1_000_000 // tot_chars
+    chars_sum = sum(r.share_of_corpus_chars_ppm for r in got.values())
+    assert 1_000_000 - len(got) <= chars_sum <= 1_000_000
