@@ -2692,8 +2692,88 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q313 — COLD-START BEHAVIOR MIX: how does the event-type mix of each
+# user's FIRST week (days 0–6 from their first event) differ from
+# steady state (day 7+)? Per type: cold-phase share ppm, steady share
+# ppm, and the delta — the onboarding-funnel health readout ("new
+# users browse, veterans purchase"). One user-keyed window min + one
+# keyed agg + shares over the |types|-row frame.
+# ---------------------------------------------------------------------------
+
+
+def q313_coldstart_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    marked = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+        .withColumn("first_us", F.min("us").over(w))
+        .withColumn(
+            "phase",
+            F.when(
+                F.expr("(us - first_us) DIV 86400000000") <= 6,
+                F.lit("cold"),
+            ).otherwise(F.lit("steady")),
+        )
+    )
+    counts = marked.groupBy("event_type").agg(
+        F.sum((F.col("phase") == "cold").cast("int")).alias("n_cold"),
+        F.sum((F.col("phase") == "steady").cast("int")).alias("n_steady"),
+    )
+    return counts.selectExpr(
+        "event_type",
+        "CAST(n_cold AS BIGINT) AS n_cold",
+        "CAST(n_steady AS BIGINT) AS n_steady",
+        "CAST(n_cold * 1000000 DIV greatest(SUM(n_cold) OVER (), 1)"
+        " AS BIGINT) AS cold_share_ppm",
+        "CAST(n_steady * 1000000 DIV greatest(SUM(n_steady) OVER (), 1)"
+        " AS BIGINT) AS steady_share_ppm",
+        "CAST(n_cold * 1000000 DIV greatest(SUM(n_cold) OVER (), 1)"
+        " - n_steady * 1000000 DIV greatest(SUM(n_steady) OVER (), 1)"
+        " AS BIGINT) AS mix_delta_ppm",
+    ).orderBy("event_type")
+
+
+Q313_SQL = """
+WITH marked AS (
+    SELECT event_type,
+           CASE WHEN (us - MIN(us) OVER (PARTITION BY user_id))
+                     // 86400000000 <= 6
+                THEN 'cold' ELSE 'steady' END AS phase
+    FROM (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    )
+),
+counts AS (
+    SELECT event_type,
+           SUM(CASE WHEN phase = 'cold' THEN 1 ELSE 0 END) AS n_cold,
+           SUM(CASE WHEN phase = 'steady' THEN 1 ELSE 0 END) AS n_steady
+    FROM marked GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_cold AS BIGINT) AS n_cold,
+       CAST(n_steady AS BIGINT) AS n_steady,
+       CAST(n_cold * 1000000 // GREATEST(SUM(n_cold) OVER (), 1)
+            AS BIGINT) AS cold_share_ppm,
+       CAST(n_steady * 1000000 // GREATEST(SUM(n_steady) OVER (), 1)
+            AS BIGINT) AS steady_share_ppm,
+       CAST(n_cold * 1000000 // GREATEST(SUM(n_cold) OVER (), 1)
+            - n_steady * 1000000 // GREATEST(SUM(n_steady) OVER (), 1)
+            AS BIGINT) AS mix_delta_ppm
+FROM counts
+ORDER BY event_type
+"""
+
+
 EVENT_QUERIES = {
     "q267_growth_accounting": q267_growth_accounting,
+    "q313_coldstart_mix": q313_coldstart_mix,
     "q277_event_trigrams": q277_event_trigrams,
     "q282_event_burstiness": q282_event_burstiness,
     "q285_event_runs": q285_event_runs,
@@ -2740,6 +2820,7 @@ EVENT_ORACLES = {
     "q295_double_fire_audit": Q295_SQL,
     "q304_hourly_peaks": Q304_SQL,
     "q306_interevent_gaps": Q306_SQL,
+    "q313_coldstart_mix": Q313_SQL,
     "q272_time_decay_attribution": Q272_SQL,
     "q257_ushape_attribution": Q257_SQL,
     "q199_rolling_distinct_users": Q199_SQL,

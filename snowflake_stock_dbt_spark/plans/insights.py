@@ -3778,9 +3778,139 @@ ORDER BY b.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q311 — MIX-SHIFT DECOMPOSITION: each nation's revenue change between
+# the two date halves (q270's lazy midpoint anchor) split into a GROWTH
+# effect (what the nation would have gained had it merely tracked the
+# overall market: rev0·ΔR DIV R0, truncation pinned — it goes negative
+# in a down market) and a MIX effect (the residual: genuine share gain
+# or loss) — the decomposition behind every "did we grow or did the
+# market?" review. Revenue is exact 1e-4 dollars (q305's integer cents
+# × (100 − disc) product); Σ growth ≈ ΔR and Σ mix ≈ 0 within
+# |nations| units of truncation slack, pinned by the property test.
+# ---------------------------------------------------------------------------
+
+
+def q311_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    anchor = orders.groupBy().agg(
+        F.min("order_d").alias("d0"), F.max("order_d").alias("d1")
+    )
+    rev = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        * (
+            100
+            - (F.col("l_discount").cast("decimal(4,2)") * 100).cast("int")
+        )
+    ).alias("rev_e4")
+    base = (
+        li.select("l_orderkey", rev)
+        .join(orders, "l_orderkey")
+        .join(F.broadcast(cust), "c_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "nation",
+            F.when(
+                F.datediff(F.col("order_d"), F.col("d0")) * 2
+                < F.datediff(F.col("d1"), F.col("d0")),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("half"),
+            "rev_e4",
+        )
+    )
+    per_nation = base.groupBy("nation").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("rev_e4")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("rev0"),
+        F.sum(F.when(F.col("half") == 1, F.col("rev_e4")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("rev1"),
+    )
+    totals = per_nation.groupBy().agg(
+        F.sum("rev0").alias("r0"), F.sum("rev1").alias("r1")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "nation",
+            "CAST(rev0 AS BIGINT) AS rev0_e4",
+            "CAST(rev1 AS BIGINT) AS rev1_e4",
+            "CAST(rev1 - rev0 AS BIGINT) AS delta_e4",
+            # growth at market rate; DIV truncates toward zero on both
+            # engines' DECIMAL/HUGEINT paths for negative numerators.
+            "CAST(rev0 * (r1 - r0) DIV r0 AS BIGINT) AS growth_e4",
+            "CAST((rev1 - rev0) - (rev0 * (r1 - r0) DIV r0) AS BIGINT)"
+            " AS mix_e4",
+        )
+        .orderBy("nation")
+    )
+
+
+Q311_SQL = """
+WITH anchor AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+           MAX(CAST(o_orderdate AS DATE)) AS d1
+    FROM orders
+),
+base AS (
+    SELECT n.n_name AS nation,
+           CASE WHEN (CAST(o.o_orderdate AS DATE) - a.d0) * 2
+                     < (a.d1 - a.d0) THEN 0 ELSE 1 END AS half,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS INT))
+               AS rev_e4
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN anchor a
+),
+per_nation AS (
+    SELECT nation,
+           SUM(CASE WHEN half = 0 THEN CAST(rev_e4 AS HUGEINT) ELSE 0 END)
+               AS rev0,
+           SUM(CASE WHEN half = 1 THEN CAST(rev_e4 AS HUGEINT) ELSE 0 END)
+               AS rev1
+    FROM base GROUP BY 1
+),
+totals AS (SELECT SUM(rev0) AS r0, SUM(rev1) AS r1 FROM per_nation),
+scored AS (
+    SELECT nation, rev0, rev1,
+           CASE WHEN rev0 * (r1 - r0) >= 0
+                THEN rev0 * (r1 - r0) // r0
+                ELSE -((-(rev0 * (r1 - r0))) // r0) END AS growth
+    FROM per_nation CROSS JOIN totals
+)
+SELECT nation,
+       CAST(rev0 AS BIGINT) AS rev0_e4,
+       CAST(rev1 AS BIGINT) AS rev1_e4,
+       CAST(rev1 - rev0 AS BIGINT) AS delta_e4,
+       CAST(growth AS BIGINT) AS growth_e4,
+       CAST((rev1 - rev0) - growth AS BIGINT) AS mix_e4
+FROM scored
+ORDER BY nation
+"""
+
+
 INSIGHTS_QUERIES = {
     "q252_interval_islands": q252_interval_islands,
     "q278_drawdown": q278_drawdown,
+    "q311_mix_shift": q311_mix_shift,
     "q256_km_survival": q256_km_survival,
     "q265_rate_limiter_audit": q265_rate_limiter_audit,
     "q266_quantile_mapping": q266_quantile_mapping,
@@ -3823,6 +3953,7 @@ INSIGHTS_QUERIES = {
 INSIGHTS_ORACLES = {
     "q252_interval_islands": Q252_SQL,
     "q278_drawdown": Q278_SQL,
+    "q311_mix_shift": Q311_SQL,
     "q256_km_survival": Q256_SQL,
     "q265_rate_limiter_audit": Q265_SQL,
     "q266_quantile_mapping": Q266_SQL,

@@ -2433,9 +2433,108 @@ ORDER BY declared_lang, predicted_lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Q312 — NEAR-DUP TRANSITIVITY AUDIT: how transitive are q22's MinHash
+# LSH candidate pairs? Counts wedges (x–m, m–y with x<y) and how many
+# close into triangles — high closure means the pairs form clean
+# duplicate CLUSTERS (safe to connected-component them, q54's move);
+# low closure means chains/bridges and a cluster-collapse dedup would
+# over-merge. One self-join of the (tiny) pair frame on the shared
+# endpoint + one semi-join against the pair set; oracle nests Q22_SQL.
+# ---------------------------------------------------------------------------
+
+
+def q312_lsh_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # The pair frame feeds FOUR branches (edges twice, the closure
+    # semi-join, and the count anchor); without a persist the entire
+    # minhash signature chain re-executes per branch (the q73 lesson —
+    # measured exponent 0.63 at the birth probe, 0.34 after).
+    pairs = (
+        minhash_lsh_pairs(docs, "doc_id", "text", k=3)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    wedges = (
+        edges.alias("l")
+        .join(
+            edges.alias("r"),
+            (F.col("l.doc_a") == F.col("r.doc_a"))
+            & (F.col("l.doc_b") < F.col("r.doc_b")),
+        )
+        .select(
+            F.col("l.doc_b").alias("x"),
+            F.col("l.doc_a").alias("m"),
+            F.col("r.doc_b").alias("y"),
+        )
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+        ),
+        ["x", "y"],
+        "left_semi",
+    )
+    n_pairs = pairs.groupBy().agg(F.count("*").alias("n_pairs"))
+    n_wedges = wedges.groupBy().agg(F.count("*").alias("n_wedges"))
+    n_closed = closed.groupBy().agg(F.count("*").alias("n_closed"))
+    return (
+        n_pairs.crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_closed))
+        .selectExpr(
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "CAST(n_wedges AS BIGINT) AS n_wedges",
+            "CAST(n_closed AS BIGINT) AS n_closed",
+            "CAST(CASE WHEN n_wedges = 0 THEN 0"
+            " ELSE n_closed * 1000000 DIV n_wedges END AS BIGINT)"
+            " AS closure_ppm",
+        )
+    )
+
+
+Q312_SQL = f"""
+WITH pairs AS (
+{Q22_SQL}
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+wedges AS (
+    SELECT l.doc_b AS x, l.doc_a AS m, r.doc_b AS y
+    FROM edges l JOIN edges r
+      ON l.doc_a = r.doc_a AND l.doc_b < r.doc_b
+),
+closed AS (
+    SELECT w.x, w.y FROM wedges w
+    WHERE EXISTS (SELECT 1 FROM pairs p
+                  WHERE p.doc_a = w.x AND p.doc_b = w.y)
+),
+counts AS (
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+           (SELECT COUNT(*) FROM wedges) AS n_wedges,
+           (SELECT COUNT(*) FROM closed) AS n_closed
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_closed AS BIGINT) AS n_closed,
+       CAST(CASE WHEN n_wedges = 0 THEN 0
+                 ELSE n_closed * 1000000 // n_wedges END AS BIGINT)
+           AS closure_ppm
+FROM counts
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q296_doclen_outliers": q296_doclen_outliers,
     "q303_langid_confusion": q303_langid_confusion,
+    "q312_lsh_transitivity": q312_lsh_transitivity,
     "q268_chi2_terms": q268_chi2_terms,
     "q274_vocab_oov": q274_vocab_oov,
     "q275_heaps_law": q275_heaps_law,
@@ -2482,6 +2581,7 @@ LLM_TEXT_ORACLES = {
     "q290_source_similarity": Q290_SQL,
     "q296_doclen_outliers": Q296_SQL,
     "q303_langid_confusion": Q303_SQL,
+    "q312_lsh_transitivity": Q312_SQL,
     "q262_span_dedup_rewrite": Q262_SQL,
     "q16_text_stats": Q16_SQL,
     "q17_lang_id": Q17_SQL,

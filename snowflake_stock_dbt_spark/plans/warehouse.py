@@ -3340,7 +3340,131 @@ ORDER BY p.p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Q314 — SPEND-DECILE MIGRATION MATRIX: customers' order-spend decile
+# in the first date half vs the second (q270's midpoint anchor) — the
+# customer-value migration table ("are our top-decile customers
+# staying top-decile?"). Deciles come from the cross-multiplied
+# value-counts CDF per half (decile(v) = (cum_below·10) DIV n + 1 —
+# customers tied on spend share a decile, deterministic on both
+# engines; never an ntile sort of raw rows). Customers active in only
+# one half are excluded (the matrix is about MOVEMENT). Output ≤ 100
+# cells with counts and within-origin share ppm.
+# ---------------------------------------------------------------------------
+
+
+def q314_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.groupBy().agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spend = (
+        orders.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.when(
+                F.datediff(F.col("o_orderdate").cast("date"), F.col("d0"))
+                * 2
+                < F.datediff(F.col("d1"), F.col("d0")),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("half"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("cents").alias("spend"))
+    )
+    vc = spend.groupBy("half", "spend").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("half").orderBy("spend").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy("half")
+    cdf = vc.select(
+        "half",
+        "spend",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("below"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).selectExpr(
+        "half",
+        "spend",
+        "CAST(below * 10 DIV n AS INT) + 1 AS decile",
+    )
+    assigned = spend.join(cdf, ["half", "spend"]).select(
+        "o_custkey", "half", "decile"
+    )
+    both = (
+        assigned.where(F.col("half") == 0)
+        .select("o_custkey", F.col("decile").alias("d0"))
+        .join(
+            assigned.where(F.col("half") == 1).select(
+                "o_custkey", F.col("decile").alias("d1")
+            ),
+            "o_custkey",
+        )
+    )
+    matrix = both.groupBy("d0", "d1").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+    return matrix.selectExpr(
+        "d0",
+        "d1",
+        "n_customers",
+        "CAST(n_customers * 1000000 DIV "
+        "SUM(n_customers) OVER (PARTITION BY d0) AS BIGINT)"
+        " AS share_of_origin_ppm",
+    ).orderBy("d0", "d1")
+
+
+Q314_SQL = """
+WITH anchor AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+           MAX(CAST(o_orderdate AS DATE)) AS d1
+    FROM orders
+),
+spend AS (
+    SELECT o_custkey,
+           CASE WHEN (CAST(o_orderdate AS DATE) - a.d0) * 2
+                     < (a.d1 - a.d0) THEN 0 ELSE 1 END AS half,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS spend
+    FROM orders CROSS JOIN anchor a
+    GROUP BY 1, 2
+),
+vc AS (SELECT half, spend, COUNT(*) AS cnt FROM spend GROUP BY 1, 2),
+cdf AS (
+    SELECT half, spend,
+           CAST(COALESCE(SUM(cnt) OVER (PARTITION BY half ORDER BY spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 10 // SUM(cnt) OVER (PARTITION BY half) AS INT) + 1
+               AS decile
+    FROM vc
+),
+assigned AS (
+    SELECT s.o_custkey, s.half, c.decile
+    FROM spend s JOIN cdf c ON c.half = s.half AND c.spend = s.spend
+),
+matrix AS (
+    SELECT a0.decile AS d0, a1.decile AS d1, COUNT(*) AS n_customers
+    FROM assigned a0
+    JOIN assigned a1 ON a1.o_custkey = a0.o_custkey AND a1.half = 1
+    WHERE a0.half = 0
+    GROUP BY 1, 2
+)
+SELECT d0, d1,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_customers * 1000000 // SUM(n_customers)
+            OVER (PARTITION BY d0) AS BIGINT) AS share_of_origin_ppm
+FROM matrix
+ORDER BY d0, d1
+"""
+
+
 WAREHOUSE_QUERIES = {
+    "q314_decile_migration": q314_decile_migration,
     "q307_single_source_risk": q307_single_source_risk,
     "q308_return_rates": q308_return_rates,
     "q286_fill_rate_curve": q286_fill_rate_curve,
@@ -3400,6 +3524,7 @@ WAREHOUSE_ORACLES = {
     "q305_discount_lift": Q305_SQL,
     "q307_single_source_risk": Q307_SQL,
     "q308_return_rates": Q308_SQL,
+    "q314_decile_migration": Q314_SQL,
     "q251_item_item_cf": Q251_SQL,
     "q253_ratio_to_parent": Q253_SQL,
     "q82_pricing_summary": Q82_SQL,

@@ -59,6 +59,9 @@ BNL_ALLOWED = {
     "q302_open_order_aging",  # 1-row as-of date anchor (q216 pattern, r6)
     "q305_discount_lift",  # 1-row zero-band baseline broadcast (r6)
     "q309_label_balance",  # 1-row (N, K) anchor (q216 pattern, r6)
+    "q311_mix_shift",  # date-range + totals 1-row anchors (q216 pattern)
+    "q312_lsh_transitivity",  # three 1-row count anchors crossed (r6)
+    "q314_decile_migration",  # 1-row date-range anchor (q216 pattern, r6)
     "q269_shard_rebalance",  # two packed-ring 1-row broadcasts (q151 pattern)
     "q270_profile_drift",  # 1-row date-range anchor (q216 pattern, r6)
     "q271_ann_recall",  # inherits q25/q26 packed-corpus broadcasts

@@ -2317,3 +2317,161 @@ def test_corpus_composition_shares_sum(spark, sf_dir):
         assert r.share_of_corpus_chars_ppm == nc * 1_000_000 // tot_chars
     chars_sum = sum(r.share_of_corpus_chars_ppm for r in got.values())
     assert 1_000_000 - len(got) <= chars_sum <= 1_000_000
+
+
+def test_mix_shift_decomposition_identities(spark, sf_dir):
+    """q311: delta = growth + mix per nation exactly; Σ growth ≈ ΔR and
+    Σ mix ≈ 0 within |nations| truncation slack; rev columns equal an
+    exact-cents replay."""
+    from decimal import Decimal
+
+    from snowflake_stock_dbt_spark.plans.insights import q311_mix_shift
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate.date())
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    d0 = min(d for _, d in orders.values())
+    d1 = max(d for _, d in orders.values())
+    nation_of_cust = {}
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    for r in load_table(spark, sf_dir, "customer").collect():
+        nation_of_cust[r.c_custkey] = nations[r.c_nationkey]
+    rev = defaultdict(lambda: [0, 0])
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .collect()
+    ):
+        ck, od = orders[r.l_orderkey]
+        half = 0 if (od - d0).days * 2 < (d1 - d0).days else 1
+        cents = int(
+            Decimal(repr(r.l_extendedprice)).quantize(Decimal("0.01")) * 100
+        )
+        dp = int(Decimal(repr(r.l_discount)).quantize(Decimal("0.01")) * 100)
+        rev[nation_of_cust[ck]][half] += cents * (100 - dp)
+    rows = q311_mix_shift(spark, sf_dir).collect()
+    got = {r.nation: r for r in rows}
+    assert set(got) == set(rev)
+    r0 = sum(v[0] for v in rev.values())
+    r1 = sum(v[1] for v in rev.values())
+    for nat, (a, b) in rev.items():
+        r = got[nat]
+        assert (r.rev0_e4, r.rev1_e4, r.delta_e4) == (a, b, b - a)
+        assert r.delta_e4 == r.growth_e4 + r.mix_e4
+    growth_sum = sum(r.growth_e4 for r in rows)
+    mix_sum = sum(r.mix_e4 for r in rows)
+    assert abs(growth_sum - (r1 - r0)) <= len(rows)
+    assert abs(mix_sum) <= len(rows)
+
+
+def test_lsh_transitivity_matches_python_replay(spark, sf_dir):
+    """q312: wedge/closure counts must equal a set replay over the q22
+    pair frame."""
+    from itertools import combinations
+
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        minhash_lsh_pairs,
+    )
+    from snowflake_stock_dbt_spark.plans.llm_text import q312_lsh_transitivity
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", k=3).collect()
+    }
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = closed = 0
+    for m, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            wedges += 1
+            if (min(x, y), max(x, y)) in pairs:
+                closed += 1
+    r = q312_lsh_transitivity(spark, sf_dir).collect()[0]
+    assert (r.n_pairs, r.n_wedges, r.n_closed) == (len(pairs), wedges, closed)
+    assert r.closure_ppm == (closed * 1_000_000 // wedges if wedges else 0)
+
+
+def test_coldstart_mix_matches_python_replay(spark, sf_dir):
+    """q313: phase counts and share deltas must equal a first-seen
+    replay."""
+    from snowflake_stock_dbt_spark.plans.events import q313_coldstart_mix
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    first = {}
+    for r in rows:
+        first[r.user_id] = min(first.get(r.user_id, r.us), r.us)
+    counts = defaultdict(lambda: [0, 0])
+    for r in rows:
+        cold = (r.us - first[r.user_id]) // 86_400_000_000 <= 6
+        counts[r.event_type][0 if cold else 1] += 1
+    tot_c = sum(v[0] for v in counts.values()) or 1
+    tot_s = sum(v[1] for v in counts.values()) or 1
+    got = {r.event_type: r for r in q313_coldstart_mix(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for et, (nc, ns) in counts.items():
+        r = got[et]
+        assert (r.n_cold, r.n_steady) == (nc, ns)
+        assert r.cold_share_ppm == nc * 1_000_000 // tot_c
+        assert r.steady_share_ppm == ns * 1_000_000 // tot_s
+        assert r.mix_delta_ppm == r.cold_share_ppm - r.steady_share_ppm
+
+
+def test_decile_migration_matches_python_replay(spark, sf_dir):
+    """q314: decile assignment and the matrix must equal a sorted-CDF
+    replay with the same tie convention, and origin shares sum ~1e6."""
+    from decimal import Decimal
+
+    from snowflake_stock_dbt_spark.plans.warehouse import q314_decile_migration
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "orders").collect()
+    d0 = min(r.o_orderdate.date() for r in rows)
+    d1 = max(r.o_orderdate.date() for r in rows)
+    spend = defaultdict(int)
+    for r in rows:
+        half = 0 if (r.o_orderdate.date() - d0).days * 2 < (d1 - d0).days else 1
+        cents = int(
+            Decimal(repr(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        spend[(r.o_custkey, half)] += cents
+
+    def deciles(half):
+        vals = sorted(v for (c, h), v in spend.items() if h == half)
+        n = len(vals)
+        import bisect
+
+        out = {}
+        for (c, h), v in spend.items():
+            if h != half:
+                continue
+            below = bisect.bisect_left(vals, v)
+            out[c] = below * 10 // n + 1
+        return out
+
+    dec0, dec1 = deciles(0), deciles(1)
+    matrix = defaultdict(int)
+    for c in set(dec0) & set(dec1):
+        matrix[(dec0[c], dec1[c])] += 1
+    got = {
+        (r.d0, r.d1): r for r in q314_decile_migration(spark, sf_dir).collect()
+    }
+    assert {k: r.n_customers for k, r in got.items()} == dict(matrix)
+    origin = defaultdict(int)
+    for (a, _), n in matrix.items():
+        origin[a] += n
+    for (a, b), r in got.items():
+        assert r.share_of_origin_ppm == matrix[(a, b)] * 1_000_000 // origin[a]
