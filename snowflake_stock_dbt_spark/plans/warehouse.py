@@ -3463,8 +3463,243 @@ ORDER BY d0, d1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q315 — BUSINESS-DAY SHIPPING LAG: order→ship lag in BUSINESS days
+# (weekends excluded) per priority — the SLA teams actually quote.
+# Closed-form integer arithmetic, no calendar explode: with d = day
+# index from epoch Monday (so dow = d % 7, 0 = Monday), business days
+# between order day a and ship day b (exclusive of a, inclusive of b,
+# clamping each endpoint forward to its next business day) is
+#   bd(x) = (x DIV 7)·5 + min(x % 7, 5)   [business days in [0, x)]
+#   lag   = bd(b') − bd(a')               [a', b' = weekend-clamped]
+# Every step is integer DIV/mod, identical on both engines. Output:
+# per priority, lower-median and max business-day lag + the calendar
+# median for contrast (the weekend-inflation gauge).
+# ---------------------------------------------------------------------------
+
+
+def _bd_expr(col: str) -> str:
+    """SQL for business days in [epoch-Monday, day-index col)."""
+    return f"(({col}) DIV 7) * 5 + least(({col}) % 7, 5)"
+
+
+def q315_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    # Day index with dow 0 = Monday: 1970-01-01 was a Thursday, so
+    # shift by +3 to land epoch Monday (1969-12-29) at index 0.
+    joined = li.join(orders, "l_orderkey").selectExpr(
+        "prio",
+        "datediff(order_d, DATE '1969-12-29') AS a",
+        "datediff(ship_d, DATE '1969-12-29') AS b",
+    )
+    clamped = joined.selectExpr(
+        "prio",
+        # clamp weekend endpoints forward to Monday
+        "CASE WHEN a % 7 >= 5 THEN a + (7 - a % 7) ELSE a END AS a2",
+        "CASE WHEN b % 7 >= 5 THEN b + (7 - b % 7) ELSE b END AS b2",
+        "b - a AS cal_lag",
+    ).selectExpr(
+        "prio",
+        "cal_lag",
+        f"({_bd_expr('b2')}) - ({_bd_expr('a2')}) AS bd_lag",
+    )
+    vc = clamped.groupBy("prio", "bd_lag").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("prio").orderBy("bd_lag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("prio")
+    med_bd = (
+        vc.select(
+            "prio",
+            "bd_lag",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        .where(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("prio")
+        .agg(F.min("bd_lag").alias("med_bd_lag"))
+    )
+    vc_cal = clamped.groupBy("prio", "cal_lag").agg(
+        F.count("*").alias("cnt")
+    )
+    med_cal = (
+        vc_cal.select(
+            "prio",
+            "cal_lag",
+            F.sum("cnt")
+            .over(
+                Window.partitionBy("prio")
+                .orderBy("cal_lag")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        .where(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("prio")
+        .agg(F.min("cal_lag").alias("med_cal_lag"))
+    )
+    base = clamped.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.max("bd_lag").cast("long").alias("max_bd_lag"),
+    )
+    return (
+        base.join(F.broadcast(med_bd), "prio")
+        .join(F.broadcast(med_cal), "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n_items",
+            F.col("med_bd_lag").cast("long").alias("med_bd_lag"),
+            F.col("med_cal_lag").cast("long").alias("med_cal_lag"),
+            "max_bd_lag",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q315_SQL = """
+WITH joined AS (
+    SELECT o.o_orderpriority AS prio,
+           CAST(o.o_orderdate AS DATE) - DATE '1969-12-29' AS a,
+           CAST(l.l_shipdate AS DATE) - DATE '1969-12-29' AS b
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+clamped AS (
+    SELECT prio, b - a AS cal_lag,
+           CASE WHEN a % 7 >= 5 THEN a + (7 - a % 7) ELSE a END AS a2,
+           CASE WHEN b % 7 >= 5 THEN b + (7 - b % 7) ELSE b END AS b2
+    FROM joined
+),
+lagged AS (
+    SELECT prio, cal_lag,
+           ((b2 // 7) * 5 + LEAST(b2 % 7, 5))
+           - ((a2 // 7) * 5 + LEAST(a2 % 7, 5)) AS bd_lag
+    FROM clamped
+),
+cdf_bd AS (
+    SELECT prio, bd_lag,
+           SUM(cnt) OVER (PARTITION BY prio ORDER BY bd_lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY prio) AS n
+    FROM (SELECT prio, bd_lag, COUNT(*) AS cnt FROM lagged GROUP BY 1, 2)
+),
+med_bd AS (SELECT prio, MIN(bd_lag) AS med_bd_lag FROM cdf_bd
+           WHERE cum * 2 >= n GROUP BY 1),
+cdf_cal AS (
+    SELECT prio, cal_lag,
+           SUM(cnt) OVER (PARTITION BY prio ORDER BY cal_lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY prio) AS n
+    FROM (SELECT prio, cal_lag, COUNT(*) AS cnt FROM lagged GROUP BY 1, 2)
+),
+med_cal AS (SELECT prio, MIN(cal_lag) AS med_cal_lag FROM cdf_cal
+            WHERE cum * 2 >= n GROUP BY 1),
+base AS (
+    SELECT prio, COUNT(*) AS n_items, MAX(bd_lag) AS max_bd_lag
+    FROM lagged GROUP BY 1
+)
+SELECT b.prio AS o_orderpriority,
+       CAST(b.n_items AS BIGINT) AS n_items,
+       CAST(m1.med_bd_lag AS BIGINT) AS med_bd_lag,
+       CAST(m2.med_cal_lag AS BIGINT) AS med_cal_lag,
+       CAST(b.max_bd_lag AS BIGINT) AS max_bd_lag
+FROM base b JOIN med_bd m1 USING (prio) JOIN med_cal m2 USING (prio)
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q316 — FUNCTIONAL-DEPENDENCY MINER (the profiling classic): for each
+# candidate column pair (A → B) over orders, does A determine B?
+# FD holds iff |distinct A| = |distinct (A,B)|; the violation count
+# |distinct (A,B)| − |distinct A| is how many extra B-values break it,
+# reported with holds flag. Candidate pairs over 4 columns = 12
+# directed pairs, all computed in ONE pass (Spark's multi-distinct
+# expand; at 100 TB you'd trade this for per-pair sketches). The
+# discovered o_orderkey → * dependencies are the primary-key proof.
+# ---------------------------------------------------------------------------
+
+_FD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q316_fd_miner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for a in _FD_COLS:
+        aggs.append(F.count_distinct(F.col(a)).alias(f"d_{a}"))
+        for b in _FD_COLS:
+            if a != b:
+                aggs.append(
+                    F.count_distinct(F.col(a), F.col(b)).alias(
+                        f"d_{a}__{b}"
+                    )
+                )
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', d_{a}, d_{a}__{b}"
+        for a in _FD_COLS
+        for b in _FD_COLS
+        if a != b
+    )
+    n_pairs = sum(1 for a in _FD_COLS for b in _FD_COLS if a != b)
+    return (
+        wide.selectExpr(
+            f"stack({n_pairs}, {stack_args})"
+            " AS (det, dep, d_det, d_pair)"
+        )
+        .selectExpr(
+            "det",
+            "dep",
+            "CAST(d_det AS BIGINT) AS n_distinct_det",
+            "CAST(d_pair AS BIGINT) AS n_distinct_pair",
+            "CAST(d_pair - d_det AS BIGINT) AS n_violations",
+            "CAST(CASE WHEN d_pair = d_det THEN 1 ELSE 0 END AS INT)"
+            " AS fd_holds",
+        )
+        .orderBy("det", "dep")
+    )
+
+
+def _q316_sql() -> str:
+    cells = []
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a == b:
+                continue
+            cells.append(
+                f"SELECT '{a}' AS det, '{b}' AS dep,"
+                f" COUNT(DISTINCT {a}) AS d_det,"
+                f" COUNT(DISTINCT ({a}, {b})) AS d_pair FROM orders"
+            )
+    union = "\n    UNION ALL\n    ".join(cells)
+    return f"""
+WITH cells AS (
+    {union}
+)
+SELECT det, dep,
+       CAST(d_det AS BIGINT) AS n_distinct_det,
+       CAST(d_pair AS BIGINT) AS n_distinct_pair,
+       CAST(d_pair - d_det AS BIGINT) AS n_violations,
+       CAST(CASE WHEN d_pair = d_det THEN 1 ELSE 0 END AS INT) AS fd_holds
+FROM cells
+ORDER BY det, dep
+"""
+
+
+Q316_SQL = _q316_sql()
+
+
 WAREHOUSE_QUERIES = {
     "q314_decile_migration": q314_decile_migration,
+    "q315_business_day_lag": q315_business_day_lag,
+    "q316_fd_miner": q316_fd_miner,
     "q307_single_source_risk": q307_single_source_risk,
     "q308_return_rates": q308_return_rates,
     "q286_fill_rate_curve": q286_fill_rate_curve,
@@ -3525,6 +3760,8 @@ WAREHOUSE_ORACLES = {
     "q307_single_source_risk": Q307_SQL,
     "q308_return_rates": Q308_SQL,
     "q314_decile_migration": Q314_SQL,
+    "q315_business_day_lag": Q315_SQL,
+    "q316_fd_miner": Q316_SQL,
     "q251_item_item_cf": Q251_SQL,
     "q253_ratio_to_parent": Q253_SQL,
     "q82_pricing_summary": Q82_SQL,

@@ -2475,3 +2475,108 @@ def test_decile_migration_matches_python_replay(spark, sf_dir):
         origin[a] += n
     for (a, b), r in got.items():
         assert r.share_of_origin_ppm == matrix[(a, b)] * 1_000_000 // origin[a]
+
+
+def test_business_day_lag_matches_python_replay(spark, sf_dir):
+    """q315: business-day lags must equal a weekday-walking Python
+    replay (the closed form vs the naive loop), medians per the house
+    convention. This test exists because the first draft's f-string
+    dropped the parentheses around the subtracted closed form and the
+    oracle caught it — the replay pins the CLOSED FORM itself against
+    a day-by-day walk."""
+    from datetime import timedelta
+
+    from snowflake_stock_dbt_spark.plans.warehouse import q315_business_day_lag
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    lags = defaultdict(lambda: ([], []))
+
+    def naive_bd(a, b):
+        # The operator's declared convention: clamp EACH endpoint
+        # forward to its next business day (a Saturday ship counts as
+        # effectively done Monday), then count business days in
+        # (a', b'] — walked day by day (slow but unarguable).
+        while a.weekday() >= 5:
+            a += timedelta(days=1)
+        while b.weekday() >= 5:
+            b += timedelta(days=1)
+        if b < a:  # the synthetic corpus has ship-before-order rows
+            sign, a, b = -1, b, a
+        else:
+            sign = 1
+        n = 0
+        d = a
+        while d < b:
+            d += timedelta(days=1)
+            if d.weekday() < 5:
+                n += 1
+        return sign * n
+
+    import random
+
+    rng = random.Random(0)
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    )
+    for r in rows:
+        prio, od = orders[r.l_orderkey]
+        sd = r.l_shipdate.date()
+        bd, cal = lags[prio]
+        # closed form (python twin of the SQL)
+        a = (od - __import__("datetime").date(1969, 12, 29)).days
+        b = (sd - __import__("datetime").date(1969, 12, 29)).days
+        a2 = a + (7 - a % 7) if a % 7 >= 5 else a
+        b2 = b + (7 - b % 7) if b % 7 >= 5 else b
+        v = (b2 // 7) * 5 + min(b2 % 7, 5) - ((a2 // 7) * 5 + min(a2 % 7, 5))
+        bd.append(v)
+        cal.append(b - a)
+        # spot-check the closed form against the naive walk on a sample
+        if rng.random() < 0.01:
+            assert v == naive_bd(od, sd), (od, sd, v)
+
+    def lower_median(xs):
+        return sorted(xs)[(len(xs) - 1) // 2]
+
+    got = {
+        r.o_orderpriority: r
+        for r in q315_business_day_lag(spark, sf_dir).collect()
+    }
+    assert set(got) == set(lags)
+    for prio, (bd, cal) in lags.items():
+        r = got[prio]
+        assert r.n_items == len(bd)
+        assert r.med_bd_lag == lower_median(bd)
+        assert r.med_cal_lag == lower_median(cal)
+        assert r.max_bd_lag == max(bd)
+
+
+def test_fd_miner_matches_python_replay(spark, sf_dir):
+    """q316: distinct counts and FD verdicts must equal a set replay,
+    and o_orderkey must determine every other column (it is the PK)."""
+    from snowflake_stock_dbt_spark.plans.warehouse import (
+        _FD_COLS,
+        q316_fd_miner,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(*_FD_COLS).collect()
+    got = {(r.det, r.dep): r for r in q316_fd_miner(spark, sf_dir).collect()}
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a == b:
+                continue
+            d_a = len({r[a] for r in rows})
+            d_ab = len({(r[a], r[b]) for r in rows})
+            r = got[(a, b)]
+            assert (r.n_distinct_det, r.n_distinct_pair) == (d_a, d_ab)
+            assert r.n_violations == d_ab - d_a
+            assert r.fd_holds == int(d_a == d_ab)
+    for b in _FD_COLS:
+        if b != "o_orderkey":
+            assert got[("o_orderkey", b)].fd_holds == 1
