@@ -335,19 +335,43 @@ def compile_snowflake_sql(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+#: Columns the closed-form STDDEV rewrite is allowed to touch. The
+#: DECIMAL(13,0) cast in the closed form truncates fractional values, so
+#: the rewrite is ONLY exact for integer-valued arguments; every arg must
+#: be declared here (worksheet `volume` is BIGINT in the bronze schema).
+#: A new STDDEV over an undeclared column raises at compile time instead
+#: of silently rounding — extend the set only after checking the column
+#: is integer-valued end-to-end.
+STDDEV_INTEGER_ARGS = frozenset({"volume"})
+
+
 def rewrite_stddev_exact(sql: str) -> str:
     """Replace every ``STDDEV(<arg>)`` aggregate call with the exact
     closed form above. The replacement references ``<arg>`` five times —
-    all aggregates over the same group, so semantics are unchanged;
-    NULL handling matches native STDDEV (COUNT/SUM ignore NULLs; n<2
-    yields NULL via 0/0-free NULL propagation: n*(n-1)=0 makes the
-    division +-inf/NaN — guarded with a NULLIF on the denominator)."""
+    all aggregates over the same group, so semantics are unchanged
+    **provided <arg> is integer-valued**: the closed form accumulates in
+    DECIMAL(13,0)/DECIMAL(18,0), which would silently round fractional
+    inputs. That precondition is enforced, not assumed — any STDDEV arg
+    outside ``STDDEV_INTEGER_ARGS`` raises ValueError so a fractional
+    column can never pass the value oracle while diverging from true
+    stddev_samp. NULL handling matches native STDDEV (COUNT/SUM ignore
+    NULLs; n<2 yields NULL via 0/0-free NULL propagation: n*(n-1)=0 makes
+    the division +-inf/NaN — guarded with a NULLIF on the denominator).
+    Single-quoted string literals are skipped by the token scan (same
+    rule as ``_match_paren``), so ``'... STDDEV (' ...'`` text survives."""
     out = []
     rest = sql
     while True:
         found = None
         upper = rest.upper()
-        for i in range(len(upper)):
+        i = 0
+        while i < len(upper):
+            if upper[i] == "'":  # skip string literals, like _match_paren
+                i += 1
+                while i < len(upper) and upper[i] != "'":
+                    i += 1
+                i += 1
+                continue
             if upper.startswith("STDDEV", i) and (
                 i == 0 or not (upper[i - 1].isalnum() or upper[i - 1] == "_")
             ):
@@ -357,18 +381,28 @@ def rewrite_stddev_exact(sql: str) -> str:
                 if upper.startswith("_SAMP", j):
                     j += len("_SAMP")
                 elif upper[j : j + 1] == "_":
+                    i += 1
                     continue
                 while j < len(rest) and rest[j].isspace():
                     j += 1
                 if j < len(rest) and rest[j] == "(":
                     found = (i, j)
                     break
+            i += 1
         if found is None:
             out.append(rest)
             return "".join(out)
         i, j = found
         end = _match_paren(rest, j)
         arg = rest[j + 1 : end - 1].strip()
+        if arg.lower() not in STDDEV_INTEGER_ARGS:
+            raise ValueError(
+                f"rewrite_stddev_exact: STDDEV argument {arg!r} is not in "
+                "STDDEV_INTEGER_ARGS — the closed form is only exact for "
+                "integer-valued columns (DECIMAL(13,0) accumulation); "
+                "declare the column after verifying it is integer-valued, "
+                "or leave this statement on native STDDEV"
+            )
         n = f"CAST(COUNT({arg}) AS DECIMAL(12,0))"
         q = (
             f"CAST(SUM(CAST({arg} AS DECIMAL(13,0)) * "

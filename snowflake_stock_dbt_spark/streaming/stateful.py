@@ -412,8 +412,12 @@ def stateful_type_counts(events: DataFrame) -> DataFrame:
 RATE_LIMIT_SCHEMA = (
     "user_id long, n_events long, n_throttled long, peak_rate long"
 )
-_RL_WINDOW_US = 86_400_000_000  # trailing 24 h, q265's window
-_RL_QUOTA = 3  # q265's quota
+# q265's window/quota, imported from the batch twin rather than
+# re-declared: q301's oracle IS q265's SQL, so a single source of truth
+# keeps the streaming processor and its oracle from silently diverging
+# (round-6 ADVICE finding).
+from ..plans.insights import _RATE_QUOTA as _RL_QUOTA  # noqa: E402
+from ..plans.insights import _RATE_WINDOW_US as _RL_WINDOW_US  # noqa: E402
 
 
 class RateLimiterProcessor(StatefulProcessor):
@@ -423,7 +427,15 @@ class RateLimiterProcessor(StatefulProcessor):
     q265 audit — for each event, the rolling count is |stamps in
     (t − W, t]| over ALL stamps known when its batch lands, which
     equals the batch RANGE-frame count under the engine's event-time-
-    ordered feed contract (the q196 assumption). Stamps older than
+    ordered feed contract (the q196 assumption) PLUS one corollary the
+    contract does not state: duplicate-timestamp events for one user
+    must not straddle a microbatch boundary. The batch RANGE frame
+    counts ALL timestamp ties for each event; this rolling count only
+    sees stamps landed by the event's batch, and an ordered feed does
+    not order ties. The engine's event fixtures carry unique per-user
+    microsecond stamps, so the equality holds; a future fixture with
+    per-user timestamp ties split across batches would fail the q301
+    oracle HERE, not in the batch plan. Stamps older than
     (newest − W) are pruned each batch, so state per key is bounded by
     the window's event capacity, not history length.
     """

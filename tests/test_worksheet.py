@@ -3,8 +3,9 @@
 Covers the text preprocessors, the restricted COPY/MERGE compilers, the
 end-to-end load pipeline (01+02) with its validation selects, MERGE
 idempotency, and the determinism probes the q110–q114 oracle contract
-depends on (LIMIT-boundary strictness, z-score tolerance for the
-rows-only q112).
+depends on (LIMIT-boundary strictness; q112 carries a FULL value oracle
+since round 6 via the exact closed-form STDDEV compile — the two-pass
+z-score pin here is a secondary check).
 """
 
 from __future__ import annotations
@@ -224,8 +225,9 @@ def test_watchlist_boundary_strict(spark, probe_sf_dir):
 
 
 def test_zscore_matches_exact_two_pass(spark, sf_dir):
-    """q112 is rows-only for the driver; here we pin its values against
-    the deterministic two-pass z-score within 1e-9 relative tolerance."""
+    """q112 has carried a full value oracle since round 6 (closed-form
+    STDDEV); this secondary check pins its values against the
+    deterministic two-pass z-score within 1e-9 relative tolerance."""
     from snowflake_stock_dbt_spark.plans.worksheets import DIM_SQL, FCT_SQL
     from snowflake_stock_dbt_spark.sources.tables import register_views
 

@@ -56,6 +56,10 @@ PINNED = [
     # ADDITIVE — prior keys stay comparable across rounds).
     "q251_item_item_cf",
     "q259_mutual_nn",
+    # Round-7 addition (round-6 VERDICT item 2): q56 moved 1.31x r5→r6 in
+    # suite numbers but sat outside the rotation, so the noise-proof
+    # medians couldn't adjudicate it. Now they can.
+    "q56_ann_lsh",
 ]
 
 REPS = 4
