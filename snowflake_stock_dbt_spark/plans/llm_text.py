@@ -2531,6 +2531,147 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# Q317 — sorted-suffix EXACT-SUBSTRING dedup (the distributed
+# approximation of ExactSubstr from Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" — SURVEY §2.12's citation; the one
+# text-dedup modality q115's shingle spans only approximated).
+#
+# Method (suffix-array-without-the-array, the standard scale rewrite):
+#   1. Emit every token-boundary suffix of every document, truncated to
+#      _SX_K = 64 chars. Joining _SX_TOKS = 33 tokens provably covers the
+#      64-char key (33 one-char tokens + 32 spaces = 65 chars), so each
+#      suffix costs O(K) — the naive full-tail join would be O(n^2) chars
+#      per document.
+#   2. Range-partition by the first _SX_BUCKET = 16 chars of the suffix
+#      and SORT WITHIN the bucket — this is the distributed suffix-array
+#      construction step. A global orderBy window would serialize into
+#      one partition (a scale-killer); bucketing is EXACT here because
+#      any reported match has LCP >= _SX_MIN = 30 > 16 chars, so both
+#      members necessarily share the 16-char bucket prefix and are
+#      sorted adjacent within one bucket.
+#   3. Neighbor-compare each sorted suffix to its predecessor (window
+#      lag) from a DIFFERENT doc; LCP via a 6-level unrolled binary
+#      search on substr equality (engine-portable integer CASE chain —
+#      no UDF). Like ExactSubstr, adjacency-only comparison can credit a
+#      shared run to interleaving third documents, but every document
+#      containing a >=30-char duplicated substring is flagged.
+#   4. Aggregate to doc pairs: longest shared substring + match sites.
+#
+# 100 TB posture: suffix emission is linear (x64 char blow-up, bounded
+# by truncation); the sort is a range-partitioned shuffle (Spark's sort
+# machinery, spill-safe); the window is per-bucket, never global. Bucket
+# skew follows text statistics (common 16-char openings); worst case is
+# a planted boilerplate prefix — the same skew a real suffix-array build
+# faces, and AQE splits oversized sort partitions.
+# ---------------------------------------------------------------------------
+
+_SX_K = 64  # suffix key truncation (chars)
+_SX_TOKS = 33  # tokens that provably cover _SX_K chars when joined
+_SX_MIN = 30  # min shared-substring length to report
+_SX_BUCKET = 16  # sort-bucket prefix; exact because _SX_BUCKET < _SX_MIN
+
+
+def _lcp_expr(a: str, b: str) -> str:
+    """Engine-portable exact LCP of two strings as a nested integer CASE
+    chain (binary search unrolled for keys <= 64 chars): identical text
+    is evaluated by Spark (F.expr) and DuckDB (oracle), so the match
+    length is bit-identical by construction."""
+    acc = "0"
+    for step in (32, 16, 8, 4, 2, 1):
+        acc = (
+            f"(CASE WHEN substr({a}, 1, ({acc}) + {step}) = "
+            f"substr({b}, 1, ({acc}) + {step}) "
+            f"THEN ({acc}) + {step} ELSE ({acc}) END)"
+        )
+    # identical (truncated) suffixes: the unrolled search tops out at 63
+    return (
+        f"CAST(CASE WHEN {a} = {b} THEN LEAST(length({a}), length({b})) "
+        f"ELSE {acc} END AS INT)"
+    )
+
+
+_SX_MATCH_LEN = _lcp_expr("suffix", "p_suffix")
+
+
+def q317_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens("text").alias("t"))
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: F.substring(
+            F.concat_ws(" ", F.slice(F.col("t"), i, _SX_TOKS)), 1, _SX_K
+        ),
+    )
+    suf = tok.select(
+        "doc_id", F.posexplode(sufs).alias("pos0", "suffix")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "suffix"
+    )
+    w = Window.partitionBy(
+        F.substring("suffix", 1, _SX_BUCKET)
+    ).orderBy("suffix", "doc_id", "pos")
+    lagged = suf.select(
+        "doc_id",
+        "pos",
+        "suffix",
+        F.lag("suffix").over(w).alias("p_suffix"),
+        F.lag("doc_id").over(w).alias("p_doc"),
+    )
+    pairs = (
+        lagged.where(
+            F.col("p_doc").isNotNull() & (F.col("p_doc") != F.col("doc_id"))
+        )
+        .withColumn("match_len", F.expr(_SX_MATCH_LEN))
+        .where(F.col("match_len") >= _SX_MIN)
+    )
+    return (
+        pairs.select(
+            F.least("doc_id", "p_doc").alias("doc_lo"),
+            F.greatest("doc_id", "p_doc").alias("doc_hi"),
+            "match_len",
+        )
+        .groupBy("doc_lo", "doc_hi")
+        .agg(
+            F.max("match_len").cast("int").alias("max_match_chars"),
+            F.count("*").cast("long").alias("n_matching_sites"),
+        )
+        .orderBy("doc_lo", "doc_hi")
+    )
+
+
+Q317_SQL = rf"""
+WITH {_SQL_TOKS},
+suf AS (
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           left(array_to_string(t[i:i + {_SX_TOKS - 1}], ' '), {_SX_K})
+               AS suffix
+    FROM toks, UNNEST(generate_series(1, len(t))) AS r(i)
+),
+lagged AS (
+    SELECT doc_id, pos, suffix,
+           LAG(suffix) OVER w AS p_suffix,
+           LAG(doc_id) OVER w AS p_doc
+    FROM suf
+    WINDOW w AS (PARTITION BY substr(suffix, 1, {_SX_BUCKET})
+                 ORDER BY suffix, doc_id, pos)
+),
+m AS (
+    SELECT doc_id, p_doc, {_SX_MATCH_LEN} AS match_len
+    FROM lagged
+    WHERE p_doc IS NOT NULL AND p_doc <> doc_id
+)
+SELECT LEAST(doc_id, p_doc) AS doc_lo,
+       GREATEST(doc_id, p_doc) AS doc_hi,
+       CAST(MAX(match_len) AS INT) AS max_match_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_matching_sites
+FROM m
+WHERE match_len >= {_SX_MIN}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q296_doclen_outliers": q296_doclen_outliers,
     "q303_langid_confusion": q303_langid_confusion,
@@ -2569,6 +2710,7 @@ LLM_TEXT_QUERIES = {
     "q176_minhash_accuracy": q176_minhash_accuracy,
     "q184_term_burstiness": q184_term_burstiness,
     "q193_tokenizer_fertility": q193_tokenizer_fertility,
+    "q317_suffix_dedup": q317_suffix_dedup,
 }
 
 LLM_TEXT_ORACLES = {
@@ -2609,4 +2751,5 @@ LLM_TEXT_ORACLES = {
     "q176_minhash_accuracy": Q176_SQL,
     "q184_term_burstiness": Q184_SQL,
     "q193_tokenizer_fertility": Q193_SQL,
+    "q317_suffix_dedup": Q317_SQL,
 }

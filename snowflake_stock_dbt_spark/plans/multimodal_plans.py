@@ -589,6 +589,160 @@ ORDER BY comp.media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q319 — frame-level VIDEO near-dup (round-6 VERDICT item 7): compose
+# q53's real RVID demux/frame sampling with q94's banded candidate
+# generation, at video granularity. Two videos are near-dups when their
+# SAMPLED-FRAME signature sets overlap heavily — robust to a re-encode
+# that perturbs a single frame, which is exactly the planted twin
+# (every video with media_id % 30 == 2 gets a twin whose first frame's
+# leading byte is overwritten, leaving all other frames intact).
+#
+# Pipeline: demux + sample every FRAME_EVERY_K-th frame (mapInPandas —
+# the Arrow seam touches each video ONCE, before any shuffle) → distinct
+# per-video frame sha256 set → stop-frame cap (a frame payload present
+# in > _VF_MAX_FREQ videos is dropped from candidate generation, the
+# q143 prefix-filter / stopword discipline — keeps any one bucket's
+# candidate fan-out bounded at scale) → equi-join on frame_sha (banding:
+# candidates ONLY for videos sharing a sampled frame, never all-pairs)
+# → exact integer Jaccard in ppm over the capped sets, threshold 50%.
+#
+# Full value oracle: RVID frame pixels ARE the document text bytes
+# (q53's proven parity), so DuckDB replays demux as substr() slices and
+# sha256() — bit-identical signatures on both engines.
+# ---------------------------------------------------------------------------
+
+_VF_TWIN_OFFSET = 10_000_000
+_VF_MAX_FREQ = 32  # stop-frame cap: max videos sharing one frame payload
+_VF_MIN_JACCARD_PPM = 500_000
+
+
+def _video_media_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q319 corpus: every video doc RVID-encoded (same construction
+    as documents_as_media) plus, for media_id % 30 == 2, a twin with the
+    first content byte overwritten with 'z'."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.expr("CAST(doc_id % 3 AS INT) = 2"))
+        .select("doc_id", "text")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                variants = [(int(doc_id), text)]
+                if int(doc_id) % 30 == 2 and text:
+                    variants.append(
+                        (int(doc_id) + _VF_TWIN_OFFSET, "z" + text[1:])
+                    )
+                for mid, t in variants:
+                    b = t.encode("utf-8")
+                    k = len(b) // VID_FRAME_BYTES
+                    frames = np.frombuffer(
+                        b[: k * VID_FRAME_BYTES], dtype=np.uint8
+                    ).reshape(k, VID_H, VID_W, 3)
+                    ids.append(mid)
+                    payloads.append(encode_rvid(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(batches, schema="media_id long, payload binary")
+
+
+def q319_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _video_media_with_twins(spark, sf_dir)
+    frames = sample_frames(media, FRAME_EVERY_K).select(
+        "media_id", "frame_sha"
+    ).distinct()
+    freq = frames.groupBy("frame_sha").agg(
+        F.count("*").alias("nf")
+    )
+    kept = frames.join(
+        freq.where(F.col("nf") <= _VF_MAX_FREQ).select("frame_sha"),
+        "frame_sha",
+    )
+    sizes = kept.groupBy("media_id").agg(F.count("*").alias("n"))
+    a = kept.select(F.col("media_id").alias("va"), "frame_sha")
+    b = kept.select(F.col("media_id").alias("vb"), "frame_sha")
+    shared = (
+        a.join(b, "frame_sha")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.count("*").alias("s"))
+    )
+    jac = "CAST(s * 1000000 DIV (na + nb - s) AS BIGINT)"
+    return (
+        shared.join(
+            sizes.select(F.col("media_id").alias("va"), F.col("n").alias("na")),
+            "va",
+        )
+        .join(
+            sizes.select(F.col("media_id").alias("vb"), F.col("n").alias("nb")),
+            "vb",
+        )
+        .selectExpr(
+            "va AS video_lo",
+            "vb AS video_hi",
+            "CAST(s AS BIGINT) AS n_shared_frames",
+            f"{jac} AS jaccard_ppm",
+        )
+        .where(F.col("jaccard_ppm") >= _VF_MIN_JACCARD_PPM)
+        .orderBy("video_lo", "video_hi")
+    )
+
+
+Q319_SQL = f"""
+WITH vids AS (
+    SELECT doc_id AS media_id, text
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+),
+corpus AS (
+    SELECT media_id, text FROM vids
+    UNION ALL
+    SELECT media_id + {_VF_TWIN_OFFSET} AS media_id,
+           'z' || substr(text, 2) AS text
+    FROM vids WHERE media_id % 30 = 2 AND length(text) > 0
+),
+d AS (
+    SELECT media_id, text, length(text) // {VID_FRAME_BYTES} AS k
+    FROM corpus
+),
+fr AS (
+    SELECT DISTINCT media_id,
+           sha256(substr(text, CAST(1 + f * {VID_FRAME_BYTES} AS INT),
+                         {VID_FRAME_BYTES})) AS frame_sha
+    FROM d, unnest(generate_series(0, k - 1)) AS t(f)
+    WHERE f % {FRAME_EVERY_K} = 0
+),
+freq AS (SELECT frame_sha, COUNT(*) AS nf FROM fr GROUP BY 1),
+kept AS (
+    SELECT fr.media_id, fr.frame_sha
+    FROM fr JOIN freq USING (frame_sha) WHERE nf <= {_VF_MAX_FREQ}
+),
+sizes AS (SELECT media_id, COUNT(*) AS n FROM kept GROUP BY 1),
+shared AS (
+    SELECT a.media_id AS va, b.media_id AS vb, COUNT(*) AS s
+    FROM kept a JOIN kept b
+      ON a.frame_sha = b.frame_sha AND a.media_id < b.media_id
+    GROUP BY 1, 2
+)
+SELECT va AS video_lo, vb AS video_hi,
+       CAST(s AS BIGINT) AS n_shared_frames,
+       CAST(s * 1000000 // (sa.n + sb.n - s) AS BIGINT) AS jaccard_ppm
+FROM shared
+JOIN sizes sa ON sa.media_id = va
+JOIN sizes sb ON sb.media_id = vb
+WHERE s * 1000000 // (sa.n + sb.n - s) >= {_VF_MIN_JACCARD_PPM}
+ORDER BY 1, 2
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q38_media_decode": q38_media_decode,
     "q81_audio_features": q81_audio_features,
@@ -598,6 +752,7 @@ MULTIMODAL_QUERIES = {
     "q94_phash_neardup": q94_phash_neardup,
     "q125_scene_cuts": q125_scene_cuts,
     "q147_media_dedup_clusters": q147_media_dedup_clusters,
+    "q319_video_neardup": q319_video_neardup,
 }
 
 MULTIMODAL_ORACLES = {
@@ -609,4 +764,5 @@ MULTIMODAL_ORACLES = {
     "q52_media_resize": Q52_SQL,
     "q53_frame_sample": Q53_SQL,
     "q94_phash_neardup": Q94_SQL,
+    "q319_video_neardup": Q319_SQL,
 }

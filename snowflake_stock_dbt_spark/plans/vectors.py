@@ -1809,6 +1809,78 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Q318 — ANN search from a PERSISTED index artifact (round-6 VERDICT
+# item 6). q106 trains its IVF quantizer in-session; a real pipeline
+# trains once, writes the index to the lake, and every later search job
+# reloads it. This query exercises the full artifact round-trip:
+#
+#   train (exact-integer Lloyd's, same codebook cache as q106)
+#     → save  (sinks/ann_index.py: quantized centroids + bucket-
+#              partitioned postings as parquet + _META.json)
+#     → load  (fresh scan of the artifact — centroids re-collected from
+#              parquet, postings a lazy DataFrame)
+#     → search (q26/q106's exact-decimal probe/re-rank over the LOADED
+#              assignment, corpus vectors joined to loaded postings)
+#
+# Parity contract: integers round-trip losslessly through parquet, so
+# search-from-loaded must equal search-from-trained bit-for-bit — the
+# oracle is therefore EXACTLY Q106_SQL, and any drift in save/load
+# (lost bucket, truncated centroid, wrong join) breaks the value hash.
+# tests/test_round7_properties.py additionally pins loaded centroids ==
+# trained centroids as driver objects.
+#
+# 100 TB posture: the index write is one shuffle of O(corpus) two-int
+# rows partitioned by bucket (nprobe searches later prune their posting
+# scan to probed directories); centroid I/O is k×dim ints. The
+# postings⋈embeddings join is a plain equi-join on vec_id — at cluster
+# scale both sides bucket by vec_id (sinks/layout.py) to skip the
+# exchange.
+# ---------------------------------------------------------------------------
+
+
+def q318_ann_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_assign
+    from ..sinks.ann_index import (
+        ivf_index_path,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed, cent = kmeans_assign(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"),
+        return_centroids=True,
+    )
+    path = ivf_index_path(sf_dir)
+    save_ivf_index(
+        spark,
+        cent,
+        bucketed.select("vec_id", "bucket"),
+        path,
+        meta={"iters": KMEANS_ITERS, "source": sf_dir},
+    )
+    loaded_cent, postings, meta = load_ivf_index(spark, path)
+    if loaded_cent != cent:
+        raise ValueError(
+            f"ANN index round-trip drift at {path}: loaded centroids "
+            "differ from trained (parquet round-trip should be lossless)"
+        )
+    searchable = emb.join(postings, "vec_id")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = ivf_topk_exact(
+        queries, searchable, bucket_col="bucket", k=TOP_K, nprobe=IVF_NPROBE
+    )
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+#: Search-from-loaded == search-from-trained, so the oracle is q106's.
+Q318_SQL = Q106_SQL
+
+
 VECTOR_QUERIES = {
     "q271_ann_recall": q271_ann_recall,
     "q289_embedding_hygiene": q289_embedding_hygiene,
@@ -1829,6 +1901,7 @@ VECTOR_QUERIES = {
     "q258_pca_power_iteration": q258_pca_power_iteration,
     "q259_mutual_nn": q259_mutual_nn,
     "q260_cluster_quality": q260_cluster_quality,
+    "q318_ann_saved_index": q318_ann_saved_index,
 }
 
 VECTOR_ORACLES = {
@@ -1851,4 +1924,5 @@ VECTOR_ORACLES = {
     "q40_embedding_neardup": Q40_SQL,
     "q56_ann_lsh": Q56_SQL,
     "q78_embedding_quantize": Q78_SQL,
+    "q318_ann_saved_index": Q318_SQL,
 }

@@ -1,0 +1,108 @@
+"""Persisted ANN index artifacts: IVF coarse quantizer → lake tables.
+
+q106/q150 train their quantizer in-session; a real pipeline trains ONCE,
+writes the index next to the corpus, and every later search job reloads
+it (round-6 VERDICT item 6). The artifact layout mirrors what a
+FAISS-style IVF index holds, as plain parquet so any engine can read it:
+
+- ``centroids.parquet``  — (bucket INT, cq ARRAY<BIGINT>): the trained
+  coarse centroids in the EXACT floor-quantized integer domain
+  (operators/similarity.KMEANS_SCALE). Integers round-trip losslessly
+  through parquet, so a loaded index assigns bit-identically to the
+  trainer — the property the q318 parity oracle checks.
+- ``postings.parquet``   — (bucket INT, vec_id BIGINT): the inverted
+  lists, written partitioned by ``bucket`` so a search that probes
+  ``nprobe`` buckets prunes its posting scan to those directories
+  (partition pruning — the on-disk analogue of scanning nprobe inverted
+  lists).
+- ``_META.json``         — k, iters, quantization scale, corpus size:
+  enough to refuse a mismatched load loudly.
+
+100 TB posture: postings are O(corpus) rows of two ints — linear, and
+the partitioned write is one shuffle by bucket; centroids are k×dim ints
+(driver-scale). Loading centroids is a bounded collect (k rows); loading
+postings is a lazy scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Index writes already performed this session (path -> meta), so a
+#: registered query re-run (sweep, bench reps) reuses the artifact
+#: instead of re-shuffling the postings every call.
+_SAVED: dict[str, dict] = {}
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    """Deterministic scratch location for a corpus's index artifact."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "corpus"
+    return f"/tmp/spark_graft_ann_index/{tag}"
+
+
+def save_ivf_index(
+    spark: SparkSession,
+    centroids: list[tuple[int, list[int]]],
+    postings: DataFrame,
+    path: str,
+    meta: dict | None = None,
+) -> dict:
+    """Write the trained IVF index (quantized centroids + inverted
+    lists) as parquet tables under ``path``. Idempotent per session."""
+    cached = _SAVED.get(path)
+    if cached is not None:
+        return cached
+    cdf = spark.createDataFrame(
+        [(int(b), [int(v) for v in cv]) for b, cv in centroids],
+        "bucket INT, cq ARRAY<BIGINT>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    (
+        postings.select(
+            F.col("bucket").cast("int"), F.col("vec_id").cast("long")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings.parquet")
+    )
+    info = {"k": len(centroids), **(meta or {})}
+    with open(f"{path}/_META.json", "w") as f:
+        json.dump(info, f)
+    _SAVED[path] = info
+    return info
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, list[int]]], DataFrame, dict]:
+    """Reload a saved index: (centroids as driver state — the same k×dim
+    bounded object kmeans_assign trains, postings as a lazy DataFrame,
+    meta). Raises FileNotFoundError on a missing/partial artifact rather
+    than searching an empty index."""
+    meta_path = f"{path}/_META.json"
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no ANN index artifact at {path} (expected _META.json; "
+            "run save_ivf_index first)"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    crows = (
+        spark.read.parquet(f"{path}/centroids.parquet")
+        .orderBy("bucket")
+        .collect()
+    )
+    centroids = [(int(r["bucket"]), [int(v) for v in r["cq"]]) for r in crows]
+    if len(centroids) != meta["k"]:
+        raise ValueError(
+            f"index at {path} is corrupt: meta k={meta['k']} but "
+            f"{len(centroids)} centroid rows"
+        )
+    postings = spark.read.parquet(f"{path}/postings.parquet").select(
+        F.col("vec_id").cast("long"), F.col("bucket").cast("int")
+    )
+    return centroids, postings, meta

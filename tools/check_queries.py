@@ -34,6 +34,12 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("check")
     con = duckdb.connect()
+    # DuckDB's default limit is ~80% of PHYSICAL RAM, ignoring what a
+    # co-resident Spark JVM already holds — a sweep run next to a bench
+    # or probe died with "Failed to allocate block" once. sf0.01 oracles
+    # need far less than this; cap so the check never races the JVM.
+    con.sql("SET memory_limit='16GB'")
+    con.sql("SET threads=8")
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     qs, osql = E.queries(), E.oracle_sql()
