@@ -301,6 +301,20 @@ def _sqdist_int(a, b_lit):
 _KMEANS_TRAIN_CACHE: dict[tuple, list] = {}
 
 
+def preload_trained_codebook(
+    cache_key: tuple, k: int, iters: int, centroids: list[tuple[int, list[int]]]
+) -> None:
+    """Warm the training cache with a codebook LOADED from a persisted
+    index artifact (sinks/ann_index.py): subsequent kmeans_assign calls
+    with the same (cache_key, k, iters) consume the loaded state instead
+    of retraining — how a search job restores a trained quantizer from
+    the lake. Deterministic training means loaded == would-be-trained;
+    the q318/q322 parity oracles fail loudly if the artifact drifts."""
+    _KMEANS_TRAIN_CACHE[(*cache_key, k, iters)] = [
+        (int(b), [int(v) for v in cv]) for b, cv in centroids
+    ]
+
+
 def _cached_assign(corpus, centroids, vec_col, attach):
     """Assignment-only pass with an already-trained codebook (the same
     broadcast-data argmin kmeans_assign ends with)."""

@@ -1881,6 +1881,89 @@ def q318_ann_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q318_SQL = Q106_SQL
 
 
+# ---------------------------------------------------------------------------
+# Q322 — IVF-PQ search from the PERSISTED quantizer state: q318's
+# round-trip extended to the full FAISS-shaped artifact (round-6 VERDICT
+# item 6 names "centroids + codebooks + postings"). The coarse codebook
+# AND all m per-subspace PQ codebooks are written to one parquet
+# codebooks table (sinks/ann_index.py:save_pq_index), reloaded, verified
+# equal to the trained state (loud raise on drift — integers round-trip
+# losslessly), and INJECTED into the training cache
+# (similarity.preload_trained_codebook), so the q150 search path
+# consumes the LOADED objects end-to-end: coarse probe selection, ADC
+# lookup tables, and code assignment all run off disk state. Oracle =
+# Q150_SQL exactly.
+# ---------------------------------------------------------------------------
+
+
+def q322_ivfpq_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ivfpq_search,
+        kmeans_assign,
+        preload_trained_codebook,
+    )
+    from ..sinks.ann_index import (
+        ivf_index_path,
+        load_pq_index,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (id(spark), sf_dir)
+    width = EMBED_DIM // PQ_M
+    _, coarse = kmeans_assign(
+        emb,
+        k=KMEANS_K,
+        iters=PQ_ITERS,
+        return_centroids=True,
+        cache_key=(*base, "full"),
+    )
+    subs = []
+    for j in range(PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", j * width + 1, width).alias("__sub")
+        )
+        _, cent = kmeans_assign(
+            sub,
+            vec_col="__sub",
+            k=PQ_K,
+            iters=PQ_ITERS,
+            return_centroids=True,
+            cache_key=(*base, f"sub{j}"),
+        )
+        subs.append(cent)
+    path = ivf_index_path(sf_dir) + "_pq"
+    save_pq_index(
+        spark, coarse, subs, path, meta={"iters": PQ_ITERS, "source": sf_dir}
+    )
+    lcoarse, lsubs, _meta = load_pq_index(spark, path)
+    if lcoarse != coarse or lsubs != subs:
+        raise ValueError(
+            f"PQ index round-trip drift at {path}: loaded quantizer state "
+            "differs from trained"
+        )
+    preload_trained_codebook((*base, "full"), KMEANS_K, PQ_ITERS, lcoarse)
+    for j in range(PQ_M):
+        preload_trained_codebook((*base, f"sub{j}"), PQ_K, PQ_ITERS, lsubs[j])
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivfpq_search(
+        emb,
+        queries,
+        dim=EMBED_DIM,
+        coarse_k=KMEANS_K,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        pq_k=PQ_K,
+        iters=PQ_ITERS,
+        topk=TOP_K,
+        cache_key=base,
+    )
+
+
+#: Search-from-loaded-quantizers == search-from-trained: q150's oracle.
+Q322_SQL = Q150_SQL
+
+
 VECTOR_QUERIES = {
     "q271_ann_recall": q271_ann_recall,
     "q289_embedding_hygiene": q289_embedding_hygiene,
@@ -1902,6 +1985,7 @@ VECTOR_QUERIES = {
     "q259_mutual_nn": q259_mutual_nn,
     "q260_cluster_quality": q260_cluster_quality,
     "q318_ann_saved_index": q318_ann_saved_index,
+    "q322_ivfpq_saved_index": q322_ivfpq_saved_index,
 }
 
 VECTOR_ORACLES = {
@@ -1925,4 +2009,5 @@ VECTOR_ORACLES = {
     "q56_ann_lsh": Q56_SQL,
     "q78_embedding_quantize": Q78_SQL,
     "q318_ann_saved_index": Q318_SQL,
+    "q322_ivfpq_saved_index": Q322_SQL,
 }

@@ -76,6 +76,74 @@ def save_ivf_index(
     return info
 
 
+def save_pq_index(
+    spark: SparkSession,
+    coarse: list[tuple[int, list[int]]],
+    sub_codebooks: list[list[tuple[int, list[int]]]],
+    path: str,
+    meta: dict | None = None,
+) -> dict:
+    """Write the full IVF-PQ quantizer state — the coarse codebook plus
+    the m per-subspace PQ codebooks — as ONE parquet table keyed by
+    quantizer space ('coarse', 'sub0'..'sub{m-1}'). All integers on the
+    KMEANS_SCALE grid, so the artifact reloads bit-identically."""
+    cached = _SAVED.get(path)
+    if cached is not None:
+        return cached
+    rows = [("coarse", int(b), [int(v) for v in cv]) for b, cv in coarse]
+    for j, cents in enumerate(sub_codebooks):
+        rows.extend(
+            (f"sub{j}", int(b), [int(v) for v in cv]) for b, cv in cents
+        )
+    spark.createDataFrame(
+        rows, "space STRING, bucket INT, cq ARRAY<BIGINT>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks.parquet"
+    )
+    info = {
+        "coarse_k": len(coarse),
+        "m": len(sub_codebooks),
+        "pq_k": len(sub_codebooks[0]) if sub_codebooks else 0,
+        **(meta or {}),
+    }
+    with open(f"{path}/_META.json", "w") as f:
+        json.dump(info, f)
+    _SAVED[path] = info
+    return info
+
+
+def load_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[list, list[list], dict]:
+    """Reload (coarse codebook, [m sub codebooks], meta) from
+    :func:`save_pq_index`'s layout. Bounded collect — quantizer state is
+    k×dim driver ints, like the FAISS-resident equivalent."""
+    meta_path = f"{path}/_META.json"
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no PQ index artifact at {path} (expected _META.json)"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    rows = (
+        spark.read.parquet(f"{path}/codebooks.parquet")
+        .orderBy("space", "bucket")
+        .collect()
+    )
+    by_space: dict[str, list] = {}
+    for r in rows:
+        by_space.setdefault(r["space"], []).append(
+            (int(r["bucket"]), [int(v) for v in r["cq"]])
+        )
+    coarse = by_space.get("coarse", [])
+    subs = [by_space.get(f"sub{j}", []) for j in range(meta["m"])]
+    if len(coarse) != meta["coarse_k"] or any(
+        len(s) != meta["pq_k"] for s in subs
+    ):
+        raise ValueError(f"PQ index at {path} is corrupt vs its _META.json")
+    return coarse, subs, meta
+
+
 def load_ivf_index(
     spark: SparkSession, path: str
 ) -> tuple[list[tuple[int, list[int]]], DataFrame, dict]:

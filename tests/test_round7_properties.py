@@ -129,6 +129,62 @@ def test_ann_index_load_missing_raises(spark, tmp_path):
         load_ivf_index(spark, str(tmp_path / "absent"))
 
 
+def test_pq_index_round_trip(spark, oracle_sf_dir, tmp_path):
+    """Coarse + all m PQ codebooks must survive the parquet round-trip
+    exactly, and a corrupt meta must raise."""
+    import json
+
+    from snowflake_stock_dbt_spark.operators.similarity import kmeans_assign
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        EMBED_DIM,
+        KMEANS_K,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+    )
+    from snowflake_stock_dbt_spark.sinks.ann_index import (
+        load_pq_index,
+        save_pq_index,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    base = (id(spark), oracle_sf_dir)
+    width = EMBED_DIM // PQ_M
+    _, coarse = kmeans_assign(
+        emb, k=KMEANS_K, iters=PQ_ITERS, return_centroids=True,
+        cache_key=(*base, "full"),
+    )
+    subs = []
+    for j in range(PQ_M):
+        from pyspark.sql import functions as SF
+
+        sub = emb.select(
+            "vec_id",
+            SF.slice("embedding", j * width + 1, width).alias("__sub"),
+        )
+        _, cent = kmeans_assign(
+            sub, vec_col="__sub", k=PQ_K, iters=PQ_ITERS,
+            return_centroids=True, cache_key=(*base, f"sub{j}"),
+        )
+        subs.append(cent)
+    path = str(tmp_path / "pq")
+    save_pq_index(spark, coarse, subs, path)
+    lcoarse, lsubs, meta = load_pq_index(spark, path)
+    assert lcoarse == coarse
+    assert lsubs == subs
+    assert meta["m"] == PQ_M and meta["pq_k"] == PQ_K
+    # corrupt meta -> loud failure
+    bad = json.load(open(f"{path}/_META.json"))
+    bad["coarse_k"] += 1
+    json.dump(bad, open(f"{path}/_META.json", "w"))
+    from snowflake_stock_dbt_spark.sinks import ann_index
+
+    ann_index._SAVED.pop(path, None)
+    with pytest.raises(ValueError, match="corrupt"):
+        load_pq_index(spark, path)
+
+
 # --- q319 frame-level video near-dup ----------------------------------------
 
 
