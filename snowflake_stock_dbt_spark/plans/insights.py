@@ -2899,6 +2899,8 @@ INSIGHTS_ORACLES = {
 # so existing test imports keep resolving.
 from .stats import (  # noqa: E402,F401
     HI_BUCKET_C,
+    KS_Y0,
+    KS_Y1,
     VAR_PCT,
     _QMAP_Q,
     _US_PER_HOUR,

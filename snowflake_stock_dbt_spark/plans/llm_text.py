@@ -2603,11 +2603,14 @@ def q317_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.col("t"), i, _SX_TOKS)), 1, _SX_K
         ),
     )
+    # Suffixes shorter than the reporting floor can never match; dropping
+    # them BEFORE the window both shrinks the sort input and stops a short
+    # tail suffix from sitting between (and hiding) two genuine duplicates.
     suf = tok.select(
         "doc_id", F.posexplode(sufs).alias("pos0", "suffix")
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "suffix"
-    )
+    ).where(F.length("suffix") >= _SX_MIN)
     w = Window.partitionBy(
         F.substring("suffix", 1, _SX_BUCKET)
     ).orderBy("suffix", "doc_id", "pos")
@@ -2647,6 +2650,9 @@ suf AS (
            left(array_to_string(t[i:i + {_SX_TOKS - 1}], ' '), {_SX_K})
                AS suffix
     FROM toks, UNNEST(generate_series(1, len(t))) AS r(i)
+    -- sub-floor suffixes can never report; pruning them pre-window
+    -- mirrors the engine and caps the windowed row count
+    WHERE length(suffix) >= {_SX_MIN}
 ),
 lagged AS (
     SELECT doc_id, pos, suffix,

@@ -35,6 +35,12 @@ BNL_ALLOWED = {
     "q137_important_stock",  # 1-row nation-total broadcast (Q11's HAVING)
     "q145_pq_encode",  # per-subspace packed-codebook broadcasts (q118 pattern)
     "q150_ivfpq_search",  # coarse + PQ codebook broadcasts (q118 pattern)
+    # q318/q322 re-run the q106/q150 search paths from the LOADED index:
+    # same bounded k-row packed-centroid / per-subspace codebook broadcast
+    # crossJoins (adjudicated r8 — 2 and 10 BNLJ nodes respectively, all
+    # `Cross BuildRight` on k<=64-row packed-codebook singletons).
+    "q318_ann_saved_index",
+    "q322_ivfpq_saved_index",
     "q151_knn_graph",  # packed-centroid broadcasts (q118 pattern)
     "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)
@@ -94,6 +100,9 @@ PANDAS_ALLOWED = {
     "q94_phash_neardup",  # perceptual-hash extraction (real-decoder seam)
     "q125_scene_cuts",  # RVID demux + frame-diff (real-decoder seam)
     "q147_media_dedup_clusters",  # q94's pHash seam feeding components
+    # RVID synth-encode + q53's demux/frame-sample seams; each video blob
+    # crosses into Python exactly once, pre-shuffle (adjudicated r8).
+    "q319_video_neardup",
 }
 
 #: Streaming queries materialize through a memory sink before returning,
