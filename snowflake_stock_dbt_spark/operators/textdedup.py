@@ -99,17 +99,24 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word k-shingles for every pair
     sharing at least one shingle; keeps pairs with j >= threshold.
 
     Pair discovery is an equi-join on the shingle value — cost is bounded by
     the shingle-frequency skew, not |docs|²; pre-prune with MinHash-LSH when
-    running at full corpus scale.
+    running at full corpus scale. ``restrict_ids`` (a 1-column ``doc_id``
+    frame) semi-joins the shingle set before the pair join so audits that
+    only need candidate pairs (q176) pay candidate-bounded cost, not
+    co-shingle-bounded cost.
     """
     # The shingle set feeds three plan branches (sizes + both join sides);
     # persist it so tokenize/shingle/distinct runs once.
-    sh = _exploded_shingles(df, id_col, text_col, k).persist()
+    sh = _exploded_shingles(df, id_col, text_col, k)
+    if restrict_ids is not None:
+        sh = sh.join(restrict_ids, "doc_id", "semi")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

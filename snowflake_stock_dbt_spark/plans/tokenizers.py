@@ -55,8 +55,11 @@ def q321_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("long").alias("cn"))
     )
+    # No broadcast hint: the word inventory is NOT driver-bounded at
+    # cluster scale (unigram_lm._TRAIN_CACHE's posture) — let AQE pick
+    # the build side from runtime stats (round-7 ADVICE).
     return (
-        dw.join(F.broadcast(segs.select("word", "np")), "word")
+        dw.join(segs.select("word", "np"), "word")
         .groupBy("doc_id")
         .agg(
             F.sum("cn").cast("long").alias("n_words"),

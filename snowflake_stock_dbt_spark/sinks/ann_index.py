@@ -26,8 +26,10 @@ postings is a lazy scan.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,9 +41,36 @@ _SAVED: dict[str, dict] = {}
 
 
 def ivf_index_path(sf_dir: str) -> str:
-    """Deterministic scratch location for a corpus's index artifact."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "corpus"
-    return f"/tmp/spark_graft_ann_index/{tag}"
+    """Deterministic scratch location for a corpus's index artifact.
+
+    Keyed on a hash of the FULL corpus path (not just the basename), so
+    two corpora that happen to share a directory name never collide on
+    the same artifact (round-7 ADVICE)."""
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = os.path.basename(norm) or "corpus"
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
+    return f"/tmp/spark_graft_ann_index/{tag}-{digest}"
+
+
+def _publish_atomically(tmp_path: str, path: str) -> None:
+    """Promote a fully-written staging dir to the final artifact path
+    with a single driver-local rename (meta already inside, so a reader
+    can never observe parquet-without-meta). A stale artifact from an
+    earlier process is evicted first; if a CONCURRENT writer wins the
+    final rename, ours is discarded and theirs is used — same corpus,
+    same deterministic training, and the loaded-equals-trained parity
+    check downstream raises loudly on any real drift."""
+    try:
+        os.rename(tmp_path, path)
+        return
+    except OSError:
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp_path, path)
+    except OSError:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_META.json")):
+            raise
 
 
 def save_ivf_index(
@@ -56,22 +85,25 @@ def save_ivf_index(
     cached = _SAVED.get(path)
     if cached is not None:
         return cached
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
     cdf = spark.createDataFrame(
         [(int(b), [int(v) for v in cv]) for b, cv in centroids],
         "bucket INT, cq ARRAY<BIGINT>",
     )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids.parquet")
     (
         postings.select(
             F.col("bucket").cast("int"), F.col("vec_id").cast("long")
         )
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{path}/postings.parquet")
+        .parquet(f"{tmp}/postings.parquet")
     )
     info = {"k": len(centroids), **(meta or {})}
-    with open(f"{path}/_META.json", "w") as f:
+    with open(f"{tmp}/_META.json", "w") as f:
         json.dump(info, f)
+    _publish_atomically(tmp, path)
     _SAVED[path] = info
     return info
 
@@ -90,6 +122,8 @@ def save_pq_index(
     cached = _SAVED.get(path)
     if cached is not None:
         return cached
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
     rows = [("coarse", int(b), [int(v) for v in cv]) for b, cv in coarse]
     for j, cents in enumerate(sub_codebooks):
         rows.extend(
@@ -98,7 +132,7 @@ def save_pq_index(
     spark.createDataFrame(
         rows, "space STRING, bucket INT, cq ARRAY<BIGINT>"
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/codebooks.parquet"
+        f"{tmp}/codebooks.parquet"
     )
     info = {
         "coarse_k": len(coarse),
@@ -106,8 +140,9 @@ def save_pq_index(
         "pq_k": len(sub_codebooks[0]) if sub_codebooks else 0,
         **(meta or {}),
     }
-    with open(f"{path}/_META.json", "w") as f:
+    with open(f"{tmp}/_META.json", "w") as f:
         json.dump(info, f)
+    _publish_atomically(tmp, path)
     _SAVED[path] = info
     return info
 

@@ -65,6 +65,23 @@ def _scan_top_level(sql: str, word: str) -> list[int]:
     return out
 
 
+def _skip_literal(sql: str, i: int) -> int:
+    """Index just past the single-quoted literal opening at ``i``,
+    honouring standard SQL ``''`` escapes (``'it''s'`` is ONE literal —
+    closing at the first of the doubled quotes would treat the tail as
+    code)."""
+    n = len(sql)
+    i += 1  # past the opening quote
+    while i < n:
+        if sql[i] == "'":
+            if i + 1 < n and sql[i + 1] == "'":  # escaped quote
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return n  # unterminated literal: consume to end, like before
+
+
 def _match_paren(sql: str, open_idx: int) -> int:
     """Index just past the ``)`` matching the ``(`` at ``open_idx``."""
     depth = 0
@@ -72,9 +89,7 @@ def _match_paren(sql: str, open_idx: int) -> int:
     while i < n:
         c = sql[i]
         if c == "'":
-            i += 1
-            while i < n and sql[i] != "'":
-                i += 1
+            i = _skip_literal(sql, i) - 1
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -366,11 +381,8 @@ def rewrite_stddev_exact(sql: str) -> str:
         upper = rest.upper()
         i = 0
         while i < len(upper):
-            if upper[i] == "'":  # skip string literals, like _match_paren
-                i += 1
-                while i < len(upper) and upper[i] != "'":
-                    i += 1
-                i += 1
+            if upper[i] == "'":  # skip string literals ('' escape-aware)
+                i = _skip_literal(upper, i)
                 continue
             if upper.startswith("STDDEV", i) and (
                 i == 0 or not (upper[i - 1].isalnum() or upper[i - 1] == "_")

@@ -1,0 +1,153 @@
+"""Round-8 property tests: SQL-lexer '' escapes, atomic index publish,
+candidate-restricted exact-Jaccard audit, probe_to_md robustness."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+# --- sqldialect: doubled-quote escapes (round-7 ADVICE) ----------------------
+
+
+def test_stddev_rewrite_handles_doubled_quote_escape():
+    """'it''s STDDEV(price)' is ONE literal — the scanner must not close
+    at the first of the doubled quotes and then choke on the tail."""
+    from snowflake_stock_dbt_spark.sqldialect import rewrite_stddev_exact
+
+    sql = (
+        "SELECT 'it''s STDDEV(price) in prose' AS note, "
+        "STDDEV(volume) FROM t"
+    )
+    out = rewrite_stddev_exact(sql)
+    assert "'it''s STDDEV(price) in prose'" in out
+    assert out.count("SQRT") == 1
+
+
+def test_match_paren_handles_doubled_quote_escape():
+    from snowflake_stock_dbt_spark.sqldialect import _match_paren
+
+    sql = "f('a''b)', volume)"
+    assert _match_paren(sql, 1) == len(sql)
+
+
+def test_skip_literal_unterminated_consumes_rest():
+    from snowflake_stock_dbt_spark.sqldialect import _skip_literal
+
+    assert _skip_literal("'abc", 0) == 4
+    assert _skip_literal("'a''", 0) == 4  # trailing escape, no close
+
+
+# --- ann_index: hash-keyed path + atomic publish (round-7 ADVICE) ------------
+
+
+def test_ivf_index_path_distinguishes_same_basename(tmp_path):
+    from snowflake_stock_dbt_spark.sinks.ann_index import ivf_index_path
+
+    a = tmp_path / "x" / "sf0.01"
+    b = tmp_path / "y" / "sf0.01"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    pa, pb = ivf_index_path(str(a)), ivf_index_path(str(b))
+    assert pa != pb
+    assert os.path.basename(pa).startswith("sf0.01-")
+
+
+def test_publish_atomically_replaces_stale_artifact(tmp_path):
+    from snowflake_stock_dbt_spark.sinks.ann_index import _publish_atomically
+
+    final = tmp_path / "index"
+    stale = final / "_META.json"
+    final.mkdir()
+    stale.write_text('{"k": 1}')
+    staging = tmp_path / "index.tmp.123"
+    staging.mkdir()
+    (staging / "_META.json").write_text('{"k": 2}')
+    _publish_atomically(str(staging), str(final))
+    assert (final / "_META.json").read_text() == '{"k": 2}'
+    assert not staging.exists()
+
+
+def test_publish_atomically_keeps_concurrent_winner(tmp_path, monkeypatch):
+    """If the final path re-appears between eviction and our rename (a
+    concurrent writer won), ours is discarded and theirs survives."""
+    from snowflake_stock_dbt_spark.sinks import ann_index
+
+    final = tmp_path / "index"
+    staging = tmp_path / "index.tmp.9"
+    staging.mkdir()
+    (staging / "_META.json").write_text('{"k": 2}')
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def racing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # both attempts lose the race
+            final.mkdir(exist_ok=True)
+            (final / "_META.json").write_text('{"k": 7}')
+            raise OSError("target exists")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(ann_index.os, "rename", racing_rename)
+    # second attempt fails too, but the winner's meta is present -> no raise
+    ann_index._publish_atomically(str(staging), str(final))
+    assert (final / "_META.json").read_text() == '{"k": 7}'
+    assert not staging.exists()
+
+
+# --- q176: candidate-bounded exact audit (round-7 VERDICT item 5) ------------
+
+
+def test_ngram_jaccard_restrict_ids_is_pure_pruning(spark, oracle_sf_dir):
+    """Restricting the shingle frame to a doc-id set must reproduce
+    exactly the full computation's pairs within that set — pruning, not
+    semantics."""
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        ngram_jaccard_pairs,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    keep = spark.createDataFrame(
+        [(i,) for i in range(0, 200, 2)], "doc_id long"
+    )
+    kept_ids = set(range(0, 200, 2))
+    restricted = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0, restrict_ids=keep
+        ).collect()
+    }
+    want = {
+        p: j
+        for p, j in full.items()
+        if p[0] in kept_ids and p[1] in kept_ids
+    }
+    assert restricted == want
+    assert len(restricted) < len(full)
+
+
+# --- probe_to_md: partial factor coverage (round-7 ADVICE) -------------------
+
+
+def test_probe_to_md_handles_partial_factors():
+    from tools.probe_to_md import exponents_table
+
+    times = {
+        "qA": {1: 1.0, 2: 2.0, 4: 4.0},
+        "qB": {1: 1.0, 2: 2.1},  # missing factor 4
+        "qC": {1: 0.0, 4: 0.0},  # degenerate timings
+    }
+    rows = exponents_table(times, [1, 2, 4])
+    byq = {r[0]: r for r in rows}
+    assert byq["qA"][-1] == pytest.approx(1.0, abs=0.01)
+    assert "qB" in byq  # present, from its own factor subset
+    assert "qC" in byq  # degenerate timings must not raise
