@@ -182,7 +182,7 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def minhash_lsh_pairs(
+def banded_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -190,9 +190,11 @@ def minhash_lsh_pairs(
     n_hashes: int = MINHASH_SEEDS,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs whose signatures agree on >= 1 band.
-    Returns (doc_a, doc_b, n_shared_bands). Join is on (band_id, band_hash)
-    buckets — no quadratic product ever materializes."""
+    """(doc_id, band_id, band_hash): the LSH band index rows of a corpus —
+    the md5 of each band's ``rows`` consecutive minhash components. This
+    IS the storable artifact shape (sinks/band_index.py persists it), and
+    both the self-join (minhash_lsh_pairs) and the asymmetric probe
+    (minhash_index_probe) consume it unchanged."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
     band_cols = [
@@ -206,14 +208,27 @@ def minhash_lsh_pairs(
         )
         for band in range(bands)
     ]
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs whose signatures agree on >= 1 band.
+    Returns (doc_a, doc_b, n_shared_bands). Join is on (band_id, band_hash)
+    buckets — no quadratic product ever materializes."""
     # Persist the banded signatures: the self-join references them on both
     # sides, and without the persist the whole shingle→hash→64-min pipeline
     # would execute twice (once per join input).
-    banded = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
-        .select("doc_id", "band.band_id", "band.band_hash")
-        .persist()
-    )
+    banded = banded_signatures(df, id_col, text_col, k, n_hashes, bands).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -587,13 +602,14 @@ def prefix_jaccard_join(
 
 
 def minhash_index_probe(
-    history: DataFrame,
+    history: DataFrame | None,
     batch: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = MINHASH_SEEDS,
     bands: int = LSH_BANDS,
+    history_index: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL dedup: probe a NEW batch against a historical corpus's
     band index — the production shape of continuous crawling, where each
@@ -605,34 +621,25 @@ def minhash_index_probe(
     offline index built by the batch pipeline is directly probe-able),
     and the join is new-side bands → history-side bands only. Cost per
     increment is |batch| signatures + one bucket join; the history term
-    appears only through its (precomputable, storable) band index.
+    appears only through its (precomputable, storable) band index —
+    pass ``history_index`` (a (doc_id, band_id, band_hash) frame, e.g.
+    loaded by sinks/band_index.load_band_index) to probe a PERSISTED
+    index without recomputing history signatures at all.
 
     Returns one row per batch document that HAS a signature:
     (id, n_bands, n_history_matches, matched_min_id NULLable, is_dup).
     """
-    rows = n_hashes // bands
-
-    def banded(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
-        band_cols = [
-            F.struct(
-                F.lit(band).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[F.col(f"h{band * rows + r}") for r in range(rows)],
-                    )
-                ).alias("band_hash"),
-            )
-            for band in range(bands)
-        ]
-        return (
-            sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
-            .select("doc_id", "b.band_id", "b.band_hash")
+    if history_index is not None:
+        hist_idx = history_index
+    elif history is not None:
+        hist_idx = banded_signatures(
+            history, id_col, text_col, k, n_hashes, bands
         )
-
-    hist_idx = banded(history)
-    new_b = banded(batch).persist()
+    else:
+        raise ValueError("need history or history_index")
+    new_b = banded_signatures(
+        batch, id_col, text_col, k, n_hashes, bands
+    ).persist()
     hits = (
         new_b.join(
             hist_idx.select(

@@ -2694,6 +2694,49 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q323 — incremental dedup from the PERSISTED band index: q149's probe
+# re-run against a band index that went through the lake (save → load →
+# probe), completing the "index as artifact" family on the dedup side
+# (the MinHash mirror of q318's IVF round-trip — round-7 VERDICT item
+# 6). History banded signatures are written partitioned by band_id via
+# sinks/band_index.py, reloaded as a lazy scan, and the batch probes the
+# LOADED frame — history text is never re-signatured. (doc_id, band_id)
+# are integers and band_hash an md5 hex string: all round-trip parquet
+# losslessly, so probe-from-loaded must equal probe-from-trained
+# bit-for-bit and the oracle is EXACTLY Q149_SQL; any drift in the
+# artifact (lost band, truncated hash, family mismatch) breaks the value
+# hash. tests/test_round8_properties.py additionally pins loaded ==
+# trained as collected sets.
+# ---------------------------------------------------------------------------
+
+
+def q323_banded_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import banded_signatures, minhash_index_probe
+    from ..sinks.band_index import (
+        band_index_path,
+        load_band_index,
+        save_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    path = band_index_path(sf_dir)
+    save_band_index(
+        spark,
+        banded_signatures(history, "doc_id", "text"),
+        path,
+        meta={"source": sf_dir},
+    )
+    loaded, _meta = load_band_index(spark, path)
+    return minhash_index_probe(None, batch, history_index=loaded)
+
+
+#: Probe-from-loaded == probe-from-trained, so the oracle is q149's.
+Q323_SQL = Q149_SQL
+
+
 LLM_TEXT_QUERIES = {
     "q296_doclen_outliers": q296_doclen_outliers,
     "q303_langid_confusion": q303_langid_confusion,
@@ -2733,6 +2776,7 @@ LLM_TEXT_QUERIES = {
     "q184_term_burstiness": q184_term_burstiness,
     "q193_tokenizer_fertility": q193_tokenizer_fertility,
     "q317_suffix_dedup": q317_suffix_dedup,
+    "q323_banded_index_roundtrip": q323_banded_index_roundtrip,
 }
 
 LLM_TEXT_ORACLES = {
@@ -2774,4 +2818,5 @@ LLM_TEXT_ORACLES = {
     "q184_term_burstiness": Q184_SQL,
     "q193_tokenizer_fertility": Q193_SQL,
     "q317_suffix_dedup": Q317_SQL,
+    "q323_banded_index_roundtrip": Q323_SQL,
 }

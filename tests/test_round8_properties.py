@@ -135,6 +135,69 @@ def test_ngram_jaccard_restrict_ids_is_pure_pruning(spark, oracle_sf_dir):
     assert len(restricted) < len(full)
 
 
+# --- q323: persisted band index round-trip (round-7 VERDICT item 6) ----------
+
+
+def test_band_index_round_trip(spark, oracle_sf_dir, tmp_path):
+    """Save → load must reproduce the trained band rows exactly, and the
+    probe over the LOADED index must equal the probe over the trained
+    one row-for-row."""
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        banded_signatures,
+        minhash_index_probe,
+    )
+    from snowflake_stock_dbt_spark.sinks.band_index import (
+        load_band_index,
+        save_band_index,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    history = docs.where("doc_id % 10 != 0")
+    batch = docs.where("doc_id % 10 = 0")
+    trained = banded_signatures(history, "doc_id", "text").persist()
+    path = str(tmp_path / "band_index")
+    info = save_band_index(spark, trained, path, meta={"source": "test"})
+    loaded, meta = load_band_index(spark, path)
+    assert meta["n_rows"] == info["n_rows"] == trained.count()
+    t_rows = {tuple(r) for r in trained.collect()}
+    l_rows = {
+        (r["doc_id"], r["band_id"], r["band_hash"]) for r in loaded.collect()
+    }
+    assert l_rows == t_rows
+    from_trained = sorted(
+        tuple(r)
+        for r in minhash_index_probe(history, batch).collect()
+    )
+    from_loaded = sorted(
+        tuple(r)
+        for r in minhash_index_probe(
+            None, batch, history_index=loaded
+        ).collect()
+    )
+    assert from_loaded == from_trained
+    trained.unpersist()
+
+
+def test_band_index_refuses_family_mismatch(spark, oracle_sf_dir, tmp_path):
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        banded_signatures,
+    )
+    from snowflake_stock_dbt_spark.sinks.band_index import (
+        load_band_index,
+        save_band_index,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").limit(50)
+    path = str(tmp_path / "band_index")
+    save_band_index(
+        spark, banded_signatures(docs, "doc_id", "text"), path
+    )
+    with pytest.raises(ValueError, match="hash family"):
+        load_band_index(spark, path, n_hashes=32)
+
+
 # --- probe_to_md: partial factor coverage (round-7 ADVICE) -------------------
 
 
