@@ -108,3 +108,85 @@ def cms_bucket_sql(expr: str, j: int, width: int = CMS_WIDTH) -> str:
         f"CAST(('0x' || substr(md5('{j}:' || {expr}), 1, 15)) AS BIGINT)"
         f" % {width}"
     )
+
+
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra–Gries heavy-hitter CANDIDATES (≤ ``capacity``
+    distinct keys per partition, one column named ``key_col``).
+
+    The mergeable-summaries form (Agarwal et al., TODS 2013): each Arrow
+    batch's ``value_counts`` merges into the running counter table; when
+    the table exceeds ``capacity`` keys, the (capacity+1)-th largest
+    count is subtracted from every counter and non-positive counters are
+    dropped. Per-partition estimation error is ≤ n_p/(capacity+1), so by
+    the pigeonhole argument any key with GLOBAL count > N/(capacity+1)
+    must survive in at least one partition — the union of per-partition
+    candidates is a SUPERSET of the true heavy hitters, never a sample.
+
+    This is the bounded-memory scale path for heavy hitters over a key
+    space too large to groupBy: the Python seam holds at most
+    ``capacity`` counters per partition regardless of input size or key
+    cardinality, and the merge step is vectorized pandas, not per-row
+    Python. Output is candidates only — callers MUST exact-recount
+    (semi-join + keyed count), which also makes the composition
+    deterministic: arrival order affects which EXTRA candidates survive,
+    never whether a true heavy hitter does.
+    """
+    import pandas as pd
+
+    field = df.schema[key_col]
+
+    def mg(batches):
+        counts = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf[key_col].dropna().value_counts()
+            counts = counts.add(vc, fill_value=0)
+            if len(counts) > capacity:
+                # Subtract the (capacity+1)-th largest count from every
+                # counter and drop non-positive ones: at most `capacity`
+                # survive, and the total subtracted mass per reduction is
+                # what bounds the additive error at n_p/(capacity+1).
+                t = counts.nlargest(capacity + 1).iloc[-1]
+                counts = counts - t
+                counts = counts[counts > 0]
+        yield pd.DataFrame({key_col: counts.index})
+
+    from pyspark.sql.types import StructType
+
+    return df.select(key_col).mapInPandas(
+        mg, StructType([field]), barrier=False
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """Exact heavy hitters (keys with count ≥ N/k) at bounded memory:
+    MG candidates (superset of the answer, ≤ capacity keys/partition) →
+    distinct → semi-join back → keyed exact recount → threshold against
+    the 1-row total anchor. Returns (key_col, cnt, share_milli) with
+    ``share_milli = cnt·1000 DIV N`` on the exact integer grid.
+
+    Two scans of the input (sketch pass + recount pass) and ONE keyed
+    shuffle bounded by the candidate set — never a groupBy over the full
+    key space. capacity defaults to k (the smallest value with a
+    zero-false-negative guarantee; see misra_gries_candidates).
+    """
+    cand = misra_gries_candidates(df, key_col, capacity or k).distinct()
+    total = df.groupBy().agg(F.count("*").alias("__n"))
+    counted = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k >= F.col("__n"))
+        .select(
+            key_col,
+            "cnt",
+            F.expr("CAST(cnt * 1000 DIV __n AS BIGINT)").alias("share_milli"),
+        )
+    )

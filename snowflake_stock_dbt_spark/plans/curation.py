@@ -1908,7 +1908,206 @@ ORDER BY source, lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Q324 — Point-in-time training-set assembly (the feature-store join): the
+# orders table is the label spine, and every spine row picks up (a) its
+# customer's strictly-prior order history via ONE partitioned window
+# (n_prior_orders, prev_totalprice) and (b) the latest event for that
+# customer at or before the order instant via the as-of union-window
+# operator (operators/asof.py — one shuffle on the key, state is a single
+# carried struct; never an inequality join). THE leakage-safe assembly
+# shape: no feature can come from the future, because both feature paths
+# are ordered scans, and the per-row cutoff is the spine's own timestamp.
+# Ties at equal ts resolve to the max event_id on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q324_feature_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    spine = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior_orders"),
+        F.lag("o_totalprice").over(w).alias("prev_totalprice"),
+    )
+    ev = events.select(
+        F.col("user_id").alias("o_custkey"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_event_value"),
+    )
+    joined = asof_join(
+        spine,
+        ev,
+        on=["o_custkey"],
+        left_time="o_orderdate",
+        right_time="ts",
+        right_payload=["last_event_type", "last_event_value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "n_prior_orders",
+        "prev_totalprice",
+        F.col("matched_ts").alias("last_event_ts"),
+        "last_event_type",
+        "last_event_value",
+    ).orderBy("o_orderkey")
+
+
+Q324_SQL = """
+WITH spine AS (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS n_prior_orders,
+           LAG(o_totalprice) OVER w AS prev_totalprice
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+m AS (
+    SELECT s.o_orderkey,
+           CAST(e.ts AS TIMESTAMP) AS last_event_ts,
+           e.event_type AS last_event_type,
+           e.value AS last_event_value,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.o_orderkey
+               ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC
+           ) AS rn
+    FROM spine s
+    JOIN events e
+      ON e.user_id = s.o_custkey
+     AND CAST(e.ts AS TIMESTAMP) <= s.o_orderdate
+)
+SELECT s.o_orderkey, s.o_custkey, s.o_orderdate,
+       s.n_prior_orders, s.prev_totalprice,
+       m.last_event_ts, m.last_event_type, m.last_event_value
+FROM spine s
+LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (o_orderkey)
+ORDER BY s.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q325 — Deterministic negative sampling for contrastive/ranking training:
+# per customer, NEG_SLOTS pseudo-random candidate parts drawn by the
+# engine-portable hash60 over (custkey, slot), validated against the part
+# dimension (an equi-join — key-space gaps just lower yield, never bias a
+# surviving sample) and anti-joined against the customer's true purchases
+# so no negative is secretly a positive. No RNG state, reproducible on any
+# engine, stable under re-partitioning (the q65 hash-split discipline);
+# collided slots are DROPPED, not resampled — resampling would make slot
+# k's value depend on slots 0..k-1 and break per-slot reproducibility.
+# Scale shape: one hash per (customer, slot), one equi-join to part, one
+# keyed anti-join on (custkey, partkey); the 1-row key-range anchor rides
+# a broadcast crossJoin (q03 pattern).
+# ---------------------------------------------------------------------------
+
+_NEG_SLOTS = 4
+
+
+def q325_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey"),
+            "o_orderkey",
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("cand_partkey"),
+        )
+        .distinct()
+    )
+    rng = part.groupBy().agg(
+        F.min("p_partkey").alias("__lo"), F.max("p_partkey").alias("__hi")
+    )
+    cand = (
+        cust.crossJoin(F.broadcast(rng))
+        .select(
+            "c_custkey",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(_NEG_SLOTS)])
+            ).alias("slot"),
+            "__lo",
+            "__hi",
+        )
+        .select(
+            "c_custkey",
+            "slot",
+            (
+                F.col("__lo")
+                + hash60(
+                    F.concat_ws(
+                        "#",
+                        F.col("c_custkey").cast("string"),
+                        F.col("slot").cast("string"),
+                    )
+                )
+                % (F.col("__hi") - F.col("__lo") + 1)
+            ).alias("cand_partkey"),
+        )
+    )
+    return (
+        cand.join(
+            part.select(F.col("p_partkey").alias("cand_partkey")),
+            "cand_partkey",
+            "left_semi",
+        )
+        .join(pos, ["c_custkey", "cand_partkey"], "left_anti")
+        .select(
+            "c_custkey",
+            "slot",
+            F.col("cand_partkey").alias("neg_partkey"),
+        )
+        .orderBy("c_custkey", "slot")
+    )
+
+
+Q325_SQL = f"""
+WITH rng AS (
+    SELECT MIN(p_partkey) AS lo, MAX(p_partkey) AS hi FROM part
+),
+pos AS (
+    SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS cand_partkey
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+cand AS (
+    SELECT c.c_custkey, s.slot,
+           rng.lo + {hash60_sql("c.c_custkey || '#' || s.slot")}
+                    % (rng.hi - rng.lo + 1) AS cand_partkey
+    FROM customer c
+    CROSS JOIN rng
+    CROSS JOIN (
+        SELECT unnest(generate_series(0, {_NEG_SLOTS - 1})) AS slot
+    ) s
+)
+SELECT c.c_custkey, CAST(c.slot AS INT) AS slot,
+       c.cand_partkey AS neg_partkey
+FROM cand c
+WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.cand_partkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM pos
+      WHERE pos.c_custkey = c.c_custkey
+        AND pos.cand_partkey = c.cand_partkey
+  )
+ORDER BY c.c_custkey, c.slot
+"""
+
+
 CURATION_QUERIES = {
+    "q324_feature_asof": q324_feature_asof,
+    "q325_negative_sampling": q325_negative_sampling,
     "q276_interleave_schedule": q276_interleave_schedule,
     "q300_release_readiness": q300_release_readiness,
     "q310_corpus_composition": q310_corpus_composition,
@@ -1934,6 +2133,8 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "q324_feature_asof": Q324_SQL,
+    "q325_negative_sampling": Q325_SQL,
     "q276_interleave_schedule": Q276_SQL,
     "q300_release_readiness": Q300_SQL,
     "q310_corpus_composition": Q310_SQL,

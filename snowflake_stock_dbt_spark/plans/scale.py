@@ -1699,7 +1699,46 @@ ORDER BY weekday
 """
 
 
+# ---------------------------------------------------------------------------
+# Q326 — Exact heavy hitters at bounded memory (Misra–Gries candidates +
+# exact recount, operators/sketch.py:misra_gries_candidates). The scale
+# story CMS (q95) can't give: q95 estimates ALL keys with overcounts, this
+# returns the EXACT answer for the keys that matter (count ≥ N/k) while
+# keeping per-partition state ≤ k counters — a groupBy over the full key
+# space never happens on the sketch pass, and the recount pass aggregates
+# only the ≤ k·partitions surviving candidates. The oracle is the plain
+# HAVING query: MG candidates are a guaranteed superset of the true heavy
+# hitters (Agarwal et al., TODS 2013 mergeability), so the recount filter
+# makes the composition's output independent of partitioning/arrival order.
+# ---------------------------------------------------------------------------
+
+_HH_K = 128
+
+
+def q326_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, "user_id", k=_HH_K).orderBy(
+        F.col("cnt").desc(), "user_id"
+    )
+
+
+Q326_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS nn FROM events),
+c AS (
+    SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000 // nn AS BIGINT) AS share_milli
+FROM c, n
+WHERE cnt * {_HH_K} >= nn
+ORDER BY cnt DESC, user_id
+"""
+
+
 SCALE_QUERIES = {
+    "q326_heavy_hitters": q326_heavy_hitters,
     "q269_shard_rebalance": q269_shard_rebalance,
     "q297_independence_chi2": q297_independence_chi2,
     "q261_kendall_tau": q261_kendall_tau,
@@ -1723,6 +1762,7 @@ SCALE_QUERIES = {
 }
 
 SCALE_ORACLES = {
+    "q326_heavy_hitters": Q326_SQL,
     "q269_shard_rebalance": Q269_SQL,
     "q297_independence_chi2": Q297_SQL,
     "q261_kendall_tau": Q261_SQL,

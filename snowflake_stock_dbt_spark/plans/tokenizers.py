@@ -1,4 +1,5 @@
-"""Unigram-LM tokenizer queries: train (q320) and encode (q321).
+"""Tokenizer + batch-shape queries: unigram-LM train (q320) and encode
+(q321), prefix-cache sharing (q327), padding waste (q328).
 
 The Spark side is operators/unigram_lm.py (hard-EM Viterbi on the exact
 integer grid). The oracle UNROLLS the identical computation in DuckDB
@@ -201,12 +202,168 @@ ORDER BY doc_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Q327 — Prompt prefix-sharing audit (KV-cache planning): for each probe
+# prefix length, how many documents share a byte-identical prefix with
+# another document. The serving-side twin of dedup: a shared prefix is a
+# shared KV-cache entry, so `cache_hit_milli` = (n_docs − n_prefixes)/n_docs
+# is the attainable prefix-cache hit rate at that depth. One explode
+# (|lens| rows/doc) into ONE map-side-combinable keyed count — the same
+# linear shape as exact dedup (q19), never a self-join.
+# ---------------------------------------------------------------------------
+
+_PREFIX_LENS = [4, 8, 16]
+
+
+def q327_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pl = docs.select(
+        F.explode(
+            F.array(*[F.lit(n) for n in _PREFIX_LENS])
+        ).alias("prefix_len"),
+        "text",
+    ).select(
+        "prefix_len",
+        F.expr("substring(text, 1, prefix_len)").alias("prefix"),
+    )
+    grp = pl.groupBy("prefix_len", "prefix").agg(F.count("*").alias("g"))
+    return (
+        grp.groupBy("prefix_len")
+        .agg(
+            F.sum("g").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_prefixes"),
+            F.sum(F.when(F.col("g") > 1, F.col("g")).otherwise(0))
+            .cast("long")
+            .alias("docs_in_shared"),
+            F.max("g").cast("long").alias("max_group"),
+        )
+        .select(
+            "prefix_len",
+            "n_docs",
+            "n_prefixes",
+            "docs_in_shared",
+            "max_group",
+            F.expr(
+                "CAST((n_docs - n_prefixes) * 1000 DIV n_docs AS BIGINT)"
+            ).alias("cache_hit_milli"),
+        )
+        .orderBy("prefix_len")
+    )
+
+
+_PFX_LIST = ", ".join(str(n) for n in _PREFIX_LENS)
+
+Q327_SQL = f"""
+WITH p AS (
+    SELECT l.prefix_len, substr(d.text, 1, l.prefix_len) AS prefix
+    FROM documents d
+    CROSS JOIN (
+        SELECT unnest([{_PFX_LIST}]) AS prefix_len
+    ) l
+),
+g AS (
+    SELECT prefix_len, prefix, COUNT(*) AS g FROM p GROUP BY 1, 2
+)
+SELECT CAST(prefix_len AS INT) AS prefix_len,
+       CAST(SUM(g) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+       CAST(SUM(CASE WHEN g > 1 THEN g ELSE 0 END) AS BIGINT)
+           AS docs_in_shared,
+       CAST(MAX(g) AS BIGINT) AS max_group,
+       CAST((SUM(g) - COUNT(*)) * 1000 // SUM(g) AS BIGINT)
+           AS cache_hit_milli
+FROM g
+GROUP BY prefix_len
+ORDER BY prefix_len
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q328 — Padding-waste audit for bucketed batching: documents clamp to the
+# max sequence length, land in the smallest power-of-two length bucket,
+# and each bucket reports how many padded tokens the batch shape burns
+# (`waste_milli` = padded−real per mille). The bucket ladder is a CASE
+# chain, NOT float log2 — cross-engine float logs at bucket boundaries
+# would flip rows between buckets. Single map-side-combinable agg.
+# ---------------------------------------------------------------------------
+
+_PAD_BUCKETS = [16, 32, 64, 128, 256, 512]
+_PAD_MAX = _PAD_BUCKETS[-1]
+
+
+def q328_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.least(token_count("text"), F.lit(_PAD_MAX))
+    bucket = F.coalesce(
+        *[F.when(n <= b, F.lit(b)) for b in _PAD_BUCKETS]
+    ).cast("int")
+    return (
+        docs.select(n.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket"))
+            .cast("long")
+            .alias("sum_padded"),
+            F.expr(
+                "CAST((n_docs * bucket - sum_tokens) * 1000"
+                " DIV (n_docs * bucket) AS BIGINT)"
+            ).alias("waste_milli"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PAD_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= {b} THEN {b}" for b in _PAD_BUCKETS[:-1]
+    )
+    + f" ELSE {_PAD_MAX} END"
+)
+
+Q328_SQL = rf"""
+WITH t AS (
+    SELECT CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n0
+    FROM documents
+),
+c AS (
+    SELECT LEAST(n0, {_PAD_MAX}) AS n FROM t
+),
+b AS (
+    SELECT n, {_PAD_CASE} AS bucket FROM c
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * bucket AS BIGINT) AS sum_padded,
+       CAST((COUNT(*) * bucket - SUM(n)) * 1000
+            // (COUNT(*) * bucket) AS BIGINT) AS waste_milli
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 TOKENIZER_QUERIES = {
     "q320_unigram_train": q320_unigram_train,
     "q321_unigram_encode": q321_unigram_encode,
+    "q327_prefix_sharing": q327_prefix_sharing,
+    "q328_padding_waste": q328_padding_waste,
 }
 
 TOKENIZER_ORACLES = {
     "q320_unigram_train": Q320_SQL,
     "q321_unigram_encode": Q321_SQL,
+    "q327_prefix_sharing": Q327_SQL,
+    "q328_padding_waste": Q328_SQL,
 }

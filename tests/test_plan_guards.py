@@ -86,6 +86,8 @@ BNL_ALLOWED = {
     "q244_pareto_frontier",  # tiny-frontier dominance-count broadcast (q25 pattern)
     "q249_quarantine_routing",  # 1-row table-total broadcast (q03 pattern)
     "q250_daily_healthcheck",  # 1-row max-day anchor broadcast (q03 pattern)
+    "q325_negative_sampling",  # 1-row part key-range anchor (q03 pattern, r8)
+    "q326_heavy_hitters",  # 1-row total-count anchor (q03 pattern, r8)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -103,6 +105,10 @@ PANDAS_ALLOWED = {
     # RVID synth-encode + q53's demux/frame-sample seams; each video blob
     # crosses into Python exactly once, pre-shuffle (adjudicated r8).
     "q319_video_neardup",
+    # Misra–Gries candidate pass: the ONE sanctioned sketch seam — state
+    # is ≤ capacity counters per partition, merge is vectorized pandas,
+    # and the answer is exact-recounted JVM-side after it (r8).
+    "q326_heavy_hitters",
 }
 
 #: Streaming queries materialize through a memory sink before returning,
@@ -304,6 +310,14 @@ PINNED_PATTERNS = {
     "q249_quarantine_routing": ["partial_"],
     # every signal window must share the ONE n_name partitioning
     "q250_daily_healthcheck": ["BroadcastHashJoin", "Window"],
+    # Round-8 additions. q324: both feature paths must stay ordered scans
+    # (one history window + the as-of union-window), never an inequality
+    # join. q325: existence stays a semi-join, positives stay an
+    # anti-join. q327/q328: the prefix/bucket aggs keep map-side combine.
+    "q324_feature_asof": ["Window"],
+    "q325_negative_sampling": ["LeftSemi", "LeftAnti"],
+    "q327_prefix_sharing": ["partial_"],
+    "q328_padding_waste": ["partial_"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 
 # --- sqldialect: doubled-quote escapes (round-7 ADVICE) ----------------------
@@ -214,3 +215,129 @@ def test_probe_to_md_handles_partial_factors():
     assert byq["qA"][-1] == pytest.approx(1.0, abs=0.01)
     assert "qB" in byq  # present, from its own factor subset
     assert "qC" in byq  # degenerate timings must not raise
+
+
+# --- round-8 additions: q324-q328 oracle differentials -----------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q324_feature_asof",
+        "q325_negative_sampling",
+        "q326_heavy_hitters",
+        "q327_prefix_sharing",
+        "q328_padding_waste",
+    ],
+)
+def test_round8_new_queries_match_oracle(spark, oracle_sf_dir, name):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+# --- q326 machinery: Misra-Gries guarantees ----------------------------------
+
+
+def test_misra_gries_candidates_are_superset_and_bounded(spark):
+    """Any key with global count > N/(capacity+1) MUST appear among the
+    candidates (zero false negatives), and each partition emits at most
+    `capacity` candidates — on an adversarially skewed frame."""
+    from snowflake_stock_dbt_spark.operators.sketch import (
+        misra_gries_candidates,
+    )
+
+    # 3 heavy keys drowned in a long tail of singletons, over 4 partitions.
+    rows = (
+        [(1,)] * 400 + [(2,)] * 300 + [(3,)] * 200
+        + [(1000 + i,) for i in range(1100)]
+    )
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    cap = 8
+    cands = {
+        r["k"] for r in misra_gries_candidates(df, "k", cap).collect()
+    }
+    n = len(rows)
+    for heavy in (1, 2, 3):
+        assert heavy in cands, f"true heavy hitter {heavy} was dropped"
+    # Bounded output: <= capacity per partition.
+    per_part = (
+        misra_gries_candidates(df, "k", cap)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= cap for r in per_part)
+    assert n == 2000
+
+
+def test_heavy_hitters_exact_is_partitioning_invariant(spark):
+    """The recount filter makes the composition's OUTPUT independent of
+    partitioning, even though the candidate set is not."""
+    from snowflake_stock_dbt_spark.operators.sketch import heavy_hitters_exact
+
+    rows = [(i % 7,) for i in range(700)] + [(99,)] * 50
+    base = spark.createDataFrame(rows, "k long")
+    out1 = sorted(
+        tuple(r) for r in heavy_hitters_exact(base.repartition(2), "k", 8).collect()
+    )
+    out2 = sorted(
+        tuple(r) for r in heavy_hitters_exact(base.repartition(13), "k", 8).collect()
+    )
+    assert out1 == out2 and out1  # non-empty and partition-invariant
+
+
+# --- q325 machinery: negative-sampling invariants ----------------------------
+
+
+def test_negative_sampling_never_emits_a_positive(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans.curation import (
+        q325_negative_sampling,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    neg = q325_negative_sampling(spark, oracle_sf_dir)
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    pos = (
+        orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("neg_partkey"),
+        )
+        .distinct()
+    )
+    leaked = neg.join(pos, ["c_custkey", "neg_partkey"], "inner").count()
+    assert leaked == 0
+    # Every emitted slot is one of the declared slots, at most once.
+    from snowflake_stock_dbt_spark.plans.curation import _NEG_SLOTS
+
+    bad = neg.where(
+        (F.col("slot") < 0) | (F.col("slot") >= _NEG_SLOTS)
+    ).count()
+    assert bad == 0
+    dup = (
+        neg.groupBy("c_custkey", "slot").count().where(F.col("count") > 1)
+    ).count()
+    assert dup == 0
+
+
+# --- q324 machinery: leakage guard -------------------------------------------
+
+
+def test_feature_asof_never_reads_the_future(spark, oracle_sf_dir):
+    """No attached event may postdate its spine row's order instant."""
+    from snowflake_stock_dbt_spark.plans.curation import q324_feature_asof
+
+    df = q324_feature_asof(spark, oracle_sf_dir)
+    leaks = df.where(F.col("last_event_ts") > F.col("o_orderdate")).count()
+    assert leaks == 0
+    # And the spine survives intact: one output row per order.
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    assert df.count() == load_table(spark, oracle_sf_dir, "orders").count()
