@@ -332,6 +332,121 @@ def simhash_signatures(
     return bitsums.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_slices(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """(doc_id, simhash, band_id, slice): each signature split into
+    ``bands`` equal bit-slices — the SimHash banding rows shared by the
+    in-session pair join (:func:`simhash_pairs`) and the persisted slice
+    index (sinks/simhash_index.py). Carrying ``simhash`` alongside the
+    slice lets a probe run the EXACT Hamming filter without a second
+    lookup — the slice finds the bucket, the full signature verifies."""
+    band_bits = bits // bands
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    mask = (1 << band_bits) - 1
+    slices = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            (
+                F.expr(f"shiftright(simhash, {i * band_bits})").bitwiseAND(
+                    F.lit(mask)
+                )
+            ).alias("slice"),
+        )
+        for i in range(bands)
+    ]
+    return (
+        sig.select("doc_id", "simhash", F.explode(F.array(*slices)).alias("b"))
+        .select("doc_id", "simhash", "b.band_id", "b.slice")
+    )
+
+
+def simhash_index_probe(
+    history: DataFrame | None,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = 3,
+    history_index: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL SimHash dedup: probe a new batch against a historical
+    corpus's slice index — the SimHash twin of :func:`minhash_index_probe`
+    (same asymmetric shape: history is never re-paired with itself, and
+    its term appears only through a precomputable/storable index; pass
+    ``history_index`` — a (doc_id, simhash, band_id, slice) frame, e.g.
+    loaded by sinks/simhash_index.load_simhash_index — to probe a
+    PERSISTED index without re-signaturing history).
+
+    Pigeonhole exactness (max_hamming < bands): any pair within
+    ``max_hamming`` shares at least one identical slice, so the
+    (band_id, slice) equi-join finds EVERY qualifying pair and the exact
+    Hamming filter on the carried signatures removes false candidates.
+
+    Returns one row per batch document that has a signature:
+    (doc_id, n_band_candidates, n_dups, matched_min_id NULLable, is_dup)
+    where candidates share ≥1 slice and dups additionally pass the exact
+    Hamming ≤ max_hamming check.
+    """
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    if history_index is not None:
+        hist_idx = history_index
+    elif history is not None:
+        hist_idx = simhash_slices(history, id_col, text_col, bits, bands)
+    else:
+        raise ValueError("need history or history_index")
+    new_b = simhash_slices(batch, id_col, text_col, bits, bands).persist()
+    # A pair sharing several slices must count once: reduce to distinct
+    # (batch doc, history doc) with the Hamming verdict computed on the
+    # carried signatures (identical for every shared slice).
+    cand = (
+        new_b.join(
+            hist_idx.select(
+                "band_id",
+                "slice",
+                F.col("doc_id").alias("hist_id"),
+                F.col("simhash").alias("hist_sim"),
+            ),
+            ["band_id", "slice"],
+        )
+        .select(
+            "doc_id",
+            "hist_id",
+            F.bit_count(F.expr("simhash ^ hist_sim")).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    hits = cand.groupBy("doc_id").agg(
+        F.count("*").alias("n_band_candidates"),
+        F.sum(
+            F.when(F.col("hamming") <= max_hamming, 1).otherwise(0)
+        ).alias("n_dups"),
+        F.min(
+            F.when(F.col("hamming") <= max_hamming, F.col("hist_id"))
+        ).alias("matched_min_id"),
+    )
+    probed = new_b.groupBy("doc_id").agg(F.first("simhash").alias("__sig"))
+    return (
+        probed.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_band_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_band_candidates"),
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            F.col("matched_min_id").cast("long").alias("matched_min_id"),
+            (F.coalesce("n_dups", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -350,27 +465,9 @@ def simhash_pairs(
     Requires max_hamming < bands.
     """
     assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
-    band_bits = bits // bands
-    sig = simhash_signatures(df, id_col, text_col, bits)
-    mask = (1 << band_bits) - 1
-    slices = [
-        F.struct(
-            F.lit(i).alias("band_id"),
-            (
-                F.expr(f"shiftright(simhash, {i * band_bits})").bitwiseAND(
-                    F.lit(mask)
-                )
-            ).alias("slice"),
-        )
-        for i in range(bands)
-    ]
     # Persist before the self-join — both sides read it, and recomputing
     # the token-explode + bit-vote pipeline twice would dominate the cost.
-    banded = (
-        sig.select("doc_id", "simhash", F.explode(F.array(*slices)).alias("b"))
-        .select("doc_id", "simhash", "b.band_id", "b.slice")
-        .persist()
-    )
+    banded = simhash_slices(df, id_col, text_col, bits, bands).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -2737,6 +2737,142 @@ def q323_banded_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q323_SQL = Q149_SQL
 
 
+# ---------------------------------------------------------------------------
+# Q329 — incremental SimHash dedup from the PERSISTED slice index: the
+# SimHash member of the index-as-artifact family (q318/q322 ANN state,
+# q323 MinHash bands). History (doc_id % 10 != 0) slices go through the
+# lake (sinks/simhash_index.py: partitioned by band_id, sorted by slice,
+# _META.json family check, staged-rename publish); the batch
+# (doc_id % 10 == 0) probes the LOADED frame. Pigeonhole (hamming ≤ 3 <
+# 4 bands) makes the banded probe EXACT, so the oracle is the
+# brute-force history×batch Hamming join — band-candidate counts come
+# from the same slice-equality disjunction the index join uses.
+# ---------------------------------------------------------------------------
+
+
+def q329_simhash_index_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.textdedup import simhash_index_probe, simhash_slices
+    from ..sinks.simhash_index import (
+        load_simhash_index,
+        save_simhash_index,
+        simhash_index_path,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    path = simhash_index_path(sf_dir)
+    save_simhash_index(
+        spark,
+        simhash_slices(history, "doc_id", "text"),
+        path,
+        meta={"source": sf_dir},
+    )
+    loaded, _meta = load_simhash_index(spark, path)
+    return simhash_index_probe(
+        None, batch, history_index=loaded
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q330 — band-index COMPACTION: two per-ingest-day band indexes (history
+# split by doc parity) merged into one artifact
+# (sinks/band_index.py:merge_band_indexes — a pure union + repartition
+# rewrite, no re-signaturing), then probed by the q149 batch. The merged
+# artifact must behave exactly like an index built in ONE shot over the
+# whole history, so the oracle IS Q149_SQL — any merge drift (lost rows,
+# family mix-up, double counting) breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def q330_band_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textdedup import banded_signatures, minhash_index_probe
+    from ..sinks.band_index import (
+        band_index_path,
+        load_band_index,
+        merge_band_indexes,
+        save_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    day_a = history.where(F.col("doc_id") % 2 == 0)
+    day_b = history.where(F.col("doc_id") % 2 == 1)
+    root = band_index_path(sf_dir)
+    pa, pb, merged_path = f"{root}-dayA", f"{root}-dayB", f"{root}-merged"
+    save_band_index(
+        spark, banded_signatures(day_a, "doc_id", "text"), pa
+    )
+    save_band_index(
+        spark, banded_signatures(day_b, "doc_id", "text"), pb
+    )
+    merge_band_indexes(spark, [pa, pb], merged_path)
+    loaded, _meta = load_band_index(spark, merged_path)
+    return minhash_index_probe(None, batch, history_index=loaded)
+
+
+#: Merged-probe == single-build probe, so the oracle is q149's.
+Q330_SQL = Q149_SQL
+
+
+_SH_BAND_BITS = 60 // 4
+_SH_MASK = (1 << _SH_BAND_BITS) - 1
+_SH_SHARES_SLICE = " OR ".join(
+    f"((n.simhash >> {i * _SH_BAND_BITS}) & {_SH_MASK})"
+    f" = ((h.simhash >> {i * _SH_BAND_BITS}) & {_SH_MASK})"
+    for i in range(4)
+)
+
+Q329_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS tok
+    FROM documents
+),
+hh AS (
+    SELECT doc_id, {_SQL_HASH60.format(x='tok')} AS h
+    FROM toks WHERE tok <> ''
+),
+votes AS (
+    SELECT doc_id, CAST(r.i AS INT) AS bit,
+           CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+    FROM hh CROSS JOIN range(0, 60) r(i)
+),
+bitsums AS (
+    SELECT doc_id, bit, CAST(SUM(vote) AS BIGINT) AS s
+    FROM votes GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsums GROUP BY doc_id
+),
+hist AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+new AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+cand AS (
+    SELECT n.doc_id, h.doc_id AS hist_id,
+           CAST(bit_count(xor(n.simhash, h.simhash)) AS INT) AS hamming
+    FROM new n JOIN hist h ON ({_SH_SHARES_SLICE})
+),
+hits AS (
+    SELECT doc_id,
+           COUNT(*) AS n_band_candidates,
+           SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS n_dups,
+           MIN(CASE WHEN hamming <= 3 THEN hist_id END) AS matched_min_id
+    FROM cand GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(COALESCE(h.n_band_candidates, 0) AS BIGINT) AS n_band_candidates,
+       CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(h.matched_min_id AS BIGINT) AS matched_min_id,
+       COALESCE(h.n_dups, 0) > 0 AS is_dup
+FROM new n LEFT JOIN hits h USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
 LLM_TEXT_QUERIES = {
     "q296_doclen_outliers": q296_doclen_outliers,
     "q303_langid_confusion": q303_langid_confusion,
@@ -2777,6 +2913,8 @@ LLM_TEXT_QUERIES = {
     "q193_tokenizer_fertility": q193_tokenizer_fertility,
     "q317_suffix_dedup": q317_suffix_dedup,
     "q323_banded_index_roundtrip": q323_banded_index_roundtrip,
+    "q329_simhash_index_roundtrip": q329_simhash_index_roundtrip,
+    "q330_band_index_merge": q330_band_index_merge,
 }
 
 LLM_TEXT_ORACLES = {
@@ -2819,4 +2957,6 @@ LLM_TEXT_ORACLES = {
     "q193_tokenizer_fertility": Q193_SQL,
     "q317_suffix_dedup": Q317_SQL,
     "q323_banded_index_roundtrip": Q323_SQL,
+    "q329_simhash_index_roundtrip": Q329_SQL,
+    "q330_band_index_merge": Q330_SQL,
 }

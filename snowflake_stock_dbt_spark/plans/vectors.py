@@ -561,16 +561,27 @@ SEMDEDUP_TARGET_CLUSTER = 64
 _SEMDEDUP_N_CACHE: dict = {}
 
 
-def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _size_derived_k(spark: SparkSession, sf_dir: str, emb: DataFrame) -> int:
+    """k = ceil(n / SEMDEDUP_TARGET_CLUSTER): the size-derived coarse
+    cluster count that keeps PER-BUCKET candidate work bounded (the q118
+    contract; knn_graph's docstring names it as the requirement). At the
+    oracle corpus (sf0.01, n=500) this is exactly KMEANS_K=8, so every
+    static unrolled-k oracle stays bit-correct where it is evaluated.
+    The corpus count is memoized per (session, corpus) — see
+    _SEMDEDUP_N_CACHE above."""
     import math
 
-    from ..operators.similarity import cosine_neardup_pairs, kmeans_assign
-
-    emb = load_table(spark, sf_dir, "embeddings")
     n_key = (id(spark), sf_dir)
     if n_key not in _SEMDEDUP_N_CACHE:
         _SEMDEDUP_N_CACHE[n_key] = emb.count()
-    k = max(1, math.ceil(_SEMDEDUP_N_CACHE[n_key] / SEMDEDUP_TARGET_CLUSTER))
+    return max(1, math.ceil(_SEMDEDUP_N_CACHE[n_key] / SEMDEDUP_TARGET_CLUSTER))
+
+
+def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_neardup_pairs, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = _size_derived_k(spark, sf_dir, emb)
     bucketed = kmeans_assign(
         emb, k=k, iters=KMEANS_ITERS, cache_key=(id(spark), sf_dir, "full")
     )
@@ -868,8 +879,16 @@ def q151_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_assign, knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # SIZE-DERIVED cluster count (the q118 contract knn_graph's docstring
+    # requires): a FIXED k makes the in-bucket candidate join quadratic —
+    # the round-8 ×8/×16 probe measured exponent 1.56 (x8 334 s) with
+    # k=8 pinned, and every vector is a query here. k = ceil(n/64) is
+    # exactly KMEANS_K=8 at the sf0.01 oracle corpus, so Q151_SQL's
+    # unrolled k stays bit-correct where it is evaluated; the training is
+    # shared with q118 through the same (cache_key, k, iters) memo.
+    emb_k = _size_derived_k(spark, sf_dir, emb)
     bucketed, cent = kmeans_assign(
-        emb, k=KMEANS_K, iters=KMEANS_ITERS,
+        emb, k=emb_k, iters=KMEANS_ITERS,
         cache_key=(id(spark), sf_dir, "full"),
         return_centroids=True,
     )
@@ -1436,8 +1455,6 @@ ORDER BY pos
 
 
 def q259_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from ..operators.similarity import kmeans_assign, knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1448,11 +1465,8 @@ def q259_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the round-3 q118 hazard reappearing; see PLANS.md round-6).
     # At the sf0.01 gate the formula yields exactly k=8, so results are
     # bit-identical to a fixed-k=8 registration, and the codebook is
-    # the SAME cached training q118 uses (shared cache key).
-    n_key = (id(spark), sf_dir)
-    if n_key not in _SEMDEDUP_N_CACHE:
-        _SEMDEDUP_N_CACHE[n_key] = emb.count()
-    k = max(1, math.ceil(_SEMDEDUP_N_CACHE[n_key] / SEMDEDUP_TARGET_CLUSTER))
+    # the SAME cached training q118/q151 use (shared cache key + helper).
+    k = _size_derived_k(spark, sf_dir, emb)
     bucketed, cent = kmeans_assign(
         emb, k=k, iters=KMEANS_ITERS,
         cache_key=(id(spark), sf_dir, "full"),

@@ -104,6 +104,52 @@ def save_band_index(
     return info
 
 
+def merge_band_indexes(
+    spark: SparkSession,
+    paths: list[str],
+    out_path: str,
+) -> dict:
+    """Compact several band-index artifacts (e.g. one per ingest day)
+    into ONE: the index-maintenance operation a continuous crawl needs so
+    probe cost stays one artifact scan instead of one per day.
+
+    Band rows are per-document independent, so the merge is a pure
+    union + re-partition-by-band rewrite — no re-signaturing, no pair
+    recomputation. Hash families must match across inputs (checked via
+    each _META.json; a mixed-family merge would silently split buckets).
+    The merged artifact is bit-identical in CONTENT to an index built in
+    one shot over the union of the inputs' corpora — parity pinned by
+    q330's oracle, which is exactly Q149's single-build SQL.
+    """
+    frames, metas = [], []
+    for p in paths:
+        bands, meta = load_band_index(spark, p)
+        frames.append(bands)
+        metas.append(meta)
+    fam = {k: metas[0][k] for k in ("k", "n_hashes", "bands")}
+    for m in metas[1:]:
+        got = {k: m.get(k) for k in fam}
+        if got != fam:
+            raise ValueError(
+                f"cannot merge band indexes with different hash families: "
+                f"{fam} vs {got}"
+            )
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    # save_band_index memoizes per path; a merge target must re-write.
+    _SAVED.pop(out_path, None)
+    return save_band_index(
+        spark,
+        merged,
+        out_path,
+        meta={"merged_from": len(paths)},
+        k=fam["k"],
+        n_hashes=fam["n_hashes"],
+        n_bands=fam["bands"],
+    )
+
+
 def load_band_index(
     spark: SparkSession,
     path: str,

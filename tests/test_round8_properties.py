@@ -341,3 +341,160 @@ def test_feature_asof_never_reads_the_future(spark, oracle_sf_dir):
     from snowflake_stock_dbt_spark.sources.tables import load_table
 
     assert df.count() == load_table(spark, oracle_sf_dir, "orders").count()
+
+
+# --- q329: persisted SimHash slice index (index-as-artifact family) ----------
+
+
+def test_q329_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q329_simhash_index_roundtrip"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_simhash_index_round_trip(spark, oracle_sf_dir, tmp_path):
+    """Probe-from-loaded must equal probe-from-trained bit-for-bit."""
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        simhash_index_probe,
+        simhash_slices,
+    )
+    from snowflake_stock_dbt_spark.sinks.simhash_index import (
+        load_simhash_index,
+        save_simhash_index,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "shidx")
+    save_simhash_index(
+        spark, simhash_slices(history, "doc_id", "text"), path
+    )
+    loaded, meta = load_simhash_index(spark, path)
+    assert meta["n_rows"] == loaded.count()
+    from_loaded = sorted(
+        tuple(r)
+        for r in simhash_index_probe(
+            None, batch, history_index=loaded
+        ).collect()
+    )
+    from_trained = sorted(
+        tuple(r) for r in simhash_index_probe(history, batch).collect()
+    )
+    assert from_loaded == from_trained and from_loaded
+
+
+def test_simhash_index_refuses_family_mismatch(spark, oracle_sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from snowflake_stock_dbt_spark.operators.textdedup import simhash_slices
+    from snowflake_stock_dbt_spark.sinks.simhash_index import (
+        load_simhash_index,
+        save_simhash_index,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").limit(40)
+    path = str(tmp_path / "shidx2")
+    save_simhash_index(spark, simhash_slices(docs, "doc_id", "text"), path)
+    with _pytest.raises(ValueError, match="signature family"):
+        load_simhash_index(spark, path, n_bands=6)
+
+
+def test_simhash_pairs_unchanged_by_slice_refactor(spark, oracle_sf_dir):
+    """simhash_pairs now builds on simhash_slices — its output must still
+    equal the Q24 oracle semantics (banded == brute force by pigeonhole)."""
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").limit(120)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == brute
+
+
+# --- q330: band-index compaction (merge) --------------------------------------
+
+
+def test_q330_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q330_band_index_merge"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_merge_band_indexes_equals_single_build(spark, oracle_sf_dir, tmp_path):
+    """Merged artifact content == one-shot index over the unioned corpus."""
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        banded_signatures,
+    )
+    from snowflake_stock_dbt_spark.sinks.band_index import (
+        load_band_index,
+        merge_band_indexes,
+        save_band_index,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").limit(100)
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    pm, ps = str(tmp_path / "merged"), str(tmp_path / "single")
+    save_band_index(spark, banded_signatures(a, "doc_id", "text"), pa)
+    save_band_index(spark, banded_signatures(b, "doc_id", "text"), pb)
+    info = merge_band_indexes(spark, [pa, pb], pm)
+    save_band_index(spark, banded_signatures(docs, "doc_id", "text"), ps)
+    merged, _ = load_band_index(spark, pm)
+    single, _ = load_band_index(spark, ps)
+    m_rows = {tuple(r) for r in merged.collect()}
+    s_rows = {tuple(r) for r in single.collect()}
+    assert m_rows == s_rows
+    assert info["n_rows"] == len(m_rows)
+    assert info["merged_from"] == 2
+
+
+def test_merge_band_indexes_refuses_family_mix(spark, oracle_sf_dir, tmp_path):
+    import json
+
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        banded_signatures,
+    )
+    from snowflake_stock_dbt_spark.sinks.band_index import (
+        merge_band_indexes,
+        save_band_index,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").limit(30)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    save_band_index(spark, banded_signatures(docs, "doc_id", "text"), pa)
+    save_band_index(spark, banded_signatures(docs, "doc_id", "text"), pb)
+    meta = json.load(open(f"{pb}/_META.json"))
+    meta["bands"] = meta["bands"] - 1
+    json.dump(meta, open(f"{pb}/_META.json", "w"))
+    with pytest.raises(ValueError, match="hash family"):
+        merge_band_indexes(spark, [pa, pb], str(tmp_path / "m"))
