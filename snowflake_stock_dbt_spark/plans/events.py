@@ -421,50 +421,10 @@ SELECT (SELECT COUNT(*) FROM s) AS n_signup,
 # ---------------------------------------------------------------------------
 
 
-def scd2_history_from(ev: DataFrame) -> DataFrame:
-    """Run-length SCD2 history of ``event_type`` per user (q75's core,
-    reusable over any filtered event frame): one row per run with
-    [valid_from_us, valid_to_us) interval, the run's event count, and the
-    per-user ``run_id`` — the ONLY guaranteed-unique-per-user ordering
-    column (two adjacent runs can share valid_from_us when consecutive
-    events of different types carry the identical microsecond ts, so
-    downstream as-of tiebreaks must use run_id, not valid_from_us)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "event_type",
-        "event_id",
-        F.unix_micros("ts").alias("us"),
-        F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
-            1,
-        )
-        .otherwise(0)
-        .alias("chg"),
-    )
-    w_us = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    runs = flagged.withColumn("run_id", F.sum("chg").over(w_us))
-    # event_type is constant within a run (chg splits on every change), so
-    # plain MIN is a deterministic way to carry it through the agg.
-    seg = runs.groupBy("user_id", "run_id").agg(
-        F.min("event_type").alias("event_type"),
-        F.min("us").alias("valid_from_us"),
-        F.count("*").alias("n_events"),
-    )
-    wseg = Window.partitionBy("user_id").orderBy("run_id")
-    return seg.select(
-        "user_id",
-        "run_id",
-        "event_type",
-        "valid_from_us",
-        F.lead("valid_from_us").over(wseg).alias("valid_to_us"),
-        "n_events",
-    )
+# q75's core moved to operators/scd2.py in round 8 (the incremental
+# extend operator builds on it); re-imported here so every in-module
+# caller keeps its name.
+from ..operators.scd2 import scd2_history_from  # noqa: E402
 
 
 def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,6 +468,51 @@ SELECT user_id, event_type, valid_from_us,
 FROM seg
 ORDER BY user_id, valid_from_us
 """
+
+
+# ---------------------------------------------------------------------------
+# Q331 — INCREMENTAL SCD2 maintenance from a log: the event stream splits
+# into a base load plus two later "ingest day" batches (cutoffs at 60% /
+# 80% of the corpus time range via a 1-row min/max anchor), the base
+# builds the q75 run history once, and each batch EXTENDS it through
+# operators/scd2.py:scd2_extend_from_log — only affected users' CURRENT
+# runs are recomputed (one weighted seed row per user + the batch's own
+# events), closed runs and untouched users carry through. The operator's
+# contract is EXACT rebuild parity, so the oracle IS Q75_SQL: any drift
+# in the fold (a lost run, a miscounted extension, a seed ordered after
+# a batch event) breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def q331_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_extend_from_log
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.groupBy().agg(
+        F.min(F.unix_micros("ts")).alias("__lo"),
+        F.max(F.unix_micros("ts")).alias("__hi"),
+    )
+    tagged = (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn("__us", F.unix_micros("ts"))
+        .withColumn("__span", F.col("__hi") - F.col("__lo"))
+        .withColumn("__c1", F.col("__lo") + F.expr("__span * 3 DIV 5"))
+        .withColumn("__c2", F.col("__lo") + F.expr("__span * 4 DIV 5"))
+    )
+    base = tagged.where(F.col("__us") < F.col("__c1"))
+    batch1 = tagged.where(
+        (F.col("__us") >= F.col("__c1")) & (F.col("__us") < F.col("__c2"))
+    )
+    batch2 = tagged.where(F.col("__us") >= F.col("__c2"))
+    cols = ["user_id", "event_type", "event_id", "ts"]
+    hist = scd2_history_from(base.select(*cols))
+    hist = scd2_extend_from_log(hist, batch1.select(*cols))
+    hist = scd2_extend_from_log(hist, batch2.select(*cols))
+    return hist.drop("run_id").orderBy("user_id", "valid_from_us")
+
+
+#: Two increments folded == one-shot rebuild, so the oracle is q75's.
+Q331_SQL = Q75_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -2772,6 +2777,7 @@ ORDER BY event_type
 
 
 EVENT_QUERIES = {
+    "q331_scd2_incremental": q331_scd2_incremental,
     "q267_growth_accounting": q267_growth_accounting,
     "q313_coldstart_mix": q313_coldstart_mix,
     "q277_event_trigrams": q277_event_trigrams,
@@ -2809,6 +2815,7 @@ EVENT_QUERIES = {
 }
 
 EVENT_ORACLES = {
+    "q331_scd2_incremental": Q331_SQL,
     "q267_growth_accounting": Q267_SQL,
     "q277_event_trigrams": Q277_SQL,
     "q282_event_burstiness": Q282_SQL,

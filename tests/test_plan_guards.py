@@ -88,6 +88,7 @@ BNL_ALLOWED = {
     "q250_daily_healthcheck",  # 1-row max-day anchor broadcast (q03 pattern)
     "q325_negative_sampling",  # 1-row part key-range anchor (q03 pattern, r8)
     "q326_heavy_hitters",  # 1-row total-count anchor (q03 pattern, r8)
+    "q331_scd2_incremental",  # 1-row ts-range cutoff anchor (q216 pattern, r8)
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -318,6 +319,9 @@ PINNED_PATTERNS = {
     "q325_negative_sampling": ["LeftSemi", "LeftAnti"],
     "q327_prefix_sharing": ["partial_"],
     "q328_padding_waste": ["partial_"],
+    # q331: the run recompute must stay per-user windows + keyed joins
+    # (an inequality replay of history would be quadratic per user).
+    "q331_scd2_incremental": ["Window", "LeftAnti", "LeftSemi"],
 }
 
 #: Shuffle-count ceilings for the round-2/3 additions (counted as

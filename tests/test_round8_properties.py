@@ -498,3 +498,74 @@ def test_merge_band_indexes_refuses_family_mix(spark, oracle_sf_dir, tmp_path):
     json.dump(meta, open(f"{pb}/_META.json", "w"))
     with pytest.raises(ValueError, match="hash family"):
         merge_band_indexes(spark, [pa, pb], str(tmp_path / "m"))
+
+
+# --- q331: incremental SCD2 fold (rebuild parity) -----------------------------
+
+
+def test_q331_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q331_scd2_incremental"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_scd2_extend_parity_for_any_cutoff(spark, oracle_sf_dir):
+    """extend(scd2(log < t), log >= t) == scd2(log) for EVERY cutoff —
+    the operator contract q331 relies on, checked at three split points
+    including one that slices mid-run for many users."""
+    from snowflake_stock_dbt_spark.operators.scd2 import (
+        scd2_extend_from_log,
+        scd2_history_from,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = load_table(spark, oracle_sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    full = sorted(
+        tuple(r) for r in scd2_history_from(ev).drop("run_id").collect()
+    )
+    lo, hi = ev.selectExpr(
+        "min(unix_micros(ts))", "max(unix_micros(ts))"
+    ).first()
+    for frac in (0.25, 0.5, 0.9):
+        cut = lo + int((hi - lo) * frac)
+        base = ev.where(F.expr(f"unix_micros(ts) < {cut}"))
+        tail = ev.where(F.expr(f"unix_micros(ts) >= {cut}"))
+        inc = scd2_extend_from_log(scd2_history_from(base), tail)
+        got = sorted(tuple(r) for r in inc.drop("run_id").collect())
+        assert got == full, f"parity broke at cutoff fraction {frac}"
+
+
+def test_scd2_extend_handles_brand_new_users(spark):
+    """A batch user with no history gets runs numbered from 1 and the
+    seedless path must not drop or duplicate anything."""
+    from snowflake_stock_dbt_spark.operators.scd2 import (
+        scd2_extend_from_log,
+        scd2_history_from,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10, "2024-01-01 00:00:00")],
+        "user_id long, event_type string, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tail = spark.createDataFrame(
+        [
+            (1, "b", 20, "2024-01-02 00:00:00"),
+            (2, "x", 30, "2024-01-03 00:00:00"),
+            (2, "x", 31, "2024-01-04 00:00:00"),
+        ],
+        "user_id long, event_type string, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_extend_from_log(scd2_history_from(base), tail)
+    rows = {
+        (r["user_id"], r["run_id"], r["event_type"], r["n_events"])
+        for r in out.collect()
+    }
+    assert (1, 1, "a", 1) in rows and (1, 2, "b", 1) in rows
+    assert (2, 1, "x", 2) in rows
+    assert len(rows) == 3
