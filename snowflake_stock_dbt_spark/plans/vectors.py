@@ -397,17 +397,27 @@ def q106_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round(F.col("cosine"), 9))
 
 
-def _kmeans_unrolled_sql(k: int | str, iters: int) -> str:
+def _kmeans_unrolled_sql(
+    k: int | str, iters: int, train_pred: str | None = None
+) -> str:
     """Generate the DuckDB twin of kmeans_assign: cent0 from hash-seeds,
     then per iteration an exact-integer distance argmin + integer-mean
     update, ending in the final assignment CTE ``asgf``.
 
     ``k`` may be an int literal (q106's fixed IVF list count) or a SQL
     scalar-subquery string (q118's size-derived SemDeDup cluster count) —
-    it only ever appears in the seed-cutoff predicate."""
+    it only ever appears in the seed-cutoff predicate.
+
+    ``train_pred`` (a predicate over bare ``vec_id``) restricts the
+    TRAINING population — seeding, per-iteration assignment, centroid
+    updates — while the FINAL ``asgf`` assignment still covers the whole
+    corpus: the frozen-centroid index-maintenance shape (q332 trains on
+    the initial ingest, then assigns a later batch with the saved
+    quantizer). ``None`` keeps the historical SQL text byte-identical."""
     from ..functions.text import hash60_sql
 
     seed_h = hash60_sql("'seed:' || CAST(vec_id AS VARCHAR)")
+    sh_where = f" WHERE ({train_pred})" if train_pred else ""
     parts = [
         f"""u AS (
     SELECT vec_id, CAST(r.i AS INT) AS pos,
@@ -420,7 +430,7 @@ ui AS (
 sh AS (
     SELECT vec_id,
            ROW_NUMBER() OVER (ORDER BY {seed_h}, vec_id) - 1 AS bucket
-    FROM embeddings
+    FROM embeddings{sh_where}
 ),
 cent0 AS (
     SELECT s.bucket, ui.pos, ui.v9 AS c9
@@ -431,13 +441,16 @@ cent0 AS (
     for t in range(1, iters + 2):
         last = t == iters + 1
         asg = "asgf" if last else f"asg{t}"
+        dist_where = (
+            f"\n    WHERE ({train_pred})" if train_pred and not last else ""
+        )
         parts.append(
             f""",
 dist{t} AS (
     SELECT ui.vec_id, c.bucket,
            SUM(CAST(ui.v9 - c.c9 AS HUGEINT)
              * CAST(ui.v9 - c.c9 AS HUGEINT)) AS d
-    FROM ui JOIN {prev} c USING (pos)
+    FROM ui JOIN {prev} c USING (pos){dist_where}
     GROUP BY ui.vec_id, c.bucket
 ),
 {asg} AS (
@@ -1978,6 +1991,135 @@ def q322_ivfpq_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q322_SQL = Q150_SQL
 
 
+# ---------------------------------------------------------------------------
+# Q332 — IVF index APPEND maintenance: the missing member of the
+# index-as-artifact family (q318 saved+searched, q322 saved the full PQ
+# state, q330 compacted band indexes, q331 incrementally maintained
+# SCD2). A real vector pipeline does not retrain its quantizer per
+# ingest: it trains ONCE on the initial corpus, persists the index, and
+# every later batch is assigned with the FROZEN centroids and appended
+# to the inverted lists — FAISS's add() against a trained index.
+#
+#   train on the initial ingest (vec_id % 10 <> 7)
+#     → save artifact (centroids + bucket-partitioned postings)
+#     → later batch (vec_id % 10 = 7) assigned via the LOADED centroids
+#       (preload_trained_codebook: the cache consumes disk state)
+#     → append_ivf_postings: new parquet files inside the same bucket=N
+#       partition dirs + _META count bump — O(|batch|) work, no rewrite
+#     → reload; recount-audit (n_base + n_batch, loud raise on drift)
+#     → q106's exact-decimal probe/re-rank over the appended postings.
+#
+# Parity contract: append-then-search == train-on-base-assign-everyone,
+# so the oracle is Q106_SQL with the training population restricted to
+# the base predicate while the final assignment covers the full corpus
+# (_kmeans_unrolled_sql train_pred) — any lost/doubled batch row, wrong
+# frozen assignment, or centroid drift breaks the value hash.
+#
+# 100 TB posture: maintenance cost is bounded by the BATCH (one shuffle
+# of |batch| two-int rows into the partitioned layout), never the
+# corpus; the search path is exactly q318's (nprobe partition-pruned
+# posting scan, packed-centroid broadcast assignment).
+# ---------------------------------------------------------------------------
+
+#: Later-ingest batch: every 10th vector (by id) arrives after the index
+#: was trained and saved. Written over bare vec_id so the same text
+#: serves the Spark filter and the oracle's train_pred.
+_MAINT_BATCH_MOD = 10
+_MAINT_BATCH_REM = 7
+
+
+def q332_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        kmeans_assign,
+        preload_trained_codebook,
+    )
+    from ..sinks.ann_index import (
+        append_ivf_postings,
+        ivf_index_path,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (F.col("vec_id") % _MAINT_BATCH_MOD) == _MAINT_BATCH_REM
+    base, batch = emb.where(~is_batch), emb.where(is_batch)
+    n_base, n_batch = base.count(), batch.count()
+    bucketed, cent = kmeans_assign(
+        base,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "maintbase"),
+        return_centroids=True,
+    )
+    path = ivf_index_path(sf_dir) + "_maint"
+    save_ivf_index(
+        spark,
+        cent,
+        bucketed.select("vec_id", "bucket"),
+        path,
+        meta={"iters": KMEANS_ITERS, "source": sf_dir, "n_postings": n_base},
+    )
+    loaded_cent, _, _ = load_ivf_index(spark, path)
+    if loaded_cent != cent:
+        raise ValueError(
+            f"ANN index round-trip drift at {path}: loaded centroids "
+            "differ from trained"
+        )
+    # The append job consumes the LOADED quantizer, not the trainer's
+    # in-memory state — the cache key is distinct so the frozen
+    # assignment provably runs off disk state.
+    preload_trained_codebook(
+        (id(spark), sf_dir, "maintload"), KMEANS_K, KMEANS_ITERS, loaded_cent
+    )
+    batch_bucketed = kmeans_assign(
+        batch,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "maintload"),
+    )
+    append_ivf_postings(
+        spark,
+        batch_bucketed.select("vec_id", "bucket"),
+        path,
+        tag="ingest1",
+        n_new=n_batch,
+    )
+    cent2, postings, meta2 = load_ivf_index(spark, path)
+    if cent2 != cent:
+        raise ValueError(
+            f"ANN index at {path} lost its centroids across the append"
+        )
+    n_loaded = postings.count()
+    if n_loaded != n_base + n_batch or meta2.get("n_postings") != n_loaded:
+        raise ValueError(
+            f"appended index at {path} failed its recount audit: "
+            f"{n_loaded} postings loaded, expected {n_base + n_batch} "
+            f"(meta says {meta2.get('n_postings')})"
+        )
+    searchable = emb.join(postings, "vec_id")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = ivf_topk_exact(
+        queries, searchable, bucket_col="bucket", k=TOP_K, nprobe=IVF_NPROBE
+    )
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+_MAINT_TRAIN_PRED = f"vec_id % {_MAINT_BATCH_MOD} <> {_MAINT_BATCH_REM}"
+
+#: Append-then-search == train-on-base, frozen-assign-everyone: q106's
+#: oracle with the training CTEs restricted to the base population.
+Q332_SQL = Q106_SQL.replace(
+    _kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS),
+    _kmeans_unrolled_sql(
+        KMEANS_K, KMEANS_ITERS, train_pred=_MAINT_TRAIN_PRED
+    ),
+)
+if Q332_SQL == Q106_SQL:  # pragma: no cover - import-time self-check
+    raise AssertionError(
+        "Q332_SQL failed to specialize Q106_SQL's training CTEs"
+    )
+
+
 VECTOR_QUERIES = {
     "q271_ann_recall": q271_ann_recall,
     "q289_embedding_hygiene": q289_embedding_hygiene,
@@ -2000,6 +2142,7 @@ VECTOR_QUERIES = {
     "q260_cluster_quality": q260_cluster_quality,
     "q318_ann_saved_index": q318_ann_saved_index,
     "q322_ivfpq_saved_index": q322_ivfpq_saved_index,
+    "q332_ivf_index_append": q332_ivf_index_append,
 }
 
 VECTOR_ORACLES = {
@@ -2024,4 +2167,5 @@ VECTOR_ORACLES = {
     "q78_embedding_quantize": Q78_SQL,
     "q318_ann_saved_index": Q318_SQL,
     "q322_ivfpq_saved_index": Q322_SQL,
+    "q332_ivf_index_append": Q332_SQL,
 }

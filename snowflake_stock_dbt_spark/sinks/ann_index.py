@@ -108,6 +108,58 @@ def save_ivf_index(
     return info
 
 
+def append_ivf_postings(
+    spark: SparkSession,
+    postings: DataFrame,
+    path: str,
+    tag: str,
+    n_new: int,
+) -> dict:
+    """Fold a later ingest batch's inverted-list rows into an EXISTING
+    index artifact — the ANN mirror of band-index compaction (q330) and
+    incremental SCD2 (q331): maintenance that extends a persisted
+    artifact without retraining or rewriting it. New parquet files land
+    INSIDE the same ``bucket=N`` partition directories (exactly how a
+    partitioned lake table takes appends — the write shuffles only the
+    batch, O(|batch|) two-int rows), and ``_META.json``'s posting count
+    advances so readers can recount-audit the artifact.
+
+    Idempotent per (artifact, tag): a marker file records an applied
+    batch, so sweep/bench re-runs of the same registered query never
+    double-append. A concurrent full rebuild that replaces the artifact
+    also removes the marker (the publish is a directory rename), which
+    re-arms the append — and q332's post-reload recount raises loudly if
+    any interleaving dropped or doubled a batch."""
+    meta_path = f"{path}/_META.json"
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no ANN index artifact at {path} to append to (expected "
+            "_META.json; run save_ivf_index first)"
+        )
+    marker = f"{path}/_APPEND_{tag}.json"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    (
+        postings.select(
+            F.col("bucket").cast("int"), F.col("vec_id").cast("long")
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings.parquet")
+    )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["n_postings"] = int(meta.get("n_postings", 0)) + int(n_new)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    info = {"tag": tag, "n_new": int(n_new)}
+    with open(marker, "w") as f:
+        json.dump(info, f)
+    _SAVED[path] = meta
+    return info
+
+
 def save_pq_index(
     spark: SparkSession,
     coarse: list[tuple[int, list[int]]],

@@ -41,6 +41,9 @@ BNL_ALLOWED = {
     # `Cross BuildRight` on k<=64-row packed-codebook singletons).
     "q318_ann_saved_index",
     "q322_ivfpq_saved_index",
+    # q332 appends to the q318 artifact then re-runs the same search
+    # path: identical bounded packed-centroid broadcast crossJoins.
+    "q332_ivf_index_append",
     "q151_knn_graph",  # packed-centroid broadcasts (q118 pattern)
     "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)

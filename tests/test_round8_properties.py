@@ -569,3 +569,76 @@ def test_scd2_extend_handles_brand_new_users(spark):
     assert (1, 1, "a", 1) in rows and (1, 2, "b", 1) in rows
     assert (2, 1, "x", 2) in rows
     assert len(rows) == 3
+
+
+# --- q332: IVF index APPEND maintenance (index-as-artifact family) -----------
+
+
+def test_q332_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q332_ivf_index_append"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_append_ivf_postings_idempotent_per_tag(spark, tmp_path):
+    """Same (artifact, tag) twice = one append; a new tag appends again.
+    The marker-file guard is what makes sweep/bench re-runs of q332 safe."""
+    from snowflake_stock_dbt_spark.sinks.ann_index import (
+        append_ivf_postings,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1)], "vec_id long, bucket int"
+    )
+    save_ivf_index(
+        spark,
+        [(0, [1, 2]), (1, [3, 4])],
+        base,
+        path,
+        meta={"n_postings": 3},
+    )
+    batch = spark.createDataFrame([(10, 1), (11, 0)], "vec_id long, bucket int")
+    append_ivf_postings(spark, batch, path, tag="b1", n_new=2)
+    append_ivf_postings(spark, batch, path, tag="b1", n_new=2)
+    _, postings, meta = load_ivf_index(spark, path)
+    assert postings.count() == 5
+    assert meta["n_postings"] == 5
+    append_ivf_postings(spark, batch, path, tag="b2", n_new=2)
+    _, postings, meta = load_ivf_index(spark, path)
+    assert postings.count() == 7
+    assert meta["n_postings"] == 7
+
+
+def test_append_ivf_postings_refuses_missing_artifact(spark, tmp_path):
+    import pytest as _pytest
+
+    from snowflake_stock_dbt_spark.sinks.ann_index import append_ivf_postings
+
+    batch = spark.createDataFrame([(1, 0)], "vec_id long, bucket int")
+    with _pytest.raises(FileNotFoundError):
+        append_ivf_postings(
+            spark, batch, str(tmp_path / "nope"), tag="b", n_new=1
+        )
+
+
+def test_q332_oracle_restricts_training_population():
+    """The specialized oracle must gate seeding and the per-iteration
+    CTEs on the base predicate but leave the FINAL assignment global."""
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        _MAINT_TRAIN_PRED,
+        Q106_SQL,
+        Q332_SQL,
+    )
+
+    assert Q332_SQL != Q106_SQL
+    # seeds + iters 1..2 are gated (3 WHEREs), the final dist3 is not.
+    assert Q332_SQL.count(f"({_MAINT_TRAIN_PRED})") == 3
+    tail = Q332_SQL.split("dist3 AS", 1)[1].split("asgf AS", 1)[0]
+    assert _MAINT_TRAIN_PRED not in tail
