@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import SQL_DEC_SUM, dec_sum
 from ..functions.partitioning import ensure_min_parallelism
 from ..functions.text import (
     PII_PATTERNS,
@@ -1922,6 +1923,129 @@ ORDER BY source, lang
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Q333 — Per-entity TEMPORAL train/valid/test split at DAY granularity
+# + boundary blast-radius audit. q65 splits documents by hash (i.i.d.
+# eval); user-level models need the TEMPORAL split — per user, the first
+# ~80% of their history trains, the next ~10% validates, the rest tests
+# — and practice rounds the cut to a CONTEXT boundary (here: calendar
+# day) so no session/day is bisected across splits. Every user-day is
+# assigned wholesale to the split of its first event.
+#
+# Rank math is pure integers (r*10 <= n*8; the first event always trains
+# so no user has an empty train slice); ties break on event_id — the
+# same total order on both engines. Day rounding MOVES events relative
+# to the pure rank cut (a boundary day's tail events get pulled into the
+# day's opening split); the audit column n_moved counts them per cell —
+# the rounding's leak blast radius, which a reviewer must see before
+# trusting the split (the q299 late-data blast-radius discipline applied
+# to eval design).
+#
+# Output: split composition matrix (day-granular split × event_type:
+# events, users, exact-decimal value sum, time span, n_moved).
+#
+# Scale: ONE shuffle by user_id; the rank and per-user count windows run
+# on it, and the (user_id, day) windows reuse it too — HashPartitioning
+# on a subset key satisfies the clustered distribution, so no second
+# exchange. The final composition agg is map-side-combinable on a tiny
+# key space.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q333_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    whole = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    day_w = Window.partitionBy("user_id", "day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.row_number().over(w).alias("r"),
+        )
+        .withColumn("n", F.count("*").over(whole))
+        .withColumn("day", F.expr(f"us div {_DAY_US}"))
+    )
+    tagged = ranked.withColumn(
+        "split",
+        F.when(
+            (F.col("r") * 10 <= F.col("n") * 8) | (F.col("r") == 1), "train"
+        )
+        .when(F.col("r") * 10 <= F.col("n") * 9, "valid")
+        .otherwise("test"),
+    )
+    dayed = tagged.withColumn("day_min_r", F.min("r").over(day_w)).withColumn(
+        "day_split",
+        F.max(
+            F.when(F.col("r") == F.col("day_min_r"), F.col("split"))
+        ).over(day_w),
+    )
+    moved = F.when(F.col("split") != F.col("day_split"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        dayed.groupBy(F.col("day_split").alias("split"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            dec_sum("value").alias("value_sum"),
+            F.min("us").cast("long").alias("min_us"),
+            F.max("us").cast("long").alias("max_us"),
+            F.sum(moved).cast("long").alias("n_moved"),
+        )
+        .orderBy("split", "event_type")
+    )
+
+
+Q333_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_type, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS r,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+tagged AS (
+    SELECT *, CASE WHEN r * 10 <= n * 8 OR r = 1 THEN 'train'
+                   WHEN r * 10 <= n * 9 THEN 'valid'
+                   ELSE 'test' END AS split
+    FROM base
+),
+dayed AS (
+    SELECT *, MIN(r) OVER (PARTITION BY user_id, day) AS day_min_r
+    FROM tagged
+),
+ds AS (
+    SELECT *, MAX(CASE WHEN r = day_min_r THEN split END)
+                  OVER (PARTITION BY user_id, day) AS day_split
+    FROM dayed
+)
+SELECT day_split AS split, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {SQL_DEC_SUM.format(x="value")} AS value_sum,
+       CAST(MIN(us) AS BIGINT) AS min_us,
+       CAST(MAX(us) AS BIGINT) AS max_us,
+       CAST(SUM(CASE WHEN split <> day_split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+FROM ds
+GROUP BY day_split, event_type
+ORDER BY split, event_type
+"""
+
+
 def q324_feature_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
@@ -2130,9 +2254,11 @@ CURATION_QUERIES = {
     "q156_mixture_allocation": q156_mixture_allocation,
     "q162_shard_manifest": q162_shard_manifest,
     "q175_pps_sample": q175_pps_sample,
+    "q333_temporal_split": q333_temporal_split,
 }
 
 CURATION_ORACLES = {
+    "q333_temporal_split": Q333_SQL,
     "q324_feature_asof": Q324_SQL,
     "q325_negative_sampling": Q325_SQL,
     "q276_interleave_schedule": Q276_SQL,

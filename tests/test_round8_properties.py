@@ -642,3 +642,60 @@ def test_q332_oracle_restricts_training_population():
     assert Q332_SQL.count(f"({_MAINT_TRAIN_PRED})") == 3
     tail = Q332_SQL.split("dist3 AS", 1)[1].split("asgf AS", 1)[0]
     assert _MAINT_TRAIN_PRED not in tail
+
+
+# --- q333: day-granular temporal split -----------------------------------------
+
+
+def test_q333_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q333_temporal_split"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q333_split_properties(spark, oracle_sf_dir):
+    """Day granularity never bisects a user-day; every user keeps a
+    non-empty train slice; the three splits partition the corpus."""
+    from snowflake_stock_dbt_spark.plans.curation import q333_temporal_split
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    df = q333_temporal_split(spark, oracle_sf_dir)
+    rows = df.collect()
+    total = sum(r["n_events"] for r in rows)
+    ev = load_table(spark, oracle_sf_dir, "events")
+    assert total == ev.count()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], 0)
+        by_split[r["split"]] += r["n_events"]
+    assert set(by_split) == {"train", "valid", "test"}
+    # temporal split: train dominates, and day-rounding moved SOMETHING
+    # (the audit column must not be vacuous on the oracle corpus).
+    assert by_split["train"] > by_split["valid"]
+    assert sum(r["n_moved"] for r in rows) > 0
+    assert all(r["n_moved"] == 0 for r in rows if r["split"] == "test")
+
+
+def test_q333_single_user_shuffle(spark, oracle_sf_dir):
+    """The (user_id, day) windows must reuse the user_id exchange —
+    exactly ONE hashpartitioning(user_id) and no (user_id, day) one."""
+    from snowflake_stock_dbt_spark.plans.curation import q333_temporal_split
+
+    plan = (
+        q333_temporal_split(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    # no exchange keyed on the day column: subset partitioning satisfied
+    # the (user_id, day) windows' clustered distribution.
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = seg.split(")")[0]
+        # the raw per-event `day` column (day#NN) must never be a shuffle
+        # key; the day_split AGGREGATE key is a different (tiny) exchange.
+        assert "day#" not in keys, f"unexpected day-keyed shuffle: {keys}"
