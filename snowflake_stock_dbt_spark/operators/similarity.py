@@ -1023,3 +1023,81 @@ def knn_graph(
         .where(F.col("rank") <= k)
         .select("src_id", "dst_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    pairsim: DataFrame,
+    k: int = 5,
+    w_rel: int = 7,
+    w_div: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+    ``w_rel·rel − w_div·max_sim_to_already_selected`` — relevance traded
+    against redundancy, the standard post-retrieval diversification in
+    RAG context assembly.
+
+    Inputs are integer nano-cosine grids so every comparison is exact on
+    any engine: ``cand`` = (query_id, cand_id, rel_n), ``pairsim`` =
+    (query_id, a_id, b_id, sim_n) over candidate pairs. Returns
+    (query_id, cand_id, sel_rank, rel_n) with sel_rank 1..k; selection 1
+    is pure argmax relevance (nothing selected yet), ties always break
+    to the smallest cand_id.
+
+    The greedy loop is unrolled as ``k`` DataFrame rounds (anti-join the
+    selected set, max-sim agg against it, window argmax) — the identical
+    unrolling the SQL oracle spells out, so the whole diversification
+    carries a full value oracle. Both inputs are localCheckpointed:
+    they are bounded candidate state (|queries|·m and |queries|·m²
+    rows), and the k rounds must not replay the corpus-scale candidate
+    generation upstream of them.
+    """
+    cand = cand.localCheckpoint()
+    pairsim = pairsim.localCheckpoint()
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel_n").desc(), "cand_id"
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.lit(1).cast("int").alias("sel_rank"),
+            "rel_n",
+        )
+    )
+    out = sel
+    selset = sel.select("query_id", "cand_id")
+    for t in range(2, k + 1):
+        rem = cand.join(selset, ["query_id", "cand_id"], "left_anti")
+        maxsim = (
+            pairsim.join(
+                selset.withColumnRenamed("cand_id", "b_id"),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", F.col("a_id").alias("cand_id"))
+            .agg(F.max("sim_n").alias("maxsim_n"))
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            (
+                F.col("rel_n") * F.lit(w_rel)
+                - F.col("maxsim_n") * F.lit(w_div)
+            ).desc(),
+            "cand_id",
+        )
+        sel = (
+            rem.join(maxsim, ["query_id", "cand_id"])
+            .withColumn("rn", F.row_number().over(wt))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(t).cast("int").alias("sel_rank"),
+                "rel_n",
+            )
+        )
+        out = out.union(sel)
+        selset = selset.union(sel.select("query_id", "cand_id"))
+    return out

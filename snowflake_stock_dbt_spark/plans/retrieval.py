@@ -814,7 +814,204 @@ ORDER BY 1, 2
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q334 — MMR diversified top-k retrieval (Carbonell & Goldstein, SIGIR
+# 1998): the diversification stage RAG context assembly runs after
+# candidate retrieval — q211 fuses rankings (RRF), q334 de-redundifies
+# one. Per query: exact-cosine top-m candidates, then k greedy rounds of
+# argmax(w_rel·rel − w_div·max-sim-to-selected), λ = 0.7 as the integer
+# weights 7/3.
+#
+# Determinism: relevance and pairwise similarity land on an integer
+# NANO-cosine grid (ROUND(cos·1e9) — the q25 exact-decimal cosine
+# first), so every greedy comparison is integer math; ties break to the
+# smallest cand_id. The greedy loop is unrolled identically on both
+# engines (operators/similarity.mmr_rerank ↔ the step CTEs below).
+#
+# Scale: candidate generation is the only corpus-scale stage (q25's
+# broadcast-queries shape, no |corpus|×dim shuffle); everything after
+# runs on bounded candidate state (|Q|·m rows, |Q|·m² pair sims) that is
+# localCheckpointed so the k rounds never replay the scan. Cost is
+# O(|Q|·m²) pair scoring + k bounded rounds — independent of corpus size
+# past retrieval.
+# ---------------------------------------------------------------------------
+
+MMR_NQ = 5
+MMR_M = 12
+MMR_K = 5
+MMR_W_REL = 7
+MMR_W_DIV = 3
+
+
+def q334_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_exact, norm_exact
+    from ..operators.similarity import cosine_topk_exact, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < MMR_NQ)
+    topm = cosine_topk_exact(queries, emb, k=MMR_M)
+    cand = topm.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.round(F.col("cosine") * F.lit(1e9)).cast("long").alias("rel_n"),
+    )
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        norm_exact(F.col("embedding")).alias("vn"),
+    )
+    av = vecs.selectExpr(
+        "vec_id AS a_id", "vec AS a_vec", "vn AS a_n"
+    ).join(
+        F.broadcast(cand.select("query_id", F.col("cand_id").alias("a_id"))),
+        "a_id",
+    )
+    bv = vecs.selectExpr(
+        "vec_id AS b_id", "vec AS b_vec", "vn AS b_n"
+    ).join(
+        F.broadcast(cand.select("query_id", F.col("cand_id").alias("b_id"))),
+        "b_id",
+    )
+    pairsim = (
+        av.join(bv, "query_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                dot_exact(F.col("a_vec"), F.col("b_vec"))
+                / F.nullif(F.col("a_n") * F.col("b_n"), F.lit(0.0))
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("sim_n"),
+        )
+    )
+    return mmr_rerank(
+        cand, pairsim, k=MMR_K, w_rel=MMR_W_REL, w_div=MMR_W_DIV
+    ).orderBy("query_id", "sel_rank")
+
+
+def _mmr_unrolled_sql(nq: int, m: int, k: int, w_rel: int, w_div: int) -> str:
+    """DuckDB twin of q334: q25-shaped candidate generation to rank m,
+    nano-grid quantization, then the k greedy rounds as unrolled CTEs."""
+    head = f"""
+qv AS (
+    SELECT vec_id AS q_id, embedding AS e FROM embeddings
+    WHERE vec_id < {nq}
+),
+qe AS (
+    SELECT q_id, CAST(r.i AS INT) AS pos, CAST(e[r.i + 1] AS DOUBLE) AS v
+    FROM qv CROSS JOIN range(0, 4096) r(i) WHERE r.i < len(e)
+),
+ce AS (
+    SELECT vec_id AS c_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i)
+    WHERE r.i < len(embedding)
+),
+qn AS (
+    SELECT q_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS qn
+    FROM qe GROUP BY q_id
+),
+cn AS (
+    SELECT c_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+    FROM ce GROUP BY c_id
+),
+dots AS (
+    SELECT q_id, c_id,
+           CAST(SUM(CAST(qe.v * ce.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM qe JOIN ce USING (pos)
+    WHERE q_id <> c_id
+    GROUP BY q_id, c_id
+),
+rel AS (
+    SELECT q_id AS query_id, c_id AS cand_id,
+           dot / NULLIF(qn * cn, 0.0) AS cosine
+    FROM dots JOIN qn USING (q_id) JOIN cn USING (c_id)
+),
+cand AS (
+    SELECT query_id, cand_id,
+           CAST(ROUND(cosine * 1000000000) AS BIGINT) AS rel_n
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, cand_id
+        ) AS rnk
+        FROM rel
+    ) WHERE rnk <= {m}
+),
+pc AS (
+    SELECT c1.query_id, c1.cand_id AS a_id, c2.cand_id AS b_id
+    FROM cand c1 JOIN cand c2 USING (query_id)
+    WHERE c1.cand_id <> c2.cand_id
+),
+pd AS (
+    SELECT pc.query_id, pc.a_id, pc.b_id,
+           CAST(SUM(CAST(ea.v * eb.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM pc
+    JOIN ce ea ON ea.c_id = pc.a_id
+    JOIN ce eb ON eb.c_id = pc.b_id AND eb.pos = ea.pos
+    GROUP BY 1, 2, 3
+),
+psim AS (
+    SELECT pd.query_id, pd.a_id, pd.b_id,
+           CAST(ROUND(pd.dot / NULLIF(ca.cn * cb.cn, 0.0) * 1000000000)
+                AS BIGINT) AS sim_n
+    FROM pd
+    JOIN cn ca ON ca.c_id = pd.a_id
+    JOIN cn cb ON cb.c_id = pd.b_id
+),
+sel1 AS (
+    SELECT query_id, cand_id, 1 AS sel_rank, rel_n FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel_n DESC, cand_id
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+),
+selset1 AS (SELECT query_id, cand_id FROM sel1)"""
+    parts = [head]
+    for t in range(2, k + 1):
+        parts.append(f""",
+step{t} AS (
+    SELECT c.query_id, c.cand_id, c.rel_n, MAX(p.sim_n) AS maxsim_n
+    FROM cand c
+    JOIN psim p ON p.query_id = c.query_id AND p.a_id = c.cand_id
+    JOIN selset{t - 1} s ON s.query_id = p.query_id AND s.cand_id = p.b_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM selset{t - 1} x
+        WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id
+    )
+    GROUP BY 1, 2, 3
+),
+sel{t} AS (
+    SELECT query_id, cand_id, {t} AS sel_rank, rel_n FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY {w_rel} * rel_n - {w_div} * maxsim_n DESC, cand_id
+        ) AS rn FROM step{t}
+    ) WHERE rn = 1
+),
+selset{t} AS (
+    SELECT * FROM selset{t - 1}
+    UNION ALL SELECT query_id, cand_id FROM sel{t}
+)""")
+    union = "\n    UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(1, k + 1))
+    parts.append(f"""
+SELECT query_id, cand_id, CAST(sel_rank AS INT) AS sel_rank, rel_n
+FROM ({union})
+ORDER BY query_id, sel_rank
+""")
+    return "WITH" + "".join(parts)
+
+
+Q334_SQL = _mmr_unrolled_sql(MMR_NQ, MMR_M, MMR_K, MMR_W_REL, MMR_W_DIV)
+
+
 RETRIEVAL_QUERIES = {
+    "q334_mmr_rerank": q334_mmr_rerank,
     "q255_phrase_search": q255_phrase_search,
     "q211_rrf_hybrid": q211_rrf_hybrid,
     "q201_inverted_index": q201_inverted_index,
@@ -825,6 +1022,7 @@ RETRIEVAL_QUERIES = {
 }
 
 RETRIEVAL_ORACLES = {
+    "q334_mmr_rerank": Q334_SQL,
     "q255_phrase_search": Q255_SQL,
     "q211_rrf_hybrid": Q211_SQL,
     "q201_inverted_index": Q201_SQL,

@@ -699,3 +699,102 @@ def test_q333_single_user_shuffle(spark, oracle_sf_dir):
         # the raw per-event `day` column (day#NN) must never be a shuffle
         # key; the day_split AGGREGATE key is a different (tiny) exchange.
         assert "day#" not in keys, f"unexpected day-keyed shuffle: {keys}"
+
+
+# --- q334: MMR diversified retrieval ------------------------------------------
+
+
+def test_q334_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q334_mmr_rerank"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_mmr_rerank_python_replay(spark):
+    """The unrolled-DataFrame greedy loop must equal a literal Python
+    MMR over the same integer grids, including tie behavior."""
+    from snowflake_stock_dbt_spark.operators.similarity import mmr_rerank
+
+    cand_rows = [
+        (1, 10, 900), (1, 11, 890), (1, 12, 880), (1, 13, 500),
+        (2, 20, 700), (2, 21, 700), (2, 22, 100),
+    ]
+    sim_rows = [
+        # query 1: 10 and 11 are near-duplicates; 13 is far from all.
+        (1, 10, 11, 990), (1, 11, 10, 990),
+        (1, 10, 12, 300), (1, 12, 10, 300),
+        (1, 11, 12, 310), (1, 12, 11, 310),
+        (1, 10, 13, 10), (1, 13, 10, 10),
+        (1, 11, 13, 20), (1, 13, 11, 20),
+        (1, 12, 13, 30), (1, 13, 12, 30),
+        # query 2: tie on relevance (20 vs 21) -> smallest id first.
+        (2, 20, 21, 500), (2, 21, 20, 500),
+        (2, 20, 22, 400), (2, 22, 20, 400),
+        (2, 21, 22, 600), (2, 22, 21, 600),
+    ]
+    cand = spark.createDataFrame(
+        cand_rows, "query_id long, cand_id long, rel_n long"
+    )
+    sim = spark.createDataFrame(
+        sim_rows, "query_id long, a_id long, b_id long, sim_n long"
+    )
+    got = {
+        (r["query_id"], r["sel_rank"]): r["cand_id"]
+        for r in mmr_rerank(cand, sim, k=3).collect()
+    }
+
+    def replay(q):
+        cands = {c: r for qq, c, r in cand_rows if qq == q}
+        sims = {(a, b): s for qq, a, b, s in sim_rows if qq == q}
+        sel = [min(cands, key=lambda c: (-cands[c], c))]
+        while len(sel) < 3 and len(sel) < len(cands):
+            rest = [c for c in cands if c not in sel]
+            sel.append(
+                min(
+                    rest,
+                    key=lambda c: (
+                        -(7 * cands[c] - 3 * max(sims[(c, s)] for s in sel)),
+                        c,
+                    ),
+                )
+            )
+        return sel
+
+    for q in (1, 2):
+        exp = replay(q)
+        assert [got[(q, t + 1)] for t in range(len(exp))] == exp
+    # diversification is real: query 1 skips the near-dup 11 at rank 2.
+    assert got[(1, 1)] == 10 and got[(1, 2)] == 12
+    # relevance tie at rank 1 goes to the smallest cand_id.
+    assert got[(2, 1)] == 20
+
+
+def test_q334_differs_from_pure_topk(spark, oracle_sf_dir):
+    """Non-vacuity on the oracle corpus: MMR's selection order must not
+    be identical to pure relevance ranking for every query."""
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        cosine_topk_exact,
+    )
+    from snowflake_stock_dbt_spark.plans.retrieval import (
+        MMR_K,
+        MMR_NQ,
+        q334_mmr_rerank,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < MMR_NQ)
+    pure = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_exact(queries, emb, k=MMR_K).collect()
+    }
+    mmr = {
+        (r["query_id"], r["sel_rank"]): r["cand_id"]
+        for r in q334_mmr_rerank(spark, oracle_sf_dir).collect()
+    }
+    assert set(pure) == set(mmr)
+    assert any(pure[key] != mmr[key] for key in pure)
