@@ -2120,6 +2120,160 @@ if Q332_SQL == Q106_SQL:  # pragma: no cover - import-time self-check
     )
 
 
+# ---------------------------------------------------------------------------
+# Q335 — Matryoshka truncated-dimension funnel audit. MRL-style
+# embeddings (Kusupati et al., NeurIPS 2022) let retrieval prefilter on
+# a PREFIX of the vector (here: first 16 of 64 dims — 4× less compute
+# and I/O per score) and re-rank only the survivors at full width — the
+# two-stage funnel every production vector store runs. Before shipping
+# that funnel you must MEASURE what the cheap stage loses: per query,
+# recall@k of (truncated top-m → full-dim re-rank → top-k) against the
+# exact full-dim top-k.
+#
+# Everything is the q25 exact-decimal cosine on both engines (the
+# truncated stage just caps the position explode / F.slice), so the
+# audit carries a full value oracle. On this synthetic corpus the
+# measured recall is LOW (random dims are uncorrelated; a trained MRL
+# embedding front-loads variance) — which is precisely the verdict the
+# audit exists to deliver before anyone trusts a truncation width.
+#
+# Scale: the truncated scan is the only corpus-scale stage and scores
+# 16-dim prefixes (the packed-broadcast q25 shape, no |corpus|×dim
+# shuffle); the re-rank touches |Q|·m candidates. The recall join is
+# |Q|·k rows.
+# ---------------------------------------------------------------------------
+
+MAT_DIMS = 16
+MAT_M = 12
+
+
+def q335_matryoshka_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_exact, norm_exact
+    from ..operators.similarity import cosine_topk_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, MAT_DIMS).alias("embedding")
+    )
+    pre = cosine_topk_exact(
+        emb_t.where(F.col("vec_id") < N_QUERY_VECS), emb_t, k=MAT_M
+    ).select("query_id", "neighbor_id")
+    qv = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm_exact(F.col("embedding")).alias("qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        norm_exact(F.col("embedding")).alias("cn"),
+    )
+    rr = (
+        pre.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), "neighbor_id"
+    )
+    sel = (
+        rr.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    truth = cosine_topk_exact(
+        emb.where(F.col("vec_id") < N_QUERY_VECS), emb, k=TOP_K
+    ).select("query_id", "neighbor_id")
+    per_q = truth.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    ov = (
+        truth.join(sel, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        per_q.join(ov, "query_id", "left")
+        .na.fill(0, ["n_overlap"])
+        .selectExpr(
+            "query_id",
+            "n_truth",
+            "n_overlap",
+            "CAST(1000 * n_overlap DIV n_truth AS BIGINT) AS recall_milli",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _rank_ctes_sql(tag: str, dimcap: int | None, nq: int) -> str:
+    """Q25-shaped per-query cosine ranking CTEs, optionally over only the
+    first ``dimcap`` vector positions (the matryoshka prefix)."""
+    pred = f"pos < {dimcap}" if dimcap else "TRUE"
+    return f"""
+{tag}q AS (SELECT vec_id AS q_id, pos, v FROM ce
+           WHERE vec_id < {nq} AND {pred}),
+{tag}c AS (SELECT vec_id AS c_id, pos, v FROM ce WHERE {pred}),
+{tag}qn AS (
+    SELECT q_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS qn
+    FROM {tag}q GROUP BY q_id
+),
+{tag}cn AS (
+    SELECT c_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+    FROM {tag}c GROUP BY c_id
+),
+{tag}d AS (
+    SELECT q_id, c_id,
+           CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM {tag}q a JOIN {tag}c b USING (pos)
+    WHERE q_id <> c_id GROUP BY q_id, c_id
+),
+{tag}r AS (
+    SELECT q_id, c_id, ROW_NUMBER() OVER (
+        PARTITION BY q_id
+        ORDER BY dot / NULLIF(qn * cn, 0.0) DESC NULLS LAST, c_id
+    ) AS rnk
+    FROM {tag}d JOIN {tag}qn USING (q_id) JOIN {tag}cn USING (c_id)
+)"""
+
+
+Q335_SQL = f"""
+WITH ce AS (
+    SELECT vec_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(0, 4096) r(i)
+    WHERE r.i < len(embedding)
+),{_rank_ctes_sql("f", None, N_QUERY_VECS)},{_rank_ctes_sql("t", MAT_DIMS, N_QUERY_VECS)},
+pre AS (SELECT q_id, c_id FROM tr WHERE rnk <= {MAT_M}),
+rr AS (
+    SELECT fd.q_id, fd.c_id, ROW_NUMBER() OVER (
+        PARTITION BY fd.q_id
+        ORDER BY dot / NULLIF(qn * cn, 0.0) DESC NULLS LAST, fd.c_id
+    ) AS rnk
+    FROM fd
+    JOIN pre ON pre.q_id = fd.q_id AND pre.c_id = fd.c_id
+    JOIN fqn ON fqn.q_id = fd.q_id
+    JOIN fcn ON fcn.c_id = fd.c_id
+),
+truth AS (SELECT q_id, c_id FROM fr WHERE rnk <= {TOP_K}),
+sel AS (SELECT q_id, c_id FROM rr WHERE rnk <= {TOP_K})
+SELECT t.q_id AS query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(s.c_id) AS BIGINT) AS n_overlap,
+       CAST(1000 * COUNT(s.c_id) // COUNT(*) AS BIGINT) AS recall_milli
+FROM truth t
+LEFT JOIN sel s ON s.q_id = t.q_id AND s.c_id = t.c_id
+GROUP BY t.q_id
+ORDER BY query_id
+"""
+
+
 VECTOR_QUERIES = {
     "q271_ann_recall": q271_ann_recall,
     "q289_embedding_hygiene": q289_embedding_hygiene,
@@ -2143,6 +2297,7 @@ VECTOR_QUERIES = {
     "q318_ann_saved_index": q318_ann_saved_index,
     "q322_ivfpq_saved_index": q322_ivfpq_saved_index,
     "q332_ivf_index_append": q332_ivf_index_append,
+    "q335_matryoshka_funnel": q335_matryoshka_funnel,
 }
 
 VECTOR_ORACLES = {
@@ -2168,4 +2323,5 @@ VECTOR_ORACLES = {
     "q318_ann_saved_index": Q318_SQL,
     "q322_ivfpq_saved_index": Q322_SQL,
     "q332_ivf_index_append": Q332_SQL,
+    "q335_matryoshka_funnel": Q335_SQL,
 }

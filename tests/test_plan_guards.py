@@ -44,6 +44,9 @@ BNL_ALLOWED = {
     # q332 appends to the q318 artifact then re-runs the same search
     # path: identical bounded packed-centroid broadcast crossJoins.
     "q332_ivf_index_append",
+    # q335 runs q25's query-set×corpus scoring broadcast twice (full +
+    # truncated widths) — the same bounded |Q|-row build side.
+    "q335_matryoshka_funnel",
     "q151_knn_graph",  # packed-centroid broadcasts (q118 pattern)
     "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)

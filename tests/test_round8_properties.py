@@ -798,3 +798,41 @@ def test_q334_differs_from_pure_topk(spark, oracle_sf_dir):
     }
     assert set(pure) == set(mmr)
     assert any(pure[key] != mmr[key] for key in pure)
+
+
+# --- q335: matryoshka truncated-dim funnel audit -------------------------------
+
+
+def test_q335_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q335_matryoshka_funnel"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q335_full_width_prefilter_is_perfect(spark, oracle_sf_dir):
+    """Sanity anchor: with the truncation widened to the FULL dimension,
+    the two-stage funnel must recover the exact top-k (recall 1000) —
+    the audit measures the truncation, not the funnel plumbing."""
+    import snowflake_stock_dbt_spark.plans.vectors as V
+
+    old = V.MAT_DIMS
+    V.MAT_DIMS = V.EMBED_DIM
+    try:
+        rows = V.q335_matryoshka_funnel(spark, oracle_sf_dir).collect()
+    finally:
+        V.MAT_DIMS = old
+    assert rows and all(r["recall_milli"] == 1000 for r in rows)
+
+
+def test_q335_truncated_recall_is_lossy_here(spark, oracle_sf_dir):
+    """Non-vacuity: on the synthetic corpus (uncorrelated dims) the
+    16-dim prefilter must actually lose ground truth."""
+    import snowflake_stock_dbt_spark.plans.vectors as V
+
+    rows = V.q335_matryoshka_funnel(spark, oracle_sf_dir).collect()
+    assert all(r["n_truth"] == V.TOP_K for r in rows)
+    assert any(r["recall_milli"] < 1000 for r in rows)
