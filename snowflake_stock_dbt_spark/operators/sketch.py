@@ -190,3 +190,94 @@ def heavy_hitters_exact(
             F.expr("CAST(cnt * 1000 DIV __n AS BIGINT)").alias("share_milli"),
         )
     )
+
+
+# --- HyperLogLog (deterministic, cross-engine) -------------------------------
+#
+# q46 demonstrates Spark's built-in HLL++ against the exact count, but a
+# JVM-internal sketch can never carry a value oracle. This is the
+# from-scratch HLL (Flajolet et al., AofA 2007) on the SAME md5-derived
+# hash the MinHash/CMS families use, so the REGISTERS themselves — not
+# just an accuracy claim — hash-match DuckDB: bucket = h mod m, w = the
+# remaining 54 bits, rho = leading zeros of w + 1 via an exact integer
+# CASE ladder (no float log2 — the q328 power-of-two-boundary rule), and
+# the raw estimate alpha_64·m²/Σ2^-M_j computed entirely in integer /
+# DECIMAL(38) arithmetic.
+#
+# Scale: the register table is |groups|·m cells AFTER map-side partial
+# MAX — the fixed-size mergeable summary that replaces countDistinct's
+# full keyed shuffle; two sketches (stream windows, table unions) merge
+# by cell-wise MAX, which is exactly the groupBy(...).max the operator
+# is built from.
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_WBITS = 60 - HLL_P  # remaining hash bits fed to rho
+#: alpha_64 = 0.709 (the small-m constant from the HLL paper), carried
+#: as the exact rational 709/1000 inside the integer estimate.
+HLL_ALPHA_MILLI = 709
+#: alpha·m²·2^WBITS — the integer numerator of the raw estimate (needs
+#: DECIMAL(38)/HUGEINT: ~1.05e23).
+HLL_EST_NUM = HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_WBITS)
+
+
+def hll_rho_sql(w_expr: str) -> str:
+    """Exact-integer rho(w) = leading zeros of the WBITS-wide word + 1,
+    as a shared CASE-ladder text both engines evaluate identically."""
+    branches = " ".join(
+        f"WHEN {w_expr} >= {1 << (HLL_WBITS - r)} THEN {r}"
+        for r in range(1, HLL_WBITS + 1)
+    )
+    return f"CASE {branches} ELSE {HLL_WBITS + 1} END"
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-group HLL register table: (group, bucket, mreg). Mergeable by
+    construction — MAX is associative/commutative, so partial aggregation
+    bounds the shuffle at |groups|·m cells per task regardless of key
+    cardinality or arrival order."""
+    h = hash60(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
+    base = df.select(
+        F.col(group_col).alias("grp"), h.alias("h")
+    ).select(
+        "grp",
+        F.expr(f"h % {HLL_M}").cast("int").alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    return (
+        base.withColumn("rho", F.expr(hll_rho_sql("w")).cast("int"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Fold a register table to (grp, n_used, est): the raw HLL estimate
+    in pure integer arithmetic — absent registers contribute 2^WBITS to
+    the harmonic denominator (rho 0)."""
+    wb = HLL_WBITS
+    return (
+        registers.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_used"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {wb} - mreg)")
+            ).alias("s_used"),
+        )
+        .withColumn(
+            "s_total",
+            F.col("s_used")
+            + (F.lit(HLL_M).cast("long") - F.col("n_used"))
+            * F.lit(1 << wb).cast("long"),
+        )
+        .withColumn(
+            "est",
+            F.expr(
+                f"CAST(CAST({HLL_EST_NUM} AS DECIMAL(38,0)) DIV "
+                "(CAST(1000 AS DECIMAL(38,0)) * s_total) AS BIGINT)"
+            ),
+        )
+        .select("grp", "n_used", "est")
+    )

@@ -1737,7 +1737,94 @@ ORDER BY cnt DESC, user_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q336 — Deterministic HyperLogLog distinct-count (operators/sketch.py:
+# hll_registers/hll_estimate). Completes the mergeable-summaries trio:
+# CMS (q95, frequency), Misra-Gries (q326, heavy hitters), HLL (q336,
+# cardinality). q46 already shows Spark's HLL++ against the exact count,
+# but a JVM-internal sketch cannot carry a value oracle; this HLL runs
+# on the shared md5 hash family with an exact-integer rho ladder and an
+# integer-arithmetic estimate, so registers AND estimate hash-match
+# DuckDB bit-for-bit. Output per event_type: registers used, the raw
+# integer estimate, the exact distinct count, and the signed error ppm
+# (both engines truncate integer division toward zero — verified).
+#
+# Scale: the sketch pass shuffles at most |groups|·64 register cells
+# after map-side partial MAX — cardinality-independent state, the whole
+# point; the exact side (for the audit) is the expensive full
+# countDistinct the sketch replaces at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def q336_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(
+        hll_registers(ev, "event_type", "user_id")
+    ).withColumnRenamed("grp", "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(n_used AS BIGINT) AS n_used",
+            "est",
+            "exact_distinct",
+            "CAST((est - exact_distinct) * 1000000 DIV exact_distinct"
+            " AS BIGINT) AS err_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q336_SQL = """
+WITH h AS (
+    SELECT event_type, CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events
+),
+b AS (
+    SELECT event_type, CAST(h % 64 AS INT) AS bucket,
+           h // 64 AS w
+    FROM h
+),
+regs AS (
+    SELECT event_type, bucket, MAX(CASE WHEN w >= 9007199254740992 THEN 1 WHEN w >= 4503599627370496 THEN 2 WHEN w >= 2251799813685248 THEN 3 WHEN w >= 1125899906842624 THEN 4 WHEN w >= 562949953421312 THEN 5 WHEN w >= 281474976710656 THEN 6 WHEN w >= 140737488355328 THEN 7 WHEN w >= 70368744177664 THEN 8 WHEN w >= 35184372088832 THEN 9 WHEN w >= 17592186044416 THEN 10 WHEN w >= 8796093022208 THEN 11 WHEN w >= 4398046511104 THEN 12 WHEN w >= 2199023255552 THEN 13 WHEN w >= 1099511627776 THEN 14 WHEN w >= 549755813888 THEN 15 WHEN w >= 274877906944 THEN 16 WHEN w >= 137438953472 THEN 17 WHEN w >= 68719476736 THEN 18 WHEN w >= 34359738368 THEN 19 WHEN w >= 17179869184 THEN 20 WHEN w >= 8589934592 THEN 21 WHEN w >= 4294967296 THEN 22 WHEN w >= 2147483648 THEN 23 WHEN w >= 1073741824 THEN 24 WHEN w >= 536870912 THEN 25 WHEN w >= 268435456 THEN 26 WHEN w >= 134217728 THEN 27 WHEN w >= 67108864 THEN 28 WHEN w >= 33554432 THEN 29 WHEN w >= 16777216 THEN 30 WHEN w >= 8388608 THEN 31 WHEN w >= 4194304 THEN 32 WHEN w >= 2097152 THEN 33 WHEN w >= 1048576 THEN 34 WHEN w >= 524288 THEN 35 WHEN w >= 262144 THEN 36 WHEN w >= 131072 THEN 37 WHEN w >= 65536 THEN 38 WHEN w >= 32768 THEN 39 WHEN w >= 16384 THEN 40 WHEN w >= 8192 THEN 41 WHEN w >= 4096 THEN 42 WHEN w >= 2048 THEN 43 WHEN w >= 1024 THEN 44 WHEN w >= 512 THEN 45 WHEN w >= 256 THEN 46 WHEN w >= 128 THEN 47 WHEN w >= 64 THEN 48 WHEN w >= 32 THEN 49 WHEN w >= 16 THEN 50 WHEN w >= 8 THEN 51 WHEN w >= 4 THEN 52 WHEN w >= 2 THEN 53 WHEN w >= 1 THEN 54 ELSE 55 END) AS mreg
+    FROM b GROUP BY 1, 2
+),
+folded AS (
+    SELECT event_type, COUNT(*) AS n_used,
+           SUM(CAST(1 AS BIGINT) << (54 - mreg)) AS s_used
+    FROM regs GROUP BY 1
+),
+est AS (
+    SELECT event_type, n_used,
+           CAST(CAST(52314966193040288382976 AS HUGEINT) // (1000 * CAST(
+               s_used + (64 - n_used)
+                        * (CAST(1 AS BIGINT) << 54)
+           AS HUGEINT)) AS BIGINT) AS est
+    FROM folded
+),
+ex AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT est.event_type,
+       CAST(n_used AS BIGINT) AS n_used,
+       est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST((est - exact_distinct) * 1000000 // exact_distinct AS BIGINT)
+           AS err_ppm
+FROM est JOIN ex USING (event_type)
+ORDER BY est.event_type
+"""
+
+
 SCALE_QUERIES = {
+    "q336_hll_distinct": q336_hll_distinct,
     "q326_heavy_hitters": q326_heavy_hitters,
     "q269_shard_rebalance": q269_shard_rebalance,
     "q297_independence_chi2": q297_independence_chi2,
@@ -1762,6 +1849,7 @@ SCALE_QUERIES = {
 }
 
 SCALE_ORACLES = {
+    "q336_hll_distinct": Q336_SQL,
     "q326_heavy_hitters": Q326_SQL,
     "q269_shard_rebalance": Q269_SQL,
     "q297_independence_chi2": Q297_SQL,

@@ -836,3 +836,61 @@ def test_q335_truncated_recall_is_lossy_here(spark, oracle_sf_dir):
     rows = V.q335_matryoshka_funnel(spark, oracle_sf_dir).collect()
     assert all(r["n_truth"] == V.TOP_K for r in rows)
     assert any(r["recall_milli"] < 1000 for r in rows)
+
+
+# --- q336: deterministic HLL distinct sketch ------------------------------------
+
+
+def test_q336_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q336_hll_distinct"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_hll_registers_merge_and_partition_invariance(spark, oracle_sf_dir):
+    """sketch(A ∪ B) must equal the cell-wise MAX of sketch(A) and
+    sketch(B) — the mergeable-summaries property that makes the sketch a
+    shuffle-bounded replacement for countDistinct — and the registers
+    must not depend on partitioning."""
+    from snowflake_stock_dbt_spark.operators.sketch import hll_registers
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = load_table(spark, oracle_sf_dir, "events")
+    whole = {
+        (r["grp"], r["bucket"]): r["mreg"]
+        for r in hll_registers(ev, "event_type", "user_id").collect()
+    }
+    a = hll_registers(
+        ev.where("event_id % 2 = 0"), "event_type", "user_id"
+    ).collect()
+    b = hll_registers(
+        ev.where("event_id % 2 = 1"), "event_type", "user_id"
+    ).collect()
+    merged: dict = {}
+    for r in list(a) + list(b):
+        key = (r["grp"], r["bucket"])
+        merged[key] = max(merged.get(key, 0), r["mreg"])
+    assert merged == whole
+    repart = {
+        (r["grp"], r["bucket"]): r["mreg"]
+        for r in hll_registers(
+            ev.repartition(17, "value"), "event_type", "user_id"
+        ).collect()
+    }
+    assert repart == whole
+
+
+def test_q336_estimate_is_in_hll_error_band(spark, oracle_sf_dir):
+    """m=64 gives ~13% standard error; every group must land well inside
+    a 4-sigma band (and the estimate must be positive)."""
+    from snowflake_stock_dbt_spark.plans.scale import q336_hll_distinct
+
+    rows = q336_hll_distinct(spark, oracle_sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est"] > 0
+        assert abs(r["err_ppm"]) < 520_000, dict(r.asDict())
