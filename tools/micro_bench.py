@@ -83,6 +83,18 @@ def run_single(name: str, sf_dir: str, reps: int) -> None:
     print("MICRO " + json.dumps({"name": name, "reps": times}), flush=True)
 
 
+def merged_results(results: dict, scoped: bool, out_path: str) -> dict:
+    """A scoped (--queries) re-measure must MERGE into the standing
+    medians, not clobber the rest of the rotation (a --queries q118 run
+    once silently dropped the other 12 entries)."""
+    if scoped and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+        prior.update(results)
+        return prior
+    return results
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -137,6 +149,7 @@ def main() -> int:
         text=True,
         cwd=REPO,
     ).stdout.strip()
+    results = merged_results(results, "--queries" in args, OUT_PATH)
     with open(OUT_PATH, "w") as f:
         json.dump(
             {
