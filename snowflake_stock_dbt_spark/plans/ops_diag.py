@@ -834,7 +834,94 @@ ORDER BY event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q337 — Bucketed co-located join: the exchange-free join the 100 TB
+# posture keeps promising, executed and PINNED. Both fact tables are
+# written ONCE as bucketed catalog tables (sinks/layout.py:
+# write_bucketed_table — bucketBy(16) on the join key, the pre-shuffle a
+# lake pays at ingest), and the revenue join then runs as a sort-merge
+# join with ZERO Exchange operators on either side (the MERGE hint pins
+# SMJ so AQE's broadcast conversion cannot hide the property at bench
+# scale; tests assert the exchange-free plan). Content contract: the
+# bucketed round-trip changes nothing — the oracle is the plain
+# parquet join.
+#
+# Scale: at 1000 executors this is THE shape for repeated fact-fact
+# joins — the shuffle happens once at write time and every subsequent
+# join on the bucket key is map-side merge; the only cost left is the
+# in-bucket sort, which sortBy at write time would also remove.
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 16
+
+
+def _bucketed_table_names(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Deterministic per-corpus catalog names; the write is idempotent
+    per session (skipped when the tables already exist)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sinks.layout import write_bucketed_table
+
+    digest = hashlib.sha256(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:10]
+    names = {"orders": f"bkt_{digest}_orders",
+             "lineitem": f"bkt_{digest}_lineitem"}
+    keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for src, table in names.items():
+        if spark.catalog.tableExists(table):
+            continue
+        # The managed-table LOCATION can outlive the in-memory catalog
+        # (a previous process wrote it); evict the orphan before the
+        # one-time bucketed write or saveAsTable refuses loudly.
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+        write_bucketed_table(
+            load_table(spark, sf_dir, src), table, [keys[src]], _BUCKETS
+        )
+    return names["orders"], names["lineitem"]
+
+
+def q337_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dec_sum
+
+    t_orders, t_lineitem = _bucketed_table_names(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        o.hint("merge")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count("*").cast("long").alias("n_items"),
+            dec_sum(revenue).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q337_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 OPS_DIAG_QUERIES = {
+    "q337_bucketed_join": q337_bucketed_join,
     "q270_profile_drift": q270_profile_drift,
     "q284_id_gap_audit": q284_id_gap_audit,
     "q291_disorder_audit": q291_disorder_audit,
@@ -848,6 +935,7 @@ OPS_DIAG_QUERIES = {
 }
 
 OPS_DIAG_ORACLES = {
+    "q337_bucketed_join": Q337_SQL,
     "q270_profile_drift": Q270_SQL,
     "q284_id_gap_audit": Q284_SQL,
     "q291_disorder_audit": Q291_SQL,

@@ -914,3 +914,34 @@ def test_micro_bench_scoped_run_merges(tmp_path):
     assert merged_results({"qA": {"median": 9.0}}, False, str(out)) == {
         "qA": {"median": 9.0}
     }
+
+
+# --- q337: bucketed co-located join ---------------------------------------------
+
+
+def test_q337_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q337_bucketed_join"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q337_join_is_exchange_free(spark, oracle_sf_dir):
+    """The whole point: both join inputs come from bucketed scans, so the
+    sort-merge join runs with NO shuffle on the join key — the plan must
+    contain bucketed FileScans and no Exchange on either key."""
+    from snowflake_stock_dbt_spark.plans.ops_diag import q337_bucketed_join
+
+    plan = (
+        q337_bucketed_join(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Bucketed: true" in plan
