@@ -1010,7 +1010,92 @@ ORDER BY query_id, sel_rank
 Q334_SQL = _mmr_unrolled_sql(MMR_NQ, MMR_M, MMR_K, MMR_W_REL, MMR_W_DIV)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q338 — Snapshot DIFF (CDC derivation): the inverse of q202. q202
+# APPLIES a given change feed onto a snapshot; real pipelines must also
+# DERIVE the feed when an upstream hands them full table dumps — diff
+# consecutive snapshot versions into I/U/D change rows (what Iceberg's
+# changelog scan / Delta CDF materialize). Version 2 is derived
+# deterministically from the orders snapshot on BOTH engines (delete
+# every 13th key, reprice every 7th by an exact +5.00, clone every 10th
+# under a disjoint key range), so the diff itself — one full-outer key
+# join, IS DISTINCT FROM on the tracked column, unchanged rows dropped —
+# carries a full value oracle.
+#
+# Scale: ONE co-partitioned full-outer shuffle on the key (both sides
+# would be bucket-co-located on a lake, q337's layout); the diff output
+# is |changes|, not |snapshot|.
+# ---------------------------------------------------------------------------
+
+_DIFF_DEL_MOD = 13
+_DIFF_UPD_MOD = 7
+_DIFF_INS_MOD = 10
+_DIFF_INS_OFFSET = 1_000_000_000_000
+
+
+def q338_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    v2 = v1.where(F.col("k") % _DIFF_DEL_MOD != 0).select(
+        "k",
+        F.when(
+            F.col("k") % _DIFF_UPD_MOD == 0, F.col("p") + F.lit(5.0)
+        )
+        .otherwise(F.col("p"))
+        .alias("p"),
+    ).unionAll(
+        v1.where(F.col("k") % _DIFF_INS_MOD == 0).select(
+            (F.col("k") + F.lit(_DIFF_INS_OFFSET)).alias("k"), "p"
+        )
+    )
+    a = v1.select(F.col("k").alias("a_k"), F.col("p").alias("old_price"))
+    b = v2.select(F.col("k").alias("b_k"), F.col("p").alias("new_price"))
+    d = a.join(b, a["a_k"] == b["b_k"], "full_outer").select(
+        F.coalesce("a_k", "b_k").alias("o_orderkey"),
+        F.when(F.col("b_k").isNull(), "D")
+        .when(F.col("a_k").isNull(), "I")
+        .when(
+            F.expr("old_price IS DISTINCT FROM new_price"), "U"
+        )
+        .alias("change_type"),
+        "old_price",
+        "new_price",
+    )
+    return d.where(F.col("change_type").isNotNull()).orderBy(
+        "change_type", "o_orderkey"
+    )
+
+
+Q338_SQL = f"""
+WITH v1 AS (
+    SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+),
+v2 AS (
+    SELECT k,
+           CASE WHEN k % {_DIFF_UPD_MOD} = 0 THEN p + 5.0 ELSE p END AS p
+    FROM v1 WHERE k % {_DIFF_DEL_MOD} <> 0
+    UNION ALL
+    SELECT k + {_DIFF_INS_OFFSET}, p FROM v1 WHERE k % {_DIFF_INS_MOD} = 0
+),
+d AS (
+    SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+           CASE WHEN v2.k IS NULL THEN 'D'
+                WHEN v1.k IS NULL THEN 'I'
+                WHEN v1.p IS DISTINCT FROM v2.p THEN 'U' END AS change_type,
+           v1.p AS old_price, v2.p AS new_price
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT change_type, o_orderkey, old_price, new_price
+FROM d WHERE change_type IS NOT NULL
+ORDER BY change_type, o_orderkey
+"""
+
+
 RETRIEVAL_QUERIES = {
+    "q338_snapshot_diff": q338_snapshot_diff,
     "q334_mmr_rerank": q334_mmr_rerank,
     "q255_phrase_search": q255_phrase_search,
     "q211_rrf_hybrid": q211_rrf_hybrid,
@@ -1022,6 +1107,7 @@ RETRIEVAL_QUERIES = {
 }
 
 RETRIEVAL_ORACLES = {
+    "q338_snapshot_diff": Q338_SQL,
     "q334_mmr_rerank": Q334_SQL,
     "q255_phrase_search": Q255_SQL,
     "q211_rrf_hybrid": Q211_SQL,

@@ -945,3 +945,50 @@ def test_q337_join_is_exchange_free(spark, oracle_sf_dir):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Bucketed: true" in plan
+
+
+# --- q338: snapshot diff (CDC derivation) ---------------------------------------
+
+
+def test_q338_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q338_snapshot_diff"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q338_diff_applied_reproduces_v2(spark, oracle_sf_dir):
+    """Round-trip with the q202 discipline: applying the derived diff
+    back onto v1 must reproduce v2 exactly — diff and apply are inverse
+    operators."""
+    from snowflake_stock_dbt_spark.plans.retrieval import (
+        _DIFF_DEL_MOD,
+        _DIFF_INS_MOD,
+        _DIFF_INS_OFFSET,
+        _DIFF_UPD_MOD,
+        q338_snapshot_diff,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    v1 = {
+        r["k"]: r["p"]
+        for r in load_table(spark, oracle_sf_dir, "orders")
+        .selectExpr("o_orderkey AS k", "o_totalprice AS p")
+        .collect()
+    }
+    v2 = {}
+    for k, p in v1.items():
+        if k % _DIFF_DEL_MOD != 0:
+            v2[k] = p + 5.0 if k % _DIFF_UPD_MOD == 0 else p
+        if k % _DIFF_INS_MOD == 0:
+            v2[k + _DIFF_INS_OFFSET] = p
+    applied = dict(v1)
+    for r in q338_snapshot_diff(spark, oracle_sf_dir).collect():
+        if r["change_type"] == "D":
+            applied.pop(r["o_orderkey"])
+        else:
+            applied[r["o_orderkey"]] = r["new_price"]
+    assert applied == v2
