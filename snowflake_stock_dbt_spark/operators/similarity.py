@@ -1101,3 +1101,75 @@ def mmr_rerank(
         out = out.union(sel)
         selset = selset.union(sel.select("query_id", "cand_id"))
     return out
+
+
+def ivf_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bucket_col: str = "bucket",
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Hard-negative mining: per anchor, the top-k most-similar corpus
+    vectors with a DIFFERENT label — the negatives that actually move a
+    contrastive loss (random negatives are trivially far; see q325 for
+    the cheap random flavor). Same deterministic IVF probe/re-rank shape
+    as :func:`ivf_topk_exact` (exact-decimal centroids and cosines), with
+    the label-mismatch predicate applied at CANDIDATE stage — filtering
+    winners after ranking would silently return fewer than k negatives.
+    """
+    cent = _centroids_of(corpus, vec_col, bucket_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc_nulls_last(), F.col("bucket")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_vec",
+            "q_label",
+            "bucket",
+            cosine_exact(F.col("q_vec"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "q_vec", "q_label", "bucket")
+    )
+    c = ensure_min_parallelism(corpus, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(label_col).alias("c_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "bucket")
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("c_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(norm_exact(F.col("q_vec")) * F.col("cn"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )

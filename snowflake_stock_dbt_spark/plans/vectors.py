@@ -2212,6 +2212,72 @@ def q335_matryoshka_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q339 — Hard-negative mining via the shared IVF quantizer: per anchor,
+# the top-k most-similar vectors with a DIFFERENT label — the negatives
+# that actually move a contrastive loss. q325 mines the cheap random
+# flavor (hash into the key range); this is the ANN flavor every
+# embedding-model pipeline runs at scale (in-batch negatives are too
+# easy, exhaustive mining is O(n²)). Candidate generation reuses q106's
+# trained coarse quantizer (session codebook cache — trains once per
+# corpus) and the label-mismatch predicate applies at CANDIDATE stage,
+# so each anchor always gets k true negatives, never a post-filtered
+# short list. Oracle = Q106_SQL with the label anti-predicate injected
+# into the candidate join and the anchor set widened to 20.
+# ---------------------------------------------------------------------------
+
+HN_ANCHORS = 20
+
+
+def q339_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_hard_negatives, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = kmeans_assign(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"),
+    )
+    queries = emb.where(F.col("vec_id") < HN_ANCHORS)
+    out = ivf_hard_negatives(
+        queries, bucketed, k=TOP_K, nprobe=IVF_NPROBE
+    )
+    return out.withColumn("cosine", F.round(F.col("cosine"), 9))
+
+
+_HN_DOTS_OLD = """dots AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM probes p
+    JOIN asgf ac ON ac.bucket = p.bucket
+    JOIN u c ON c.vec_id = ac.vec_id AND c.vec_id <> p.query_id
+    JOIN qe q ON q.query_id = p.query_id AND q.pos = c.pos
+    GROUP BY 1, 2
+)"""
+
+_HN_DOTS_NEW = """dots AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM probes p
+    JOIN asgf ac ON ac.bucket = p.bucket
+    JOIN embeddings cl ON cl.vec_id = ac.vec_id
+    JOIN embeddings ql ON ql.vec_id = p.query_id
+                      AND ql.label <> cl.label
+    JOIN u c ON c.vec_id = ac.vec_id AND c.vec_id <> p.query_id
+    JOIN qe q ON q.query_id = p.query_id AND q.pos = c.pos
+    GROUP BY 1, 2
+)"""
+
+Q339_SQL = Q106_SQL.replace(_HN_DOTS_OLD, _HN_DOTS_NEW).replace(
+    f"WHERE vec_id < {N_QUERY_VECS}", f"WHERE vec_id < {HN_ANCHORS}"
+)
+if (  # pragma: no cover - import-time self-check
+    _HN_DOTS_NEW not in Q339_SQL or f"vec_id < {HN_ANCHORS}" not in Q339_SQL
+):
+    raise AssertionError("Q339_SQL failed to specialize Q106_SQL")
+
+
 def _rank_ctes_sql(tag: str, dimcap: int | None, nq: int) -> str:
     """Q25-shaped per-query cosine ranking CTEs, optionally over only the
     first ``dimcap`` vector positions (the matryoshka prefix)."""
@@ -2298,6 +2364,7 @@ VECTOR_QUERIES = {
     "q322_ivfpq_saved_index": q322_ivfpq_saved_index,
     "q332_ivf_index_append": q332_ivf_index_append,
     "q335_matryoshka_funnel": q335_matryoshka_funnel,
+    "q339_hard_negatives": q339_hard_negatives,
 }
 
 VECTOR_ORACLES = {
@@ -2324,4 +2391,5 @@ VECTOR_ORACLES = {
     "q322_ivfpq_saved_index": Q322_SQL,
     "q332_ivf_index_append": Q332_SQL,
     "q335_matryoshka_funnel": Q335_SQL,
+    "q339_hard_negatives": Q339_SQL,
 }

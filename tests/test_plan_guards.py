@@ -47,6 +47,9 @@ BNL_ALLOWED = {
     # q335 runs q25's query-set×corpus scoring broadcast twice (full +
     # truncated widths) — the same bounded |Q|-row build side.
     "q335_matryoshka_funnel",
+    # q339 is q106's probe path (k-row centroid broadcast) with a label
+    # anti-predicate on the candidate join — same bounded build sides.
+    "q339_hard_negatives",
     "q151_knn_graph",  # packed-centroid broadcasts (q118 pattern)
     "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)

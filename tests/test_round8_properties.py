@@ -992,3 +992,39 @@ def test_q338_diff_applied_reproduces_v2(spark, oracle_sf_dir):
         else:
             applied[r["o_orderkey"]] = r["new_price"]
     assert applied == v2
+
+
+# --- q339: hard-negative mining -------------------------------------------------
+
+
+def test_q339_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q339_hard_negatives"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q339_never_emits_a_positive_and_fills_k(spark, oracle_sf_dir):
+    """Every mined negative must carry a label different from its
+    anchor's, and the candidate-stage filter must still fill all k slots
+    per anchor (a post-ranking filter would come up short)."""
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        HN_ANCHORS,
+        TOP_K,
+        q339_hard_negatives,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, oracle_sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = q339_hard_negatives(spark, oracle_sf_dir).collect()
+    assert len(rows) == HN_ANCHORS * TOP_K
+    for r in rows:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
