@@ -253,13 +253,16 @@ def hll_registers(
     )
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
-    """Fold a register table to (grp, n_used, est): the raw HLL estimate
-    in pure integer arithmetic — absent registers contribute 2^WBITS to
-    the harmonic denominator (rho 0)."""
+def hll_estimate(
+    registers: DataFrame, group_cols: tuple[str, ...] = ("grp",)
+) -> DataFrame:
+    """Fold a register table to (*group_cols, n_used, est): the raw HLL
+    estimate in pure integer arithmetic — absent registers contribute
+    2^WBITS to the harmonic denominator (rho 0). ``group_cols`` lets a
+    windowed stream (q340) keep its composite key."""
     wb = HLL_WBITS
     return (
-        registers.groupBy("grp")
+        registers.groupBy(*group_cols)
         .agg(
             F.count("*").cast("long").alias("n_used"),
             F.sum(
@@ -279,5 +282,5 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
                 "(CAST(1000 AS DECIMAL(38,0)) * s_total) AS BIGINT)"
             ),
         )
-        .select("grp", "n_used", "est")
+        .select(*group_cols, "n_used", "est")
     )

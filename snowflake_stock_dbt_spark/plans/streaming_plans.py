@@ -725,7 +725,96 @@ def q234_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q340 — Streaming windowed HLL: the deterministic sketch (q336,
+# operators/sketch.py) composed with Structured Streaming. The stream
+# maintains per-(window, event_type, bucket) register MAX — bounded
+# mergeable state (64 cells per group) instead of the per-key distinct
+# state a streaming countDistinct would need (which streaming refuses
+# outright; approx_count_distinct is the built-in's answer, but its
+# registers are JVM-internal). The drained complete-mode state is folded
+# to the integer estimate in batch — the serve-time projection. Because
+# register MAX is order/batching-independent, the drained stream equals
+# the batch register table EXACTLY, so the full value oracle applies to
+# a streaming query.
+# ---------------------------------------------------------------------------
+
+
+def q340_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash60
+    from ..operators.sketch import HLL_M, hll_estimate, hll_rho_sql
+
+    ev = stream_events(spark, sf_dir)
+    h = hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    base = (
+        ev.select("ts", "event_type", h.alias("h"))
+        .select(
+            "ts",
+            "event_type",
+            F.expr(f"h % {HLL_M}").cast("int").alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .withColumn("rho", F.expr(hll_rho_sql("w")).cast("int"))
+    )
+    regs = (
+        base.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", f"{WINDOW_S} seconds").alias("win"),
+            "event_type",
+            "bucket",
+        )
+        .agg(F.max("rho").alias("mreg"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type",
+            "bucket",
+            "mreg",
+        )
+    )
+    drained = run_streaming_query(
+        spark, regs, output_mode="complete",
+        state_partitions=STATE_PARTITIONS,
+    )
+    return hll_estimate(
+        drained, group_cols=("window_start_us", "event_type")
+    ).orderBy("window_start_us", "event_type")
+
+
+Q340_SQL = """
+WITH h AS (
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {WINDOW_US})
+             * {WINDOW_US} AS window_start_us,
+           event_type, CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events
+),
+b AS (
+    SELECT window_start_us, event_type,
+           CAST(h % 64 AS INT) AS bucket, h // 64 AS w
+    FROM h
+),
+regs AS (
+    SELECT window_start_us, event_type, bucket, MAX(CASE WHEN w >= 9007199254740992 THEN 1 WHEN w >= 4503599627370496 THEN 2 WHEN w >= 2251799813685248 THEN 3 WHEN w >= 1125899906842624 THEN 4 WHEN w >= 562949953421312 THEN 5 WHEN w >= 281474976710656 THEN 6 WHEN w >= 140737488355328 THEN 7 WHEN w >= 70368744177664 THEN 8 WHEN w >= 35184372088832 THEN 9 WHEN w >= 17592186044416 THEN 10 WHEN w >= 8796093022208 THEN 11 WHEN w >= 4398046511104 THEN 12 WHEN w >= 2199023255552 THEN 13 WHEN w >= 1099511627776 THEN 14 WHEN w >= 549755813888 THEN 15 WHEN w >= 274877906944 THEN 16 WHEN w >= 137438953472 THEN 17 WHEN w >= 68719476736 THEN 18 WHEN w >= 34359738368 THEN 19 WHEN w >= 17179869184 THEN 20 WHEN w >= 8589934592 THEN 21 WHEN w >= 4294967296 THEN 22 WHEN w >= 2147483648 THEN 23 WHEN w >= 1073741824 THEN 24 WHEN w >= 536870912 THEN 25 WHEN w >= 268435456 THEN 26 WHEN w >= 134217728 THEN 27 WHEN w >= 67108864 THEN 28 WHEN w >= 33554432 THEN 29 WHEN w >= 16777216 THEN 30 WHEN w >= 8388608 THEN 31 WHEN w >= 4194304 THEN 32 WHEN w >= 2097152 THEN 33 WHEN w >= 1048576 THEN 34 WHEN w >= 524288 THEN 35 WHEN w >= 262144 THEN 36 WHEN w >= 131072 THEN 37 WHEN w >= 65536 THEN 38 WHEN w >= 32768 THEN 39 WHEN w >= 16384 THEN 40 WHEN w >= 8192 THEN 41 WHEN w >= 4096 THEN 42 WHEN w >= 2048 THEN 43 WHEN w >= 1024 THEN 44 WHEN w >= 512 THEN 45 WHEN w >= 256 THEN 46 WHEN w >= 128 THEN 47 WHEN w >= 64 THEN 48 WHEN w >= 32 THEN 49 WHEN w >= 16 THEN 50 WHEN w >= 8 THEN 51 WHEN w >= 4 THEN 52 WHEN w >= 2 THEN 53 WHEN w >= 1 THEN 54 ELSE 55 END) AS mreg
+    FROM b GROUP BY 1, 2, 3
+),
+folded AS (
+    SELECT window_start_us, event_type, COUNT(*) AS n_used,
+           SUM(CAST(1 AS BIGINT) << (54 - mreg)) AS s_used
+    FROM regs GROUP BY 1, 2
+)
+SELECT window_start_us, event_type,
+       CAST(n_used AS BIGINT) AS n_used,
+       CAST(CAST(52314966193040288382976 AS HUGEINT) // (1000 * CAST(
+           s_used + (64 - n_used) * (CAST(1 AS BIGINT) << 54)
+       AS HUGEINT)) AS BIGINT) AS est
+FROM folded
+ORDER BY window_start_us, event_type
+""".replace("{WINDOW_US}", str(WINDOW_S * 1_000_000))
+
+
 STREAMING_QUERIES = {
+    "q340_streaming_hll": q340_streaming_hll,
     "q29_streaming_window": q29_streaming_window,
     "q30_streaming_dedup": q30_streaming_dedup,
     "q41_stateful_totals": q41_stateful_totals,
@@ -739,6 +828,7 @@ STREAMING_QUERIES = {
 }
 
 STREAMING_ORACLES = {
+    "q340_streaming_hll": Q340_SQL,
     "q29_streaming_window": Q29_SQL,
     "q30_streaming_dedup": Q30_SQL,
     "q41_stateful_totals": Q41_SQL,

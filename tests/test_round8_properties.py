@@ -1028,3 +1028,66 @@ def test_q339_never_emits_a_positive_and_fills_k(spark, oracle_sf_dir):
     assert len(rows) == HN_ANCHORS * TOP_K
     for r in rows:
         assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+
+
+# --- q340: streaming windowed HLL ------------------------------------------------
+
+
+def test_q340_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q340_streaming_hll"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q340_stream_equals_batch_fold(spark, oracle_sf_dir):
+    """Register MAX is batching-independent, so the drained stream folded
+    to estimates must equal the same fold computed purely in batch."""
+    from snowflake_stock_dbt_spark.functions.text import hash60
+    from snowflake_stock_dbt_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_rho_sql,
+    )
+    from snowflake_stock_dbt_spark.plans.streaming_plans import (
+        WINDOW_S,
+        q340_streaming_hll,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    got = sorted(
+        tuple(r) for r in q340_streaming_hll(spark, oracle_sf_dir).collect()
+    )
+    ev = load_table(spark, oracle_sf_dir, "events")
+    h = hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    base = (
+        ev.select(
+            F.expr(
+                f"unix_micros(ts) div {WINDOW_S * 1_000_000}"
+                f" * {WINDOW_S * 1_000_000}"
+            ).alias("window_start_us"),
+            "event_type",
+            h.alias("h"),
+        )
+        .select(
+            "window_start_us",
+            "event_type",
+            F.expr(f"h % {HLL_M}").cast("int").alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .withColumn("rho", F.expr(hll_rho_sql("w")).cast("int"))
+        .groupBy("window_start_us", "event_type", "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in hll_estimate(
+            base, group_cols=("window_start_us", "event_type")
+        )
+        .orderBy("window_start_us", "event_type")
+        .collect()
+    )
+    assert got == want
