@@ -24,6 +24,7 @@ into an idempotent sink (foreachBatch + MERGE).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,15 +43,26 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TimestampType UTC instants.
     """
     # The file source requires a directory (the landing-dir shape of
-    # SURVEY.md §2.10); events.parquet is a single file inside sf_dir, so
-    # stream the directory with a glob filter.
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # SURVEY.md §2.10). events.parquet is a single FILE inside the
+    # driver-generated sf dirs (stream the parent with a glob filter),
+    # but a DIRECTORY of part files in Spark-written corpora (the scale
+    # probe's x{N} copies, and any real lake table) — and pathGlobFilter
+    # matches LEAF file names, so the old glob-only path silently
+    # streamed ZERO rows from directory corpora: every scale_probe
+    # exponent recorded for a stream_events query before round 8 timed
+    # an empty stream (caught by q340's dead-flat birth probe; the probe
+    # harness now refuses empty results outright).
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     return normalize_instant(raw, "ts")
 
 

@@ -169,8 +169,18 @@ def main() -> int:
         # percentiles), which silently flattens the curve.
         qs[name](spark, d).write.format("noop").mode("overwrite").save()
 
-    # Warmup (JIT, codegen, state-store init) on the smallest corpus.
+    # Warmup (JIT, codegen, state-store init) on the smallest corpus —
+    # and REFUSE silently-empty probes: a query that returns zero rows on
+    # the probe corpus is timing harness overhead, not a plan (the
+    # pre-round-8 streaming reader streamed zero rows from the x{N}
+    # directory corpora and journaled flat "exponents" for q41/q60/q185).
     for name in queries:
+        if qs[name](spark, dirs[factors[0]]).isEmpty():
+            raise SystemExit(
+                f"PROBE-EMPTY {name}: returns 0 rows on the x{factors[0]} "
+                "corpus — the timing would be meaningless; fix the reader "
+                "or drop the query from the probe set"
+            )
         run(name, dirs[factors[0]])
 
     times: dict[str, dict[int, float]] = {}
