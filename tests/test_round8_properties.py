@@ -1091,3 +1091,35 @@ def test_q340_stream_equals_batch_fold(spark, oracle_sf_dir):
         .collect()
     )
     assert got == want
+
+
+# --- streaming reader: directory-shaped corpora ----------------------------------
+
+
+def test_stream_events_reads_directory_corpus(spark, oracle_sf_dir, tmp_path):
+    """Spark-written corpora ship events.parquet as a DIRECTORY of part
+    files; the file-source must stream the same rows it streams from the
+    single-file shape (the pre-round-8 glob streamed ZERO rows and every
+    streaming scale probe timed an empty drain)."""
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+    from snowflake_stock_dbt_spark.streaming.pipeline import (
+        run_streaming_query,
+        stream_events,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    ev = load_table(spark, oracle_sf_dir, "events").limit(1000)
+    ev.write.parquet(str(corpus / "events.parquet"))
+    streamed = run_streaming_query(
+        spark,
+        stream_events(spark, str(corpus)).groupBy("event_type").count(),
+        output_mode="complete",
+        state_partitions=4,
+    )
+    got = {(r["event_type"], r["count"]) for r in streamed.collect()}
+    want = {
+        (r["event_type"], r["count"])
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    assert got == want and got
