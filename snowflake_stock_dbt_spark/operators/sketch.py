@@ -232,23 +232,33 @@ def hll_rho_sql(w_expr: str) -> str:
 
 
 def hll_registers(
-    df: DataFrame, group_col: str, key_col: str
+    df: DataFrame, group_cols: str | tuple[str, ...], key_col: str
 ) -> DataFrame:
-    """Per-group HLL register table: (group, bucket, mreg). Mergeable by
-    construction — MAX is associative/commutative, so partial aggregation
-    bounds the shuffle at |groups|·m cells per task regardless of key
-    cardinality or arrival order."""
+    """Per-group HLL register table: (*groups, bucket, mreg). Mergeable
+    by construction — MAX is associative/commutative, so partial
+    aggregation bounds the shuffle at |groups|·m cells per task
+    regardless of key cardinality or arrival order, and register tables
+    from disjoint slices (days, streams, shards) MAX-merge into the
+    union's exact sketch (q341's persisted rollup relies on this).
+
+    A single string group keeps the historical ``grp`` output name; a
+    tuple keeps the original column names (composite keys)."""
+    single = isinstance(group_cols, str)
+    gc = ["grp"] if single else list(group_cols)
     h = hash60(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
-    base = df.select(
-        F.col(group_col).alias("grp"), h.alias("h")
-    ).select(
-        "grp",
+    first = (
+        [F.col(group_cols).alias("grp")]
+        if single
+        else [F.col(c) for c in gc]
+    )
+    base = df.select(*first, h.alias("h")).select(
+        *gc,
         F.expr(f"h % {HLL_M}").cast("int").alias("bucket"),
         F.expr(f"h div {HLL_M}").alias("w"),
     )
     return (
         base.withColumn("rho", F.expr(hll_rho_sql("w")).cast("int"))
-        .groupBy("grp", "bucket")
+        .groupBy(*gc, "bucket")
         .agg(F.max("rho").alias("mreg"))
     )
 

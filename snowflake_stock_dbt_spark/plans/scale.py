@@ -1823,7 +1823,134 @@ ORDER BY est.event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q341 — HLL register ROLLUP from the persisted daily store: sketches as
+# lake artifacts (sinks/sketch_store.py), completing the
+# index-as-artifact family on the sketch side (IVF q318/q322/q332, band
+# q323/q330, SimHash q329). Per-day registers are written ONCE at
+# ingest (day-partitioned parquet); a range query — here "distinct users
+# per event_type over the corpus's last 7 days" — prunes its scan to
+# those day partitions and MAX-merges ≤ |groups|·64 cells per day,
+# never rescanning raw events. Mergeable-summaries exactness: the merge
+# of daily sketches IS the sketch of the union, so the oracle computes
+# the q336 register math DIRECTLY on the range-filtered events and the
+# hashes must match bit-for-bit. The exact countDistinct rides along as
+# the audit (same columns as q336).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_DAY_US = 86400000000
+_ROLLUP_DAYS = 7
+
+
+def q341_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate, hll_registers
+    from ..sinks.sketch_store import (
+        hll_store_path,
+        load_hll_registers,
+        save_hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = hll_registers(
+        ev.withColumn(
+            "day", F.expr(f"unix_micros(ts) div {_ROLLUP_DAY_US}")
+        ),
+        ("day", "event_type"),
+        "user_id",
+    )
+    path = hll_store_path(sf_dir)
+    save_hll_registers(spark, daily, path, meta={"source": sf_dir})
+    loaded, meta = load_hll_registers(spark, path)
+    n_loaded = loaded.count()
+    if n_loaded != meta["n_rows"]:
+        raise ValueError(
+            f"HLL store at {path} failed its recount audit: "
+            f"{n_loaded} rows loaded, meta says {meta['n_rows']}"
+        )
+    max_day = loaded.agg(F.max("day")).first()[0]
+    recent = loaded.where(F.col("day") > max_day - _ROLLUP_DAYS)
+    merged = recent.groupBy("event_type", "bucket").agg(
+        F.max("mreg").alias("mreg")
+    )
+    est = hll_estimate(merged, group_cols=("event_type",))
+    exact = (
+        ev.where(
+            F.expr(
+                f"unix_micros(ts) div {_ROLLUP_DAY_US}"
+            )
+            > max_day - _ROLLUP_DAYS
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(n_used AS BIGINT) AS n_used",
+            "est",
+            "exact_distinct",
+            "CAST((est - exact_distinct) * 1000000 DIV exact_distinct"
+            " AS BIGINT) AS err_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q341_SQL = """
+WITH d AS (
+    SELECT event_type, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+    FROM events
+),
+mx AS (SELECT MAX(day) AS max_day FROM d),
+recent AS (
+    SELECT event_type, user_id FROM d, mx WHERE day > max_day - 7
+),
+h AS (
+    SELECT event_type, CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM recent
+),
+b AS (
+    SELECT event_type, CAST(h % 64 AS INT) AS bucket,
+           h // 64 AS w
+    FROM h
+),
+regs AS (
+    SELECT event_type, bucket, MAX(CASE WHEN w >= 9007199254740992 THEN 1 WHEN w >= 4503599627370496 THEN 2 WHEN w >= 2251799813685248 THEN 3 WHEN w >= 1125899906842624 THEN 4 WHEN w >= 562949953421312 THEN 5 WHEN w >= 281474976710656 THEN 6 WHEN w >= 140737488355328 THEN 7 WHEN w >= 70368744177664 THEN 8 WHEN w >= 35184372088832 THEN 9 WHEN w >= 17592186044416 THEN 10 WHEN w >= 8796093022208 THEN 11 WHEN w >= 4398046511104 THEN 12 WHEN w >= 2199023255552 THEN 13 WHEN w >= 1099511627776 THEN 14 WHEN w >= 549755813888 THEN 15 WHEN w >= 274877906944 THEN 16 WHEN w >= 137438953472 THEN 17 WHEN w >= 68719476736 THEN 18 WHEN w >= 34359738368 THEN 19 WHEN w >= 17179869184 THEN 20 WHEN w >= 8589934592 THEN 21 WHEN w >= 4294967296 THEN 22 WHEN w >= 2147483648 THEN 23 WHEN w >= 1073741824 THEN 24 WHEN w >= 536870912 THEN 25 WHEN w >= 268435456 THEN 26 WHEN w >= 134217728 THEN 27 WHEN w >= 67108864 THEN 28 WHEN w >= 33554432 THEN 29 WHEN w >= 16777216 THEN 30 WHEN w >= 8388608 THEN 31 WHEN w >= 4194304 THEN 32 WHEN w >= 2097152 THEN 33 WHEN w >= 1048576 THEN 34 WHEN w >= 524288 THEN 35 WHEN w >= 262144 THEN 36 WHEN w >= 131072 THEN 37 WHEN w >= 65536 THEN 38 WHEN w >= 32768 THEN 39 WHEN w >= 16384 THEN 40 WHEN w >= 8192 THEN 41 WHEN w >= 4096 THEN 42 WHEN w >= 2048 THEN 43 WHEN w >= 1024 THEN 44 WHEN w >= 512 THEN 45 WHEN w >= 256 THEN 46 WHEN w >= 128 THEN 47 WHEN w >= 64 THEN 48 WHEN w >= 32 THEN 49 WHEN w >= 16 THEN 50 WHEN w >= 8 THEN 51 WHEN w >= 4 THEN 52 WHEN w >= 2 THEN 53 WHEN w >= 1 THEN 54 ELSE 55 END) AS mreg
+    FROM b GROUP BY 1, 2
+),
+folded AS (
+    SELECT event_type, COUNT(*) AS n_used,
+           SUM(CAST(1 AS BIGINT) << (54 - mreg)) AS s_used
+    FROM regs GROUP BY 1
+),
+est AS (
+    SELECT event_type, n_used,
+           CAST(CAST(52314966193040288382976 AS HUGEINT) // (1000 * CAST(
+               s_used + (64 - n_used)
+                        * (CAST(1 AS BIGINT) << 54)
+           AS HUGEINT)) AS BIGINT) AS est
+    FROM folded
+),
+ex AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+    FROM recent GROUP BY 1
+)
+SELECT est.event_type,
+       CAST(n_used AS BIGINT) AS n_used,
+       est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST((est - exact_distinct) * 1000000 // exact_distinct AS BIGINT)
+           AS err_ppm
+FROM est JOIN ex USING (event_type)
+ORDER BY est.event_type
+"""
+
+
 SCALE_QUERIES = {
+    "q341_hll_rollup": q341_hll_rollup,
     "q336_hll_distinct": q336_hll_distinct,
     "q326_heavy_hitters": q326_heavy_hitters,
     "q269_shard_rebalance": q269_shard_rebalance,
@@ -1849,6 +1976,7 @@ SCALE_QUERIES = {
 }
 
 SCALE_ORACLES = {
+    "q341_hll_rollup": Q341_SQL,
     "q336_hll_distinct": Q336_SQL,
     "q326_heavy_hitters": Q326_SQL,
     "q269_shard_rebalance": Q269_SQL,

@@ -1,0 +1,119 @@
+"""Persisted HLL register store: sketches as lake artifacts.
+
+q336 computes HLL registers in-session; a warehouse serves distinct
+counts over ARBITRARY date ranges by persisting the per-day register
+tables once at ingest and MAX-merging only the requested days at query
+time — the classic "sketch rollup" (Agarwal et al., Mergeable Summaries,
+TODS 2013): because register MAX is associative and commutative, a
+merge of daily sketches equals the sketch of the union EXACTLY, so a
+range query never rescans raw events. Layout, as plain parquet so any
+engine can read it:
+
+- ``registers.parquet`` — (event_type STRING, bucket INT, mreg INT)
+  partitioned by ``day`` (BIGINT epoch-day): a range query's scan prunes
+  to the requested day directories (partition pruning — the on-disk
+  analogue of reading that range's sketch pages).
+- ``_META.json`` — the register geometry (p, m, wbits) plus the row
+  count: enough to refuse a mismatched hash family or torn artifact
+  loudly.
+
+Publish is staged + renamed (ann_index._publish_atomically): readers
+never observe parquet-without-meta.
+
+100 TB posture: the store is |days|·|groups|·m three-int rows — one
+partitioned shuffle at ingest; every later range rollup touches only
+the pruned day partitions and merges ≤ |groups|·m cells per day.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import HLL_M, HLL_P, HLL_WBITS
+from .ann_index import _publish_atomically
+
+#: Session-scoped save memo (path -> meta), mirroring ann_index._SAVED.
+_SAVED: dict[str, dict] = {}
+
+
+def hll_store_path(sf_dir: str) -> str:
+    """Deterministic scratch location for a corpus's register store,
+    keyed on a hash of the FULL corpus path (ivf_index_path rationale)."""
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = os.path.basename(norm) or "corpus"
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
+    return f"/tmp/spark_graft_hll_store/{tag}-{digest}"
+
+
+def save_hll_registers(
+    spark: SparkSession,
+    registers: DataFrame,
+    path: str,
+    meta: dict | None = None,
+) -> dict:
+    """Write per-day registers (day, event_type, bucket, mreg) as a
+    day-partitioned parquet artifact. Idempotent per session."""
+    cached = _SAVED.get(path)
+    if cached is not None:
+        return cached
+    n_rows = registers.count()
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        registers.select(
+            F.col("day").cast("long"),
+            F.col("event_type").cast("string"),
+            F.col("bucket").cast("int"),
+            F.col("mreg").cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(f"{tmp}/registers.parquet")
+    )
+    info = {
+        "p": HLL_P,
+        "m": HLL_M,
+        "wbits": HLL_WBITS,
+        "n_rows": int(n_rows),
+        **(meta or {}),
+    }
+    with open(f"{tmp}/_META.json", "w") as f:
+        json.dump(info, f)
+    _publish_atomically(tmp, path)
+    _SAVED[path] = info
+    return info
+
+
+def load_hll_registers(
+    spark: SparkSession, path: str, p: int = HLL_P
+) -> tuple[DataFrame, dict]:
+    """Reload the register store as a lazy DataFrame + meta. Refuses a
+    mismatched register geometry (a merge across different p would
+    silently produce garbage estimates) and a torn artifact."""
+    meta_path = f"{path}/_META.json"
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no HLL register store at {path} (expected _META.json; "
+            "run save_hll_registers first)"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("p") != p or meta.get("m") != (1 << p):
+        raise ValueError(
+            f"HLL store at {path} uses register geometry p={meta.get('p')}"
+            f" — refusing to merge with p={p} registers (hash family "
+            "mismatch would corrupt every estimate)"
+        )
+    regs = spark.read.parquet(f"{path}/registers.parquet").select(
+        F.col("day").cast("long"),
+        "event_type",
+        F.col("bucket").cast("int"),
+        F.col("mreg").cast("int"),
+    )
+    return regs, meta

@@ -1123,3 +1123,67 @@ def test_stream_events_reads_directory_corpus(spark, oracle_sf_dir, tmp_path):
         for r in ev.groupBy("event_type").count().collect()
     }
     assert got == want and got
+
+
+# --- q341: persisted daily HLL rollup ---------------------------------------------
+
+
+def test_q341_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q341_hll_rollup"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_hll_store_round_trip_and_geometry_guard(spark, oracle_sf_dir, tmp_path):
+    """Save → load must reproduce the daily register rows exactly, and a
+    mismatched register geometry must refuse to load."""
+    from snowflake_stock_dbt_spark.operators.sketch import hll_registers
+    from snowflake_stock_dbt_spark.sinks.sketch_store import (
+        load_hll_registers,
+        save_hll_registers,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = load_table(spark, oracle_sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    daily = hll_registers(ev, ("day", "event_type"), "user_id")
+    path = str(tmp_path / "hll_store")
+    info = save_hll_registers(spark, daily, path)
+    loaded, meta = load_hll_registers(spark, path)
+    assert meta["n_rows"] == info["n_rows"] == loaded.count()
+    want = {tuple(r) for r in daily.collect()}
+    got = {
+        (r["day"], r["event_type"], r["bucket"], r["mreg"])
+        for r in loaded.collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="geometry"):
+        load_hll_registers(spark, path, p=10)
+
+
+def test_hll_daily_merge_equals_union_sketch(spark, oracle_sf_dir):
+    """Mergeable-summaries exactness: MAX-merging per-day registers must
+    equal the registers computed directly on the unioned days."""
+    from snowflake_stock_dbt_spark.operators.sketch import hll_registers
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    ev = load_table(spark, oracle_sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    daily = hll_registers(ev, ("day", "event_type"), "user_id")
+    merged = {
+        (r["event_type"], r["bucket"]): r["mreg"]
+        for r in daily.groupBy("event_type", "bucket")
+        .agg(F.max("mreg").alias("mreg"))
+        .collect()
+    }
+    direct = {
+        (r["grp"], r["bucket"]): r["mreg"]
+        for r in hll_registers(ev, "event_type", "user_id").collect()
+    }
+    assert merged == direct
