@@ -845,18 +845,12 @@ MMR_W_REL = 7
 MMR_W_DIV = 3
 
 
-def q334_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candidate_pairsim(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Nano-grid pairwise cosine (query_id, a_id, b_id, sim_n) between a
+    bounded candidate set's embeddings — MMR's diversity input, shared
+    by q334 (per-query candidates) and q342 (the fused hybrid list)."""
     from ..functions.vectors import dot_exact, norm_exact
-    from ..operators.similarity import cosine_topk_exact, mmr_rerank
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < MMR_NQ)
-    topm = cosine_topk_exact(queries, emb, k=MMR_M)
-    cand = topm.select(
-        "query_id",
-        F.col("neighbor_id").alias("cand_id"),
-        F.round(F.col("cosine") * F.lit(1e9)).cast("long").alias("rel_n"),
-    )
     vecs = emb.select(
         "vec_id",
         F.col("embedding").alias("vec"),
@@ -874,7 +868,7 @@ def q334_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cand.select("query_id", F.col("cand_id").alias("b_id"))),
         "b_id",
     )
-    pairsim = (
+    return (
         av.join(bv, "query_id")
         .where(F.col("a_id") != F.col("b_id"))
         .select(
@@ -890,6 +884,20 @@ def q334_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim_n"),
         )
     )
+
+
+def q334_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_exact, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < MMR_NQ)
+    topm = cosine_topk_exact(queries, emb, k=MMR_M)
+    cand = topm.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.round(F.col("cosine") * F.lit(1e9)).cast("long").alias("rel_n"),
+    )
+    pairsim = _candidate_pairsim(emb, cand)
     return mmr_rerank(
         cand, pairsim, k=MMR_K, w_rel=MMR_W_REL, w_div=MMR_W_DIV
     ).orderBy("query_id", "sel_rank")
@@ -972,7 +980,27 @@ sel1 AS (
     ) WHERE rn = 1
 ),
 selset1 AS (SELECT query_id, cand_id FROM sel1)"""
-    parts = [head]
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, k + 1)
+    )
+    return (
+        "WITH"
+        + head
+        + _mmr_step_ctes(k, w_rel, w_div)
+        + f"""
+SELECT query_id, cand_id, CAST(sel_rank AS INT) AS sel_rank, rel_n
+FROM ({union})
+ORDER BY query_id, sel_rank
+"""
+    )
+
+
+def _mmr_step_ctes(k: int, w_rel: int, w_div: int) -> str:
+    """The greedy MMR rounds 2..k as CTE text, given ``cand``
+    (query_id, cand_id, rel_n), ``psim`` (query_id, a_id, b_id, sim_n),
+    and ``sel1``/``selset1`` already defined — shared between q334's
+    self-contained oracle and q342's fused-candidate capstone."""
+    parts = []
     for t in range(2, k + 1):
         parts.append(f""",
 step{t} AS (
@@ -998,13 +1026,7 @@ selset{t} AS (
     SELECT * FROM selset{t - 1}
     UNION ALL SELECT query_id, cand_id FROM sel{t}
 )""")
-    union = "\n    UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(1, k + 1))
-    parts.append(f"""
-SELECT query_id, cand_id, CAST(sel_rank AS INT) AS sel_rank, rel_n
-FROM ({union})
-ORDER BY query_id, sel_rank
-""")
-    return "WITH" + "".join(parts)
+    return "".join(parts)
 
 
 Q334_SQL = _mmr_unrolled_sql(MMR_NQ, MMR_M, MMR_K, MMR_W_REL, MMR_W_DIV)
@@ -1094,7 +1116,103 @@ ORDER BY change_type, o_orderkey
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q342 — Hybrid-retrieval CAPSTONE: BM25 (q186) + dense cosine, RRF-fused
+# (q211), then MMR-diversified (q334's greedy rounds) — the full modern
+# retrieval stack lexical → dense → fuse → de-redundify, composed
+# end-to-end with ONE value oracle (the component CTEs nested verbatim:
+# Q211_SQL as the candidate feed, the shared _mmr_step_ctes for the
+# rounds). Relevance for MMR is the fused rrf_ppb score; diversity is
+# the nano-grid pairwise cosine over the fused list's embeddings.
+#
+# Scale: every corpus-scale stage belongs to the components (BM25 term
+# aggs, broadcast dense scoring); the fusion and MMR rounds run on the
+# bounded fused list (RRF_TOP rows).
+# ---------------------------------------------------------------------------
+
+MMRH_K = 5
+
+
+def q342_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    fused = q211_rrf_hybrid(spark, sf_dir)
+    cand = fused.select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("id").alias("cand_id"),
+        F.col("rrf_ppb").alias("rel_n"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairsim = _candidate_pairsim(emb, cand)
+    out = mmr_rerank(
+        cand, pairsim, k=MMRH_K, w_rel=MMR_W_REL, w_div=MMR_W_DIV
+    )
+    return out.select(
+        F.col("cand_id").alias("id"),
+        "sel_rank",
+        F.col("rel_n").alias("rrf_ppb"),
+    ).orderBy("sel_rank")
+
+
+Q342_SQL = f"""
+WITH fused AS MATERIALIZED ({Q211_SQL}),
+cand AS MATERIALIZED (
+    SELECT CAST(0 AS BIGINT) AS query_id, id AS cand_id,
+           rrf_ppb AS rel_n
+    FROM fused
+),
+ce AS MATERIALIZED (
+    SELECT vec_id AS c_id, CAST(r.i AS INT) AS pos,
+           CAST(embedding[r.i + 1] AS DOUBLE) AS v
+    FROM embeddings
+    JOIN cand ON cand.cand_id = embeddings.vec_id
+    CROSS JOIN range(0, 4096) r(i)
+    WHERE r.i < len(embedding)
+),
+cn AS (
+    SELECT c_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+    FROM ce GROUP BY c_id
+),
+pc AS (
+    SELECT c1.query_id, c1.cand_id AS a_id, c2.cand_id AS b_id
+    FROM cand c1 JOIN cand c2 USING (query_id)
+    WHERE c1.cand_id <> c2.cand_id
+),
+pd AS (
+    SELECT pc.query_id, pc.a_id, pc.b_id,
+           CAST(SUM(CAST(ea.v * eb.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM pc
+    JOIN ce ea ON ea.c_id = pc.a_id
+    JOIN ce eb ON eb.c_id = pc.b_id AND eb.pos = ea.pos
+    GROUP BY 1, 2, 3
+),
+psim AS MATERIALIZED (
+    SELECT pd.query_id, pd.a_id, pd.b_id,
+           CAST(ROUND(pd.dot / NULLIF(ca.cn * cb.cn, 0.0) * 1000000000)
+                AS BIGINT) AS sim_n
+    FROM pd
+    JOIN cn ca ON ca.c_id = pd.a_id
+    JOIN cn cb ON cb.c_id = pd.b_id
+),
+sel1 AS (
+    SELECT query_id, cand_id, 1 AS sel_rank, rel_n FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel_n DESC, cand_id
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+),
+selset1 AS (SELECT query_id, cand_id FROM sel1){_mmr_step_ctes(MMRH_K, MMR_W_REL, MMR_W_DIV)}
+SELECT cand_id AS id, CAST(sel_rank AS INT) AS sel_rank,
+       rel_n AS rrf_ppb
+FROM ({" UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(1, MMRH_K + 1))})
+ORDER BY sel_rank
+"""
+
+
 RETRIEVAL_QUERIES = {
+    "q342_hybrid_mmr": q342_hybrid_mmr,
     "q338_snapshot_diff": q338_snapshot_diff,
     "q334_mmr_rerank": q334_mmr_rerank,
     "q255_phrase_search": q255_phrase_search,
@@ -1107,6 +1225,7 @@ RETRIEVAL_QUERIES = {
 }
 
 RETRIEVAL_ORACLES = {
+    "q342_hybrid_mmr": Q342_SQL,
     "q338_snapshot_diff": Q338_SQL,
     "q334_mmr_rerank": Q334_SQL,
     "q255_phrase_search": Q255_SQL,

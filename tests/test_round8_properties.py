@@ -1187,3 +1187,36 @@ def test_hll_daily_merge_equals_union_sketch(spark, oracle_sf_dir):
         for r in hll_registers(ev, "event_type", "user_id").collect()
     }
     assert merged == direct
+
+
+# --- q342: hybrid retrieval capstone ----------------------------------------------
+
+
+def test_q342_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q342_hybrid_mmr"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q342_selects_from_fused_list_and_leads_with_top(spark, oracle_sf_dir):
+    """Every MMR selection must come from q211's fused top list, and
+    selection 1 must be the fused argmax (pure relevance first)."""
+    from snowflake_stock_dbt_spark.plans.retrieval import (
+        MMRH_K,
+        q211_rrf_hybrid,
+        q342_hybrid_mmr,
+    )
+
+    fused = {
+        r["id"]: (r["rrf_ppb"], r["rank"])
+        for r in q211_rrf_hybrid(spark, oracle_sf_dir).collect()
+    }
+    sel = q342_hybrid_mmr(spark, oracle_sf_dir).collect()
+    assert len(sel) == MMRH_K
+    assert all(r["id"] in fused for r in sel)
+    top_fused = min(fused, key=lambda i: (-fused[i][0], i))
+    assert sel[0]["id"] == top_fused and sel[0]["sel_rank"] == 1
