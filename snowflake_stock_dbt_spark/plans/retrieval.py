@@ -892,11 +892,15 @@ def q334_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < MMR_NQ)
     topm = cosine_topk_exact(queries, emb, k=MMR_M)
+    # Checkpoint the bounded candidate list BEFORE fanning it into the
+    # a/b sides of the pair-sim join and the greedy rounds — otherwise
+    # the corpus-scale top-m scan upstream executes once per reference
+    # (measured 3× on q342's x16 probe before the same fix there).
     cand = topm.select(
         "query_id",
         F.col("neighbor_id").alias("cand_id"),
         F.round(F.col("cosine") * F.lit(1e9)).cast("long").alias("rel_n"),
-    )
+    ).localCheckpoint()
     pairsim = _candidate_pairsim(emb, cand)
     return mmr_rerank(
         cand, pairsim, k=MMR_K, w_rel=MMR_W_REL, w_div=MMR_W_DIV
@@ -1139,11 +1143,16 @@ def q342_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import mmr_rerank
 
     fused = q211_rrf_hybrid(spark, sf_dir)
+    # Checkpoint the fused list ONCE: every later reference (the a/b
+    # pair-sim sides, the greedy rounds) would otherwise re-execute the
+    # whole q211 pipeline — BM25 explode + dense scoring — per
+    # reference; the x16 probe measured 79 s before, dominated by ~3
+    # such replays.
     cand = fused.select(
         F.lit(0).cast("long").alias("query_id"),
         F.col("id").alias("cand_id"),
         F.col("rrf_ppb").alias("rel_n"),
-    )
+    ).localCheckpoint()
     emb = load_table(spark, sf_dir, "embeddings")
     pairsim = _candidate_pairsim(emb, cand)
     out = mmr_rerank(
