@@ -920,7 +920,71 @@ ORDER BY o_orderpriority
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q343 — Salted skewed JOIN, registered (operators/skew.py:salted_join —
+# until now exercised only by tests + bench_skew.py). The shape: a
+# skewed fact (events; q195 reports its heavy keys) equi-joined to a
+# medium per-key dim that is too big to broadcast at cluster scale —
+# the case where one hot user pins an entire reducer. The left side's
+# keys are salted 8 ways and the dim replicated to match, so the hot
+# key's rows spread over 8 reducers; output equals the plain join
+# EXACTLY (the oracle is that plain join — salting is pure physical
+# redistribution). The dim's values flow into the aggregate
+# (value × user-event-count) so a dropped/duplicated replica breaks the
+# value hash loudly.
+#
+# Scale: salting trades n_salts× dim shuffle volume for hot-key reducer
+# spread — the standard fact⋈dim skew mitigation when AQE's runtime
+# skew-join split can't see the skew (pinned partitioning upstream).
+# ---------------------------------------------------------------------------
+
+_SALTS = 8
+
+
+def q343_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dec_sum
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("u_events"))
+    joined = salted_join(
+        ev.select("user_id", "event_type", "value"),
+        dim,
+        ["user_id"],
+        n_salts=_SALTS,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("u_events").cast("long").alias("weight_sum"),
+            dec_sum(F.col("value") * F.col("u_events")).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q343_SQL = """
+WITH dim AS (
+    SELECT user_id, COUNT(*) AS u_events FROM events GROUP BY user_id
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(u_events) AS BIGINT) AS weight_sum,
+       CAST(SUM(CAST(value * u_events AS DECIMAL(38,6))) AS DOUBLE)
+           AS weighted_value
+FROM events JOIN dim USING (user_id)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 OPS_DIAG_QUERIES = {
+    "q343_salted_join": q343_salted_join,
     "q337_bucketed_join": q337_bucketed_join,
     "q270_profile_drift": q270_profile_drift,
     "q284_id_gap_audit": q284_id_gap_audit,
@@ -935,6 +999,7 @@ OPS_DIAG_QUERIES = {
 }
 
 OPS_DIAG_ORACLES = {
+    "q343_salted_join": Q343_SQL,
     "q337_bucketed_join": Q337_SQL,
     "q270_profile_drift": Q270_SQL,
     "q284_id_gap_audit": Q284_SQL,

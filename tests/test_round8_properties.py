@@ -1220,3 +1220,30 @@ def test_q342_selects_from_fused_list_and_leads_with_top(spark, oracle_sf_dir):
     assert all(r["id"] in fused for r in sel)
     top_fused = min(fused, key=lambda i: (-fused[i][0], i))
     assert sel[0]["id"] == top_fused and sel[0]["sel_rank"] == 1
+
+
+# --- q343: salted skewed join ------------------------------------------------------
+
+
+def test_q343_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q343_salted_join"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q343_join_actually_salts(spark, oracle_sf_dir):
+    """The physical join key must include the salt column — otherwise the
+    query silently degrades to the plain (hot-reducer) join."""
+    from snowflake_stock_dbt_spark.plans.ops_diag import q343_salted_join
+
+    plan = (
+        q343_salted_join(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan
