@@ -983,7 +983,73 @@ ORDER BY event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q344 — Columnar-format interchange parity under the DRIVER contract:
+# lineitem written to ORC (sources/formats.py — the round-trips were
+# test-only until now) and read back; the checked aggregate runs over
+# the ORC scan while the oracle runs over the original parquet, so any
+# value the format shifts — timestamps are the classic ORC/parquet
+# hazard (different epoch/zone conventions) — breaks the hash loudly.
+# max_ship_us pins the timestamp domain explicitly.
+#
+# Scale: the one-time conversion is a linear columnar rewrite; the scan
+# behind the aggregate keeps pushdown/pruning (ORC is in COLUMNAR —
+# PushedFilters verified by tests/test_layout.py).
+# ---------------------------------------------------------------------------
+
+
+def _orc_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    from ..sources.formats import write_table
+    from ..sources.tables import load_table as _lt
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_orc/{os.path.basename(norm)}-{digest}/lineitem.orc"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_table(_lt(spark, sf_dir, "lineitem"), path, fmt="orc")
+    return path
+
+
+def q344_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dec_sum
+    from ..sources.formats import read_table
+
+    li = read_table(spark, _orc_lineitem_path(spark, sf_dir), fmt="orc")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum("l_quantity").alias("qty_sum"),
+            dec_sum("l_extendedprice").alias("price_sum"),
+            F.max(F.unix_micros("l_shipdate")).cast("long").alias(
+                "max_ship_us"
+            ),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+Q344_SQL = """
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty_sum,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS price_sum,
+       CAST(MAX(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT)
+           AS max_ship_us
+FROM lineitem
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+"""
+
+
 OPS_DIAG_QUERIES = {
+    "q344_orc_roundtrip": q344_orc_roundtrip,
     "q343_salted_join": q343_salted_join,
     "q337_bucketed_join": q337_bucketed_join,
     "q270_profile_drift": q270_profile_drift,
@@ -999,6 +1065,7 @@ OPS_DIAG_QUERIES = {
 }
 
 OPS_DIAG_ORACLES = {
+    "q344_orc_roundtrip": Q344_SQL,
     "q343_salted_join": Q343_SQL,
     "q337_bucketed_join": Q337_SQL,
     "q270_profile_drift": Q270_SQL,

@@ -1247,3 +1247,30 @@ def test_q343_join_actually_salts(spark, oracle_sf_dir):
         .toString()
     )
     assert "__salt" in plan
+
+
+# --- q344: ORC round-trip parity ----------------------------------------------------
+
+
+def test_q344_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q344_orc_roundtrip"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q344_orc_content_identical_to_parquet(spark, oracle_sf_dir):
+    """Row-level: the ORC copy must hold exactly the parquet rows
+    (timestamps included), not merely agree on aggregates."""
+    from snowflake_stock_dbt_spark.plans.ops_diag import _orc_lineitem_path
+    from snowflake_stock_dbt_spark.sources.formats import read_table
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    orc = read_table(spark, _orc_lineitem_path(spark, oracle_sf_dir), fmt="orc")
+    pq = load_table(spark, oracle_sf_dir, "lineitem")
+    assert orc.count() == pq.count()
+    assert orc.exceptAll(pq.select(*orc.columns)).isEmpty()
+    assert pq.select(*orc.columns).exceptAll(orc).isEmpty()
