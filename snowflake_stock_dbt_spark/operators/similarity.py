@@ -1087,6 +1087,11 @@ def mmr_rerank(
             ).desc(),
             "cand_id",
         )
+        # Each round's selection is checkpointed (|queries| rows): sel_t
+        # is referenced by selset_t AND the output union, and selset_t by
+        # round t+1 twice more — without the break the shared subplans
+        # re-execute once per reference, ~2^k tiny jobs by round k (the
+        # recursive-lineage analogue of the q342 candidate replay).
         sel = (
             rem.join(maxsim, ["query_id", "cand_id"])
             .withColumn("rn", F.row_number().over(wt))
@@ -1097,6 +1102,7 @@ def mmr_rerank(
                 F.lit(t).cast("int").alias("sel_rank"),
                 "rel_n",
             )
+            .localCheckpoint()
         )
         out = out.union(sel)
         selset = selset.union(sel.select("query_id", "cand_id"))
