@@ -60,6 +60,11 @@ PINNED = [
     # suite numbers but sat outside the rotation, so the noise-proof
     # medians couldn't adjudicate it. Now they can.
     "q56_ann_lsh",
+    # Round-8 additions: the two MMR plans are fixed-cost round chains
+    # (corpus-independent, so suite position noise dominates their raw
+    # numbers) — exactly the profile the medians exist to adjudicate.
+    "q334_mmr_rerank",
+    "q342_hybrid_mmr",
 ]
 
 REPS = 4
