@@ -1869,19 +1869,24 @@ def q341_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"HLL store at {path} failed its recount audit: "
             f"{n_loaded} rows loaded, meta says {meta['n_rows']}"
         )
-    max_day = loaded.agg(F.max("day")).first()[0]
-    recent = loaded.where(F.col("day") > max_day - _ROLLUP_DAYS)
+    # The range anchor stays LAZY (q216 broadcast-anchor pattern): the
+    # 1-row max-day frame joins in, so no driver action runs at plan
+    # construction (partition pruning on `day` still applies at runtime
+    # via dynamic filtering at cluster scale).
+    mx = loaded.agg(F.max("day").alias("max_day"))
+    recent = loaded.crossJoin(F.broadcast(mx)).where(
+        F.col("day") > F.col("max_day") - _ROLLUP_DAYS
+    )
     merged = recent.groupBy("event_type", "bucket").agg(
         F.max("mreg").alias("mreg")
     )
     est = hll_estimate(merged, group_cols=("event_type",))
     exact = (
-        ev.where(
-            F.expr(
-                f"unix_micros(ts) div {_ROLLUP_DAY_US}"
-            )
-            > max_day - _ROLLUP_DAYS
+        ev.withColumn(
+            "day", F.expr(f"unix_micros(ts) div {_ROLLUP_DAY_US}")
         )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("day") > F.col("max_day") - _ROLLUP_DAYS)
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
     )

@@ -87,6 +87,7 @@ BNL_ALLOWED = {
     "q195_skew_report",  # 1-row (total, n_keys) stats broadcast
     "q206_ab_test_readout",  # two 1-row arm summaries crossed (q03 pattern)
     "q208_k_anonymity",  # 1-row table-total broadcast (q03 pattern)
+    "q341_hll_rollup",  # 1-row max-day range anchor (q216 pattern, r8)
     "q210_autocorrelation",  # 1-row global-moment broadcast (q03 pattern)
     "q211_rrf_hybrid",  # embeds q186's 1-row corpus-stats broadcast
     "q213_benford_audit",  # 1-row table-total broadcast (q03 pattern)
@@ -617,6 +618,11 @@ def test_no_eager_actions_at_plan_construction():
     allowed = {
         ("streaming_plans.py", ".first()"),  # fixture landing-dir builder
         ("vectors.py", ".count()"),  # SemDeDup k-sizing, memoized
+        # q341's register-store recount audit: a LOUD artifact-drift
+        # check against _META.json, like q332's (vectors.py) — the
+        # action is the point, and it scans only the |days|·|groups|·64
+        # register table, never raw events.
+        ("scale.py", ".count()"),
     }
     offenders = []
     for path in sorted(plans.glob("*.py")):
