@@ -1179,3 +1179,82 @@ def ivf_hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def mmr_rerank_arrow(
+    cand: DataFrame,
+    pairsim: DataFrame,
+    k: int = 5,
+    w_rel: int = 7,
+    w_div: int = 3,
+) -> DataFrame:
+    """Arrow execution of :func:`mmr_rerank`: ONE shuffle by query_id and
+    the greedy loop runs per group in a cogrouped applyInPandas — the
+    shape that serves millions of queries in parallel at cluster scale
+    (per-query state is the bounded m-candidate set, exactly the
+    sanctioned bounded-state Arrow seam the unigram-LM trainer uses).
+    The unrolled-join :func:`mmr_rerank` stays as the relational
+    semantics reference; tests pin the two row-for-row equal (the SNM
+    windowed-vs-bucketed discipline), and the SQL oracle replays the
+    unrolled form. Ties and integer grids are identical: argmax of
+    ``w_rel·rel − w_div·max_sim``, ties to the smallest cand_id."""
+    import pandas as pd
+
+    # Bounded candidate state, checkpointed: (a) the upstream candidate
+    # generation must not replay per reference, and (b) pairsim usually
+    # DERIVES from cand, which the analyzer would reject as an ambiguous
+    # self-join under cogroup — the checkpoint gives each side fresh
+    # attribute ids.
+    cand = cand.localCheckpoint()
+    pairsim = pairsim.localCheckpoint()
+
+    out_schema = "query_id long, cand_id long, sel_rank int, rel_n long"
+    empty = {
+        "query_id": pd.Series(dtype="int64"),
+        "cand_id": pd.Series(dtype="int64"),
+        "sel_rank": pd.Series(dtype="int32"),
+        "rel_n": pd.Series(dtype="int64"),
+    }
+
+    def select(cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if cdf.empty:
+            return pd.DataFrame(empty)
+        q = int(cdf["query_id"].iloc[0])
+        rel = dict(
+            zip(cdf["cand_id"].astype(int), cdf["rel_n"].astype(int))
+        )
+        sims = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim_n"])
+        }
+        sel = [min(rel, key=lambda c: (-rel[c], c))]
+        while len(sel) < k and len(sel) < len(rel):
+            rest = (c for c in rel if c not in sel)
+            sel.append(
+                min(
+                    rest,
+                    key=lambda c: (
+                        -(
+                            w_rel * rel[c]
+                            - w_div * max(sims[(c, s)] for s in sel)
+                        ),
+                        c,
+                    ),
+                )
+            )
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([q] * len(sel), dtype="int64"),
+                "cand_id": pd.Series(sel, dtype="int64"),
+                "sel_rank": pd.Series(
+                    range(1, len(sel) + 1), dtype="int32"
+                ),
+                "rel_n": pd.Series([rel[c] for c in sel], dtype="int64"),
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(pairsim.groupBy("query_id"))
+        .applyInPandas(select, out_schema)
+    )

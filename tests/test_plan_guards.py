@@ -120,6 +120,13 @@ PANDAS_ALLOWED = {
     # is ≤ capacity counters per partition, merge is vectorized pandas,
     # and the answer is exact-recounted JVM-side after it (r8).
     "q326_heavy_hitters",
+    # MMR greedy selection (r8): cogrouped applyInPandas over the
+    # BOUNDED per-query candidate state (m=12 rows + m² sims), post all
+    # corpus-scale stages — the unigram-LM bounded-state seam shape; the
+    # unrolled-join reference operator is pinned row-for-row equal in
+    # tests and the SQL oracle replays it.
+    "q334_mmr_rerank",
+    "q342_hybrid_mmr",
 }
 
 #: Streaming queries materialize through a memory sink before returning,
@@ -429,7 +436,12 @@ def test_plan_guards(spark, name):
     # Row-at-a-time Python evaluation is banned everywhere.
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in PANDAS_ALLOWED and name not in STREAM_MATERIALIZED:
-        for op in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
+        for op in (
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "ArrowEvalPython",
+        ):
             assert op not in plan, f"{name}: unexpected Python seam {op}"
     for pattern in PINNED_PATTERNS.get(name, []):
         assert pattern in plan, f"{name}: lost pinned plan property {pattern}"

@@ -1274,3 +1274,40 @@ def test_q344_orc_content_identical_to_parquet(spark, oracle_sf_dir):
     assert orc.count() == pq.count()
     assert orc.exceptAll(pq.select(*orc.columns)).isEmpty()
     assert pq.select(*orc.columns).exceptAll(orc).isEmpty()
+
+
+# --- MMR: arrow path == unrolled relational reference -------------------------------
+
+
+def test_mmr_arrow_equals_unrolled_reference(spark, oracle_sf_dir):
+    """The cogrouped-applyInPandas execution must reproduce the
+    unrolled-join reference row-for-row on real candidates (the SNM
+    windowed-vs-bucketed discipline applied to MMR)."""
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        cosine_topk_exact,
+        mmr_rerank,
+        mmr_rerank_arrow,
+    )
+    from snowflake_stock_dbt_spark.plans.retrieval import (
+        MMR_K,
+        MMR_M,
+        MMR_NQ,
+        _candidate_pairsim,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    topm = cosine_topk_exact(
+        emb.where(F.col("vec_id") < MMR_NQ), emb, k=MMR_M
+    )
+    cand = topm.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.round(F.col("cosine") * F.lit(1e9)).cast("long").alias("rel_n"),
+    ).localCheckpoint()
+    pairsim = _candidate_pairsim(emb, cand)
+    ref = sorted(tuple(r) for r in mmr_rerank(cand, pairsim, k=MMR_K).collect())
+    arrow = sorted(
+        tuple(r) for r in mmr_rerank_arrow(cand, pairsim, k=MMR_K).collect()
+    )
+    assert arrow == ref and len(ref) == MMR_NQ * MMR_K
