@@ -1229,18 +1229,28 @@ def mmr_rerank_arrow(
         }
         sel = [min(rel, key=lambda c: (-rel[c], c))]
         while len(sel) < k and len(sel) < len(rel):
-            rest = (c for c in rel if c not in sel)
+            # Inner-join semantics, exactly as the unrolled reference: a
+            # candidate participates in round t only through the sim
+            # pairs it HAS against already-selected items (a hybrid list
+            # can carry lexical-only ids with no embedding — q342 at
+            # sf0.1 — which can win the pure-relevance round 1 but are
+            # never diversity-scored afterwards).
+            scored = [
+                (c, max(ps))
+                for c in rel
+                if c not in sel
+                for ps in [
+                    [sims[(c, s)] for s in sel if (c, s) in sims]
+                ]
+                if ps
+            ]
+            if not scored:
+                break
             sel.append(
                 min(
-                    rest,
-                    key=lambda c: (
-                        -(
-                            w_rel * rel[c]
-                            - w_div * max(sims[(c, s)] for s in sel)
-                        ),
-                        c,
-                    ),
-                )
+                    scored,
+                    key=lambda cm: (-(w_rel * rel[cm[0]] - w_div * cm[1]), cm[0]),
+                )[0]
             )
         return pd.DataFrame(
             {

@@ -1311,3 +1311,37 @@ def test_mmr_arrow_equals_unrolled_reference(spark, oracle_sf_dir):
         tuple(r) for r in mmr_rerank_arrow(cand, pairsim, k=MMR_K).collect()
     )
     assert arrow == ref and len(ref) == MMR_NQ * MMR_K
+
+
+def test_mmr_arrow_matches_reference_with_simless_candidates(spark):
+    """A hybrid list can carry ids with NO pair-sim rows (lexical-only,
+    no embedding): both executions must let them win the pure-relevance
+    round 1 but exclude them from diversity rounds (inner-join
+    semantics), identically."""
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        mmr_rerank,
+        mmr_rerank_arrow,
+    )
+
+    # 99 is most relevant but has no sims; 1/2/3 are fully connected.
+    cand = spark.createDataFrame(
+        [(0, 99, 1000), (0, 1, 900), (0, 2, 890), (0, 3, 100)],
+        "query_id long, cand_id long, rel_n long",
+    )
+    sims = spark.createDataFrame(
+        [
+            (0, 1, 2, 950), (0, 2, 1, 950),
+            (0, 1, 3, 10), (0, 3, 1, 10),
+            (0, 2, 3, 20), (0, 3, 2, 20),
+            (0, 1, 99, 0), (0, 2, 99, 0), (0, 3, 99, 0),
+        ],
+        "query_id long, a_id long, b_id long, sim_n long",
+    )
+    ref = sorted(tuple(r) for r in mmr_rerank(cand, sims, k=3).collect())
+    arrow = sorted(
+        tuple(r) for r in mmr_rerank_arrow(cand, sims, k=3).collect()
+    )
+    assert arrow == ref
+    # 99 wins round 1 (pure relevance); rounds 2-3 pick only connected ids.
+    by_rank = {r[2]: r[1] for r in arrow}
+    assert by_rank[1] == 99 and set(by_rank.values()) <= {99, 1, 2, 3}
