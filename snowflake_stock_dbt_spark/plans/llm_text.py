@@ -2589,21 +2589,27 @@ _SX_BUCKET = 16  # sort-bucket prefix; exact because _SX_BUCKET < _SX_MIN
 
 
 def _lcp_expr(a: str, b: str) -> str:
-    """Engine-portable exact LCP of two strings as a nested integer CASE
-    chain (binary search unrolled for keys <= 64 chars): identical text
-    is evaluated by Spark (F.expr) and DuckDB (oracle), so the match
-    length is bit-identical by construction."""
-    acc = "0"
-    for step in (32, 16, 8, 4, 2, 1):
-        acc = (
-            f"(CASE WHEN substr({a}, 1, ({acc}) + {step}) = "
-            f"substr({b}, 1, ({acc}) + {step}) "
-            f"THEN ({acc}) + {step} ELSE ({acc}) END)"
-        )
-    # identical (truncated) suffixes: the unrolled search tops out at 63
+    """Engine-portable exact LCP of two strings (keys <= 64 chars) as a
+    FLAT 64-term indicator sum: prefix-equality at length L implies it at
+    every shorter length, so Σ_L [substr(a,1,L) = substr(b,1,L)] IS the
+    LCP — clamped by both lengths for the identical/prefix cases (substr
+    past the end returns the whole string, which would over-count).
+    Identical text is evaluated by Spark (F.expr) and DuckDB (oracle), so
+    the match length is bit-identical by construction.
+
+    The first cut was a NESTED unrolled binary search whose accumulator
+    was inlined 4× per level — a ~4^6-node expression tree per row, the
+    same blow-up q320's first draft hit (4^12). That version made the
+    q317 LCP projection the single hottest stage in the whole bench:
+    63 s at sf0.1, vs ~7 s with this flat form (identical results,
+    hash-verified)."""
+    terms = " + ".join(
+        f"(CASE WHEN substr({a}, 1, {L}) = substr({b}, 1, {L}) "
+        f"THEN 1 ELSE 0 END)"
+        for L in range(1, 65)
+    )
     return (
-        f"CAST(CASE WHEN {a} = {b} THEN LEAST(length({a}), length({b})) "
-        f"ELSE {acc} END AS INT)"
+        f"CAST(LEAST({terms}, length({a}), length({b})) AS INT)"
     )
 
 
