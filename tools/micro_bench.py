@@ -65,6 +65,9 @@ PINNED = [
     # numbers) — exactly the profile the medians exist to adjudicate.
     "q334_mmr_rerank",
     "q342_hybrid_mmr",
+    # The round-8 close bench caught q317 at 70.8 s (the 4^6-node LCP
+    # tree); pinned so the ~4 s post-fix median can never silently creep.
+    "q317_suffix_dedup",
 ]
 
 REPS = 4
