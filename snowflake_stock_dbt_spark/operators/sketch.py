@@ -294,3 +294,86 @@ def hll_estimate(
         )
         .select(*group_cols, "n_used", "est")
     )
+
+
+# --- Bloom filter (deterministic, cross-engine) -------------------------------
+#
+# q190 exercises Spark's own runtime bloom-filter injection; this is the
+# EXPLICIT filter (Bloom, CACM 1970) on the shared md5 hash family, so
+# the bit array itself — not just a pruning claim — hash-matches DuckDB,
+# and the false-positive rate is audited EXACTLY against an anti-join
+# ground truth (q345). Classic use at 100 TB: ship the k·m-bit array to
+# the probe side and skip the shuffle for keys that cannot match.
+#
+# Bit layout: BLOOM_BITS bits packed 32 per BIGINT word (bit 31 max —
+# no sign-bit hazards in either engine); k = BLOOM_K md5-derived hash
+# functions. Build is one explode + bit_or agg (mergeable: two filters
+# OR together); the array is |words| rows, broadcastable.
+
+BLOOM_BITS = 4096
+BLOOM_WORD = 32
+BLOOM_K = 3
+
+
+def _bloom_pos(key, j: int):
+    return hash60(F.concat(F.lit(f"bloom{j}:"), key)) % BLOOM_BITS
+
+
+def bloom_bits_sql(expr: str, j: int) -> str:
+    """DuckDB twin of :func:`_bloom_pos` (bit position of hash j)."""
+    from ..functions.text import hash60_sql
+
+    hashed = hash60_sql(f"'bloom{j}:' || {expr}")
+    return f"{hashed} % {BLOOM_BITS}"
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the packed filter: (word INT, bits BIGINT) — one row per
+    nonzero 32-bit word, OR-merged; map-side combinable and unionable."""
+    key = F.col(key_col).cast("string")
+    pos = F.explode(
+        F.array(*[_bloom_pos(key, j) for j in range(BLOOM_K)])
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.expr(f"pos div {BLOOM_WORD}").cast("int").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, bits: DataFrame, key_col: str
+) -> DataFrame:
+    """Probe: a key is POSITIVE iff all k bits are set. Returns the probe
+    frame plus a ``bloom_positive`` int (1/0). The filter side is
+    broadcast (|words| rows)."""
+    key = F.col(key_col).cast("string")
+    exploded = probes.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*[_bloom_pos(key, j) for j in range(BLOOM_K)])
+        ).alias("j", "pos"),
+    ).select(
+        key_col,
+        "j",
+        F.expr(f"pos div {BLOOM_WORD}").cast("int").alias("word"),
+        F.expr(f"CAST(pos % {BLOOM_WORD} AS INT)").alias("bit"),
+    )
+    hit = (
+        exploded.join(F.broadcast(bits), "word", "left")
+        .select(
+            key_col,
+            F.when(
+                F.expr("(bits >> bit) & 1 = 1"), F.lit(1)
+            ).otherwise(F.lit(0)).alias("h"),
+        )
+        .groupBy(key_col)
+        .agg(F.min("h").alias("bloom_positive"))
+    )
+    return hit

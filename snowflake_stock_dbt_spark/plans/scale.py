@@ -1954,7 +1954,142 @@ ORDER BY est.event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q345 — Explicit Bloom filter with an EXACT false-positive audit:
+# completes the classic sketch quartet (CMS q95 frequency, Misra–Gries
+# q326 heavy hitters, HLL q336/q340/q341 cardinality, Bloom q345
+# membership). q190 exercises Spark's own runtime bloom injection; this
+# one is built from the shared md5 hash family (operators/sketch.py:
+# bloom_build/bloom_probe), so the packed bit array itself hash-matches
+# DuckDB, and the audit measures what a filter claim never states
+# precisely: the filter is built over customers WITH orders, probed
+# with EVERY customer, and each probe's verdict is joined against the
+# exact anti-join ground truth — zero false negatives by construction
+# (tested), false positives counted exactly per nation.
+#
+# Scale: build is one explode + bit_or agg (mergeable, map-side
+# combined, |words| rows); the probe side broadcasts the 128-word
+# array — the shuffle-skipping join-pruning shape, here with its FP
+# cost measured instead of asserted.
+# ---------------------------------------------------------------------------
+
+
+def q345_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bits = bloom_build(keys, "k")
+    # The synthetic corpus gives EVERY customer an order, so real keys
+    # alone would leave no absent probes (a vacuous audit); a shifted
+    # copy of the key space is guaranteed-absent membership traffic.
+    probes = cust.select("c_custkey", "c_nationkey").unionAll(
+        cust.select(
+            (F.col("c_custkey") + F.lit(1_000_000_000)).alias("c_custkey"),
+            "c_nationkey",
+        )
+    )
+    verdict = bloom_probe(probes.select("c_custkey"), bits, "c_custkey")
+    present = keys.select(
+        F.col("k").alias("c_custkey"), F.lit(1).alias("present")
+    )
+    return (
+        probes.join(verdict, "c_custkey")
+        .join(present, "c_custkey", "left")
+        .na.fill(0, ["present"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum("present").cast("long").alias("n_present"),
+            F.sum("bloom_positive").cast("long").alias("n_positive"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_positive") == 1) & (F.col("present") == 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .selectExpr(
+            "c_nationkey",
+            "n_probes",
+            "n_present",
+            "n_positive",
+            "n_false_pos",
+            "CAST(1000000 * n_false_pos DIV NULLIF(n_probes - n_present, 0)"
+            " AS BIGINT) AS fp_ppm_absent",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q345_SQL = """
+WITH keys AS (
+    SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+),
+pos AS (
+    SELECT CAST(('0x' || substr(md5('bloom0:' || k), 1, 15)) AS BIGINT) % 4096 AS pos FROM keys
+    UNION ALL
+    SELECT CAST(('0x' || substr(md5('bloom1:' || k), 1, 15)) AS BIGINT) % 4096 AS pos FROM keys
+    UNION ALL
+    SELECT CAST(('0x' || substr(md5('bloom2:' || k), 1, 15)) AS BIGINT) % 4096 AS pos FROM keys
+),
+bits AS (
+    SELECT CAST(pos // 32 AS INT) AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+               AS bits
+    FROM pos GROUP BY 1
+),
+probes AS (
+    SELECT c_custkey, c_nationkey, CAST(c_custkey AS VARCHAR) AS k
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000000, c_nationkey,
+           CAST(c_custkey + 1000000000 AS VARCHAR)
+    FROM customer
+),
+pp AS (
+    SELECT c_custkey, c_nationkey, CAST(('0x' || substr(md5('bloom0:' || k), 1, 15)) AS BIGINT) % 4096 AS pos FROM probes
+    UNION ALL
+    SELECT c_custkey, c_nationkey, CAST(('0x' || substr(md5('bloom1:' || k), 1, 15)) AS BIGINT) % 4096 AS pos FROM probes
+    UNION ALL
+    SELECT c_custkey, c_nationkey, CAST(('0x' || substr(md5('bloom2:' || k), 1, 15)) AS BIGINT) % 4096 AS pos FROM probes
+),
+hits AS (
+    SELECT c_custkey, c_nationkey,
+           MIN(CASE WHEN (bits >> CAST(pos % 32 AS INT)) & 1 = 1
+                    THEN 1 ELSE 0 END) AS bloom_positive
+    FROM pp
+    LEFT JOIN bits ON bits.word = CAST(pos // 32 AS INT)
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT p.c_custkey,
+           CASE WHEN p.k IN (SELECT k FROM keys) THEN 1 ELSE 0 END AS present
+    FROM (SELECT DISTINCT c_custkey, k FROM probes) p
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(present) AS BIGINT) AS n_present,
+       CAST(SUM(bloom_positive) AS BIGINT) AS n_positive,
+       CAST(SUM(CASE WHEN bloom_positive = 1 AND present = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(1000000 * SUM(CASE WHEN bloom_positive = 1 AND present = 0
+                               THEN 1 ELSE 0 END)
+            // NULLIF(COUNT(*) - SUM(present), 0) AS BIGINT)
+           AS fp_ppm_absent
+FROM hits JOIN truth USING (c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 SCALE_QUERIES = {
+    "q345_bloom_filter_audit": q345_bloom_filter_audit,
     "q341_hll_rollup": q341_hll_rollup,
     "q336_hll_distinct": q336_hll_distinct,
     "q326_heavy_hitters": q326_heavy_hitters,
@@ -1981,6 +2116,7 @@ SCALE_QUERIES = {
 }
 
 SCALE_ORACLES = {
+    "q345_bloom_filter_audit": Q345_SQL,
     "q341_hll_rollup": Q341_SQL,
     "q336_hll_distinct": Q336_SQL,
     "q326_heavy_hitters": Q326_SQL,

@@ -1345,3 +1345,55 @@ def test_mmr_arrow_matches_reference_with_simless_candidates(spark):
     # 99 wins round 1 (pure relevance); rounds 2-3 pick only connected ids.
     by_rank = {r[2]: r[1] for r in arrow}
     assert by_rank[1] == 99 and set(by_rank.values()) <= {99, 1, 2, 3}
+
+
+# --- q345: explicit bloom filter audit ----------------------------------------------
+
+
+def test_q345_matches_oracle(spark, oracle_sf_dir):
+    from snowflake_stock_dbt_spark.plans import ALL_ORACLES, ALL_QUERIES
+    from tests.oracle_utils import compare_query
+
+    name = "q345_bloom_filter_audit"
+    compare_query(
+        spark, oracle_sf_dir, ALL_QUERIES[name], ALL_ORACLES[name], name
+    )
+
+
+def test_q345_bloom_never_false_negative_and_fp_nonvacuous(spark, oracle_sf_dir):
+    """Every present key must probe positive (the Bloom guarantee), and
+    on this corpus the filter must actually produce false positives —
+    otherwise the audit is vacuous."""
+    from snowflake_stock_dbt_spark.plans.scale import q345_bloom_filter_audit
+
+    rows = q345_bloom_filter_audit(spark, oracle_sf_dir).collect()
+    assert rows
+    # no false negatives: positives cover at least every present key
+    assert all(r["n_positive"] >= r["n_present"] for r in rows)
+    assert sum(r["n_false_pos"] for r in rows) > 0
+    total_absent = sum(r["n_probes"] - r["n_present"] for r in rows)
+    total_fp = sum(r["n_false_pos"] for r in rows)
+    # sanity: measured fpp within a loose factor of theory (~14% here)
+    assert 0 < total_fp / total_absent < 0.5
+
+
+def test_bloom_filters_or_merge(spark, oracle_sf_dir):
+    """Two half-corpus filters OR-merged must equal the single-build
+    filter — the mergeable-summaries property (stream/batch unions)."""
+    from snowflake_stock_dbt_spark.operators.sketch import bloom_build
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    keys = (
+        load_table(spark, oracle_sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    whole = {
+        (r["word"], r["bits"]) for r in bloom_build(keys, "k").collect()
+    }
+    a = bloom_build(keys.where("k % 2 = 0"), "k").collect()
+    b = bloom_build(keys.where("k % 2 = 1"), "k").collect()
+    merged: dict = {}
+    for r in list(a) + list(b):
+        merged[r["word"]] = merged.get(r["word"], 0) | r["bits"]
+    assert set(merged.items()) == whole
