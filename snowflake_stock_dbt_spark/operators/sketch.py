@@ -223,12 +223,23 @@ HLL_EST_NUM = HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_WBITS)
 
 def hll_rho_sql(w_expr: str) -> str:
     """Exact-integer rho(w) = leading zeros of the WBITS-wide word + 1,
-    as a shared CASE-ladder text both engines evaluate identically."""
+    as a shared CASE-ladder text both engines evaluate identically.
+
+    The w = 0 branch (probability 2^-WBITS+p per key — unreachable on any
+    real corpus, but data-dependent) CLAMPS to WBITS instead of the
+    textbook WBITS+1: hll_estimate folds registers as
+    shiftleft(1, WBITS - mreg), and mreg = WBITS+1 would shift by -1 —
+    which Spark silently wraps (masked to << 63, a huge negative
+    corrupting s_used) while DuckDB raises. Clamping keeps both engines
+    identical and costs at most one half-unit in one register's harmonic
+    term in the astronomically rare all-zero-suffix case (standard HLL
+    implementations size the register word one bit wider for the same
+    reason)."""
     branches = " ".join(
         f"WHEN {w_expr} >= {1 << (HLL_WBITS - r)} THEN {r}"
         for r in range(1, HLL_WBITS + 1)
     )
-    return f"CASE {branches} ELSE {HLL_WBITS + 1} END"
+    return f"CASE {branches} ELSE {HLL_WBITS} END"
 
 
 def hll_registers(

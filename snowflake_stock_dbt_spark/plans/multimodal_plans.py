@@ -743,6 +743,128 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q346 — multimodal document-level CURATION VERDICT (round-8 VERDICT
+# item 5): compose the three dedup modalities the engine already runs —
+# text near-dup components (q54, MinHash-LSH + connected components),
+# image pHash clusters (q147), and semantic SemDeDup clusters (q118,
+# vec_id aligned with doc_id per TESTDATA.md, the q211 precedent) — into
+# ONE per-document keep/drop verdict with reason codes: the operator a
+# real 100-TB multimodal pipeline runs daily, and the multimodal twin of
+# q101's text-curation verdict. A document is kept only if it is its
+# text cluster's keeper, its image cluster's keeper (when it has an
+# image), and not a SemDeDup drop (when it has an embedding); the
+# reasons column names every modality that voted against it.
+#
+# q147's planted pHash twins (synthetic media_id ≥ _PHASH_TWIN_OFFSET,
+# q94's test scaffolding) are filtered AFTER clustering, so the reused
+# q147 pipeline — and its oracle CTEs — run verbatim; a twin can only
+# make its own base doc a (kept) cluster minimum, never drop a real doc
+# that q147 wouldn't drop.
+#
+# Scale shape: each modality is its own already-audited banded/bucketed
+# pipeline (no new candidate generation here); the composition adds two
+# LEFT equi-joins and one inner equi-join on doc_id — one shuffle each,
+# output |documents|. Oracle: the three registered oracle bodies nested
+# verbatim as subqueries (DuckDB supports WITH RECURSIVE in derived
+# tables) + the same three joins.
+# ---------------------------------------------------------------------------
+
+
+def q346_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_text import q54_neardup_groups
+    from .vectors import q118_semantic_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    textc = q54_neardup_groups(spark, sf_dir).select(
+        "doc_id",
+        F.col("component").alias("text_component"),
+        F.col("cluster_size").alias("text_cluster_size"),
+        F.col("is_keeper").alias("text_keeper"),
+    )
+    mediac = (
+        q147_media_dedup_clusters(spark, sf_dir)
+        .where(F.col("media_id") < _PHASH_TWIN_OFFSET)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("component").alias("media_component"),
+            F.col("is_keeper").alias("media_keeper"),
+        )
+    )
+    sem = q118_semantic_dedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("sem_kept")
+    )
+    out = (
+        docs.join(textc, "doc_id")
+        .join(mediac, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+    )
+    keep = (
+        F.col("text_keeper")
+        & F.coalesce(F.col("media_keeper"), F.lit(True))
+        & F.coalesce(F.col("sem_kept"), F.lit(True))
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("text_keeper"), F.lit("text_neardup")),
+        F.when(
+            ~F.coalesce(F.col("media_keeper"), F.lit(True)),
+            F.lit("image_neardup"),
+        ),
+        F.when(
+            ~F.coalesce(F.col("sem_kept"), F.lit(True)),
+            F.lit("semantic_dup"),
+        ),
+    )
+    return (
+        out.select(
+            "doc_id",
+            "text_component",
+            "text_cluster_size",
+            "media_component",
+            "sem_kept",
+            keep.alias("keep"),
+            F.when(keep, F.lit("keep")).otherwise(reasons).alias("reasons"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q346_sql() -> str:
+    from .llm_text import Q54_SQL
+    from .vectors import Q118_SQL
+
+    return f"""
+WITH textc AS (SELECT * FROM ({Q54_SQL}) tq),
+mediac AS (
+    SELECT * FROM ({Q147_SQL}) mq WHERE media_id < {_PHASH_TWIN_OFFSET}
+),
+sem AS (SELECT * FROM ({Q118_SQL}) sq)
+SELECT d.doc_id,
+       t.component AS text_component,
+       t.cluster_size AS text_cluster_size,
+       m.component AS media_component,
+       s.kept AS sem_kept,
+       (t.is_keeper AND COALESCE(m.is_keeper, TRUE)
+        AND COALESCE(s.kept, TRUE)) AS keep,
+       CASE WHEN t.is_keeper AND COALESCE(m.is_keeper, TRUE)
+                 AND COALESCE(s.kept, TRUE)
+            THEN 'keep'
+            ELSE concat_ws(',',
+                 CASE WHEN NOT t.is_keeper THEN 'text_neardup' END,
+                 CASE WHEN NOT COALESCE(m.is_keeper, TRUE)
+                      THEN 'image_neardup' END,
+                 CASE WHEN NOT COALESCE(s.kept, TRUE)
+                      THEN 'semantic_dup' END)
+       END AS reasons
+FROM documents d
+JOIN textc t ON t.doc_id = d.doc_id
+LEFT JOIN mediac m ON m.media_id = d.doc_id
+LEFT JOIN sem s ON s.vec_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q38_media_decode": q38_media_decode,
     "q81_audio_features": q81_audio_features,
@@ -753,6 +875,7 @@ MULTIMODAL_QUERIES = {
     "q125_scene_cuts": q125_scene_cuts,
     "q147_media_dedup_clusters": q147_media_dedup_clusters,
     "q319_video_neardup": q319_video_neardup,
+    "q346_multimodal_curation": q346_multimodal_curation,
 }
 
 MULTIMODAL_ORACLES = {
@@ -765,4 +888,5 @@ MULTIMODAL_ORACLES = {
     "q53_frame_sample": Q53_SQL,
     "q94_phash_neardup": Q94_SQL,
     "q319_video_neardup": Q319_SQL,
+    "q346_multimodal_curation": _q346_sql(),
 }

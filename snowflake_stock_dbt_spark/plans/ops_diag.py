@@ -1008,7 +1008,22 @@ def _orc_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.tables import load_table as _lt
 
     norm = os.path.abspath(os.path.normpath(sf_dir))
-    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
+    # The cache key digests the source CONTENT signature (every source
+    # file's name/size/mtime), not just the path: a corpus regenerated
+    # in place would otherwise silently serve the stale ORC while the
+    # oracle reads the fresh parquet — a confusing hash-mismatch instead
+    # of a rebuild. (q332/q341 artifacts carry recount audits for the
+    # same reason; this artifact is cheaper to just re-key.)
+    sig_parts = [norm]
+    src = f"{norm}/lineitem.parquet"
+    if os.path.isdir(src):
+        for e in sorted(os.scandir(src), key=lambda x: x.name):
+            st = e.stat()
+            sig_parts.append(f"{e.name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        sig_parts.append(f"lineitem.parquet:{st.st_size}:{st.st_mtime_ns}")
+    digest = hashlib.sha256("|".join(sig_parts).encode()).hexdigest()[:12]
     path = f"/tmp/spark_graft_orc/{os.path.basename(norm)}-{digest}/lineitem.orc"
     if not os.path.exists(f"{path}/_SUCCESS"):
         write_table(_lt(spark, sf_dir, "lineitem"), path, fmt="orc")

@@ -591,15 +591,39 @@ def _size_derived_k(spark: SparkSession, sf_dir: str, emb: DataFrame) -> int:
 
 
 def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_neardup_pairs, kmeans_assign
+    from ..operators.similarity import (
+        cosine_neardup_pairs,
+        kmeans_assign,
+        split_oversized_blocks,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = _size_derived_k(spark, sf_dir, emb)
     bucketed = kmeans_assign(
         emb, k=k, iters=KMEANS_ITERS, cache_key=(id(spark), sf_dir, "full")
     )
+    # At scale (k >= TWO_LEVEL_MIN_K — where kmeans_assign persists the
+    # assigned frame, so the one extra |blocks|-row size agg is a cached
+    # read), pair generation blocks on hash-split-capped clusters:
+    # k-means balance degrades with corpus size (round-9 probe: max
+    # cluster 256 = 4× target at ×16, candidate pairs +2.35× per
+    # doubling) and the cap bounds pair volume linearly. Below the
+    # threshold the balance is measured fine (max cluster 74–79 at
+    # sf0.001/0.01/0.1 vs cap 128) and the unpersisted frame would pay
+    # a third assign evaluation for the size agg (measured +55% on the
+    # sf0.1 suite number), so the plan blocks on the raw bucket —
+    # byte-identical to round 8, Q118_SQL untouched.
+    from ..operators.similarity import TWO_LEVEL_MIN_K
+
+    if k >= TWO_LEVEL_MIN_K:
+        blocked, blk_col = (
+            split_oversized_blocks(bucketed, "bucket", "vec_id"),
+            "__blk",
+        )
+    else:
+        blocked, blk_col = bucketed, "bucket"
     pairs = cosine_neardup_pairs(
-        bucketed, block_col="bucket", threshold=SEMDEDUP_THRESHOLD
+        blocked, block_col=blk_col, threshold=SEMDEDUP_THRESHOLD
     )
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (

@@ -99,6 +99,9 @@ BNL_ALLOWED = {
     "q325_negative_sampling",  # 1-row part key-range anchor (q03 pattern, r8)
     "q326_heavy_hitters",  # 1-row total-count anchor (q03 pattern, r8)
     "q331_scd2_incremental",  # 1-row ts-range cutoff anchor (q216 pattern, r8)
+    # q346 composes q118 (packed-centroid broadcast crossJoin) with q54
+    # and q147 — the same bounded build sides as its parts (r9).
+    "q346_multimodal_curation",
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned
@@ -127,6 +130,9 @@ PANDAS_ALLOWED = {
     # tests and the SQL oracle replays it.
     "q334_mmr_rerank",
     "q342_hybrid_mmr",
+    # q346 inherits q147's pHash extraction seam (one Arrow pass per
+    # image, pre-shuffle) — the composition adds only JVM joins (r9).
+    "q346_multimodal_curation",
 }
 
 #: Streaming queries materialize through a memory sink before returning,
@@ -359,7 +365,10 @@ SHUFFLE_BUDGETS = {
     # plan O(1) in k (PLANS.md round-4 journal item 12).
     "q106_ann_ivf_trained": 22,
     "q115_repeated_passages": 8,  # shingle agg + freq join + islands window
-    "q118_semantic_dedup": 24,  # train + in-cluster pair scoring
+    # Round 9: the oversized-block pair cap (split_oversized_blocks)
+    # only engages at k >= TWO_LEVEL_MIN_K, far above any guard corpus,
+    # so the guarded plan keeps the round-8 shape and budget.
+    "q118_semantic_dedup": 24,
     "q127_event_transitions": 8,  # one window sort + keyed transition aggs
     "q132_bpe_encode": 6,  # vocab distinct + word join-back + doc agg
     "q151_knn_graph": 24,  # centroid agg + probe/candidate joins + rank

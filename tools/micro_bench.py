@@ -68,6 +68,13 @@ PINNED = [
     # The round-8 close bench caught q317 at 70.8 s (the 4^6-node LCP
     # tree); pinned so the ~4 s post-fix median can never silently creep.
     "q317_suffix_dedup",
+    # Round-9 additions (round-8 VERDICT item 2 / What's-wrong #1): the
+    # driver's r8 comparator flagged q94 3.3x and q95 1.84x with no
+    # isolated evidence to adjudicate against — both are short plans
+    # whose suite numbers ride host noise; pinned so every future flag
+    # has a median to compare with.
+    "q94_phash_neardup",
+    "q95_cms_frequency",
 ]
 
 REPS = 4

@@ -33,6 +33,20 @@ from snowflake_stock_dbt_spark.session import get_spark
 BASE_SF = os.environ.get("SPARK_GRAFT_PROBE_BASE", "/root/testdata/sf0.1")
 OUT_ROOT = "/tmp/spark_graft_scaleprobe"
 
+#: --growth=distinct corpus parameters (round-8 VERDICT item 4): the
+#: salted key-offset copies make every doc's clones GENUINE near-dups,
+#: so dedup-audit candidate volume grows quadratically BY CONSTRUCTION
+#: and the measured exponent reflects the corpus, not the plan. The
+#: distinct mode instead resamples EVERY copy's text (c=0 included, so
+#: all factors share one text distribution) from a large synthetic
+#: vocabulary — sparse shingle space, like real crawl growth — and
+#: plants near-dups at a FIXED rate: each selected even/odd doc pair
+#: within a copy shares one resampled text, the odd one salted, giving
+#: exactly n·factor·(1/DISTINCT_PAIR_MOD)/2 near-dup pairs — LINEAR in
+#: corpus size. Token counts per doc are preserved from the base corpus.
+DISTINCT_VOCAB = 65536
+DISTINCT_PAIR_MOD = 20  # 1-in-20 doc pairs are near-dups (5% of docs)
+
 #: The queries VERDICT.md (round 2, item 4) asks to probe, i.e. the top-8
 #: most expensive in BENCH_r02.
 DEFAULT_QUERIES = [
@@ -92,7 +106,42 @@ def _offsets(spark, base):
     return o
 
 
-def _copy(table, df, c, off):
+def _distinct_text(c: int):
+    """Fresh-document text for the --growth=distinct corpus: per-doc
+    deterministic resampling from a DISTINCT_VOCAB-token id space (token
+    count preserved), with a fixed near-dup rate — selected even/odd doc
+    pairs share one seed and the odd doc appends a salt token, so it is
+    a genuine near-dup of its even twin and of nothing else. Pure JVM
+    column expressions; xxhash64 is fine here because probe corpora are
+    performance-only (oracle comparisons never run on them)."""
+    n_tok = F.greatest(F.lit(1), F.size(F.split(F.col("text"), " ")))
+    paired = (
+        F.pmod(F.xxhash64(F.lit("nd"), (F.col("doc_id") / 2).cast("long"), F.lit(c)), F.lit(DISTINCT_PAIR_MOD))
+        == 0
+    )
+    seed = F.when(paired, (F.col("doc_id") / 2).cast("long") * 2).otherwise(
+        F.col("doc_id")
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda p: F.concat(
+                F.lit("t"),
+                F.pmod(
+                    F.xxhash64(F.lit("tok"), seed, F.lit(c), p),
+                    F.lit(DISTINCT_VOCAB),
+                ).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    return F.when(
+        paired & (F.col("doc_id") % 2 == 1),
+        F.concat(body, F.lit(f" neardup{c}")),
+    ).otherwise(body)
+
+
+def _copy(table, df, c, off, growth="salted"):
     """The c-th key-offset copy of one table."""
     if table == "lineitem":
         return df.withColumn("l_orderkey", F.col("l_orderkey") + c * off["orderkey"])
@@ -105,6 +154,15 @@ def _copy(table, df, c, off):
             "event_id", F.col("event_id") + c * off["event"]
         ).withColumn("user_id", F.col("user_id") + c * off["user"])
     if table == "documents":
+        if growth == "distinct":
+            # Fresh distinct documents at a fixed near-dup rate — see
+            # _distinct_text. Note c=0 is resampled too, so every factor
+            # draws from the same text distribution.
+            return (
+                df.withColumn("text", _distinct_text(c))
+                .withColumn("n_chars", F.length("text"))
+                .withColumn("doc_id", F.col("doc_id") + c * off["doc"])
+            )
         # Salt the text per copy: clones keep realistic shingle statistics
         # without forming cross-copy duplicate cliques (which would make
         # near-dup pair counts scale quadratically BY CONSTRUCTION of the
@@ -122,15 +180,16 @@ def _copy(table, df, c, off):
     raise ValueError(table)
 
 
-def build_corpus(spark, factor: int) -> str:
-    out = f"{OUT_ROOT}/x{factor}"
+def build_corpus(spark, factor: int, growth: str = "salted") -> str:
+    root = OUT_ROOT if growth == "salted" else f"{OUT_ROOT}_{growth}"
+    out = f"{root}/x{factor}"
     marker = f"{out}/.complete"
     if os.path.exists(marker):
         return out
     off = _offsets(spark, BASE_SF)
     for t in TABLES:
         base = spark.read.parquet(f"{BASE_SF}/{t}.parquet")
-        parts = [_copy(t, base, c, off) for c in range(factor)]
+        parts = [_copy(t, base, c, off, growth) for c in range(factor)]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -147,6 +206,7 @@ def build_corpus(spark, factor: int) -> str:
 def main() -> int:
     factors = [1, 2, 4]
     queries = DEFAULT_QUERIES
+    growth = "salted"
     for a in sys.argv[1:]:
         if a.startswith("--factors"):
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
@@ -156,11 +216,15 @@ def main() -> int:
                 for n in E.queries()
                 if any(n.startswith(p) for p in a.split("=", 1)[1].split(","))
             ]
+        if a.startswith("--growth"):
+            growth = a.split("=", 1)[1]
+            if growth not in ("salted", "distinct"):
+                raise SystemExit(f"unknown --growth mode {growth!r}")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("scale_probe")
     qs = E.queries()
 
-    dirs = {k: build_corpus(spark, k) for k in factors}
+    dirs = {k: build_corpus(spark, k, growth) for k in factors}
 
     def run(name: str, d: str) -> None:
         # noop datasource: full materialization of every column. A bare
