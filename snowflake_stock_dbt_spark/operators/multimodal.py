@@ -445,6 +445,73 @@ def phash_neardup_pairs(bands: DataFrame, max_dist: int = 3) -> DataFrame:
     )
 
 
+def phash_index_probe(
+    batch_bands: DataFrame,
+    history_index: DataFrame,
+    max_dist: int = 3,
+) -> DataFrame:
+    """INCREMENTAL media dedup: probe a new batch's pHash bands against a
+    historical corpus's PERSISTED band index (sinks/phash_index.py) — the
+    media twin of textdedup.simhash_index_probe. History payloads are
+    never re-decoded or re-hashed; their term enters only through the
+    (media_id, b0..b3, band_id, bv) artifact rows.
+
+    Pigeonhole exactness (max_dist <= 3 < 4 bands): any pair within
+    ``max_dist`` shares at least one identical 16-bit band, so the
+    (band_id, bv) equi-join finds EVERY qualifying pair and the exact
+    JVM bit_count Hamming verdict on the carried signatures removes
+    false candidates. A batch item that also exists in history matches
+    itself at Hamming 0 — the "already indexed" signal a re-crawl wants.
+
+    Returns one row per batch media item that has a signature:
+    (media_id, n_band_candidates, n_dups, matched_min_id NULLable,
+    is_dup).
+
+    Scale shape: candidates bounded by band-bucket collisions (never
+    all-pairs); the index scan is lazy and band-partitioned, so a probe
+    touches only the four band directories with row-group pruning on bv.
+    """
+    from ..sinks.phash_index import melt_phash_bands
+
+    assert max_dist < PHASH_BANDS, "pigeonhole needs max_dist < bands"
+    cols = [f"b{i}" for i in range(PHASH_BANDS)]
+    new_b = melt_phash_bands(batch_bands).persist()
+    hist = history_index.select(
+        "band_id",
+        "bv",
+        F.col("media_id").alias("hist_id"),
+        *[F.col(c).alias(f"h_{c}") for c in cols],
+    )
+    hamming = None
+    for c in cols:
+        term = F.bit_count(F.col(c).bitwiseXOR(F.col(f"h_{c}")))
+        hamming = term if hamming is None else hamming + term
+    cand = (
+        new_b.join(hist, ["band_id", "bv"])
+        .select("media_id", "hist_id", hamming.cast("int").alias("hamming"))
+        .distinct()
+    )
+    hits = cand.groupBy("media_id").agg(
+        F.count("*").alias("n_band_candidates"),
+        F.sum(
+            F.when(F.col("hamming") <= max_dist, 1).otherwise(0)
+        ).alias("n_dups"),
+        F.min(
+            F.when(F.col("hamming") <= max_dist, F.col("hist_id"))
+        ).alias("matched_min_id"),
+    )
+    probed = batch_bands.select("media_id")
+    return probed.join(hits, "media_id", "left").select(
+        "media_id",
+        F.coalesce("n_band_candidates", F.lit(0))
+        .cast("long")
+        .alias("n_band_candidates"),
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        F.col("matched_min_id").cast("long").alias("matched_min_id"),
+        (F.coalesce("n_dups", F.lit(0)) > 0).alias("is_dup"),
+    )
+
+
 SCENE_SCHEMA = (
     "media_id long, frame_idx int, abs_diff_sum long, is_cut boolean"
 )

@@ -744,6 +744,88 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q347 — incremental media dedup from the PERSISTED pHash band index:
+# the MEDIA member of the index-as-artifact family (ANN q318/q322/q332,
+# MinHash bands q323/q330, SimHash slices q329 — this closes the set
+# across modalities). History = every base image, hashed ONCE and
+# written band-partitioned through the lake (sinks/phash_index.py:
+# _META family check, staged-rename publish); the probe batch = the
+# planted re-encode twins (media_id ≥ offset, first byte flipped —
+# expect Hamming ≤ 1 hits) plus every 50th base image re-crawled
+# verbatim (expect the Hamming-0 "already indexed" self-match). History
+# payloads are never re-decoded. Pigeonhole (max_dist 3 < 4 bands)
+# makes the banded probe EXACT, so the oracle is the brute-force
+# history×batch Hamming join over the same replayed segment means.
+# ---------------------------------------------------------------------------
+
+_PHASH_RECRAWL_EVERY = 50
+
+
+def q347_phash_index_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import phash_bands, phash_index_probe
+    from ..sinks.phash_index import (
+        load_phash_index,
+        phash_index_path,
+        save_phash_index,
+    )
+
+    media = _phash_media(spark, sf_dir)
+    history = media.where(F.col("media_id") < _PHASH_TWIN_OFFSET)
+    batch = media.where(
+        (F.col("media_id") >= _PHASH_TWIN_OFFSET)
+        | (F.col("media_id") % _PHASH_RECRAWL_EVERY == 0)
+    )
+    path = phash_index_path(sf_dir)
+    save_phash_index(
+        spark, phash_bands(history), path, meta={"source": sf_dir}
+    )
+    loaded, _meta = load_phash_index(spark, path)
+    return phash_index_probe(
+        phash_bands(batch), loaded, max_dist=PHASH_MAX_DIST
+    ).orderBy("media_id")
+
+
+_Q347_HAMMING = (
+    "bit_count(xor(b.b0, h.b0)) + bit_count(xor(b.b1, h.b1)) "
+    "+ bit_count(xor(b.b2, h.b2)) + bit_count(xor(b.b3, h.b3))"
+)
+
+Q347_SQL = f"""
+WITH {_PHASH_SEG_SQL},
+hist AS (SELECT * FROM wide WHERE media_id < {_PHASH_TWIN_OFFSET}),
+bat AS (
+    SELECT * FROM wide
+    WHERE media_id >= {_PHASH_TWIN_OFFSET}
+       OR media_id % {_PHASH_RECRAWL_EVERY} = 0
+),
+cand AS (
+    SELECT b.media_id, h.media_id AS hist_id,
+           {_Q347_HAMMING} AS hamming
+    FROM bat b JOIN hist h
+      ON (b.b0 = h.b0 OR b.b1 = h.b1 OR b.b2 = h.b2 OR b.b3 = h.b3)
+),
+hits AS (
+    SELECT media_id,
+           COUNT(*) AS n_band_candidates,
+           SUM(CASE WHEN hamming <= {PHASH_MAX_DIST} THEN 1 ELSE 0 END)
+               AS n_dups,
+           MIN(CASE WHEN hamming <= {PHASH_MAX_DIST} THEN hist_id END)
+               AS matched_min_id
+    FROM cand GROUP BY 1
+)
+SELECT b.media_id,
+       CAST(COALESCE(n_band_candidates, 0) AS BIGINT) AS n_band_candidates,
+       CAST(COALESCE(n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(matched_min_id AS BIGINT) AS matched_min_id,
+       COALESCE(n_dups, 0) > 0 AS is_dup
+FROM bat b LEFT JOIN hits USING (media_id)
+ORDER BY b.media_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q346 — multimodal document-level CURATION VERDICT (round-8 VERDICT
 # item 5): compose the three dedup modalities the engine already runs —
 # text near-dup components (q54, MinHash-LSH + connected components),
@@ -876,6 +958,7 @@ MULTIMODAL_QUERIES = {
     "q147_media_dedup_clusters": q147_media_dedup_clusters,
     "q319_video_neardup": q319_video_neardup,
     "q346_multimodal_curation": q346_multimodal_curation,
+    "q347_phash_index_roundtrip": q347_phash_index_roundtrip,
 }
 
 MULTIMODAL_ORACLES = {
@@ -889,4 +972,5 @@ MULTIMODAL_ORACLES = {
     "q94_phash_neardup": Q94_SQL,
     "q319_video_neardup": Q319_SQL,
     "q346_multimodal_curation": _q346_sql(),
+    "q347_phash_index_roundtrip": Q347_SQL,
 }

@@ -133,6 +133,9 @@ PANDAS_ALLOWED = {
     # q346 inherits q147's pHash extraction seam (one Arrow pass per
     # image, pre-shuffle) — the composition adds only JVM joins (r9).
     "q346_multimodal_curation",
+    # q347 hashes the history once into the persisted band index and the
+    # probe batch once — q94's seam, both passes pre-shuffle (r9).
+    "q347_phash_index_roundtrip",
 }
 
 #: Streaming queries materialize through a memory sink before returning,

@@ -302,3 +302,80 @@ def test_q346_oracle_parity(spark, oracle_sf_dir):
         E.oracle_sql()["q346_multimodal_curation"],
         "q346_multimodal_curation",
     )
+
+
+# --- q347: persisted pHash band index ------------------------------------
+
+
+def test_phash_index_family_mismatch_raises(spark, sf_dir, tmp_path, monkeypatch):
+    """A probe against an index built with a different hash family must
+    raise loudly instead of silently matching nothing."""
+    import json
+
+    from snowflake_stock_dbt_spark.operators.multimodal import phash_bands
+    from snowflake_stock_dbt_spark.plans.multimodal_plans import _phash_media
+    from snowflake_stock_dbt_spark.sinks import phash_index as PI
+
+    media = _phash_media(spark, sf_dir).limit(30)
+    path = str(tmp_path / "idx")
+    PI.save_phash_index(spark, phash_bands(media), path)
+    loaded, meta = PI.load_phash_index(spark, path)
+    assert meta["bands"] == 4 and meta["n_rows"] > 0
+    meta_bad = dict(meta, bands=8)
+    with open(f"{path}/_META.json", "w") as f:
+        json.dump(meta_bad, f)
+    with pytest.raises(ValueError, match="family"):
+        PI.load_phash_index(spark, path)
+
+
+def test_phash_melt_layout(spark, sf_dir):
+    """The melted index layout carries the FULL signature on every band
+    row (probe needs no second lookup), 4 rows per media item, band
+    values matching the wide frame."""
+    from pyspark.sql import functions as SF
+
+    from snowflake_stock_dbt_spark.operators.multimodal import phash_bands
+    from snowflake_stock_dbt_spark.plans.multimodal_plans import _phash_media
+    from snowflake_stock_dbt_spark.sinks.phash_index import melt_phash_bands
+
+    wide = phash_bands(_phash_media(spark, sf_dir).limit(40))
+    wrows = {r["media_id"]: r for r in wide.collect()}
+    melted = melt_phash_bands(wide).collect()
+    per = {}
+    for r in melted:
+        per.setdefault(r["media_id"], []).append(r)
+        w = wrows[r["media_id"]]
+        assert r["bv"] == w[f"b{r['band_id']}"]
+        for i in range(4):
+            assert r[f"b{i}"] == w[f"b{i}"]
+    assert all(len(v) == 4 for v in per.values())
+
+
+def test_q347_probe_finds_twins_and_recrawls(spark, sf_dir):
+    """The planted re-encode twins must match history at Hamming <= 1 and
+    verbatim re-crawls at Hamming 0 — the audit is non-vacuous."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["q347_phash_index_roundtrip"](spark, sf_dir).collect()
+    twins = [r for r in rows if r["media_id"] >= 10_000_000]
+    recrawls = [r for r in rows if r["media_id"] < 10_000_000]
+    assert twins and recrawls
+    for t in twins:
+        assert t["is_dup"] and t["matched_min_id"] is not None
+    for rc in recrawls:
+        # the re-crawled item exists in history verbatim: Hamming-0 self
+        assert rc["is_dup"] and rc["matched_min_id"] <= rc["media_id"]
+
+
+def test_q347_oracle_parity(spark, oracle_sf_dir):
+    import __spark_entry__ as E
+
+    from .oracle_utils import compare_query
+
+    compare_query(
+        spark,
+        oracle_sf_dir,
+        E.queries()["q347_phash_index_roundtrip"],
+        E.oracle_sql()["q347_phash_index_roundtrip"],
+        "q347_phash_index_roundtrip",
+    )
