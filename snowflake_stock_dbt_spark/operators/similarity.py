@@ -1373,6 +1373,91 @@ def knn_graph(
     )
 
 
+def semantic_index_probe(
+    batch_assigned: DataFrame,
+    history_assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """INCREMENTAL semantic dedup: probe a new embedding batch (already
+    assigned to its coarse buckets by the FROZEN persisted quantizer)
+    against the indexed history — the SemDeDup twin of
+    textdedup.minhash_index_probe / multimodal.phash_index_probe.
+    History is never re-trained or re-paired with itself; its term
+    enters only through the stored (vec_id, bucket) postings joined
+    back to their vectors.
+
+    A batch vector is a semantic dup of a history vector when they share
+    the assigned bucket AND their exact-decimal cosine >= threshold —
+    exactly what q118's batch pipeline would flag had the batch been
+    present at index time under the frozen centroids (the SemDeDup
+    blocking contract).
+
+    Returns one row per batch vector:
+    (vec_id, bucket, n_candidates, n_dups, matched_min_id, is_dup).
+
+    Scale shape: ONE equi-join on the bucket id (candidates = batch ×
+    in-bucket history, bounded by bucket sizes, never all-pairs), with
+    the candidate pairs re-spread before the scoring fold
+    (cosine_neardup_pairs' parallelism discipline); norms are computed
+    once per side before the join.
+    """
+    b = batch_assigned.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm_exact(F.col(vec_col)).alias("b_n"),
+    )
+    h = history_assigned.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("h_id"),
+        F.col(vec_col).alias("h_vec"),
+        norm_exact(F.col(vec_col)).alias("h_n"),
+    )
+    pairs = b.join(h, "bucket")
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism,
+        F.col("b_id"),
+        F.col("h_id"),
+    )
+    scored = pairs.select(
+        "b_id",
+        "h_id",
+        (
+            dot_exact(F.col("b_vec"), F.col("h_vec"))
+            / F.nullif(F.col("b_n") * F.col("h_n"), F.lit(0.0))
+        ).alias("cos"),
+    )
+    hits = scored.groupBy("b_id").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("cos") >= threshold, 1).otherwise(0)
+        ).alias("n_dups"),
+        F.min(
+            F.when(F.col("cos") >= threshold, F.col("h_id"))
+        ).alias("matched_min_id"),
+    )
+    return (
+        batch_assigned.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(bucket_col).cast("int").alias("bucket"),
+        )
+        .join(hits, F.col("vec_id") == F.col("b_id"), "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            F.col("matched_min_id").cast("long").alias("matched_min_id"),
+            (F.coalesce("n_dups", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
 def mmr_rerank(
     cand: DataFrame,
     pairsim: DataFrame,

@@ -2364,7 +2364,145 @@ ORDER BY query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q348 — incremental SEMANTIC dedup from the persisted IVF index: the
+# embedding member of the incremental-dedup family, closing that set
+# across modalities too (MinHash q149/q323, SimHash q329, pHash media
+# q347 — and now SemDeDup). The coarse quantizer trains on the HISTORY
+# population only (q332's base/batch split and SHARED training cache),
+# the (vec_id, bucket) postings go through the lake
+# (sinks/ann_index.py), and the batch is assigned by the FROZEN loaded
+# centroids — history is never re-trained, re-signatured, or re-paired
+# with itself. A batch vector is flagged when it shares its frozen
+# bucket with a history vector at exact-decimal cosine >=
+# SEMDEDUP_THRESHOLD — exactly what q118 would flag had the batch been
+# present at index time (the SemDeDup blocking contract).
+#
+# Oracle: q118's machinery with the training CTEs restricted to the
+# history population (_kmeans_unrolled_sql(train_pred=...), the q332
+# frozen-centroid device) + the asymmetric batch×history in-bucket
+# cosine join.
+# ---------------------------------------------------------------------------
+
+
+def q348_semantic_index_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import (
+        kmeans_assign,
+        preload_trained_codebook,
+        semantic_index_probe,
+    )
+    from ..sinks.ann_index import (
+        ivf_index_path,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (F.col("vec_id") % _MAINT_BATCH_MOD) == _MAINT_BATCH_REM
+    base, batch = emb.where(~is_batch), emb.where(is_batch)
+    n_base = base.count()
+    # SIZE-DERIVED list count over the HISTORY population (the q118
+    # k ∝ n contract — a fixed k makes per-bucket candidate volume grow
+    # n²/k, the round-3 hazard): ceil(n_base / 64) = exactly KMEANS_K=8
+    # at every oracle corpus, so Q348_SQL's scalar-subquery k is
+    # bit-stable where it is evaluated.
+    sem_k = max(1, math.ceil(n_base / SEMDEDUP_TARGET_CLUSTER))
+    bucketed, cent = kmeans_assign(
+        base,
+        k=sem_k,
+        iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "sembase"),
+        return_centroids=True,
+    )
+    path = ivf_index_path(sf_dir) + "_semdedup"
+    save_ivf_index(
+        spark,
+        cent,
+        bucketed.select("vec_id", "bucket"),
+        path,
+        meta={"iters": KMEANS_ITERS, "source": sf_dir, "n_postings": n_base},
+    )
+    loaded_cent, postings, _meta = load_ivf_index(spark, path)
+    preload_trained_codebook(
+        (id(spark), sf_dir, "semload"), sem_k, KMEANS_ITERS, loaded_cent
+    )
+    batch_assigned = kmeans_assign(
+        batch,
+        k=sem_k,
+        iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "semload"),
+    )
+    history = emb.join(postings, "vec_id")
+    return semantic_index_probe(
+        batch_assigned, history, threshold=SEMDEDUP_THRESHOLD
+    ).orderBy("vec_id")
+
+
+Q348_SQL = f"""
+WITH {{KMEANS_CTES}},
+nrm AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nn
+    FROM u GROUP BY vec_id
+),
+bat AS (
+    SELECT vec_id, bucket FROM asgf
+    WHERE vec_id % {_MAINT_BATCH_MOD} = {_MAINT_BATCH_REM}
+),
+hist AS (
+    SELECT vec_id, bucket FROM asgf
+    WHERE vec_id % {_MAINT_BATCH_MOD} <> {_MAINT_BATCH_REM}
+),
+pd AS (
+    SELECT b.vec_id AS bid, h.vec_id AS hid,
+           CAST(SUM(CAST(ub.v * uh.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM bat b JOIN hist h ON b.bucket = h.bucket
+    JOIN u ub ON ub.vec_id = b.vec_id
+    JOIN u uh ON uh.vec_id = h.vec_id AND uh.pos = ub.pos
+    GROUP BY 1, 2
+),
+sc AS (
+    SELECT bid, hid,
+           pd.dot / NULLIF(nb.nn * nh.nn, 0.0) AS cos
+    FROM pd
+    JOIN nrm nb ON nb.vec_id = bid
+    JOIN nrm nh ON nh.vec_id = hid
+),
+hits AS (
+    SELECT bid,
+           COUNT(*) AS n_candidates,
+           SUM(CASE WHEN cos >= {SEMDEDUP_THRESHOLD} THEN 1 ELSE 0 END)
+               AS n_dups,
+           MIN(CASE WHEN cos >= {SEMDEDUP_THRESHOLD} THEN hid END)
+               AS matched_min_id
+    FROM sc GROUP BY 1
+)
+SELECT b.vec_id,
+       CAST(b.bucket AS INT) AS bucket,
+       CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(matched_min_id AS BIGINT) AS matched_min_id,
+       COALESCE(n_dups, 0) > 0 AS is_dup
+FROM bat b LEFT JOIN hits ON hits.bid = b.vec_id
+ORDER BY b.vec_id
+""".replace(
+    "{KMEANS_CTES}",
+    _kmeans_unrolled_sql(
+        "SELECT CAST(CEIL(COUNT(*) / "
+        f"{float(SEMDEDUP_TARGET_CLUSTER)}) AS BIGINT) FROM embeddings "
+        f"WHERE vec_id % {_MAINT_BATCH_MOD} <> {_MAINT_BATCH_REM}",
+        KMEANS_ITERS,
+        train_pred=_MAINT_TRAIN_PRED,
+    ),
+)
+
+
 VECTOR_QUERIES = {
+    "q348_semantic_index_probe": q348_semantic_index_probe,
     "q271_ann_recall": q271_ann_recall,
     "q289_embedding_hygiene": q289_embedding_hygiene,
     "q309_label_balance": q309_label_balance,
@@ -2392,6 +2530,7 @@ VECTOR_QUERIES = {
 }
 
 VECTOR_ORACLES = {
+    "q348_semantic_index_probe": Q348_SQL,
     "q271_ann_recall": Q271_SQL,
     "q289_embedding_hygiene": Q289_SQL,
     "q309_label_balance": Q309_SQL,

@@ -102,6 +102,9 @@ BNL_ALLOWED = {
     # q346 composes q118 (packed-centroid broadcast crossJoin) with q54
     # and q147 — the same bounded build sides as its parts (r9).
     "q346_multimodal_curation",
+    # q348 trains/loads the frozen quantizer (packed-centroid broadcast
+    # crossJoins, q118 pattern) before the asymmetric bucket join (r9).
+    "q348_semantic_index_probe",
 }
 
 #: Queries whose plan is ALLOWED to cross into Python — the sanctioned

@@ -379,3 +379,36 @@ def test_q347_oracle_parity(spark, oracle_sf_dir):
         E.oracle_sql()["q347_phash_index_roundtrip"],
         "q347_phash_index_roundtrip",
     )
+
+
+# --- q348: incremental semantic dedup from the persisted IVF index -------
+
+
+def test_q348_probe_is_frozen_and_asymmetric(spark, sf_dir):
+    """The probe output covers exactly the batch population, every
+    candidate count reflects only same-bucket HISTORY vectors, and a dup
+    always names a history id (never another batch vector)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["q348_semantic_index_probe"](spark, sf_dir).collect()
+    batch_ids = {r["vec_id"] for r in rows}
+    assert batch_ids and all(v % 10 == 7 for v in batch_ids)
+    for r in rows:
+        if r["is_dup"]:
+            assert r["matched_min_id"] is not None
+            assert r["matched_min_id"] % 10 != 7, "dup must point at history"
+            assert r["n_dups"] <= r["n_candidates"]
+
+
+def test_q348_oracle_parity(spark, oracle_sf_dir):
+    import __spark_entry__ as E
+
+    from .oracle_utils import compare_query
+
+    compare_query(
+        spark,
+        oracle_sf_dir,
+        E.queries()["q348_semantic_index_probe"],
+        E.oracle_sql()["q348_semantic_index_probe"],
+        "q348_semantic_index_probe",
+    )
