@@ -87,8 +87,14 @@ def main() -> None:
         # times them inside one shared JVM where 14% cross-day noise has
         # produced repeated false drift alarms.
         payload["micro"] = micro
-    print(json.dumps(payload))
+    # Regression chatter FIRST (stderr), JSON line LAST: the driver
+    # captures combined output and keeps only the final 2000 chars, so any
+    # line printed after the payload evicts per-query numbers from the
+    # recorded BENCH_r{N}.json tail (observed in round 9).
     compare_to_previous_round(times, micro)
+    sys.stderr.flush()
+    print(json.dumps(payload))
+    sys.stdout.flush()
 
 
 def _load_micro() -> dict[str, float] | None:

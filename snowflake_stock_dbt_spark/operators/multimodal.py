@@ -500,6 +500,12 @@ def phash_index_probe(
             F.when(F.col("hamming") <= max_dist, F.col("hist_id"))
         ).alias("matched_min_id"),
     )
+    # Eagerly materialize the |batch|-bounded verdict rows, then release
+    # the melted batch cache — the probe result no longer references it,
+    # so a long sweep/bench session doesn't accumulate cached band frames
+    # (ADVICE r9: new_b was persisted and never unpersisted).
+    hits = hits.localCheckpoint()
+    new_b.unpersist()
     probed = batch_bands.select("media_id")
     return probed.join(hits, "media_id", "left").select(
         "media_id",

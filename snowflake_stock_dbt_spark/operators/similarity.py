@@ -23,6 +23,8 @@ holds a bounded candidate set.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -321,6 +323,30 @@ TWO_LEVEL_MIN_CHILDREN = 8
 TWO_LEVEL_BEAM = 4
 
 
+def _exact_mode_required() -> bool:
+    """True when the process runs under an oracle-parity harness
+    (``SPARK_GRAFT_FORCE_EXACT=1``, set by tools/check_queries.py).
+
+    The registered SQL oracles (_kmeans_unrolled_sql, Q118_SQL, Q348_SQL)
+    are exact, while at k >= TWO_LEVEL_MIN_K this module switches to the
+    documented beam / block-split approximations — an implicit data-size
+    correctness boundary (size-derived k crosses 64 around ~4k
+    embeddings). Under the flag every approximate path raises loudly at
+    setup instead of surfacing as a confusing value-hash mismatch on a
+    larger oracle corpus."""
+    return os.environ.get("SPARK_GRAFT_FORCE_EXACT", "0") not in ("", "0")
+
+
+def _flat_assign_forced() -> bool:
+    """True when ``SPARK_GRAFT_FLAT_ASSIGN=1``: run the flat EXACT scan
+    at every k, ignoring TWO_LEVEL_MIN_K. The A/B lever for measuring
+    the beam approximation's verdict-level impact (tools/beam_agreement
+    runs each query twice, flat vs beam, and diffs keep/drop verdicts /
+    kNN edges) — and the documented escape hatch for a pipeline that
+    wants exact coarse assignment at any cost."""
+    return os.environ.get("SPARK_GRAFT_FLAT_ASSIGN", "0") not in ("", "0")
+
+
 def _group_centroids(
     centroids: list[tuple[int, list[int]]],
     min_children: int = TWO_LEVEL_MIN_CHILDREN,
@@ -480,11 +506,21 @@ def _with_probes(
     spark = df.sparkSession
     qq = F.col("__qq")
 
+    if len(centroids) >= TWO_LEVEL_MIN_K and _exact_mode_required():
+        raise RuntimeError(
+            f"oracle-parity run (SPARK_GRAFT_FORCE_EXACT=1) reached the "
+            f"two-level beam approximation: k={len(centroids)} >= "
+            f"TWO_LEVEL_MIN_K={TWO_LEVEL_MIN_K}. The registered SQL "
+            f"oracles are exact and WILL mismatch this path — shrink the "
+            f"corpus (size-derived k) below the threshold or raise "
+            f"TWO_LEVEL_MIN_K for the parity run."
+        )
+
     groups = (
         _group_centroids(
             centroids, min_children=max(nprobe, TWO_LEVEL_MIN_CHILDREN)
         )
-        if len(centroids) >= TWO_LEVEL_MIN_K
+        if len(centroids) >= TWO_LEVEL_MIN_K and not _flat_assign_forced()
         else None
     )
     if groups is None or len(groups) < 3:
@@ -637,6 +673,29 @@ def split_oversized_blocks(
     from ..functions.text import hash60
 
     sizes = df.groupBy(block_col).agg(F.count("*").alias("__bn"))
+    if _exact_mode_required():
+        # Oracle-parity guard (see _exact_mode_required): a block that
+        # would split forgoes cross-sub-block pairs, diverging from the
+        # exact SQL oracle — fail loudly at execution instead.
+        sizes = sizes.withColumn(
+            "__bn",
+            F.when(
+                F.col("__bn") <= F.lit(cap), F.col("__bn")
+            ).otherwise(
+                F.assert_true(
+                    F.col("__bn") <= F.lit(cap),
+                    F.concat(
+                        F.lit(
+                            "oracle-parity run (SPARK_GRAFT_FORCE_EXACT=1)"
+                            " reached split_oversized_blocks: block size "
+                        ),
+                        F.col("__bn").cast("string"),
+                        F.lit(f" > cap={cap} would forgo pairs vs the"
+                              " exact oracle"),
+                    ),
+                ).cast("bigint"),
+            ),
+        )
     nsub = F.greatest(
         F.lit(1), F.ceil(F.col("__bn") / F.lit(cap)).cast("int")
     )
@@ -658,6 +717,30 @@ def split_oversized_blocks(
     )
 
 
+#: Session-scoped registry of frames persisted by _stabilize_assigned —
+#: they must outlive the multi-consumer plan they anchor (unknown at
+#: persist time), so release is explicit: long-lived harnesses (oracle
+#: sweep, probe loops) call :func:`release_persisted_frames` between
+#: queries; bench.py's per-query ``spark.catalog.clearCache()`` drops
+#: the blocks too (the registry then just forgets dead handles).
+_PERSISTED_FRAMES: list[DataFrame] = []
+
+
+def release_persisted_frames() -> int:
+    """Unpersist every frame _stabilize_assigned cached this session
+    (ADVICE r9: over a long sweep these accumulated in the storage
+    layer). Returns the number released; safe to call at any time —
+    consumers that re-touch a released frame recompute it lazily."""
+    n = 0
+    while _PERSISTED_FRAMES:
+        try:
+            _PERSISTED_FRAMES.pop().unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
 def _stabilize_assigned(out: DataFrame, k: int) -> DataFrame:
     """Persist the assigned frame when the two-level probe path is active
     (k >= TWO_LEVEL_MIN_K). The layered probe projection optimizes
@@ -672,7 +755,9 @@ def _stabilize_assigned(out: DataFrame, k: int) -> DataFrame:
     Never active at oracle/bench corpora (k < 64 everywhere below the
     probe scale factors), so pinned plans and budgets are untouched."""
     if k >= TWO_LEVEL_MIN_K:
-        return out.persist()
+        out = out.persist()
+        _PERSISTED_FRAMES.append(out)
+        return out
     return out
 
 
@@ -695,8 +780,11 @@ def preload_trained_codebook(
 
 def _cached_assign(corpus, centroids, vec_col, attach):
     """Assignment-only pass with an already-trained codebook — the
-    shared exact argmin (_with_probes, nprobe=1: two-level pruned scan
-    at large k, flat fused scan below TWO_LEVEL_MIN_K)."""
+    shared _with_probes scan at nprobe=1: below TWO_LEVEL_MIN_K the flat
+    fused scan, an exact argmin; at k >= TWO_LEVEL_MIN_K the pinned
+    deterministic beam approximation (see _with_probes — can differ from
+    the flat argmin near cluster boundaries, agreement floor pinned in
+    tests/test_round9_properties.py)."""
     out = _with_probes(corpus, centroids, vec_col, nprobe=1, attach_cq=attach)
     best = F.element_at(F.col("__probes"), 1)
     out = out.withColumn("bucket", best["bucket"])
@@ -790,10 +878,12 @@ def kmeans_assign(
         # size-derived (q118's k ∝ n SemDeDup contract — round-3 VERDICT
         # item 1; measured 8.5→74s at 4x before this change). The argmin
         # itself is the shared _with_probes scan — flat fused fold below
-        # TWO_LEVEL_MIN_K, two-level triangle-pruned above it (round-8
-        # VERDICT item 1: the flat n·k assign was the family's measured
-        # superlinear tail) — bit-identical either way, ties to the
-        # smallest bucket id.
+        # TWO_LEVEL_MIN_K (exact, bit-identical to the unrolled SQL
+        # oracle), the pinned deterministic beam approximation above it
+        # (round-8 VERDICT item 1: the flat n·k assign was the family's
+        # measured superlinear tail; near cluster boundaries the beam can
+        # differ from the flat argmin — agreement floor pinned in tests) —
+        # ties to the smallest bucket id in both modes.
         out = _with_probes(df, centroids, vec_col, nprobe=1, attach_cq=attach)
         best = F.element_at(F.col("__probes"), 1)
         out = out.withColumn("bucket", best["bucket"])
@@ -1650,26 +1740,32 @@ def mmr_rerank_arrow(
     }
 
     def select(cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # NULL rel_n / sim_n rows (possible via _candidate_pairsim's
-        # NULLIF zero-norm guard) are DROPPED before the int() casts —
-        # pandas promotes nullable ints to float64 and int(NaN) raises,
-        # whereas the relational mmr_rerank ignores them via max()'s
-        # null-skipping / null-last ordering; dropping matches that:
-        # a null-sim pair never contributes to a diversity max, and a
-        # null-relevance candidate never wins a round.
-        cdf = cdf.dropna(subset=["rel_n"])
-        pdf = pdf.dropna(subset=["sim_n"])
+        # NULL rel_n / sim_n values (possible via _candidate_pairsim's
+        # NULLIF zero-norm guard) mirror the relational unroll EXACTLY
+        # (ADVICE r9 — the first draft dropna'd them, which diverged in
+        # the all-NULL edge): a NULL never beats a non-NULL (desc NULLS
+        # LAST ordering) but remains a last-resort pick by smallest
+        # cand_id when every remaining score is NULL, a NULL-sim pair
+        # still keeps its candidate inner-join-eligible for the round,
+        # and max() skips NULL sims (all-NULL -> NULL maxsim -> NULL
+        # score). Nullable values ride as Python None (pandas floats
+        # would corrupt the int64 grid).
         if cdf.empty:
             return pd.DataFrame(empty)
         q = int(cdf["query_id"].iloc[0])
-        rel = dict(
-            zip(cdf["cand_id"].astype(int), cdf["rel_n"].astype(int))
-        )
+        rel = {
+            int(c): (None if pd.isna(r) else int(r))
+            for c, r in zip(cdf["cand_id"], cdf["rel_n"])
+        }
         sims = {
-            (int(a), int(b)): int(s)
+            (int(a), int(b)): (None if pd.isna(s) else int(s))
             for a, b, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim_n"])
         }
-        sel = [min(rel, key=lambda c: (-rel[c], c))]
+        # Round 1: pure relevance, rel_n desc NULLS LAST, ties to the
+        # smallest cand_id — identical to the w1 window.
+        sel = [
+            min(rel, key=lambda c: (rel[c] is None, -(rel[c] or 0), c))
+        ]
         while len(sel) < k and len(sel) < len(rel):
             # Inner-join semantics, exactly as the unrolled reference: a
             # candidate participates in round t only through the sim
@@ -1677,21 +1773,27 @@ def mmr_rerank_arrow(
             # can carry lexical-only ids with no embedding — q342 at
             # sf0.1 — which can win the pure-relevance round 1 but are
             # never diversity-scored afterwards).
-            scored = [
-                (c, max(ps))
-                for c in rel
-                if c not in sel
-                for ps in [
-                    [sims[(c, s)] for s in sel if (c, s) in sims]
-                ]
-                if ps
-            ]
+            scored = []
+            for c in rel:
+                if c in sel:
+                    continue
+                ps = [sims[(c, s)] for s in sel if (c, s) in sims]
+                if not ps:
+                    continue
+                nn = [p for p in ps if p is not None]
+                maxsim = max(nn) if nn else None
+                score = (
+                    w_rel * rel[c] - w_div * maxsim
+                    if rel[c] is not None and maxsim is not None
+                    else None
+                )
+                scored.append((c, score))
             if not scored:
                 break
             sel.append(
                 min(
                     scored,
-                    key=lambda cm: (-(w_rel * rel[cm[0]] - w_div * cm[1]), cm[0]),
+                    key=lambda cm: (cm[1] is None, -(cm[1] or 0), cm[0]),
                 )[0]
             )
         return pd.DataFrame(
@@ -1701,7 +1803,7 @@ def mmr_rerank_arrow(
                 "sel_rank": pd.Series(
                     range(1, len(sel) + 1), dtype="int32"
                 ),
-                "rel_n": pd.Series([rel[c] for c in sel], dtype="int64"),
+                "rel_n": pd.array([rel[c] for c in sel], dtype="Int64"),
             }
         )
 

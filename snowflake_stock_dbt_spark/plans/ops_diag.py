@@ -1024,8 +1024,24 @@ def _orc_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
         st = os.stat(src)
         sig_parts.append(f"lineitem.parquet:{st.st_size}:{st.st_mtime_ns}")
     digest = hashlib.sha256("|".join(sig_parts).encode()).hexdigest()[:12]
-    path = f"/tmp/spark_graft_orc/{os.path.basename(norm)}-{digest}/lineitem.orc"
+    base = os.path.basename(norm)
+    root = "/tmp/spark_graft_orc"
+    path = f"{root}/{base}-{digest}/lineitem.orc"
     if not os.path.exists(f"{path}/_SUCCESS"):
+        # At most ONE ORC tree per corpus basename: the content-signature
+        # key means every regeneration (even a touch) mints a new digest,
+        # and the superseded sibling would otherwise be stranded forever
+        # (ADVICE r9). Prune before writing the fresh artifact.
+        import shutil
+
+        if os.path.isdir(root):
+            for e in os.scandir(root):
+                if (
+                    e.is_dir()
+                    and e.name.startswith(f"{base}-")
+                    and e.name != f"{base}-{digest}"
+                ):
+                    shutil.rmtree(e.path, ignore_errors=True)
         write_table(_lt(spark, sf_dir, "lineitem"), path, fmt="orc")
     return path
 

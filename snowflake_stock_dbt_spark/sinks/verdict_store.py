@@ -1,0 +1,108 @@
+"""Persisted per-modality curation verdict frames — the artifact the
+q346 composite SHOULD consume in production (round-9 VERDICT item 5).
+
+q346_multimodal_curation derives its three inputs (text near-dup
+components, media pHash clusters, semantic dedup verdicts) in-session;
+at ×16 probe scale that re-runs q118's assign+pair stages the session's
+other index jobs already computed — 74.5 s spent re-deriving state the
+daily pipeline would have on disk. The daily-pipeline shape is: each
+modality pipeline publishes its verdict table to the lake once per
+ingest, and the curation job is just three doc_id equi-joins over those
+artifacts (q349_curation_from_artifacts).
+
+Layout (plain parquet, any engine reads it):
+
+- ``text.parquet``     — (doc_id, text_component, text_cluster_size,
+  text_keeper): q54's connected-component output.
+- ``media.parquet``    — (doc_id, media_component, media_keeper):
+  q147's pHash clusters, planted-twin rows excluded.
+- ``semantic.parquet`` — (doc_id, sem_kept): q118's SemDeDup verdicts.
+- ``_META.json``       — modality list + source corpus; a
+  family-mismatched load raises instead of silently joining nothing.
+
+Publish is staged + renamed (ann_index._publish_atomically): readers
+never observe parquet-without-meta. Idempotent per session (the _SAVED
+memo), rebuilt once per process so a stale on-disk artifact from an
+earlier session can never leak into a fresh run's results.
+
+100 TB posture: each artifact is O(|documents|) rows of 2–4 columns —
+one write per modality per ingest; the composite is three broadcast-or
+shuffle equi-joins on doc_id with no recomputation of any pair stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ann_index import _publish_atomically
+
+#: Session-scoped save memo (path -> meta), mirroring ann_index._SAVED.
+_SAVED: dict[str, dict] = {}
+
+MODALITIES = ("text", "media", "semantic")
+
+
+def curation_store_path(sf_dir: str) -> str:
+    """Deterministic scratch location, keyed on a hash of the FULL
+    corpus path (same rationale as ann_index.ivf_index_path)."""
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = os.path.basename(norm) or "corpus"
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
+    return f"/tmp/spark_graft_curation/{tag}-{digest}"
+
+
+def save_modality_verdicts(
+    spark: SparkSession,
+    frames: dict[str, DataFrame],
+    path: str,
+    meta: dict | None = None,
+) -> dict:
+    """Publish the three per-modality verdict frames as one atomic
+    artifact. Idempotent per session; returns meta."""
+    cached = _SAVED.get(path)
+    if cached is not None:
+        return cached
+    missing = [m for m in MODALITIES if m not in frames]
+    if missing:
+        raise ValueError(f"verdict store needs all modalities; missing {missing}")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for mod in MODALITIES:
+        frames[mod].write.mode("overwrite").parquet(f"{tmp}/{mod}.parquet")
+    info = {"modalities": list(MODALITIES), **(meta or {})}
+    with open(f"{tmp}/_META.json", "w") as f:
+        json.dump(info, f)
+    _publish_atomically(tmp, path)
+    _SAVED[path] = info
+    return info
+
+
+def load_modality_verdicts(
+    spark: SparkSession, path: str
+) -> tuple[dict[str, DataFrame], dict]:
+    """Lazy scans of the three verdict tables; loud raise on a
+    family-mismatched artifact (the q347/q329 load discipline)."""
+    meta_path = os.path.join(path, "_META.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no curation verdict artifact at {path} — publish with "
+            "save_modality_verdicts first"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if sorted(meta.get("modalities", [])) != sorted(MODALITIES):
+        raise ValueError(
+            f"verdict artifact at {path} has modalities "
+            f"{meta.get('modalities')} — expected {list(MODALITIES)}; "
+            "refusing a family-mismatched load"
+        )
+    frames = {
+        mod: spark.read.parquet(f"{path}/{mod}.parquet")
+        for mod in MODALITIES
+    }
+    return frames, meta

@@ -32,6 +32,12 @@ def main() -> int:
     prefixes = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Oracle-parity runs must never silently cross the documented
+    # approximation thresholds (two-level beam assign, block splitting at
+    # k >= TWO_LEVEL_MIN_K): the registered SQL oracles are exact, so a
+    # larger corpus would surface as a confusing value mismatch. The flag
+    # makes those paths raise loudly at setup instead (ADVICE r9).
+    os.environ.setdefault("SPARK_GRAFT_FORCE_EXACT", "1")
     spark = get_spark("check")
     con = duckdb.connect()
     # DuckDB's default limit is ~80% of PHYSICAL RAM, ignoring what a
@@ -79,6 +85,14 @@ def main() -> int:
         except Exception as exc:
             failed += 1
             print(f"RESULT {name} ERROR {exc!r}"[:300], flush=True)
+        finally:
+            # Long sweeps must not accumulate per-query persisted frames
+            # (ADVICE r9: _stabilize_assigned caches) in the storage layer.
+            from snowflake_stock_dbt_spark.operators.similarity import (
+                release_persisted_frames,
+            )
+
+            release_persisted_frames()
     print(f"CHECK-DONE failed={failed}", flush=True)
     return 1 if failed else 0
 

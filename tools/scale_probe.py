@@ -47,6 +47,23 @@ OUT_ROOT = "/tmp/spark_graft_scaleprobe"
 DISTINCT_VOCAB = 65536
 DISTINCT_PAIR_MOD = 20  # 1-in-20 doc pairs are near-dups (5% of docs)
 
+#: --growth=gauss corpus parameters (round-9 VERDICT item 3): the base
+#: synthetic embeddings are UNIFORM on the 64-d sphere, which
+#: concentrates pairwise distances (p5/p95 = 1.26/1.55) — the worst case
+#: for triangle pruning, beam agreement, and k-means balance. Real text
+#: embeddings cluster. This mode resamples EVERY copy's vector (c=0
+#: included, so all factors share one distribution) from a fixed
+#: mixture of GAUSS_CLUSTERS spherical Gaussians: unit center by hashed
+#: cluster id, per-dim Box-Muller noise sigma=GAUSS_SIGMA, final vector
+#: re-normalized. sigma=0.2 puts mean within-cluster cosine ~0.28 —
+#: straddling SEMDEDUP_THRESHOLD=0.3, so keep/drop verdicts have real
+#: variance — while cross-cluster cosine stays ~0 (near-orthogonal
+#: random centers), i.e. genuinely clusterable geometry. ``label`` is
+#: set to the true mixture component. Deterministic (hash-seeded).
+GAUSS_CLUSTERS = 128
+GAUSS_SIGMA = 0.2
+GAUSS_DIM = 64
+
 #: The queries VERDICT.md (round 2, item 4) asks to probe, i.e. the top-8
 #: most expensive in BENCH_r02.
 DEFAULT_QUERIES = [
@@ -141,6 +158,47 @@ def _distinct_text(c: int):
     ).otherwise(body)
 
 
+def _uniform01(*seed_cols):
+    """Deterministic uniform (0,1) double from hashed seed columns."""
+    m = 1 << 40
+    return (
+        F.pmod(F.xxhash64(*seed_cols), F.lit(m)).cast("double") + F.lit(0.5)
+    ) / F.lit(float(m))
+
+
+def _gauss_embedding(vid):
+    """Unit-normalized mixture-of-Gaussians draw for one (offset) vec_id
+    — see GAUSS_CLUSTERS. Pure JVM column expressions: per-dim centers
+    are uniform[-1,1] hashes of (cluster, dim), noise is Box-Muller from
+    two (vec, dim) hashes, and both the center and the sum are L2
+    re-normalized. Returns (embedding array<float>, label int)."""
+    dims = F.sequence(F.lit(0), F.lit(GAUSS_DIM - 1))
+    cid = F.pmod(F.xxhash64(F.lit("cl"), vid), F.lit(GAUSS_CLUSTERS))
+
+    def l2norm(arr):
+        return F.sqrt(
+            F.aggregate(
+                arr, F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
+
+    center = F.transform(
+        dims, lambda p: _uniform01(F.lit("ctr"), cid, p) * 2.0 - 1.0
+    )
+    cn = l2norm(center)
+    raw = F.zip_with(
+        center,
+        dims,
+        lambda cv, p: cv / cn
+        + F.lit(GAUSS_SIGMA)
+        * F.sqrt(-2.0 * F.log(_uniform01(F.lit("g1"), vid, p)))
+        * F.cos(F.lit(2.0 * math.pi) * _uniform01(F.lit("g2"), vid, p)),
+    )
+    rn = l2norm(raw)
+    emb = F.transform(raw, lambda x: (x / rn).cast("float"))
+    return emb, cid.cast("int")
+
+
 def _copy(table, df, c, off, growth="salted"):
     """The c-th key-offset copy of one table."""
     if table == "lineitem":
@@ -174,7 +232,11 @@ def _copy(table, df, c, off, growth="salted"):
             ).withColumn("n_chars", F.length("text"))
         return out
     if table == "embeddings":
-        return df.withColumn("vec_id", F.col("vec_id") + c * off["vec"])
+        out = df.withColumn("vec_id", F.col("vec_id") + c * off["vec"])
+        if growth == "gauss":
+            emb, lab = _gauss_embedding(F.col("vec_id"))
+            out = out.withColumn("embedding", emb).withColumn("label", lab)
+        return out
     if table == "customer":
         return df.withColumn("c_custkey", F.col("c_custkey") + c * off["cust2"])
     raise ValueError(table)
@@ -218,7 +280,7 @@ def main() -> int:
             ]
         if a.startswith("--growth"):
             growth = a.split("=", 1)[1]
-            if growth not in ("salted", "distinct"):
+            if growth not in ("salted", "distinct", "gauss"):
                 raise SystemExit(f"unknown --growth mode {growth!r}")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("scale_probe")
