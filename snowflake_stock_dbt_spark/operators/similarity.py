@@ -314,13 +314,21 @@ TWO_LEVEL_MIN_CHILDREN = 8
 #: is taken over the children of this many nearest super-groups. The
 #: standard hierarchical-quantizer recall/cost dial (FAISS IMI probes
 #: multiple cells the same way); tests pin an agreement floor vs the
-#: flat exact scan and exactness at beam >= G. Measured on the x16
-#: probe corpus (k=500, balanced G=32, uniform 64-d embeddings — the
-#: hardest case): beam 2/3/4/6 agree with the flat argmin on
-#: 61/71/75/81% of rows; exact duplicates always co-assign (identical
-#: vectors rank groups identically), which is what the SemDeDup /
-#: kNN-blocking consumers actually need from the coarse stage.
-TWO_LEVEL_BEAM = 4
+#: flat exact scan, a VERDICT-flip floor (keep/drop decisions, the
+#: user-visible semantic), and exactness at beam >= G. Raised 4 -> 12
+#: in round 10 after measuring verdict-level impact at probe scale
+#: (tools/beam_agreement.py, shared-codebook isolation, x8/x16 on both
+#: the uniform worst-case and the clusterable mixture-of-Gaussians
+#: corpora): at beam 4 SemDeDup keep/drop flips were 2.0-5.7% and q151
+#: kNN-edge churn vs flat-IVF 36%; at beam 12 flips fall to 0.06-0.9%
+#: and the TRUE-recall cost vs brute-force ground truth is <= 1.8
+#: points at x16 (flat-IVF's own nprobe approximation costs ~31
+#: points) — while wall-clock stays 2.2-3.9x under the flat scan.
+#: Per-row cost is 2*sqrt(beam*k) ≈ 7*sqrt(k), still O(sqrt(k)) vs the
+#: flat k; exact duplicates always co-assign (identical vectors rank
+#: groups identically), which is what the SemDeDup / kNN-blocking
+#: consumers need from the coarse stage.
+TWO_LEVEL_BEAM = 12
 
 
 def _exact_mode_required() -> bool:

@@ -956,15 +956,15 @@ def q349_curation_from_artifacts(
     already hold."""
     from ..sinks.verdict_store import (
         curation_store_path,
+        ensure_modality_verdicts,
         load_modality_verdicts,
-        save_modality_verdicts,
     )
 
     path = curation_store_path(sf_dir)
-    save_modality_verdicts(
+    ensure_modality_verdicts(
         spark,
-        _modality_verdict_frames(spark, sf_dir),
         path,
+        lambda: _modality_verdict_frames(spark, sf_dir),
         meta={"source": sf_dir},
     )
     loaded, _meta = load_modality_verdicts(spark, path)

