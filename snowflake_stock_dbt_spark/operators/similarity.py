@@ -1471,6 +1471,148 @@ def knn_graph(
     )
 
 
+def pack_sign_words(vec):
+    """(lo, hi) BIGINT columns holding the 64 sign bits of ``vec`` in two
+    32-bit words — the binary-quantization signature (q166's packing,
+    shared so the kNN candidate stage and the BQ search rank the exact
+    same integers). Bit i is set iff vec[i] >= 0."""
+    def word(lo_bit, hi_bit):
+        acc = None
+        for i in range(lo_bit, hi_bit):
+            b = F.when(
+                F.element_at(vec, i + 1) >= 0, F.lit(1 << (i % 32))
+            ).otherwise(F.lit(0))
+            acc = b if acc is None else acc + b
+        return acc.cast("long")
+
+    return word(0, 32), word(32, 64)
+
+
+def knn_graph_bq(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+    k: int = 4,
+    nprobe: int = 2,
+    prerank: int = 16,
+) -> DataFrame:
+    """[EXT] k-NN graph with a BINARY-QUANTIZED candidate stage — the
+    IVF + BQ + exact-re-rank recipe production vector systems run at
+    billion-vector scale (FAISS IVF+refine; q166 is the flat-search
+    twin of the same idea).
+
+    Why it exists next to :func:`knn_graph`: the round-10 ×64 octave
+    measured knn_graph's tail at exponent 2.1–2.4 and decomposed it —
+    NOT the coarse assign (linear after the two-level beam: 32→65 s at
+    ×32→×64) but the CANDIDATE stage, where k-means imbalance grows
+    probed-list sizes (269 → 450 candidates/row per octave) and every
+    candidate ships two 64×8-byte quantized vectors through the join
+    shuffle (~29 GB at ×64). Here the candidate join carries an 8-byte
+    sign signature instead (64× less shuffle), Hamming bit-ops rank the
+    candidates, and only the top-``prerank`` per source are re-ranked
+    with the exact integer cosine — so raw vectors touch exactly
+    n×prerank rows, linear by construction.
+
+    Deterministic and fully oracle-checkable: sign bits, Hamming
+    distances, and the re-rank cosine are the same exact integers the
+    SQL twin replays; ties break (hamming, dst_id) then
+    (cosine DESC NULLS LAST, dst_id). Approximation surface: a true
+    top-k neighbor can fall outside the Hamming top-``prerank``
+    (measured in tests as recall vs knn_graph; prerank = 4k keeps it
+    high at the probe corpora).
+    """
+    q = _quantized(vec_col)
+    int_norm = F.aggregate(
+        F.transform(q, lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    lo, hi = pack_sign_words(F.col(vec_col))
+    probes = _with_probes(corpus, centroids, vec_col, nprobe)
+    plo, phi = pack_sign_words(F.col(vec_col))
+    probes = probes.select(
+        F.col(id_col).alias("src_id"),
+        plo.alias("qlo"),
+        phi.alias("qhi"),
+        F.explode(
+            F.transform(F.col("__probes"), lambda p: p["bucket"])
+        ).alias("bucket"),
+    )
+    c = ensure_min_parallelism(corpus, F.col(id_col)).select(
+        F.col(id_col).alias("dst_id"),
+        F.col(bucket_col).alias("bucket"),
+        lo.alias("clo"),
+        hi.alias("chi"),
+    )
+    ham = (
+        F.bit_count(F.col("clo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("chi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    cw = Window.partitionBy("src_id").orderBy("hamming", "dst_id")
+    kept = (
+        c.join(probes, "bucket")
+        .where(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", ham.alias("hamming"))
+        .withColumn("cr", F.row_number().over(cw))
+        .where(F.col("cr") <= prerank)
+        .select("src_id", "dst_id", "hamming")
+    )
+    # Exact re-rank: raw quantized vectors join back on the BOUNDED
+    # n×prerank candidate set only.
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        q.alias("__qv"),
+        int_norm.alias("__qn"),
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        kept.join(
+            vecs.select(
+                F.col("__vid").alias("src_id"),
+                F.col("__qv").alias("qv"),
+                F.col("__qn").alias("qn"),
+            ),
+            "src_id",
+        )
+        .join(
+            vecs.select(
+                F.col("__vid").alias("dst_id"),
+                F.col("__qv").alias("cv"),
+                F.col("__qn").alias("cn"),
+            ),
+            "dst_id",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            "hamming",
+            F.round(
+                dot_q.cast("double")
+                / F.nullif(
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double")),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("dst_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src_id", "dst_id", "hamming", "cosine", F.col("rank").cast("int"))
+    )
+
+
 def semantic_index_probe(
     batch_assigned: DataFrame,
     history_assigned: DataFrame,

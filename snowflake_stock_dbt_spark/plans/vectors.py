@@ -2501,7 +2501,101 @@ ORDER BY b.vec_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Q350 — k-NN graph with a BINARY-QUANTIZED candidate stage (IVF + BQ +
+# exact re-rank — FAISS's IVF+refine recipe; q166 is the flat-search
+# twin). Round-10 ×64 octave decomposition: q151's superlinear tail is
+# the candidate stage (bucket imbalance grows candidates/row 269→450
+# per octave, each shipping two 64×8-byte vectors through the join —
+# ~29 GB at ×64), not the coarse assign (linear after the beam). Here
+# candidates carry an 8-byte sign signature, Hamming bit-ops pre-rank
+# them, and raw vectors rejoin only the n×BQ_PRERANK survivors — the
+# shuffle is linear by construction. Full value oracle: sign bits,
+# Hamming, and the re-rank cosine are exact integers the SQL replays.
+# ---------------------------------------------------------------------------
+
+#: Exact re-rank margin (16×KNN_GRAPH_K): measured overlap with q151's
+#: exact in-bucket edges at prerank 16/32/64 — gauss ×4 0.65/0.84/0.97,
+#: salted ×4 0.90/0.95/0.99. Still linear: raw vectors touch n×prerank
+#: rows. Buckets smaller than the margin re-rank EXACTLY (kept = whole
+#: posting list), which is why the oracle corpora agree with q151.
+BQ_PRERANK = 64
+
+
+def q350_knn_graph_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_assign, knn_graph_bq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_k = _size_derived_k(spark, sf_dir, emb)
+    bucketed, cent = kmeans_assign(
+        emb, k=emb_k, iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"),
+        return_centroids=True,
+    )
+    return knn_graph_bq(
+        bucketed, cent, bucket_col="bucket",
+        k=KNN_GRAPH_K, nprobe=IVF_NPROBE, prerank=BQ_PRERANK,
+    )
+
+
+#: Q151's CTE chain up to (and including) the probes/vnorm/qd stages —
+#: everything before its own 'ranked' re-rank, reused verbatim so the
+#: BQ twin replays the identical trained probes.
+_Q151_PRE_RANK = Q151_BODY.split(",\nranked AS")[0]
+
+Q350_SQL = f"""
+WITH {_Q151_PRE_RANK},
+packed AS (
+    SELECT vec_id, {_BQ_LO} AS lo, {_BQ_HI} AS hi FROM u GROUP BY vec_id
+),
+kept AS (
+    SELECT * FROM (
+        SELECT p.src_id, ac.vec_id AS dst_id,
+               CAST(bit_count(xor(CAST(cp.lo AS BIT), CAST(qp.lo AS BIT)))
+                  + bit_count(xor(CAST(cp.hi AS BIT), CAST(qp.hi AS BIT)))
+                 AS INT) AS hamming,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.src_id
+                   ORDER BY CAST(bit_count(xor(CAST(cp.lo AS BIT),
+                                               CAST(qp.lo AS BIT)))
+                              + bit_count(xor(CAST(cp.hi AS BIT),
+                                              CAST(qp.hi AS BIT)))
+                             AS INT), ac.vec_id
+               ) AS cr
+        FROM probes p
+        JOIN asgf ac ON ac.bucket = p.bucket AND ac.vec_id <> p.src_id
+        JOIN packed cp ON cp.vec_id = ac.vec_id
+        JOIN packed qp ON qp.vec_id = p.src_id
+    ) WHERE cr <= {BQ_PRERANK}
+),
+bq_dots AS (
+    SELECT k.src_id, k.dst_id, k.hamming,
+           SUM(CAST(a.v9 * b.v9 AS HUGEINT)) AS dq
+    FROM kept k
+    JOIN ui a ON a.vec_id = k.src_id
+    JOIN ui b ON b.vec_id = k.dst_id AND b.pos = a.pos
+    GROUP BY 1, 2, 3
+),
+bq_scored AS (
+    SELECT d.src_id, d.dst_id, d.hamming,
+           round(CAST(d.dq AS DOUBLE)
+               / NULLIF(sqrt(CAST(qn.nq AS DOUBLE))
+                        * sqrt(CAST(cn.nq AS DOUBLE)), 0.0), 9) AS cosine
+    FROM bq_dots d
+    JOIN vnorm qn ON qn.vec_id = d.src_id
+    JOIN vnorm cn ON cn.vec_id = d.dst_id
+)
+SELECT src_id, dst_id, hamming, cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY src_id ORDER BY cosine DESC NULLS LAST, dst_id
+       ) AS INT) AS rank
+FROM bq_scored
+QUALIFY rank <= {KNN_GRAPH_K}
+"""
+
+
 VECTOR_QUERIES = {
+    "q350_knn_graph_bq": q350_knn_graph_bq,
     "q348_semantic_index_probe": q348_semantic_index_probe,
     "q271_ann_recall": q271_ann_recall,
     "q289_embedding_hygiene": q289_embedding_hygiene,
@@ -2530,6 +2624,7 @@ VECTOR_QUERIES = {
 }
 
 VECTOR_ORACLES = {
+    "q350_knn_graph_bq": Q350_SQL,
     "q348_semantic_index_probe": Q348_SQL,
     "q271_ann_recall": Q271_SQL,
     "q289_embedding_hygiene": Q289_SQL,

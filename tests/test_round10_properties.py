@@ -272,6 +272,67 @@ def test_verdict_store_family_mismatch_raises(spark, tmp_path):
         load_modality_verdicts(spark, str(bad))
 
 
+# --- q350: kNN graph with binary-quantized candidate stage -----------------
+
+
+def test_q350_equals_q151_when_margin_covers_buckets(spark, oracle_sf_dir):
+    """With prerank >= the largest posting list, the Hamming pre-rank
+    keeps EVERY in-bucket candidate, so the exact re-rank must reproduce
+    q151's edges exactly — the degenerate-config exactness witness (the
+    beam's full-beam witness, applied to the BQ stage)."""
+    import snowflake_stock_dbt_spark.operators.similarity as sim
+    from snowflake_stock_dbt_spark.plans.vectors import (
+        IVF_NPROBE,
+        KMEANS_ITERS,
+        KNN_GRAPH_K,
+        _size_derived_k,
+    )
+    from snowflake_stock_dbt_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    k = _size_derived_k(spark, oracle_sf_dir, emb)
+    sim._KMEANS_TRAIN_CACHE.clear()
+    b, cent = sim.kmeans_assign(
+        emb, k=k, iters=KMEANS_ITERS, return_centroids=True
+    )
+    b = b.localCheckpoint()
+    max_bucket = b.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    # knn_graph_bq rounds its cosine to 9 decimals (the q151 PLAN does
+    # the same rounding one level up); round the raw operator's output
+    # identically for the comparison.
+    ref = sorted(
+        (r["src_id"], r["dst_id"], round(r["cosine"], 9), r["rank"])
+        for r in sim.knn_graph(b, cent, k=KNN_GRAPH_K, nprobe=IVF_NPROBE).collect()
+    )
+    bq = sorted(
+        (r["src_id"], r["dst_id"], round(r["cosine"], 9), r["rank"])
+        for r in sim.knn_graph_bq(
+            b, cent, k=KNN_GRAPH_K, nprobe=IVF_NPROBE,
+            prerank=int(max_bucket) * IVF_NPROBE,
+        ).collect()
+    )
+    assert bq == ref and len(ref) > 0
+
+
+def test_q350_recall_floor_at_production_margin(spark, oracle_sf_dir):
+    """At BQ_PRERANK the edge overlap with q151 must stay >= 0.9 on the
+    oracle corpus (measured 0.97-0.99 at probe scale on clusterable /
+    salted geometry at prerank 64; the pre-rank is a documented
+    approximation, this floor keeps it honest)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    ref = {
+        (r["src_id"], r["dst_id"])
+        for r in qs["q151_knn_graph"](spark, oracle_sf_dir).collect()
+    }
+    bq = {
+        (r["src_id"], r["dst_id"])
+        for r in qs["q350_knn_graph_bq"](spark, oracle_sf_dir).collect()
+    }
+    assert len(ref & bq) / len(ref) >= 0.9
+
+
 # --- ORC cache pruning (ADVICE r9 low) -------------------------------------
 
 
