@@ -51,6 +51,8 @@ BNL_ALLOWED = {
     # anti-predicate on the candidate join — same bounded build sides.
     "q339_hard_negatives",
     "q151_knn_graph",  # packed-centroid broadcasts (q118 pattern)
+    "q350_knn_graph_bq",  # same packed-centroid broadcast (q151 pattern);
+    # the BQ candidate/re-rank joins themselves are bucket/id equi-joins
     "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)
     "q156_mixture_allocation",  # 1-row water-filling lambda broadcast
