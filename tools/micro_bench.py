@@ -82,6 +82,11 @@ PINNED = [
     # agg in the registry, so it stays in the rotation.
     "q79_correlation",
     "q82_pricing_summary",
+    # Round-10 new heavy entries: the BQ kNN graph (the round's scale
+    # lever) and the from-artifacts composite (its suite number is the
+    # probe path; the build path is adjudicated in PLANS.md).
+    "q350_knn_graph_bq",
+    "q349_curation_from_artifacts",
 ]
 
 REPS = 4
