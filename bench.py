@@ -30,6 +30,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     import __spark_entry__ as entry_mod
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        release_persisted_frames,
+    )
     from snowflake_stock_dbt_spark.session import get_spark
 
     #: Queries whose first execution warms a whole runtime path (plain
@@ -68,6 +71,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             # Isolate runs: drop persisted intermediates so one query's
             # cache (or memory pressure) can't distort the next timing.
+            # release_persisted_frames drops the registry's handles too
+            # (ADVICE r10: clearCache alone freed the blocks but left
+            # dead DataFrame references accumulating for the session).
+            release_persisted_frames()
             spark.catalog.clearCache()
         times[name] = round(best, 4)
 

@@ -514,7 +514,15 @@ def _with_probes(
     spark = df.sparkSession
     qq = F.col("__qq")
 
-    if len(centroids) >= TWO_LEVEL_MIN_K and _exact_mode_required():
+    if (
+        len(centroids) >= TWO_LEVEL_MIN_K
+        and _exact_mode_required()
+        and not _flat_assign_forced()
+    ):
+        # ADVICE r10: SPARK_GRAFT_FLAT_ASSIGN=1 forces the exact flat
+        # scan at any k — that combination (exact assignment on a large
+        # parity corpus) is precisely what the escape hatch exists for,
+        # so the guard must not fire there.
         raise RuntimeError(
             f"oracle-parity run (SPARK_GRAFT_FORCE_EXACT=1) reached the "
             f"two-level beam approximation: k={len(centroids)} >= "
@@ -763,6 +771,19 @@ def _stabilize_assigned(out: DataFrame, k: int) -> DataFrame:
     Never active at oracle/bench corpora (k < 64 everywhere below the
     probe scale factors), so pinned plans and budgets are untouched."""
     if k >= TWO_LEVEL_MIN_K:
+        # Drop dead handles first (ADVICE r10): harnesses that reset via
+        # spark.catalog.clearCache() (bench.py) free the blocks but the
+        # registry kept DataFrame/plan references alive for the whole
+        # session — prune entries whose storage level is no longer
+        # cached before appending, so the registry tracks live state.
+        def _alive(f: DataFrame) -> bool:
+            try:
+                lvl = f.storageLevel
+                return lvl.useMemory or lvl.useDisk
+            except Exception:
+                return False
+
+        _PERSISTED_FRAMES[:] = [f for f in _PERSISTED_FRAMES if _alive(f)]
         out = out.persist()
         _PERSISTED_FRAMES.append(out)
         return out
@@ -1412,6 +1433,10 @@ def knn_graph(
     when the cluster count is size-derived (q118's k ∝ n contract).
     Top-k is a row_number window keyed by the source id.
     """
+    # NULL-embedding rows are excluded from the edge population on BOTH
+    # sides, mirroring the SQL twin whose unnest drops NULL arrays (the
+    # knn_graph_bq ADVICE r10 fix, applied family-wide for consistency).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     q = _quantized(vec_col)
     int_norm = F.aggregate(
         F.transform(q, lambda x: x * x),
@@ -1475,7 +1500,16 @@ def pack_sign_words(vec):
     """(lo, hi) BIGINT columns holding the 64 sign bits of ``vec`` in two
     32-bit words — the binary-quantization signature (q166's packing,
     shared so the kNN candidate stage and the BQ search rank the exact
-    same integers). Bit i is set iff vec[i] >= 0."""
+    same integers). Bit i is set iff vec[i] >= 0.
+
+    64-DIM CONTRACT: the signature covers exactly the first 64
+    components. Dims beyond 64 are ignored on BOTH engines — here by the
+    hard range(0, 64) cap, in the SQL twins by the explicit ``pos < 64``
+    bound on _BQ_HI (plans/vectors.py; ADVICE r10 — without that bound
+    DuckDB would alias bits 64+ onto bits 32-63 via ``pos % 32``).
+    Missing components (shorter vectors) contribute 0 bits identically:
+    element_at past the end is NULL -> otherwise(0) here, absent rows ->
+    ELSE 0 there."""
     def word(lo_bit, hi_bit):
         acc = None
         for i in range(lo_bit, hi_bit):
@@ -1523,6 +1557,12 @@ def knn_graph_bq(
     (measured in tests as recall vs knn_graph; prerank = 4k keeps it
     high at the probe corpora).
     """
+    # NULL-embedding rows are excluded from the edge population on BOTH
+    # sides (ADVICE r10): the SQL twin's unnest produces no rows for a
+    # NULL array, so such vec_ids appear neither as src nor dst there —
+    # while here a NULL row would pack to lo=hi=0 with a NULL re-rank
+    # cosine that desc_nulls_last can still award a rank <= k.
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     q = _quantized(vec_col)
     int_norm = F.aggregate(
         F.transform(q, lambda x: x * x),

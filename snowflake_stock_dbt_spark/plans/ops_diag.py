@@ -1024,7 +1024,15 @@ def _orc_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
         st = os.stat(src)
         sig_parts.append(f"lineitem.parquet:{st.st_size}:{st.st_mtime_ns}")
     digest = hashlib.sha256("|".join(sig_parts).encode()).hexdigest()[:12]
-    base = os.path.basename(norm)
+    # The directory prefix keys on basename PLUS a full-path hash
+    # (ADVICE r10): two distinct corpora sharing a basename (/a/sf0.01
+    # and /b/sf0.01) always differ in content digest but used to share
+    # the `{base}-` prune prefix, so alternating between them evicted
+    # and rebuilt each other's ORC tree every regeneration.
+    base = (
+        f"{os.path.basename(norm)}."
+        f"{hashlib.sha256(norm.encode()).hexdigest()[:8]}"
+    )
     root = "/tmp/spark_graft_orc"
     path = f"{root}/{base}-{digest}/lineitem.orc"
     if not os.path.exists(f"{path}/_SUCCESS"):

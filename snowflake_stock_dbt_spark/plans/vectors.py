@@ -1092,8 +1092,12 @@ def q166_binary_quant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The `pos < 64` bound on _BQ_HI matters (ADVICE r10): without it, an
+# embedding longer than 64 dims would alias bits 64+ onto bits 32-63 via
+# `pos % 32`, silently diverging from pack_sign_words (similarity.py),
+# which hard-caps the signature at the first 64 dims on the engine side.
 _BQ_LO = "SUM(CASE WHEN v >= 0 AND pos < 32 THEN CAST(1 AS BIGINT) << (pos % 32) ELSE 0 END)"
-_BQ_HI = "SUM(CASE WHEN v >= 0 AND pos >= 32 THEN CAST(1 AS BIGINT) << (pos % 32) ELSE 0 END)"
+_BQ_HI = "SUM(CASE WHEN v >= 0 AND pos >= 32 AND pos < 64 THEN CAST(1 AS BIGINT) << (pos % 32) ELSE 0 END)"
 
 Q166_SQL = f"""
 WITH u AS (

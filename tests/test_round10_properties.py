@@ -345,11 +345,22 @@ def test_orc_cache_prunes_stale_siblings(spark, tmp_path):
     path = D._orc_lineitem_path(spark, sf)
     assert os.path.exists(f"{path}/_SUCCESS")
     root = os.path.dirname(os.path.dirname(path))
+    # Prune prefix = basename + full-path hash (ADVICE r10): derive it
+    # from the returned path so the test pins the production naming.
+    prefix = os.path.basename(os.path.dirname(path)).rsplit("-", 1)[0]
     base = os.path.basename(os.path.abspath(sf))
-    stale = os.path.join(root, f"{base}-deadbeef0000")
+    assert prefix.startswith(f"{base}.") and prefix != base, (
+        "prune prefix must carry a full-path hash, not the bare basename"
+    )
+    stale = os.path.join(root, f"{prefix}-deadbeef0000")
     os.makedirs(os.path.join(stale, "lineitem.orc"), exist_ok=True)
     other = os.path.join(root, "sfother-cafe00000000")
     os.makedirs(other, exist_ok=True)
+    # A DIFFERENT corpus that shares the basename (e.g. /elsewhere/
+    # sf0.001) hashes to a different prefix — regeneration here must
+    # never evict it (the ADVICE r10 alternating-corpora bug).
+    same_basename = os.path.join(root, f"{base}.0000cafe-feed00000000")
+    os.makedirs(same_basename, exist_ok=True)
     try:
         # Force a rebuild pass by removing the current _SUCCESS marker.
         os.remove(f"{path}/_SUCCESS")
@@ -357,8 +368,12 @@ def test_orc_cache_prunes_stale_siblings(spark, tmp_path):
         assert path2 == path and os.path.exists(f"{path}/_SUCCESS")
         assert not os.path.exists(stale), "stale sibling must be pruned"
         assert os.path.exists(other), "other corpora are untouched"
+        assert os.path.exists(same_basename), (
+            "a same-basename corpus at another path must not be evicted"
+        )
     finally:
         import shutil
 
         shutil.rmtree(other, ignore_errors=True)
         shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(same_basename, ignore_errors=True)

@@ -1,0 +1,130 @@
+"""Round-11 regression pins: the five ADVICE-r10 fixes.
+
+1. SPARK_GRAFT_FORCE_EXACT + SPARK_GRAFT_FLAT_ASSIGN together must NOT
+   raise — the flat scan is exact at any k, which is exactly what the
+   escape hatch exists for.
+2. The SQL BQ packing (_BQ_HI) bounds pos < 64 so dims beyond the
+   64-bit signature never alias onto bits 32-63 (pack_sign_words parity
+   on >64-dim vectors).
+3. ORC sibling pruning keys on basename + full-path hash (pinned in
+   test_round10_properties.test_orc_cache_prunes_stale_siblings).
+4. _stabilize_assigned prunes dead (uncached) registry handles.
+5. knn_graph / knn_graph_bq exclude NULL-embedding rows from the edge
+   population on both sides, like the SQL twins' unnest does.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_force_exact_allows_forced_flat_assign(spark, monkeypatch):
+    """FLAT_ASSIGN=1 forces the exact flat scan at every k; under
+    FORCE_EXACT that combination is legitimate (exact assignment on a
+    large parity corpus) and must not raise (ADVICE r10)."""
+    from snowflake_stock_dbt_spark.operators.similarity import (
+        TWO_LEVEL_MIN_K,
+        _with_probes,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_EXACT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_FLAT_ASSIGN", "1")
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = [(b, [b * 100000, b * 100000]) for b in range(TWO_LEVEL_MIN_K)]
+    out = _with_probes(df, cents, "embedding", nprobe=1)
+    rows = {r["vec_id"]: r["__probes"][0]["bucket"] for r in out.collect()}
+
+    # The flat path is an exact argmin — verify against the argmin
+    # computed directly over the quantized integers.
+    def argmin(vec):
+        q = [int(v * 1e7 // 1) for v in vec]
+        return min(
+            range(TWO_LEVEL_MIN_K),
+            key=lambda b: sum((x - b * 100000) ** 2 for x in q),
+        )
+
+    assert rows == {1: argmin([0.1, 0.2]), 2: argmin([0.3, 0.4])}
+
+
+def test_bq_sql_packing_ignores_dims_past_64():
+    """DuckDB twin of pack_sign_words on a 96-dim vector: positions
+    64..95 must contribute NO bits (the engine's signature hard-caps at
+    64 dims); without the pos < 64 bound they aliased onto bits 32-63
+    via pos % 32 (ADVICE r10)."""
+    import duckdb
+
+    from snowflake_stock_dbt_spark.plans.vectors import _BQ_HI, _BQ_LO
+
+    con = duckdb.connect()
+    # One vector: dims 0..63 all NEGATIVE (no bits), dims 64..95 all
+    # POSITIVE — any set bit can only come from aliasing.
+    con.sql(
+        "CREATE TABLE u AS SELECT 1 AS vec_id, CAST(r.range AS INT) AS pos, "
+        "CASE WHEN r.range >= 64 THEN 1.0 ELSE -1.0 END AS v "
+        "FROM range(0, 96) r"
+    )
+    lo, hi = con.sql(
+        f"SELECT {_BQ_LO} AS lo, {_BQ_HI} AS hi FROM u GROUP BY vec_id"
+    ).fetchone()
+    assert (lo, hi) == (0, 0), (
+        f"dims past 64 leaked into the signature: lo={lo:#x} hi={hi:#x}"
+    )
+    # Control: a positive dim INSIDE the window does set its bit.
+    con.sql("UPDATE u SET v = 1.0 WHERE pos IN (3, 40)")
+    lo2, hi2 = con.sql(
+        f"SELECT {_BQ_LO} AS lo, {_BQ_HI} AS hi FROM u GROUP BY vec_id"
+    ).fetchone()
+    assert lo2 == 1 << 3 and hi2 == 1 << (40 % 32)
+
+
+def test_stabilize_prunes_dead_registry_handles(spark):
+    """clearCache() frees the blocks but used to leave dead DataFrame
+    references in _PERSISTED_FRAMES for the whole session (ADVICE r10):
+    the next _stabilize_assigned call must prune them."""
+    from snowflake_stock_dbt_spark.operators import similarity as S
+
+    S.release_persisted_frames()
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.1), F.lit(0.2)).alias("embedding"),
+    )
+    S._stabilize_assigned(df, k=S.TWO_LEVEL_MIN_K)
+    assert len(S._PERSISTED_FRAMES) == 1
+    spark.catalog.clearCache()  # blocks gone, handle now dead
+    out2 = S._stabilize_assigned(
+        spark.range(3).select(F.col("id").alias("vec_id")),
+        k=S.TWO_LEVEL_MIN_K,
+    )
+    assert S._PERSISTED_FRAMES == [out2], (
+        "dead handle must be pruned when the next frame registers"
+    )
+    S.release_persisted_frames()
+
+
+@pytest.mark.parametrize("op_name", ["knn_graph", "knn_graph_bq"])
+def test_knn_family_excludes_null_embeddings(spark, op_name):
+    """A NULL-embedding row must appear neither as src nor dst — the SQL
+    twins' unnest drops NULL arrays, so the engine dropping them too
+    keeps the edge populations identical (ADVICE r10)."""
+    import snowflake_stock_dbt_spark.operators.similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (99, None, 0),  # NULL embedding lands in a small bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, bucket INT"
+    )
+    cents = [(0, [9000000, 1000000]), (1, [1000000, 9000000])]
+    op = getattr(sim, op_name)
+    out = op(df, cents, k=3, nprobe=2).collect()
+    touched = {r["src_id"] for r in out} | {r["dst_id"] for r in out}
+    assert 99 not in touched, f"{op_name} leaked a NULL-embedding row"
+    assert {1, 2, 3, 4} <= touched, "real rows must keep their edges"
