@@ -79,29 +79,93 @@ def main() -> None:
         times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
-    payload = {
+    here = os.path.dirname(os.path.abspath(__file__))
+    micro = _load_micro()
+    # FULL per-query payload goes to a repo file the round commits: a
+    # 350-query JSON line can never fit in the 2000-char stdout tail the
+    # driver records, so BENCH_r{9,10} permanently lost q01-q54 and the
+    # totals (VERDICT r10 item 3). The file is the per-query record;
+    # stdout carries a compact summary the driver CAN parse whole.
+    full = {
         "metric": "query_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "commit": _head_commit(),
     }
-    micro = _load_micro()
     if micro:
         # Medians-of-isolated-reps for the pinned heavy set
         # (tools/micro_bench.py) — the noise-proof numbers BENCH_r{N}
         # comparisons should use for those queries; the suite pass above
         # times them inside one shared JVM where 14% cross-day noise has
         # produced repeated false drift alarms.
-        payload["micro"] = micro
+        full["micro"] = micro
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
     # Regression chatter FIRST (stderr), JSON line LAST: the driver
     # captures combined output and keeps only the final 2000 chars, so any
-    # line printed after the payload evicts per-query numbers from the
-    # recorded BENCH_r{N}.json tail (observed in round 9).
-    compare_to_previous_round(times, micro)
+    # line printed after the payload evicts it from the recorded
+    # BENCH_r{N}.json tail (observed in round 9).
+    movers = compare_to_previous_round(times, micro)
+    line = build_summary_line(total, sf, len(times), full["commit"], movers, micro)
     sys.stderr.flush()
-    print(json.dumps(payload))
+    print(line)
     sys.stdout.flush()
+
+
+def build_summary_line(
+    total: float,
+    sf: float,
+    n_queries: int,
+    commit: str,
+    movers: dict[str, str],
+    micro: dict | None,
+) -> str:
+    """The one-line stdout payload, guaranteed parseable by the driver:
+    its artifact keeps only the final 2000 chars of combined output, so
+    the line must stay under that whatever the suite size — totals,
+    top movers, and micro medians fit; the 350-entry per-query map does
+    not and lives in BENCH_FULL.json instead."""
+    summary = {
+        "metric": "query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": n_queries,
+        "commit": commit,
+        "full": "BENCH_FULL.json",
+        "top_movers": movers,
+    }
+    if micro:
+        summary["micro"] = {
+            k: (v if isinstance(v, str) else round(v, 2))
+            for k, v in micro.items()
+        }
+    line = json.dumps(summary)
+    if len(line) > 1900 and "micro" in summary:
+        # Never let the one-line contract regress back to a truncated
+        # tail — the micro medians live in BENCH_FULL.json regardless.
+        del summary["micro"]
+        line = json.dumps(summary)
+    if len(line) > 1900:
+        summary["top_movers"] = {}
+        line = json.dumps(summary)
+    return line
+
+
+def _head_commit() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "?"
+    except Exception:
+        return "?"
 
 
 def _load_micro() -> dict[str, float] | None:
@@ -216,10 +280,46 @@ def _extract_micro(path: str) -> dict[str, float] | None:
     return None
 
 
+def _committed_full() -> tuple[dict[str, float], dict[str, float], str] | None:
+    """(queries, micro, label) from the BENCH_FULL.json committed at git
+    HEAD — the previous round-close record once rounds >= 11 commit it.
+    Reading the COMMITTED version (not the working file this run just
+    overwrote) keeps within-round re-runs comparing against the last
+    committed state."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode != 0:
+            return None
+        data = json.loads(out.stdout)
+        qs = data.get("queries")
+        if not isinstance(qs, dict) or not qs:
+            return None
+        micro = {
+            k: float(v)
+            for k, v in (data.get("micro") or {}).items()
+            if not k.startswith("_")
+        }
+        label = f"BENCH_FULL.json@{data.get('commit', 'HEAD')}"
+        return {k: float(v) for k, v in qs.items()}, micro, label
+    except Exception:
+        return None
+
+
 def compare_to_previous_round(
     times: dict[str, float], micro: dict[str, float] | None = None
-) -> None:
-    """Per-query regression report against the latest BENCH_r{N}.json.
+) -> dict[str, str]:
+    """Per-query regression report against the previous round's numbers;
+    returns the top movers (both directions) for the compact summary.
+
+    Baseline preference: the committed BENCH_FULL.json (complete
+    per-query map, rounds >= 11), else the latest BENCH_r{N}.json tail
+    (rounds <= 10 — brace-matched/scavenged, possibly partial).
 
     The acceptance bar is "within 2x of the previous round per query"; a
     suite total hides a single regressed plan, so name each one (ratio > 2x
@@ -236,19 +336,25 @@ def compare_to_previous_round(
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not rounds:
-        return
-    prev = _extract_queries(rounds[-1])
-    if prev is None:
-        print(
-            f"[bench] no per-query baseline parseable from {rounds[-1]}; "
-            "regression check skipped",
-            file=sys.stderr,
-        )
-        return
-    prev_micro = _extract_micro(rounds[-1])
+    committed = _committed_full()
+    if committed is not None:
+        prev, prev_micro, label = committed
+    else:
+        rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if not rounds:
+            return {}
+        prev = _extract_queries(rounds[-1])
+        if prev is None:
+            print(
+                f"[bench] no per-query baseline parseable from {rounds[-1]}; "
+                "regression check skipped",
+                file=sys.stderr,
+            )
+            return {}
+        prev_micro = _extract_micro(rounds[-1])
+        label = os.path.basename(rounds[-1])
     regressed = []
+    deltas: list[tuple[float, str, float, float]] = []
     for name, sec in sorted(times.items()):
         base = prev.get(name)
         if (
@@ -258,9 +364,14 @@ def compare_to_previous_round(
             and name in prev_micro
         ):
             sec, base = micro[name], prev_micro[name]
-        if base and base > 0 and sec / base > 2.0 and sec - base > 0.5:
+        if not base or base <= 0:
+            continue
+        if sec / base > 2.0 and sec - base > 0.5:
             regressed.append((name, base, sec, sec / base))
-    label = os.path.basename(rounds[-1])
+        if abs(sec - base) > 0.3:
+            import math
+
+            deltas.append((abs(math.log(max(sec, 1e-3) / base)), name, base, sec))
     if regressed:
         print(f"[bench] REGRESSIONS vs {label}:", file=sys.stderr)
         for name, base, sec, ratio in regressed:
@@ -270,6 +381,10 @@ def compare_to_previous_round(
             )
     else:
         print(f"[bench] no per-query regressions vs {label}", file=sys.stderr)
+    return {
+        name: f"{base:.2f}->{sec:.2f}"
+        for _, name, base, sec in sorted(deltas, reverse=True)[:10]
+    }
 
 
 if __name__ == "__main__":
