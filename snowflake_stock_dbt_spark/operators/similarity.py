@@ -661,6 +661,130 @@ def _with_probes(
     return out.drop("__g2", "__gd", "__gbeam", "__cds", "__probes0")
 
 
+#: Balanced IVF assignment (round-11 VERDICT item 1): posting-list
+#: capacity = ceil(BALANCE_CAP_FACTOR * n / k) rows per bucket. The
+#: round-10 ×64 octave decomposition proved k-means IMBALANCE is the
+#: family's last superlinear term — probed-list volume grew 269 → 450
+#: candidates/row per octave because Lloyd's makes balance WORSE on
+#: this geometry (max bucket 448/608/992 at iters 2/4/6) — so the fix
+#: is bounded-capacity assignment (the "balanced k-means" production
+#: IVF builders run), not more training. 1.3 mirrors the group-level
+#: balance pass in _group_centroids.
+BALANCE_CAP_FACTOR = 1.3
+
+#: How many next-best buckets an over-capacity row may spill through
+#: (one window pass per extra level). Rows still over cap at the last
+#: level stay put — the cap is a volume bound, not an invariant; with
+#: total capacity 1.3·n the residual is rare and bounded.
+BALANCE_SPILL_DEPTH = 4
+
+
+def _balance_enabled() -> bool:
+    """Balanced posting assignment on/off (default ON above
+    TWO_LEVEL_MIN_K). ``SPARK_GRAFT_BALANCED_ASSIGN=0`` disables — the
+    A/B lever for measuring its verdict-level cost, mirroring
+    SPARK_GRAFT_FLAT_ASSIGN for the beam."""
+    return os.environ.get("SPARK_GRAFT_BALANCED_ASSIGN", "1") not in ("", "0")
+
+
+def balanced_posting(
+    probed: DataFrame,
+    id_col: str,
+    cap: int,
+    depth: int = BALANCE_SPILL_DEPTH,
+) -> DataFrame:
+    """(id, ``__bbucket``): bounded-capacity IVF posting assignment from
+    a ``_with_probes`` frame carrying >= ``depth`` probes per row.
+
+    Each row starts at its nearest bucket; ``depth - 1`` deterministic
+    spill passes then move the overflow of every over-capacity bucket to
+    the row's next-best probe. One pass = one row_number window keyed by
+    the row's CURRENT bucket, ordered (settled level ASC, distance ASC,
+    id ASC) — settled rows keep their seat, the farthest newcomers spill
+    first, ties break on id, so the full pipeline is deterministic (the
+    beam discipline). Spilled rows cascade: a bucket filled by inflow
+    re-ranks next pass and pushes its own overflow one level further.
+    Rows at the last level stay even if over cap (soft bound).
+
+    Scale shape: the frame is n rows × (id + depth light structs); each
+    pass is one shuffle on the current bucket id — depth-1 bounded
+    shuffles total, no corpus-wide vector movement. A 100 TB build runs
+    the same passes over the signature-narrow frame.
+
+    Why capacity matters more than centroid quality here: in-bucket
+    candidate volume is Σ (posting size × probe hits); capping posting
+    lists bounds it at ~nprobe·cap per query row — LINEAR in n at
+    size-derived k — where natural Lloyd's assignment measured 992-row
+    hot buckets at ×64 (octave exponent 2.1 in the candidate stage).
+    """
+    f = probed.select(
+        F.col(id_col).alias("__bid"),
+        F.col("__probes").alias("__pp"),
+        F.lit(0).alias("__pos"),
+    )
+    for _ in range(depth - 1):
+        cur = F.element_at(F.col("__pp"), F.col("__pos") + 1)
+        w = Window.partitionBy(cur["bucket"]).orderBy(
+            F.col("__pos"), cur["d"], F.col("__bid")
+        )
+        f = (
+            f.withColumn("__rk", F.row_number().over(w))
+            .withColumn(
+                "__pos",
+                F.when(
+                    (F.col("__rk") > F.lit(int(cap)))
+                    & (F.col("__pos") + 2 <= F.size(F.col("__pp"))),
+                    F.col("__pos") + 1,
+                ).otherwise(F.col("__pos")),
+            )
+            .drop("__rk")
+        )
+    final = F.element_at(F.col("__pp"), F.col("__pos") + 1)
+    return f.select(F.col("__bid"), final["bucket"].alias("__bbucket"))
+
+
+def _shared_probe_frame(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame | None:
+    """The ONE persisted probe scan the balanced kNN-graph path shares
+    between its query side (top-nprobe buckets) and its posting side
+    (bounded-capacity spill needs depth next-best buckets + distances).
+    Returns None when the balanced path is inactive: below
+    TWO_LEVEL_MIN_K (oracle/bench corpora — plans stay byte-identical),
+    when SPARK_GRAFT_BALANCED_ASSIGN=0 (the A/B lever), or under
+    SPARK_GRAFT_FLAT_ASSIGN=1 (the pre-round-9 exact-semantics arm).
+
+    The persist is load-bearing, not a cache nicety: the frame feeds a
+    self-join (query side ⋈ posting side), and CollapseProject would
+    otherwise inline the whole probe pipeline into BOTH consumers
+    (the q118 lesson — see _stabilize_assigned). Registered in
+    _PERSISTED_FRAMES for the sweep/bench release discipline."""
+    if (
+        len(centroids) < TWO_LEVEL_MIN_K
+        or not _balance_enabled()
+        or _flat_assign_forced()
+    ):
+        return None
+    depth = max(nprobe, BALANCE_SPILL_DEPTH)
+    pr = _with_probes(corpus, centroids, vec_col, depth).persist()
+    _PERSISTED_FRAMES.append(pr)
+    return pr
+
+
+def _posting_cap(pr: DataFrame, k: int) -> int:
+    """ceil(BALANCE_CAP_FACTOR * n / k) — the per-bucket posting
+    capacity. The count() doubles as the persist materialization of the
+    shared probe frame (one pass; both consumers then read the cache)."""
+    import math
+
+    n = pr.count()
+    return max(1, int(math.ceil(BALANCE_CAP_FACTOR * n / max(1, k))))
+
+
 def split_oversized_blocks(
     df: DataFrame,
     block_col: str = "bucket",
@@ -1432,6 +1556,13 @@ def knn_graph(
     never a broadcast, never all-pairs; per-bucket work stays bounded
     when the cluster count is size-derived (q118's k ∝ n contract).
     Top-k is a row_number window keyed by the source id.
+
+    At k >= TWO_LEVEL_MIN_K the posting side runs the BALANCED
+    bounded-capacity assignment (round-11: see balanced_posting — the
+    measured 269→450 candidates/row octave growth was k-means imbalance
+    feeding the candidate join), sharing ONE persisted probe scan with
+    the query side. Below the threshold (every oracle/bench corpus) the
+    plan is the byte-identical pre-round-11 one.
     """
     # NULL-embedding rows are excluded from the edge population on BOTH
     # sides, mirroring the SQL twin whose unnest drops NULL arrays (the
@@ -1443,28 +1574,56 @@ def knn_graph(
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    # Probe selection is the shared _with_probes scan: exact top-nprobe
-    # centroids per row — two-level triangle-pruned at size-derived k
-    # (round-8 VERDICT item 1: ranking ALL k centroids per row was the
-    # n·k superlinear assign term), flat fused scan at oracle-scale k.
-    probes = _with_probes(corpus, centroids, vec_col, nprobe).select(
-        F.col(id_col).alias("src_id"),
-        F.col("__qq").alias("qv"),
-        F.aggregate(
-            F.transform(F.col("__qq"), lambda x: x * x),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias("qn"),
-        F.explode(
-            F.transform(F.col("__probes"), lambda p: p["bucket"])
-        ).alias("bucket"),
+    qq_norm = F.aggregate(
+        F.transform(F.col("__qq"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
     )
-    c = ensure_min_parallelism(corpus, F.col(id_col)).select(
-        F.col(id_col).alias("dst_id"),
-        F.col(bucket_col).alias("bucket"),
-        _quantized(vec_col).alias("cv"),
-        int_norm.alias("cn"),
-    )
+    pr = _shared_probe_frame(corpus, centroids, id_col, vec_col, nprobe)
+    if pr is not None:
+        # Balanced path (k >= TWO_LEVEL_MIN_K): ONE probe scan feeds
+        # both sides — the query side slices its top-nprobe buckets,
+        # the posting side runs the bounded-capacity spill. See
+        # balanced_posting for why capacity (not centroid quality) is
+        # what bounds the candidate join at scale.
+        probes = pr.select(
+            F.col(id_col).alias("src_id"),
+            F.col("__qq").alias("qv"),
+            qq_norm.alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__probes"), 1, nprobe),
+                    lambda p: p["bucket"],
+                )
+            ).alias("bucket"),
+        )
+        posting = balanced_posting(
+            pr, id_col, _posting_cap(pr, len(centroids))
+        )
+        c = pr.join(posting, F.col(id_col) == F.col("__bid")).select(
+            F.col(id_col).alias("dst_id"),
+            F.col("__bbucket").alias("bucket"),
+            F.col("__qq").alias("cv"),
+            qq_norm.alias("cn"),
+        )
+    else:
+        # Probe selection is the shared _with_probes scan: exact
+        # top-nprobe centroids per row — flat fused scan at oracle-scale
+        # k (byte-identical pre-round-11 plan below TWO_LEVEL_MIN_K).
+        probes = _with_probes(corpus, centroids, vec_col, nprobe).select(
+            F.col(id_col).alias("src_id"),
+            F.col("__qq").alias("qv"),
+            qq_norm.alias("qn"),
+            F.explode(
+                F.transform(F.col("__probes"), lambda p: p["bucket"])
+            ).alias("bucket"),
+        )
+        c = ensure_min_parallelism(corpus, F.col(id_col)).select(
+            F.col(id_col).alias("dst_id"),
+            F.col(bucket_col).alias("bucket"),
+            _quantized(vec_col).alias("cv"),
+            int_norm.alias("cn"),
+        )
     dot_q = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -1556,6 +1715,12 @@ def knn_graph_bq(
     top-k neighbor can fall outside the Hamming top-``prerank``
     (measured in tests as recall vs knn_graph; prerank = 4k keeps it
     high at the probe corpora).
+
+    At k >= TWO_LEVEL_MIN_K the posting side runs the BALANCED
+    bounded-capacity assignment (round-11, see balanced_posting), so
+    the signature join's per-source volume is capped at ~nprobe·cap by
+    construction; below the threshold the plan is byte-identical to the
+    pre-round-11 one.
     """
     # NULL-embedding rows are excluded from the edge population on BOTH
     # sides (ADVICE r10): the SQL twin's unnest produces no rows for a
@@ -1570,22 +1735,48 @@ def knn_graph_bq(
         lambda acc, v: acc + v,
     )
     lo, hi = pack_sign_words(F.col(vec_col))
-    probes = _with_probes(corpus, centroids, vec_col, nprobe)
     plo, phi = pack_sign_words(F.col(vec_col))
-    probes = probes.select(
-        F.col(id_col).alias("src_id"),
-        plo.alias("qlo"),
-        phi.alias("qhi"),
-        F.explode(
-            F.transform(F.col("__probes"), lambda p: p["bucket"])
-        ).alias("bucket"),
-    )
-    c = ensure_min_parallelism(corpus, F.col(id_col)).select(
-        F.col(id_col).alias("dst_id"),
-        F.col(bucket_col).alias("bucket"),
-        lo.alias("clo"),
-        hi.alias("chi"),
-    )
+    pr = _shared_probe_frame(corpus, centroids, id_col, vec_col, nprobe)
+    if pr is not None:
+        # Balanced path (k >= TWO_LEVEL_MIN_K): shared probe scan +
+        # bounded-capacity posting, same discipline as knn_graph — the
+        # 8-byte signatures then ride a join whose per-source volume is
+        # capped at ~nprobe·cap by construction.
+        probes = pr.select(
+            F.col(id_col).alias("src_id"),
+            plo.alias("qlo"),
+            phi.alias("qhi"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__probes"), 1, nprobe),
+                    lambda p: p["bucket"],
+                )
+            ).alias("bucket"),
+        )
+        posting = balanced_posting(
+            pr, id_col, _posting_cap(pr, len(centroids))
+        )
+        c = pr.join(posting, F.col(id_col) == F.col("__bid")).select(
+            F.col(id_col).alias("dst_id"),
+            F.col("__bbucket").alias("bucket"),
+            lo.alias("clo"),
+            hi.alias("chi"),
+        )
+    else:
+        probes = _with_probes(corpus, centroids, vec_col, nprobe).select(
+            F.col(id_col).alias("src_id"),
+            plo.alias("qlo"),
+            phi.alias("qhi"),
+            F.explode(
+                F.transform(F.col("__probes"), lambda p: p["bucket"])
+            ).alias("bucket"),
+        )
+        c = ensure_min_parallelism(corpus, F.col(id_col)).select(
+            F.col(id_col).alias("dst_id"),
+            F.col(bucket_col).alias("bucket"),
+            lo.alias("clo"),
+            hi.alias("chi"),
+        )
     ham = (
         F.bit_count(F.col("clo").bitwiseXOR(F.col("qlo")))
         + F.bit_count(F.col("chi").bitwiseXOR(F.col("qhi")))

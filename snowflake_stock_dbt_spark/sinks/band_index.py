@@ -28,30 +28,23 @@ History is NEVER re-signatured per increment.
 
 from __future__ import annotations
 
-import hashlib
-import json
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.textdedup import LSH_BANDS, MINHASH_SEEDS
-from .ann_index import _publish_atomically
-
-#: Session-scoped save memo (path -> meta), mirroring ann_index._SAVED:
-#: sweep/bench re-runs of a registered query reuse the artifact instead
-#: of re-shuffling the band rows every call.
-_SAVED: dict[str, dict] = {}
+from .artifact import (
+    _SAVED,
+    artifact_path,
+    load_artifact_meta,
+    publish_artifact,
+    require_family,
+)
 
 
 def band_index_path(sf_dir: str) -> str:
     """Deterministic scratch location for a corpus's band index, keyed on
-    a hash of the FULL corpus path (same rationale as ivf_index_path)."""
-    norm = os.path.abspath(os.path.normpath(sf_dir))
-    tag = os.path.basename(norm) or "corpus"
-    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
-    return f"/tmp/spark_graft_band_index/{tag}-{digest}"
+    a hash of the FULL corpus path (artifact.artifact_path)."""
+    return artifact_path("/tmp/spark_graft_band_index", sf_dir)
 
 
 def save_band_index(
@@ -66,42 +59,34 @@ def save_band_index(
     """Write a (doc_id, band_id, band_hash) band frame (from
     operators.textdedup.banded_signatures) as the partitioned artifact.
     Idempotent per session; returns the written meta."""
-    cached = _SAVED.get(path)
-    if cached is not None:
-        return cached
-    tmp = f"{path}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    rows = (
-        bands.select(
-            F.col("band_id").cast("int"),
-            F.col("doc_id").cast("long"),
-            F.col("band_hash").cast("string"),
+
+    def payload(tmp: str) -> dict:
+        rows = (
+            bands.select(
+                F.col("band_id").cast("int"),
+                F.col("doc_id").cast("long"),
+                F.col("band_hash").cast("string"),
+            )
+            # one output partition per band, rows clustered by band_hash
+            # so each band directory is a sorted inverted list
+            .repartition("band_id")
+            .sortWithinPartitions("band_hash")
+            .persist()
         )
-        # one output partition per band, rows clustered by band_hash so
-        # each band directory is a sorted inverted list
-        .repartition("band_id")
-        .sortWithinPartitions("band_hash")
-        .persist()
+        n_rows = rows.count()
+        (
+            rows.write.mode("overwrite")
+            .partitionBy("band_id")
+            .parquet(f"{tmp}/bands.parquet")
+        )
+        rows.unpersist()
+        return {"n_rows": n_rows}
+
+    return publish_artifact(
+        path,
+        payload,
+        {"k": k, "n_hashes": n_hashes, "bands": n_bands, **(meta or {})},
     )
-    n_rows = rows.count()
-    (
-        rows.write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(f"{tmp}/bands.parquet")
-    )
-    rows.unpersist()
-    info = {
-        "n_rows": n_rows,
-        "k": k,
-        "n_hashes": n_hashes,
-        "bands": n_bands,
-        **(meta or {}),
-    }
-    with open(f"{tmp}/_META.json", "w") as f:
-        json.dump(info, f)
-    _publish_atomically(tmp, path)
-    _SAVED[path] = info
-    return info
 
 
 def merge_band_indexes(
@@ -160,21 +145,14 @@ def load_band_index(
     """Reload (lazy band frame, meta). Raises on a missing artifact or a
     hash-family mismatch — probing with the wrong family would silently
     return zero matches, the worst failure mode for a dedup gate."""
-    meta_path = f"{path}/_META.json"
-    if not os.path.exists(meta_path):
-        raise FileNotFoundError(
-            f"no band index artifact at {path} (expected _META.json; "
-            "run save_band_index first)"
-        )
-    with open(meta_path) as f:
-        meta = json.load(f)
-    want = {"k": k, "n_hashes": n_hashes, "bands": n_bands}
-    got = {key: meta.get(key) for key in want}
-    if got != want:
-        raise ValueError(
-            f"band index at {path} was built with hash family {got}, "
-            f"probe expects {want}"
-        )
+    meta = load_artifact_meta(path, "band index", "save_band_index")
+    require_family(
+        path,
+        meta,
+        {"k": k, "n_hashes": n_hashes, "bands": n_bands},
+        "band index",
+        "hash family",
+    )
     bands = spark.read.parquet(f"{path}/bands.parquet").select(
         F.col("doc_id").cast("long"),
         F.col("band_id").cast("int"),

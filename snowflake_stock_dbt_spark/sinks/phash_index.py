@@ -27,30 +27,25 @@ scan of the artifact.
 
 from __future__ import annotations
 
-import hashlib
-import json
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import PHASH_BANDS, PHASH_BAND_BITS
-from .ann_index import _publish_atomically
-
-#: Session-scoped save memo (path -> meta), mirroring simhash_index._SAVED.
-_SAVED: dict[str, dict] = {}
+from .artifact import (
+    _SAVED,
+    artifact_path,
+    load_artifact_meta,
+    publish_artifact,
+    require_family,
+)
 
 _BAND_COLS = [f"b{i}" for i in range(PHASH_BANDS)]
 
 
 def phash_index_path(sf_dir: str) -> str:
     """Deterministic scratch location, keyed on a hash of the FULL corpus
-    path (same rationale as ivf_index_path)."""
-    norm = os.path.abspath(os.path.normpath(sf_dir))
-    tag = os.path.basename(norm) or "corpus"
-    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
-    return f"/tmp/spark_graft_phash_index/{tag}-{digest}"
+    path (artifact.artifact_path)."""
+    return artifact_path("/tmp/spark_graft_phash_index", sf_dir)
 
 
 def melt_phash_bands(bands_wide: DataFrame) -> DataFrame:
@@ -84,41 +79,34 @@ def save_phash_index(
 ) -> dict:
     """Write a wide pHash band frame (operators.multimodal.phash_bands)
     as the partitioned artifact. Idempotent per session; returns meta."""
-    cached = _SAVED.get(path)
-    if cached is not None:
-        return cached
-    tmp = f"{path}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    rows = (
-        melt_phash_bands(bands_wide)
-        .select(
-            F.col("band_id").cast("int"),
-            F.col("media_id").cast("long"),
-            *[F.col(c).cast("long") for c in _BAND_COLS],
-            F.col("bv").cast("long"),
+
+    def payload(tmp: str) -> dict:
+        rows = (
+            melt_phash_bands(bands_wide)
+            .select(
+                F.col("band_id").cast("int"),
+                F.col("media_id").cast("long"),
+                *[F.col(c).cast("long") for c in _BAND_COLS],
+                F.col("bv").cast("long"),
+            )
+            .repartition("band_id")
+            .sortWithinPartitions("bv")
+            .persist()
         )
-        .repartition("band_id")
-        .sortWithinPartitions("bv")
-        .persist()
+        n_rows = rows.count()
+        (
+            rows.write.mode("overwrite")
+            .partitionBy("band_id")
+            .parquet(f"{tmp}/bands.parquet")
+        )
+        rows.unpersist()
+        return {"n_rows": n_rows}
+
+    return publish_artifact(
+        path,
+        payload,
+        {"bands": PHASH_BANDS, "band_bits": PHASH_BAND_BITS, **(meta or {})},
     )
-    n_rows = rows.count()
-    (
-        rows.write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(f"{tmp}/bands.parquet")
-    )
-    rows.unpersist()
-    info = {
-        "n_rows": n_rows,
-        "bands": PHASH_BANDS,
-        "band_bits": PHASH_BAND_BITS,
-        **(meta or {}),
-    }
-    with open(f"{tmp}/_META.json", "w") as f:
-        json.dump(info, f)
-    _publish_atomically(tmp, path)
-    _SAVED[path] = info
-    return info
 
 
 def load_phash_index(
@@ -126,20 +114,12 @@ def load_phash_index(
 ) -> tuple[DataFrame, dict]:
     """Reload (lazy band frame, meta). Raises on a missing artifact or a
     hash-family mismatch."""
-    meta_path = f"{path}/_META.json"
-    if not os.path.exists(meta_path):
-        raise FileNotFoundError(
-            f"no pHash index artifact at {path} (expected _META.json; "
-            "run save_phash_index first)"
-        )
-    with open(meta_path) as f:
-        meta = json.load(f)
-    want = {"bands": PHASH_BANDS, "band_bits": PHASH_BAND_BITS}
-    got = {key: meta.get(key) for key in want}
-    if got != want:
-        raise ValueError(
-            f"pHash index at {path} was built with family {got}, "
-            f"this session expects {want} — rebuild the index"
-        )
+    meta = load_artifact_meta(path, "pHash index", "save_phash_index")
+    require_family(
+        path,
+        meta,
+        {"bands": PHASH_BANDS, "band_bits": PHASH_BAND_BITS},
+        "pHash index",
+    )
     df = spark.read.parquet(f"{path}/bands.parquet")
     return df, meta

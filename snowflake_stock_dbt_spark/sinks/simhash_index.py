@@ -26,28 +26,23 @@ History is NEVER re-signatured per increment.
 
 from __future__ import annotations
 
-import hashlib
-import json
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.textdedup import SIMHASH_BANDS, SIMHASH_BITS
-from .ann_index import _publish_atomically
-
-#: Session-scoped save memo (path -> meta), mirroring band_index._SAVED.
-_SAVED: dict[str, dict] = {}
+from .artifact import (
+    _SAVED,
+    artifact_path,
+    load_artifact_meta,
+    publish_artifact,
+    require_family,
+)
 
 
 def simhash_index_path(sf_dir: str) -> str:
     """Deterministic scratch location, keyed on a hash of the FULL corpus
-    path (same rationale as ivf_index_path)."""
-    norm = os.path.abspath(os.path.normpath(sf_dir))
-    tag = os.path.basename(norm) or "corpus"
-    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
-    return f"/tmp/spark_graft_simhash_index/{tag}-{digest}"
+    path (artifact.artifact_path)."""
+    return artifact_path("/tmp/spark_graft_simhash_index", sf_dir)
 
 
 def save_simhash_index(
@@ -61,42 +56,33 @@ def save_simhash_index(
     """Write a (doc_id, simhash, band_id, slice) slice frame (from
     operators.textdedup.simhash_slices) as the partitioned artifact.
     Idempotent per session; returns the written meta."""
-    cached = _SAVED.get(path)
-    if cached is not None:
-        return cached
-    tmp = f"{path}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    rows = (
-        slices.select(
-            F.col("band_id").cast("int"),
-            F.col("doc_id").cast("long"),
-            F.col("simhash").cast("long"),
-            F.col("slice").cast("long"),
+
+    def payload(tmp: str) -> dict:
+        rows = (
+            slices.select(
+                F.col("band_id").cast("int"),
+                F.col("doc_id").cast("long"),
+                F.col("simhash").cast("long"),
+                F.col("slice").cast("long"),
+            )
+            # one output partition per band, rows clustered by slice so
+            # each band directory is a sorted inverted list
+            .repartition("band_id")
+            .sortWithinPartitions("slice")
+            .persist()
         )
-        # one output partition per band, rows clustered by slice so each
-        # band directory is a sorted inverted list
-        .repartition("band_id")
-        .sortWithinPartitions("slice")
-        .persist()
+        n_rows = rows.count()
+        (
+            rows.write.mode("overwrite")
+            .partitionBy("band_id")
+            .parquet(f"{tmp}/slices.parquet")
+        )
+        rows.unpersist()
+        return {"n_rows": n_rows}
+
+    return publish_artifact(
+        path, payload, {"bits": bits, "bands": n_bands, **(meta or {})}
     )
-    n_rows = rows.count()
-    (
-        rows.write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(f"{tmp}/slices.parquet")
-    )
-    rows.unpersist()
-    info = {
-        "n_rows": n_rows,
-        "bits": bits,
-        "bands": n_bands,
-        **(meta or {}),
-    }
-    with open(f"{tmp}/_META.json", "w") as f:
-        json.dump(info, f)
-    _publish_atomically(tmp, path)
-    _SAVED[path] = info
-    return info
 
 
 def load_simhash_index(
@@ -107,21 +93,14 @@ def load_simhash_index(
 ) -> tuple[DataFrame, dict]:
     """Reload (lazy slice frame, meta). Raises on a missing artifact or a
     signature-family mismatch."""
-    meta_path = f"{path}/_META.json"
-    if not os.path.exists(meta_path):
-        raise FileNotFoundError(
-            f"no simhash index artifact at {path} (expected _META.json; "
-            "run save_simhash_index first)"
-        )
-    with open(meta_path) as f:
-        meta = json.load(f)
-    want = {"bits": bits, "bands": n_bands}
-    got = {key: meta.get(key) for key in want}
-    if got != want:
-        raise ValueError(
-            f"simhash index at {path} was built with signature family "
-            f"{got}, probe expects {want}"
-        )
+    meta = load_artifact_meta(path, "simhash index", "save_simhash_index")
+    require_family(
+        path,
+        meta,
+        {"bits": bits, "bands": n_bands},
+        "simhash index",
+        "signature family",
+    )
     slices = spark.read.parquet(f"{path}/slices.parquet").select(
         F.col("doc_id").cast("long"),
         F.col("simhash").cast("long"),

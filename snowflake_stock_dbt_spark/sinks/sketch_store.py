@@ -27,28 +27,23 @@ the pruned day partitions and merges ≤ |groups|·m cells per day.
 
 from __future__ import annotations
 
-import hashlib
-import json
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketch import HLL_M, HLL_P, HLL_WBITS
-from .ann_index import _publish_atomically
-
-#: Session-scoped save memo (path -> meta), mirroring ann_index._SAVED.
-_SAVED: dict[str, dict] = {}
+from .artifact import (
+    _SAVED,
+    artifact_path,
+    load_artifact_meta,
+    publish_artifact,
+    require_family,
+)
 
 
 def hll_store_path(sf_dir: str) -> str:
     """Deterministic scratch location for a corpus's register store,
-    keyed on a hash of the FULL corpus path (ivf_index_path rationale)."""
-    norm = os.path.abspath(os.path.normpath(sf_dir))
-    tag = os.path.basename(norm) or "corpus"
-    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
-    return f"/tmp/spark_graft_hll_store/{tag}-{digest}"
+    keyed on a hash of the FULL corpus path (artifact.artifact_path)."""
+    return artifact_path("/tmp/spark_graft_hll_store", sf_dir)
 
 
 def save_hll_registers(
@@ -59,35 +54,27 @@ def save_hll_registers(
 ) -> dict:
     """Write per-day registers (day, event_type, bucket, mreg) as a
     day-partitioned parquet artifact. Idempotent per session."""
-    cached = _SAVED.get(path)
-    if cached is not None:
-        return cached
-    n_rows = registers.count()
-    tmp = f"{path}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        registers.select(
-            F.col("day").cast("long"),
-            F.col("event_type").cast("string"),
-            F.col("bucket").cast("int"),
-            F.col("mreg").cast("int"),
+
+    def payload(tmp: str) -> dict:
+        n_rows = registers.count()
+        (
+            registers.select(
+                F.col("day").cast("long"),
+                F.col("event_type").cast("string"),
+                F.col("bucket").cast("int"),
+                F.col("mreg").cast("int"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(f"{tmp}/registers.parquet")
         )
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(f"{tmp}/registers.parquet")
+        return {"n_rows": int(n_rows)}
+
+    return publish_artifact(
+        path,
+        payload,
+        {"p": HLL_P, "m": HLL_M, "wbits": HLL_WBITS, **(meta or {})},
     )
-    info = {
-        "p": HLL_P,
-        "m": HLL_M,
-        "wbits": HLL_WBITS,
-        "n_rows": int(n_rows),
-        **(meta or {}),
-    }
-    with open(f"{tmp}/_META.json", "w") as f:
-        json.dump(info, f)
-    _publish_atomically(tmp, path)
-    _SAVED[path] = info
-    return info
 
 
 def load_hll_registers(
@@ -96,20 +83,16 @@ def load_hll_registers(
     """Reload the register store as a lazy DataFrame + meta. Refuses a
     mismatched register geometry (a merge across different p would
     silently produce garbage estimates) and a torn artifact."""
-    meta_path = f"{path}/_META.json"
-    if not os.path.exists(meta_path):
-        raise FileNotFoundError(
-            f"no HLL register store at {path} (expected _META.json; "
-            "run save_hll_registers first)"
-        )
-    with open(meta_path) as f:
-        meta = json.load(f)
-    if meta.get("p") != p or meta.get("m") != (1 << p):
-        raise ValueError(
-            f"HLL store at {path} uses register geometry p={meta.get('p')}"
-            f" — refusing to merge with p={p} registers (hash family "
-            "mismatch would corrupt every estimate)"
-        )
+    meta = load_artifact_meta(path, "HLL register store", "save_hll_registers")
+    # A merge across different register geometries would silently
+    # corrupt every estimate — the family check is p AND m = 2^p.
+    require_family(
+        path,
+        meta,
+        {"p": p, "m": 1 << p},
+        "HLL register store",
+        "register geometry (hash family)",
+    )
     regs = spark.read.parquet(f"{path}/registers.parquet").select(
         F.col("day").cast("long"),
         "event_type",

@@ -32,28 +32,23 @@ shuffle equi-joins on doc_id with no recomputation of any pair stage.
 
 from __future__ import annotations
 
-import hashlib
-import json
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 
-from .ann_index import _publish_atomically
-
-#: Session-scoped save memo (path -> meta), mirroring ann_index._SAVED.
-_SAVED: dict[str, dict] = {}
+from .artifact import (
+    _SAVED,
+    artifact_path,
+    load_artifact_meta,
+    publish_artifact,
+    require_family,
+)
 
 MODALITIES = ("text", "media", "semantic")
 
 
 def curation_store_path(sf_dir: str) -> str:
     """Deterministic scratch location, keyed on a hash of the FULL
-    corpus path (same rationale as ann_index.ivf_index_path)."""
-    norm = os.path.abspath(os.path.normpath(sf_dir))
-    tag = os.path.basename(norm) or "corpus"
-    digest = hashlib.sha256(norm.encode()).hexdigest()[:12]
-    return f"/tmp/spark_graft_curation/{tag}-{digest}"
+    corpus path (artifact.artifact_path)."""
+    return artifact_path("/tmp/spark_graft_curation", sf_dir)
 
 
 def save_modality_verdicts(
@@ -64,22 +59,20 @@ def save_modality_verdicts(
 ) -> dict:
     """Publish the three per-modality verdict frames as one atomic
     artifact. Idempotent per session; returns meta."""
-    cached = _SAVED.get(path)
-    if cached is not None:
-        return cached
-    missing = [m for m in MODALITIES if m not in frames]
-    if missing:
-        raise ValueError(f"verdict store needs all modalities; missing {missing}")
-    tmp = f"{path}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    for mod in MODALITIES:
-        frames[mod].write.mode("overwrite").parquet(f"{tmp}/{mod}.parquet")
-    info = {"modalities": list(MODALITIES), **(meta or {})}
-    with open(f"{tmp}/_META.json", "w") as f:
-        json.dump(info, f)
-    _publish_atomically(tmp, path)
-    _SAVED[path] = info
-    return info
+    if _SAVED.get(path) is None:
+        missing = [m for m in MODALITIES if m not in frames]
+        if missing:
+            raise ValueError(
+                f"verdict store needs all modalities; missing {missing}"
+            )
+
+    def payload(tmp: str) -> None:
+        for mod in MODALITIES:
+            frames[mod].write.mode("overwrite").parquet(f"{tmp}/{mod}.parquet")
+
+    return publish_artifact(
+        path, payload, {"modalities": list(MODALITIES), **(meta or {})}
+    )
 
 
 def ensure_modality_verdicts(
@@ -105,20 +98,16 @@ def load_modality_verdicts(
 ) -> tuple[dict[str, DataFrame], dict]:
     """Lazy scans of the three verdict tables; loud raise on a
     family-mismatched artifact (the q347/q329 load discipline)."""
-    meta_path = os.path.join(path, "_META.json")
-    if not os.path.exists(meta_path):
-        raise FileNotFoundError(
-            f"no curation verdict artifact at {path} — publish with "
-            "save_modality_verdicts first"
-        )
-    with open(meta_path) as f:
-        meta = json.load(f)
-    if sorted(meta.get("modalities", [])) != sorted(MODALITIES):
-        raise ValueError(
-            f"verdict artifact at {path} has modalities "
-            f"{meta.get('modalities')} — expected {list(MODALITIES)}; "
-            "refusing a family-mismatched load"
-        )
+    meta = load_artifact_meta(
+        path, "curation verdict", "save_modality_verdicts"
+    )
+    require_family(
+        path,
+        meta,
+        {"modalities": list(MODALITIES)},
+        "verdict artifact",
+        "modality set",
+    )
     frames = {
         mod: spark.read.parquet(f"{path}/{mod}.parquet")
         for mod in MODALITIES

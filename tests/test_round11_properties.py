@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -103,6 +105,138 @@ def test_stabilize_prunes_dead_registry_handles(spark):
         "dead handle must be pruned when the next frame registers"
     )
     S.release_persisted_frames()
+
+
+# --- balanced IVF assignment (round-11 VERDICT item 1) ----------------------
+
+
+@pytest.fixture(scope="module")
+def two_level_knn_setup(request):
+    """A forced-two-level corpus + trained codebook shared by the
+    balanced-assignment tests (n=2000, k=125 — the flip-floor test's
+    geometry, where buckets genuinely overflow the 1.3x capacity)."""
+    import snowflake_stock_dbt_spark.operators.similarity as sim
+    from snowflake_stock_dbt_spark.session import get_spark
+    from tools.scale_probe import _gauss_embedding
+
+    spark = get_spark(app_name="tests")
+    n, k = 2000, 125
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    emb_expr, _lab = _gauss_embedding(F.col("vec_id"))
+    corpus = base.withColumn("embedding", emb_expr).localCheckpoint()
+    old_min = sim.TWO_LEVEL_MIN_K
+    sim.TWO_LEVEL_MIN_K = 16
+    sim._KMEANS_TRAIN_CACHE.clear()
+    bucketed, cent = sim.kmeans_assign(
+        corpus, k=k, iters=2, return_centroids=True
+    )
+    bucketed = bucketed.localCheckpoint()
+
+    def fin():
+        sim.TWO_LEVEL_MIN_K = old_min
+        sim.release_persisted_frames()
+
+    request.addfinalizer(fin)
+    return spark, sim, bucketed, cent, n, k
+
+
+def _edges(df):
+    return sorted(
+        (r["src_id"], r["dst_id"], round(r["cosine"], 9), r["rank"])
+        for r in df.collect()
+    )
+
+
+def test_balanced_posting_exactness_witness(two_level_knn_setup, monkeypatch):
+    """With capacity >= the largest natural bucket, no row ever spills,
+    so the balanced path must reproduce the unbalanced beam path EDGE
+    FOR EDGE — the degenerate-config witness (the beam/BQ discipline
+    applied to the capacity stage)."""
+    spark, sim, bucketed, cent, n, k = two_level_knn_setup
+    monkeypatch.setenv("SPARK_GRAFT_BALANCED_ASSIGN", "0")
+    ref = _edges(sim.knn_graph(bucketed, cent, k=4, nprobe=2))
+    monkeypatch.setenv("SPARK_GRAFT_BALANCED_ASSIGN", "1")
+    monkeypatch.setattr(sim, "BALANCE_CAP_FACTOR", 1e9)
+    wit = _edges(sim.knn_graph(bucketed, cent, k=4, nprobe=2))
+    assert wit == ref and len(ref) > 0
+
+
+def test_balanced_posting_caps_bucket_sizes(two_level_knn_setup):
+    """At the production capacity factor every posting list must hold
+    <= cap rows once the spill passes settle (this geometry has global
+    slack; the soft last-level residual only appears when a whole
+    neighborhood saturates), and the assignment must be deterministic
+    across runs."""
+    import math
+
+    spark, sim, bucketed, cent, n, k = two_level_knn_setup
+    cap = max(1, int(math.ceil(sim.BALANCE_CAP_FACTOR * n / k)))
+    pr = sim._with_probes(
+        bucketed, cent, "embedding", max(2, sim.BALANCE_SPILL_DEPTH)
+    )
+    posting = sim.balanced_posting(pr, "vec_id", cap)
+    sizes = {
+        r["__bbucket"]: r["cnt"]
+        for r in posting.groupBy("__bbucket").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    assert sum(sizes.values()) == n, "every row must keep exactly one seat"
+    assert max(sizes.values()) <= cap, (
+        f"posting over capacity: max={max(sizes.values())} cap={cap}"
+    )
+    # Natural assignment on this geometry DOES overflow (that's the
+    # point); prove the test exercises real spills.
+    natural = {
+        r["bucket"]: r["cnt"]
+        for r in bucketed.groupBy("bucket").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    assert max(natural.values()) > cap, "fixture geometry must overflow"
+    again = sorted(tuple(r) for r in posting.collect())
+    once = sorted(tuple(r) for r in sim.balanced_posting(pr, "vec_id", cap).collect())
+    assert again == once, "balanced assignment must be deterministic"
+
+
+def test_balanced_knn_recall_floor_vs_truth(two_level_knn_setup):
+    """Capping posting lists moves overflow rows to next-best buckets —
+    the query side can miss them, so recall vs brute-force truth is the
+    honest cost metric (the beam-12 discipline). Floor: balanced recall
+    within 3 points of the unbalanced arm on clusterable geometry."""
+    import numpy as np
+
+    spark, sim, bucketed, cent, n, k = two_level_knn_setup
+    rows = bucketed.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    sims = X @ X.T
+    np.fill_diagonal(sims, -np.inf)
+    truth = set()
+    for i in range(len(ids)):
+        top = np.argpartition(-sims[i], 4)[:4]
+        for j in top:
+            truth.add((int(ids[i]), int(ids[j])))
+
+    os.environ["SPARK_GRAFT_BALANCED_ASSIGN"] = "0"
+    try:
+        e0 = {
+            (r["src_id"], r["dst_id"])
+            for r in sim.knn_graph(bucketed, cent, k=4, nprobe=2).collect()
+        }
+    finally:
+        os.environ["SPARK_GRAFT_BALANCED_ASSIGN"] = "1"
+    e1 = {
+        (r["src_id"], r["dst_id"])
+        for r in sim.knn_graph(bucketed, cent, k=4, nprobe=2).collect()
+    }
+    r0 = len(e0 & truth) / len(truth)
+    r1 = len(e1 & truth) / len(truth)
+    assert r1 >= r0 - 0.03, (
+        f"balanced recall {r1:.3f} fell more than 3 points below "
+        f"unbalanced {r0:.3f}"
+    )
 
 
 def test_bench_summary_line_fits_driver_tail():

@@ -18,8 +18,11 @@ own codebook, exactly as a real deployment of that arm would.
 Reported per query:
 - q118_semantic_dedup:  fraction of vec_ids whose ``kept`` verdict flips
   (plus bucket agreement as the assignment-level control).
-- q151_knn_graph:       edge-set symmetric difference over union, and
-  the fraction of (src, dst) edges present in both arms.
+- q151_knn_graph / q350_knn_graph_bq: edge-set symmetric difference
+  over union, the fraction of (src, dst) edges present in both arms,
+  and (when the corpus fits the brute-force truth bound) TRUE recall
+  per arm against exact kNN ground truth — the honest cost metric
+  (identity-to-flat overstates: flat-IVF is itself an approximation).
 - q346_multimodal_curation: fraction of doc_ids whose ``keep`` flips
   (text/media components are embedding-independent, so every flip here
   traces to the semantic-dedup arm).
@@ -44,17 +47,27 @@ import __spark_entry__ as E  # noqa: E402
 from snowflake_stock_dbt_spark.session import get_spark  # noqa: E402
 
 
-def _run_arm(spark, qfn, sf_dir: str, flat: bool, keep_codebook: bool = False):
+def _run_arm(
+    spark,
+    qfn,
+    sf_dir: str,
+    flat: bool,
+    keep_codebook: bool = False,
+    env: dict[str, str] | None = None,
+):
     """One arm of the A/B. ``keep_codebook`` (the --shared-codebook
     mode) skips the training-cache clear so the beam arm reuses the
     flat arm's codebook — isolating the PROBE-stage approximation from
     training divergence (with independent training, a flipped verdict
     can come from either the per-row beam assignment or from the two
     arms having trained different centroids; sharing the codebook
-    removes the second cause)."""
+    removes the second cause). ``env`` overlays extra levers for the
+    arm (e.g. SPARK_GRAFT_BALANCED_ASSIGN for the --ab=balance mode)."""
     import snowflake_stock_dbt_spark.operators.similarity as sim
 
     os.environ["SPARK_GRAFT_FLAT_ASSIGN"] = "1" if flat else "0"
+    for k, v in (env or {}).items():
+        os.environ[k] = v
     if not keep_codebook:
         sim._KMEANS_TRAIN_CACHE.clear()
     sim.release_persisted_frames()
@@ -62,6 +75,8 @@ def _run_arm(spark, qfn, sf_dir: str, flat: bool, keep_codebook: bool = False):
     rows = qfn(spark, sf_dir).collect()
     dt = time.monotonic() - t0
     os.environ["SPARK_GRAFT_FLAT_ASSIGN"] = "0"
+    for k in (env or {}):
+        os.environ.pop(k, None)
     return rows, dt
 
 
@@ -108,6 +123,7 @@ def main() -> int:
     growth = "salted"
     prefixes = ["q118", "q151", "q346"]
     shared = False
+    ab = "beam"
     for a in sys.argv[1:]:
         if a.startswith("--factor"):
             factor = int(a.split("=", 1)[1])
@@ -117,6 +133,15 @@ def main() -> int:
             prefixes = a.split("=", 1)[1].split(",")
         if a == "--shared-codebook":
             shared = True
+        if a.startswith("--ab="):
+            # --ab=beam   (default): flat exact assign  vs  beam
+            # --ab=balance: beam+natural posting vs beam+balanced —
+            # isolates the round-11 capacity approximation from the
+            # beam (both arms share the beam path and, with
+            # --shared-codebook, the codebook).
+            ab = a.split("=", 1)[1]
+            if ab not in ("beam", "balance"):
+                raise SystemExit(f"unknown --ab mode {ab!r}")
         if a.startswith("--beam"):
             import snowflake_stock_dbt_spark.operators.similarity as sim
 
@@ -133,11 +158,25 @@ def main() -> int:
     )
     summary: dict[str, dict] = {}
     for name in names:
-        flat_rows, t_flat = _run_arm(spark, qs[name], corpus, flat=True)
-        beam_rows, t_beam = _run_arm(
-            spark, qs[name], corpus, flat=False, keep_codebook=shared
-        )
+        if ab == "balance":
+            # Arm A: beam + NATURAL posting; arm B: beam + BALANCED.
+            # Isolates the round-11 capacity approximation from the
+            # beam (and, with --shared-codebook, from training).
+            flat_rows, t_flat = _run_arm(
+                spark, qs[name], corpus, flat=False,
+                env={"SPARK_GRAFT_BALANCED_ASSIGN": "0"},
+            )
+            beam_rows, t_beam = _run_arm(
+                spark, qs[name], corpus, flat=False, keep_codebook=shared,
+                env={"SPARK_GRAFT_BALANCED_ASSIGN": "1"},
+            )
+        else:
+            flat_rows, t_flat = _run_arm(spark, qs[name], corpus, flat=True)
+            beam_rows, t_beam = _run_arm(
+                spark, qs[name], corpus, flat=False, keep_codebook=shared
+            )
         rec: dict = {
+            "ab": "natural-vs-balanced" if ab == "balance" else "flat-vs-beam",
             "codebook": "shared" if shared else "independent",
             "t_flat_s": round(t_flat, 2),
             "t_beam_s": round(t_beam, 2),
@@ -159,7 +198,7 @@ def main() -> int:
                 dropped_flat=sum(1 for v in kf.values() if not v),
                 dropped_beam=sum(1 for v in kb.values() if not v),
             )
-        elif name.startswith("q151"):
+        elif name.startswith(("q151", "q350")):
             ef = {(r["src_id"], r["dst_id"]) for r in flat_rows}
             eb = {(r["src_id"], r["dst_id"]) for r in beam_rows}
             union = ef | eb
