@@ -672,42 +672,71 @@ def _with_probes(
 #: balance pass in _group_centroids.
 BALANCE_CAP_FACTOR = 1.3
 
-#: How many next-best buckets an over-capacity row may spill through
-#: (one window pass per extra level). Rows still over cap at the last
-#: level stay put — the cap is a volume bound, not an invariant; with
-#: total capacity 1.3·n the residual is rare and bounded.
-BALANCE_SPILL_DEPTH = 4
+#: How many probe buckets a row may land in (its top-BALANCE_SPILL_DEPTH
+#: nearest): overflow spreads across ALL of them, not one neighbor.
+#: Rows still over cap at the last level stay put — the cap is a volume
+#: bound, not an invariant; with total capacity 1.3·n the residual is
+#: rare on clusterable geometry. On a corpus of exact-duplicate CLIQUES
+#: larger than depth·cap (the salted probe corpus at ×64) no
+#: location-preserving assignment can balance — that mass belongs to
+#: exact dedup upstream, and the measured residual is journaled.
+BALANCE_SPILL_DEPTH = 8
+
+#: Spill iterations: each pass re-ranks every bucket (settled rows
+#: first) and SPREADS its overflow in cap-sized chunks across the row's
+#: remaining probe levels — chunk j of a bucket's overflow jumps j
+#: levels, so a hot bucket's 900-row excess lands in up to depth-1
+#: DIFFERENT buckets in one pass instead of cascading into a single
+#: neighbor (measured round 11: single-target cascade CONCENTRATED
+#: inflow on salted cliques — balanced max_posting 1284 vs natural 1024
+#: at ×64). Two follow-up passes resolve collision inflow.
+BALANCE_SPILL_PASSES = 3
 
 
-def _balance_enabled() -> bool:
-    """Balanced posting assignment on/off (default ON above
-    TWO_LEVEL_MIN_K). ``SPARK_GRAFT_BALANCED_ASSIGN=0`` disables — the
-    A/B lever for measuring its verdict-level cost, mirroring
+def _balance_enabled(default: bool) -> bool:
+    """Balanced posting assignment on/off above TWO_LEVEL_MIN_K.
+
+    The DEFAULT is per-operator, from the round-11 A/B (min-of-2,
+    salted ×16/×32/×64, tools/balance_probe.py): knn_graph ON — its
+    candidate stage pays a 64-term integer fold per candidate, so the
+    volume cap + skew spread win 22% at ×32; knn_graph_bq OFF — its
+    BQ stage already made candidates 8-byte/bit-op cheap, and the
+    balance machinery measured pure overhead (+35–74%) at every factor.
+    ``SPARK_GRAFT_BALANCED_ASSIGN=1``/``=0`` force either way — the
+    A/B lever (tools/beam_agreement.py --ab=balance), mirroring
     SPARK_GRAFT_FLAT_ASSIGN for the beam."""
-    return os.environ.get("SPARK_GRAFT_BALANCED_ASSIGN", "1") not in ("", "0")
+    raw = os.environ.get("SPARK_GRAFT_BALANCED_ASSIGN")
+    if raw is None or raw == "":
+        return default
+    return raw != "0"
 
 
 def balanced_posting(
     probed: DataFrame,
     id_col: str,
     cap: int,
-    depth: int = BALANCE_SPILL_DEPTH,
+    passes: int = BALANCE_SPILL_PASSES,
 ) -> DataFrame:
-    """(id, ``__bbucket``): bounded-capacity IVF posting assignment from
-    a ``_with_probes`` frame carrying >= ``depth`` probes per row.
+    """(``__bid``, ``__bbucket``): bounded-capacity IVF posting
+    assignment from a ``_with_probes`` frame carrying the row's
+    BALANCE_SPILL_DEPTH nearest buckets.
 
-    Each row starts at its nearest bucket; ``depth - 1`` deterministic
-    spill passes then move the overflow of every over-capacity bucket to
-    the row's next-best probe. One pass = one row_number window keyed by
-    the row's CURRENT bucket, ordered (settled level ASC, distance ASC,
-    id ASC) — settled rows keep their seat, the farthest newcomers spill
-    first, ties break on id, so the full pipeline is deterministic (the
-    beam discipline). Spilled rows cascade: a bucket filled by inflow
-    re-ranks next pass and pushes its own overflow one level further.
-    Rows at the last level stay even if over cap (soft bound).
+    Each row starts at its nearest bucket; ``passes`` deterministic
+    spill rounds then SPREAD every over-capacity bucket's overflow
+    across the rows' remaining probe levels. One pass = one row_number
+    window keyed by the row's CURRENT bucket, ordered (settled level
+    ASC, distance ASC, id ASC) — settled rows keep their seats, the
+    nearest newcomers claim the rest, ties break on id, so the whole
+    pipeline is deterministic (the beam discipline). Overflow chunk j
+    (rows ranked cap·j+1 .. cap·(j+1)) jumps j levels toward its
+    (pos+j)-th probe — one pass disperses a 900-row hot bucket into up
+    to depth-1 DIFFERENT buckets (the single-target cascade variant
+    measured round 11 CONCENTRATED clique inflow instead: balanced
+    max_posting 1284 vs natural 1024 on ×64 salted). Rows at the last
+    probe level stay even if over cap (soft bound, journaled).
 
     Scale shape: the frame is n rows × (id + depth light structs); each
-    pass is one shuffle on the current bucket id — depth-1 bounded
+    pass is one shuffle on the current bucket id — ``passes`` bounded
     shuffles total, no corpus-wide vector movement. A 100 TB build runs
     the same passes over the signature-narrow frame.
 
@@ -722,22 +751,23 @@ def balanced_posting(
         F.col("__probes").alias("__pp"),
         F.lit(0).alias("__pos"),
     )
-    for _ in range(depth - 1):
+    for _ in range(passes):
         cur = F.element_at(F.col("__pp"), F.col("__pos") + 1)
         w = Window.partitionBy(cur["bucket"]).orderBy(
             F.col("__pos"), cur["d"], F.col("__bid")
         )
-        f = (
-            f.withColumn("__rk", F.row_number().over(w))
-            .withColumn(
-                "__pos",
-                F.when(
-                    (F.col("__rk") > F.lit(int(cap)))
-                    & (F.col("__pos") + 2 <= F.size(F.col("__pp"))),
-                    F.col("__pos") + 1,
-                ).otherwise(F.col("__pos")),
-            )
-            .drop("__rk")
+        over = F.row_number().over(w) - F.lit(int(cap))
+        jump = (
+            F.floor((over - 1) / F.lit(int(cap))).cast("int") + F.lit(1)
+        )
+        f = f.withColumn(
+            "__pos",
+            F.when(
+                over > 0,
+                F.least(
+                    F.col("__pos") + jump, F.size(F.col("__pp")) - 1
+                ),
+            ).otherwise(F.col("__pos")),
         )
     final = F.element_at(F.col("__pp"), F.col("__pos") + 1)
     return f.select(F.col("__bid"), final["bucket"].alias("__bbucket"))
@@ -749,6 +779,7 @@ def _shared_probe_frame(
     id_col: str,
     vec_col: str,
     nprobe: int,
+    default_on: bool = True,
 ) -> DataFrame | None:
     """The ONE persisted probe scan the balanced kNN-graph path shares
     between its query side (top-nprobe buckets) and its posting side
@@ -765,14 +796,34 @@ def _shared_probe_frame(
     _PERSISTED_FRAMES for the sweep/bench release discipline."""
     if (
         len(centroids) < TWO_LEVEL_MIN_K
-        or not _balance_enabled()
+        or not _balance_enabled(default_on)
         or _flat_assign_forced()
     ):
         return None
     depth = max(nprobe, BALANCE_SPILL_DEPTH)
-    pr = _with_probes(corpus, centroids, vec_col, depth).persist()
+    pr = _with_probes(
+        ensure_min_parallelism(corpus, F.col(id_col)),
+        centroids,
+        vec_col,
+        depth,
+    ).persist()
     _PERSISTED_FRAMES.append(pr)
     return pr
+
+
+def _balanced_posting_frame(pr: DataFrame, id_col: str, k: int) -> DataFrame:
+    """The persisted (``__bid``, ``__bbucket``) balanced assignment the
+    candidate join consumes. Materialized eagerly (count) so AQE sees
+    its true size at runtime — the round-11 diagnosis: left lazy inside
+    the join lineage, the planner had no stats, fell back to a
+    sort-merge join whose tiny INPUT coalesced to 8 tasks while its
+    OUTPUT (the exploded candidate set) concentrated 35 s of Hamming +
+    window work on those tasks (vs the natural arm's broadcast-joined
+    32-task stage). Registered for the sweep/bench release discipline."""
+    posting = balanced_posting(pr, id_col, _posting_cap(pr, k)).persist()
+    _PERSISTED_FRAMES.append(posting)
+    posting.count()
+    return posting
 
 
 def _posting_cap(pr: DataFrame, k: int) -> int:
@@ -1597,14 +1648,21 @@ def knn_graph(
                 )
             ).alias("bucket"),
         )
-        posting = balanced_posting(
-            pr, id_col, _posting_cap(pr, len(centroids))
-        )
-        c = pr.join(posting, F.col(id_col) == F.col("__bid")).select(
-            F.col(id_col).alias("dst_id"),
-            F.col("__bbucket").alias("bucket"),
-            F.col("__qq").alias("cv"),
-            qq_norm.alias("cn"),
+        posting = _balanced_posting_frame(pr, id_col, len(centroids))
+        # The c side mirrors the natural arm's shape (narrow projection
+        # of the parallelism-ensured corpus) with ONLY the bucket column
+        # swapped for the balanced assignment — see
+        # _balanced_posting_frame for why the swap rides a materialized
+        # equi-join rather than living inline in the probe lineage.
+        c = (
+            ensure_min_parallelism(corpus, F.col(id_col))
+            .join(posting, F.col(id_col) == F.col("__bid"))
+            .select(
+                F.col(id_col).alias("dst_id"),
+                F.col("__bbucket").alias("bucket"),
+                _quantized(vec_col).alias("cv"),
+                int_norm.alias("cn"),
+            )
         )
     else:
         # Probe selection is the shared _with_probes scan: exact
@@ -1716,11 +1774,13 @@ def knn_graph_bq(
     (measured in tests as recall vs knn_graph; prerank = 4k keeps it
     high at the probe corpora).
 
-    At k >= TWO_LEVEL_MIN_K the posting side runs the BALANCED
-    bounded-capacity assignment (round-11, see balanced_posting), so
-    the signature join's per-source volume is capped at ~nprobe·cap by
-    construction; below the threshold the plan is byte-identical to the
-    pre-round-11 one.
+    Balanced bounded-capacity posting (round-11, see balanced_posting)
+    is available behind SPARK_GRAFT_BALANCED_ASSIGN=1 but OFF by
+    default here: the BQ stage already made each candidate 8-byte/
+    bit-op cheap, and the round-11 A/B measured the balance machinery
+    as pure overhead (+35-74% at salted ×16-×64) for this operator —
+    capacity and BQ attack the same term, and BQ alone wins it.
+    knn_graph (the exact-fold variant) keeps balance ON.
     """
     # NULL-embedding rows are excluded from the edge population on BOTH
     # sides (ADVICE r10): the SQL twin's unnest produces no rows for a
@@ -1736,7 +1796,12 @@ def knn_graph_bq(
     )
     lo, hi = pack_sign_words(F.col(vec_col))
     plo, phi = pack_sign_words(F.col(vec_col))
-    pr = _shared_probe_frame(corpus, centroids, id_col, vec_col, nprobe)
+    # default_on=False: the BQ candidate stage already linearized the
+    # shuffle (8-byte signatures), so the balance machinery measured as
+    # pure overhead here — see _balance_enabled.
+    pr = _shared_probe_frame(
+        corpus, centroids, id_col, vec_col, nprobe, default_on=False
+    )
     if pr is not None:
         # Balanced path (k >= TWO_LEVEL_MIN_K): shared probe scan +
         # bounded-capacity posting, same discipline as knn_graph — the
@@ -1753,14 +1818,16 @@ def knn_graph_bq(
                 )
             ).alias("bucket"),
         )
-        posting = balanced_posting(
-            pr, id_col, _posting_cap(pr, len(centroids))
-        )
-        c = pr.join(posting, F.col(id_col) == F.col("__bid")).select(
-            F.col(id_col).alias("dst_id"),
-            F.col("__bbucket").alias("bucket"),
-            lo.alias("clo"),
-            hi.alias("chi"),
+        posting = _balanced_posting_frame(pr, id_col, len(centroids))
+        c = (
+            ensure_min_parallelism(corpus, F.col(id_col))
+            .join(posting, F.col(id_col) == F.col("__bid"))
+            .select(
+                F.col(id_col).alias("dst_id"),
+                F.col("__bbucket").alias("bucket"),
+                lo.alias("clo"),
+                hi.alias("chi"),
+            )
         )
     else:
         probes = _with_probes(corpus, centroids, vec_col, nprobe).select(
