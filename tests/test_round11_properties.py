@@ -107,6 +107,56 @@ def test_stabilize_prunes_dead_registry_handles(spark):
     S.release_persisted_frames()
 
 
+# --- q350 recall vs brute-force TRUTH (round-11 VERDICT item 4) -------------
+
+
+def test_q350_recall_floor_vs_brute_force_truth(spark, oracle_sf_dir):
+    """Round-10's floor was overlap-with-q151 — itself an nprobe
+    approximation. Pin q350's recall against exact kNN ground truth:
+    what a user actually loses to IVF+BQ at the production margin
+    (measured 0.92-0.99 at probe scale, tools/bq_recall_probe.py)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+
+    t = pq.read_table(
+        f"{oracle_sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    sims = X @ X.T
+    np.fill_diagonal(sims, -np.inf)
+    truth = set()
+    for i in range(len(ids)):
+        top = np.argpartition(-sims[i], 4)[:4]
+        for j in top:
+            truth.add((int(ids[i]), int(ids[j])))
+
+    qs = E.queries()
+    bq = {
+        (r["src_id"], r["dst_id"])
+        for r in qs["q350_knn_graph_bq"](spark, oracle_sf_dir).collect()
+    }
+    e151 = {
+        (r["src_id"], r["dst_id"])
+        for r in qs["q151_knn_graph"](spark, oracle_sf_dir).collect()
+    }
+    r_bq = len(bq & truth) / len(truth)
+    r_151 = len(e151 & truth) / len(truth)
+    # On the uniform-sphere oracle corpus the IVF nprobe=2 restriction
+    # itself caps truth recall near 0.49 (measured: q151 0.488) — the
+    # honest floor for the BQ stage is RELATIVE: it may cost at most 3
+    # points on top of the IVF baseline (measured cost: 1.1 pts here,
+    # 0-2 pts at probe scale on clusterable geometry).
+    assert r_bq >= r_151 - 0.03, (
+        f"BQ prerank cost too high: q350 truth recall {r_bq:.3f} vs "
+        f"q151 {r_151:.3f}"
+    )
+    assert r_bq >= 0.40, f"absolute truth-recall sanity floor: {r_bq:.3f}"
+
+
 # --- balanced IVF assignment (round-11 VERDICT item 1) ----------------------
 
 
