@@ -668,9 +668,17 @@ def _with_probes(
 #: candidates/row per octave because Lloyd's makes balance WORSE on
 #: this geometry (max bucket 448/608/992 at iters 2/4/6) — so the fix
 #: is bounded-capacity assignment (the "balanced k-means" production
-#: IVF builders run), not more training. 1.3 mirrors the group-level
-#: balance pass in _group_centroids.
-BALANCE_CAP_FACTOR = 1.3
+#: IVF builders run), not more training.
+#:
+#: 2.0 from the round-11 cap-factor sweep (gauss ×16, shared codebook,
+#: truth-recall vs capacity): capf 1.3/1.6/2.0/3.0 → recall 0.6272/
+#: 0.6454/0.6547/0.6635 against natural 0.6643, max_posting 89/105/
+#: 128/192 against natural 252, wall-clock FLAT (~10.5 s) across the
+#: sweep — the win comes from capping the imbalance TAIL, not from
+#: squeezing to the mean. 2.0 bounds worst-case candidate volume at
+#: nprobe·2·(n/k) per row (flat at size-derived k) for a ~1-pt recall
+#: cost — the same cost class as the beam's accepted ≤1.8 pts.
+BALANCE_CAP_FACTOR = 2.0
 
 #: How many probe buckets a row may land in (its top-BALANCE_SPILL_DEPTH
 #: nearest): overflow spreads across ALL of them, not one neighbor.
