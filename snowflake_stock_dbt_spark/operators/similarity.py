@@ -778,7 +778,11 @@ def balanced_posting(
             ).otherwise(F.col("__pos")),
         )
     final = F.element_at(F.col("__pp"), F.col("__pos") + 1)
-    return f.select(F.col("__bid"), final["bucket"].alias("__bbucket"))
+    return f.select(
+        F.col("__bid"),
+        final["bucket"].alias("__bbucket"),
+        F.col("__pos").cast("int").alias("__blevel"),
+    )
 
 
 def _shared_probe_frame(

@@ -2598,7 +2598,128 @@ QUALIFY rank <= {KNN_GRAPH_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q351 — BALANCED IVF posting assignment, oracle-checked end to end
+# (round-11 VERDICT item 1's operator as a registered query). Every row
+# gets its natural (argmin) bucket, its bounded-capacity balanced
+# bucket, and the spill level the deterministic spread passes settled
+# it at. cap = ceil(1.1·n/k) sits BELOW the trained max bucket on every
+# oracle corpus (74–79 vs cap 69 at sf0.01), so real spills are
+# exercised under the value oracle — the SQL twin replays the probe
+# ranking and all three window passes with the identical integers and
+# tie-breaks. The probe scan is the flat EXACT path at oracle k (< 64),
+# so the query is exact under SPARK_GRAFT_FORCE_EXACT.
+# ---------------------------------------------------------------------------
+
+#: Demo capacity factor for q351: deliberately tighter than the
+#: production BALANCE_CAP_FACTOR=2.0 so the oracle corpus genuinely
+#: overflows (mean bucket n/k = 62.5 at sf0.01; natural max 74-79).
+BALANCE_DEMO_CAP_FACTOR = 1.1
+
+
+def q351_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.similarity import (
+        BALANCE_SPILL_PASSES,
+        _with_probes,
+        balanced_posting,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = _size_derived_k(spark, sf_dir, emb)
+    _bucketed, cent = kmeans_assign(
+        emb, k=k, iters=KMEANS_ITERS,
+        cache_key=(id(spark), sf_dir, "full"),
+        return_centroids=True,
+    )
+    n = _SEMDEDUP_N_CACHE[(id(spark), sf_dir)]
+    cap = max(1, math.ceil(BALANCE_DEMO_CAP_FACTOR * n / k))
+    pr = _with_probes(emb, cent, "embedding", 4)
+    posting = balanced_posting(pr, "vec_id", cap, passes=BALANCE_SPILL_PASSES)
+    natural = pr.select(
+        "vec_id",
+        F.element_at(F.col("__probes"), 1)["bucket"]
+        .cast("int")
+        .alias("natural_bucket"),
+    )
+    return (
+        natural.join(posting, F.col("vec_id") == F.col("__bid"))
+        .select(
+            "vec_id",
+            "natural_bucket",
+            F.col("__bbucket").cast("int").alias("balanced_bucket"),
+            F.col("__blevel").cast("int").alias("spill_level"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _q351_pass_sql(i: int) -> str:
+    """One spread-spill pass: rank within the CURRENT bucket by
+    (settled level, distance, id); overflow chunk j jumps j levels,
+    clamped to the last probe (3). Identical integers and tie-breaks to
+    balanced_posting's window pass."""
+    return f"""
+s{i} AS (
+    SELECT p.vec_id, p.pos, pr.bucket, pr.d,
+           ROW_NUMBER() OVER (
+               PARTITION BY pr.bucket ORDER BY p.pos, pr.d, p.vec_id
+           ) AS rk
+    FROM p{i - 1} p
+    JOIN pr4 pr ON pr.vec_id = p.vec_id AND pr.rn = p.pos + 1
+),
+p{i} AS (
+    SELECT vec_id,
+           CASE WHEN rk > (SELECT cap FROM meta)
+                THEN LEAST(
+                    pos + 1 + (rk - (SELECT cap FROM meta) - 1)
+                              // (SELECT cap FROM meta),
+                    3)
+                ELSE pos END AS pos
+    FROM s{i}
+)"""
+
+
+Q351_SQL = f"""
+WITH {_kmeans_unrolled_sql(KMEANS_K, KMEANS_ITERS)},
+qd AS (
+    SELECT ui.vec_id, c.bucket,
+           SUM(CAST(ui.v9 - c.c9 AS HUGEINT)
+             * CAST(ui.v9 - c.c9 AS HUGEINT)) AS d
+    FROM ui JOIN cent{KMEANS_ITERS} c USING (pos)
+    GROUP BY 1, 2
+),
+pr4 AS (
+    SELECT * FROM (
+        SELECT vec_id, bucket, d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d, bucket
+               ) AS rn
+        FROM qd
+    ) WHERE rn <= 4
+),
+meta AS (
+    SELECT CAST(CEIL({BALANCE_DEMO_CAP_FACTOR} * COUNT(*) / {KMEANS_K})
+                AS BIGINT) AS cap
+    FROM embeddings
+),
+p0 AS (SELECT DISTINCT vec_id, 0 AS pos FROM pr4),
+{",".join(_q351_pass_sql(i) for i in range(1, 4))}
+SELECT p.vec_id,
+       CAST(nat.bucket AS INT) AS natural_bucket,
+       CAST(fin.bucket AS INT) AS balanced_bucket,
+       CAST(p.pos AS INT) AS spill_level
+FROM p3 p
+JOIN pr4 nat ON nat.vec_id = p.vec_id AND nat.rn = 1
+JOIN pr4 fin ON fin.vec_id = p.vec_id AND fin.rn = p.pos + 1
+ORDER BY p.vec_id
+"""
+
+
 VECTOR_QUERIES = {
+    "q351_balanced_assign": q351_balanced_assign,
     "q350_knn_graph_bq": q350_knn_graph_bq,
     "q348_semantic_index_probe": q348_semantic_index_probe,
     "q271_ann_recall": q271_ann_recall,
@@ -2628,6 +2749,7 @@ VECTOR_QUERIES = {
 }
 
 VECTOR_ORACLES = {
+    "q351_balanced_assign": Q351_SQL,
     "q350_knn_graph_bq": Q350_SQL,
     "q348_semantic_index_probe": Q348_SQL,
     "q271_ann_recall": Q271_SQL,

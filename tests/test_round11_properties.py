@@ -107,6 +107,28 @@ def test_stabilize_prunes_dead_registry_handles(spark):
     S.release_persisted_frames()
 
 
+# --- q351: balanced assignment as a registered query ------------------------
+
+
+def test_q351_spills_are_non_vacuous(spark, oracle_sf_dir):
+    """The demo cap sits below the trained max bucket on the oracle
+    corpus, so the value-oracle comparison must cover REAL spills —
+    a q351 run with zero spilled rows would pin nothing."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["q351_balanced_assign"](spark, oracle_sf_dir).collect()
+    spilled = [r for r in rows if r["spill_level"] > 0]
+    assert len(rows) > 0 and len(spilled) > 0, "no spills exercised"
+    for r in spilled:
+        assert r["balanced_bucket"] != r["natural_bucket"], (
+            "a spilled row must have moved buckets"
+        )
+    stay = [r for r in rows if r["spill_level"] == 0]
+    assert all(
+        r["balanced_bucket"] == r["natural_bucket"] for r in stay
+    ), "an unspilled row must keep its argmin bucket"
+
+
 # --- q350 recall vs brute-force TRUTH (round-11 VERDICT item 4) -------------
 
 
