@@ -53,6 +53,9 @@ BNL_ALLOWED = {
     "q151_knn_graph",  # packed-centroid broadcasts (q118 pattern)
     "q350_knn_graph_bq",  # same packed-centroid broadcast (q151 pattern);
     # the BQ candidate/re-rank joins themselves are bucket/id equi-joins
+    "q351_balanced_assign",  # same 1-row packed-centroid broadcast
+    # (_with_probes, q151 pattern); the posting attach is an id equi-join
+    # and the spill passes are windows — no other join shape in the plan
     "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)
     "q156_mixture_allocation",  # 1-row water-filling lambda broadcast
