@@ -40,6 +40,7 @@ import re
 from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame
+from .functions.localframe import local_frame
 
 from .worksheet import WorksheetRunner
 
@@ -220,7 +221,8 @@ def schema_tests_df(
     DataFrame; see run_schema_tests for the execution model."""
     rows = run_schema_tests(schema_yml_path, models)
     spark = next(iter(models.values())).sparkSession
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "model_name string, column_name string, test_name string, "
         "failures bigint",

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.localframe import local_frame
 
 from ..functions.text import tokens
 
@@ -117,7 +118,8 @@ def bpe_train(
             F.sum(F.col("cnt") * F.size("syms")).alias("s")
         ).collect()[0]["s"]
         rows.append((r, a, b, int(pc), int(n_syms)))
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "round int, left_sym string, right_sym string, "
         "pair_count bigint, corpus_symbols_after bigint",

@@ -28,8 +28,15 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_frame
 from ..functions.partitioning import ensure_min_parallelism
-from ..functions.vectors import cosine_exact, cosine_fast, dot_exact, norm_exact
+from ..functions.vectors import (
+    cosine_exact,
+    cosine_fast,
+    dot_exact,
+    dot_exact_lits,
+    norm_exact,
+)
 
 def cosine_topk_exact(
     queries: DataFrame,
@@ -540,7 +547,10 @@ def _with_probes(
         else None
     )
     if groups is None or len(groups) < 3:
-        cdf = spark.createDataFrame(
+        # local_frame: Arrow local relation, not a 32-slice pickled
+        # parallelize — see functions/localframe.py (opt r11, guide §4).
+        cdf = local_frame(
+            spark,
             [(int(b), [int(v) for v in cv]) for b, cv in centroids],
             "bucket INT, cq ARRAY<BIGINT>",
         )
@@ -572,7 +582,8 @@ def _with_probes(
         )
         return out.drop("__cents")
 
-    cdf = spark.createDataFrame(
+    cdf = local_frame(
+        spark,
         [
             (
                 gid,
@@ -1186,13 +1197,11 @@ def _lsh_banded(
     bit-identical on every engine."""
     bits = len(planes)
     rows = bits // bands
+    # dot_exact_lits: one parsed SQL expression per plane instead of
+    # dim F.lit py4j calls — same tree, ~10x less plan-build time
+    # (functions/vectors.py, opt r11).
     bit_cols = [
-        (
-            dot_exact(
-                F.col(vec_col), F.array(*[F.lit(float(s)) for s in plane])
-            )
-            > 0
-        ).alias(f"b{b}")
+        (dot_exact_lits(vec_col, plane) > 0).alias(f"b{b}")
         for b, plane in enumerate(planes)
     ]
     sig = df.select(F.col(id_alias), *bit_cols)
@@ -1514,7 +1523,8 @@ def ivfpq_search(
     qv = queries.select(
         F.col(id_col).alias("query_id"), _quantized(vec_col).alias("q9")
     )
-    coarse_df = spark.createDataFrame(
+    coarse_df = local_frame(
+        spark,
         [(int(b), [int(v) for v in cv]) for b, cv in coarse_cent],
         "bucket INT, __cq ARRAY<BIGINT>",
     )
@@ -1532,7 +1542,8 @@ def ivfpq_search(
     )
     luts = []
     for j in range(m):
-        pq_df = spark.createDataFrame(
+        pq_df = local_frame(
+            spark,
             [(int(b), [int(v) for v in cv]) for b, cv in subs[j][1]],
             f"code_{j} INT, __cq ARRAY<BIGINT>",
         )

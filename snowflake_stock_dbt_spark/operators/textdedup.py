@@ -173,10 +173,13 @@ def minhash_signatures(
     sh = _exploded_shingles(df, id_col, text_col, k).select(
         "doc_id", base_hash31(F.col("shingle")).alias("h")
     )
+    # One parsed SQL expression per seed: the Column-API form costs ~9
+    # py4j round trips per seed per call site and dominated the BUILD
+    # time of every MinHash query (opt r11, cProfile: 4.3 s of the q330
+    # construction was this listcomp). Same integer arithmetic, same
+    # aggregate tree.
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-            f"h{s}"
-        )
+        F.expr(f"min(({a} * h + {b}) % {MINHASH_PRIME})").alias(f"h{s}")
         for s, (a, b) in enumerate(minhash_params(n_hashes))
     ]
     return sh.groupBy("doc_id").agg(*mins)
@@ -197,14 +200,16 @@ def banded_signatures(
     (minhash_index_probe) consume it unchanged."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    # Parsed once per band instead of ~rows py4j calls each (opt r11).
     band_cols = [
-        F.struct(
-            F.lit(band).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"h{band * rows + r}") for r in range(rows)]
-                )
-            ).alias("band_hash"),
+        F.expr(
+            "struct({b} AS band_id, md5(concat_ws(',', {cols})) "
+            "AS band_hash)".format(
+                b=band,
+                cols=", ".join(
+                    f"h{band * rows + r}" for r in range(rows)
+                ),
+            )
         )
         for band in range(bands)
     ]
@@ -315,20 +320,24 @@ def simhash_signatures(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
     hashed = toks.select("doc_id", hash60(F.col("tok")).alias("h"))
+    # Parsed SQL per bit (and ONE expression for the 60-term recompose):
+    # the Column-API loops cost ~12 py4j round trips per bit per call
+    # site — the bulk of every SimHash query's build time (opt r11).
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), s).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {s}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"s{s}")
         for s in range(bits)
     ]
     bitsums = hashed.groupBy("doc_id").agg(*votes)
-    sig = None
-    for s in range(bits):
-        term = F.when(F.col(f"s{s}") > 0, F.lit(1 << s).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN s{s} > 0 THEN CAST({1 << s} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for s in range(bits)
         )
-        sig = term if sig is None else sig + term
+    )
     return bitsums.select("doc_id", sig.alias("simhash"))
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..functions.localframe import local_frame
 
 from ..functions.numeric import exact_grouped_percentiles
 from ..functions.partitioning import ensure_min_parallelism
@@ -1999,7 +2000,8 @@ def q243_observed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sink keeps the corpus read-only while driving the identical scan.
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 m["n_rows"],

@@ -1284,18 +1284,18 @@ def q176_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = minhash_signatures(docs, "doc_id", "text")
     n = 64
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(n)],
+    # selectExpr / F.expr: one py4j round trip per frame instead of one
+    # per column (opt r11); identical projections and the identical
+    # 64-term left-associated match sum.
+    sa = sig.selectExpr(
+        "doc_id AS doc_a", *[f"h{i} AS a{i}" for i in range(n)]
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(n)],
+    sb = sig.selectExpr(
+        "doc_id AS doc_b", *[f"h{i} AS b{i}" for i in range(n)]
     )
-    match = None
-    for i in range(n):
-        m = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-        match = m if match is None else match + m
+    match = F.expr(
+        " + ".join(f"CAST((a{i} = b{i}) AS INT)" for i in range(n))
+    )
     # Candidate-bounded exact audit (round-7 verdict item 5): semi-join
     # the shingle frame to LSH-candidate doc ids BEFORE the common-shingle
     # aggregation — the superset pairs it still emits are cut to candidate
@@ -2617,8 +2617,16 @@ _SX_MATCH_LEN = _lcp_expr("suffix", "p_suffix")
 
 
 def q317_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", tokens("text").alias("t"))
+    # The suffix fan-out (tokenize + per-token substring build) is the
+    # CPU-heavy stage, and a single-row-group corpus file pins it to ONE
+    # task (profiled r11: 2.1 s serial on 32 idle cores). Spread the doc
+    # rows first — a |docs|-row shuffle, no-op on a many-file corpus.
+    tok = ensure_min_parallelism(docs, F.col("doc_id")).select(
+        "doc_id", tokens("text").alias("t")
+    )
     sufs = F.transform(
         F.sequence(F.lit(1), F.size("t")),
         lambda i: F.substring(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..functions.localframe import local_frame
 
 from ..sources.tables import load_table
 
@@ -769,8 +770,8 @@ def q255_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "term"),
     )
-    phrases = spark.createDataFrame(
-        PHRASE_QUERIES, "phrase_id string, t1 string, t2 string"
+    phrases = local_frame(
+        spark, PHRASE_QUERIES, "phrase_id string, t1 string, t2 string"
     )
     first = pos.join(
         F.broadcast(phrases), pos.term == phrases.t1

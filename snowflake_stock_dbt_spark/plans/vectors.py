@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..functions.localframe import local_frame
 
 from ..operators.similarity import (
     KMEANS_SCALE as _KMEANS_SCALE,
@@ -1590,7 +1591,8 @@ def q260_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("sq_err").cast("decimal(20,0)")).alias("inertia_d"),
     )
-    cdf = spark.createDataFrame(
+    cdf = local_frame(
+        spark,
         [(int(b), [int(v) for v in cv]) for b, cv in cent],
         "bucket INT, cq ARRAY<BIGINT>",
     )

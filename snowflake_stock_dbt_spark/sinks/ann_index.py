@@ -31,6 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.localframe import local_frame
 
 # Shared artifact-store core (round-11: publish/load/memo live in ONE
 # module; _SAVED and _publish_atomically stay importable from here for
@@ -62,7 +63,8 @@ def save_ivf_index(
     lists) as parquet tables under ``path``. Idempotent per session."""
 
     def payload(tmp: str) -> None:
-        cdf = spark.createDataFrame(
+        cdf = local_frame(
+            spark,
             [(int(b), [int(v) for v in cv]) for b, cv in centroids],
             "bucket INT, cq ARRAY<BIGINT>",
         )
@@ -149,8 +151,8 @@ def save_pq_index(
             rows.extend(
                 (f"sub{j}", int(b), [int(v) for v in cv]) for b, cv in cents
             )
-        spark.createDataFrame(
-            rows, "space STRING, bucket INT, cq ARRAY<BIGINT>"
+        local_frame(
+            spark, rows, "space STRING, bucket INT, cq ARRAY<BIGINT>"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{tmp}/codebooks.parquet"
         )
