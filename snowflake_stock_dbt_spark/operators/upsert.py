@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..sources.tables import read_parquet
 
 #: Cap on the partition-scoped rewrite set. Date-partitioned upsert batches
 #: touch a handful of partitions; thousands means the driver-side isin()
@@ -50,7 +51,7 @@ def merge_upsert_write(
     it, the whole table is rewritten (reference-scale only).
     """
     try:
-        target = spark.read.parquet(path)
+        target = read_parquet(spark, path)
         exists = True
     except Exception:
         exists = False

@@ -270,10 +270,10 @@ def q142_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 10 minutes or emitted with nulls once the watermark proves no
     match can arrive. Drained over the sentinel-flushed landing, the
     output equals the batch LEFT JOIN exactly — full value oracle."""
-    from ..sources.tables import normalize_instant
+    from ..sources.tables import normalize_instant, parquet_schema
 
     land = _flush_events_landing(spark, sf_dir)
-    schema = spark.read.parquet(land).schema
+    schema = parquet_schema(spark, land)
     raw = spark.readStream.schema(schema).format("parquet").load(land)
     ev = normalize_instant(raw, "ts")
     joined = stream_stream_interval_join(
@@ -316,10 +316,10 @@ def q144_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     every real session's close, so append mode emits ALL sessions);
     drained output equals the batch session semantics — the q42 oracle
     applies verbatim, sentinel sessions filtered by user_id."""
-    from ..sources.tables import normalize_instant
+    from ..sources.tables import normalize_instant, parquet_schema
 
     land = _flush_events_landing(spark, sf_dir)
-    schema = spark.read.parquet(land).schema
+    schema = parquet_schema(spark, land)
     raw = spark.readStream.schema(schema).format("parquet").load(land)
     ev = normalize_instant(raw, "ts")
     agg = streaming_session_agg(ev, gap_s=SESSION_GAP_S)
@@ -374,10 +374,10 @@ def q169_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel-day window, which the final watermark never passes, so
     drained output == the batch join + GROUP BY — full value oracle.
     """
-    from ..sources.tables import normalize_instant
+    from ..sources.tables import normalize_instant, parquet_schema
 
     land = _flush_events_landing(spark, sf_dir)
-    schema = spark.read.parquet(land).schema
+    schema = parquet_schema(spark, land)
     raw = spark.readStream.schema(schema).format("parquet").load(land)
     ev = normalize_instant(raw, "ts")
     clicks = (
@@ -486,7 +486,7 @@ def q196_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     session semantics — the q144/q42 oracle applies verbatim (sentinel
     sessions never close: their timer sits at flush + gap, beyond the
     final watermark; user -1 filtered anyway)."""
-    from ..sources.tables import normalize_instant
+    from ..sources.tables import normalize_instant, parquet_schema
     from ..streaming.pipeline import ROCKSDB_PROVIDER
     from ..streaming.stateful import stateful_sessions_tws
 
@@ -494,7 +494,7 @@ def q196_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_protobuf_for_session(spark)
     land = _flush_events_landing(spark, sf_dir)
-    schema = spark.read.parquet(land).schema
+    schema = parquet_schema(spark, land)
     raw = spark.readStream.schema(schema).format("parquet").load(land)
     ev = normalize_instant(raw, "ts")
     out = run_streaming_query(
@@ -544,7 +544,11 @@ def q197_warmstart_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     all in history never receive a streamed row and so never emit
     (update-mode semantics); the oracle carries the same IN-filter."""
     from ..compat import ensure_protobuf_for_session
-    from ..sources.tables import load_table, normalize_instant
+    from ..sources.tables import (
+        load_table,
+        normalize_instant,
+        parquet_schema,
+    )
     from ..streaming.pipeline import ROCKSDB_PROVIDER
     from ..streaming.stateful import stateful_user_totals_warmstart
 
@@ -567,7 +571,7 @@ def q197_warmstart_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     land = _odd_events_landing(spark, sf_dir)
-    schema = spark.read.parquet(land).schema
+    schema = parquet_schema(spark, land)
     raw = spark.readStream.schema(schema).format("parquet").load(land)
     ev = normalize_instant(raw, "ts")
     out = run_streaming_query(

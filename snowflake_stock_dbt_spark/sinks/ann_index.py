@@ -43,6 +43,7 @@ from .artifact import (  # noqa: F401  (re-exported contract)
     load_artifact_meta,
     publish_artifact,
 )
+from ..sources.tables import read_parquet
 
 
 def ivf_index_path(sf_dir: str) -> str:
@@ -177,7 +178,7 @@ def load_pq_index(
     k×dim driver ints, like the FAISS-resident equivalent."""
     meta = load_artifact_meta(path, "PQ index", "save_pq_index")
     rows = (
-        spark.read.parquet(f"{path}/codebooks.parquet")
+        read_parquet(spark, f"{path}/codebooks.parquet")
         .orderBy("space", "bucket")
         .collect()
     )
@@ -204,7 +205,7 @@ def load_ivf_index(
     than searching an empty index."""
     meta = load_artifact_meta(path, "ANN index", "save_ivf_index")
     crows = (
-        spark.read.parquet(f"{path}/centroids.parquet")
+        read_parquet(spark, f"{path}/centroids.parquet")
         .orderBy("bucket")
         .collect()
     )
@@ -214,7 +215,7 @@ def load_ivf_index(
             f"index at {path} is corrupt: meta k={meta['k']} but "
             f"{len(centroids)} centroid rows"
         )
-    postings = spark.read.parquet(f"{path}/postings.parquet").select(
+    postings = read_parquet(spark, f"{path}/postings.parquet").select(
         F.col("vec_id").cast("long"), F.col("bucket").cast("int")
     )
     return centroids, postings, meta

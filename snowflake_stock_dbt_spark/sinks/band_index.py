@@ -39,6 +39,7 @@ from .artifact import (
     publish_artifact,
     require_family,
 )
+from ..sources.tables import read_parquet
 
 
 def band_index_path(sf_dir: str) -> str:
@@ -153,7 +154,7 @@ def load_band_index(
         "band index",
         "hash family",
     )
-    bands = spark.read.parquet(f"{path}/bands.parquet").select(
+    bands = read_parquet(spark, f"{path}/bands.parquet").select(
         F.col("doc_id").cast("long"),
         F.col("band_id").cast("int"),
         F.col("band_hash").cast("string"),

@@ -20,6 +20,7 @@ to partition on, bucket counts) lives in one reviewable place.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from ..sources.tables import read_parquet
 
 
 def write_partitioned(
@@ -55,7 +56,7 @@ def read_partition_pruned(
 ) -> DataFrame:
     """Read a partitioned table; filters on the partition columns prune at
     planning time (PartitionFilters in the scan node)."""
-    return spark.read.parquet(path)
+    return read_parquet(spark, path)
 
 
 def describe_files(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -101,7 +102,7 @@ def compact_path(
     if before < min_files_to_compact:
         return before, before
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil division
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     if sort_cols:
         cols = [df[c] for c in sort_cols]
         df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)

@@ -38,6 +38,7 @@ from .artifact import (
     publish_artifact,
     require_family,
 )
+from ..sources.tables import read_parquet
 
 _BAND_COLS = [f"b{i}" for i in range(PHASH_BANDS)]
 
@@ -121,5 +122,5 @@ def load_phash_index(
         {"bands": PHASH_BANDS, "band_bits": PHASH_BAND_BITS},
         "pHash index",
     )
-    df = spark.read.parquet(f"{path}/bands.parquet")
+    df = read_parquet(spark, f"{path}/bands.parquet")
     return df, meta

@@ -37,6 +37,7 @@ from .artifact import (
     publish_artifact,
     require_family,
 )
+from ..sources.tables import read_parquet
 
 
 def simhash_index_path(sf_dir: str) -> str:
@@ -101,7 +102,7 @@ def load_simhash_index(
         "simhash index",
         "signature family",
     )
-    slices = spark.read.parquet(f"{path}/slices.parquet").select(
+    slices = read_parquet(spark, f"{path}/slices.parquet").select(
         F.col("doc_id").cast("long"),
         F.col("simhash").cast("long"),
         F.col("band_id").cast("int"),

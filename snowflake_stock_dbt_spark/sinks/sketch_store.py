@@ -38,6 +38,7 @@ from .artifact import (
     publish_artifact,
     require_family,
 )
+from ..sources.tables import read_parquet
 
 
 def hll_store_path(sf_dir: str) -> str:
@@ -93,7 +94,7 @@ def load_hll_registers(
         "HLL register store",
         "register geometry (hash family)",
     )
-    regs = spark.read.parquet(f"{path}/registers.parquet").select(
+    regs = read_parquet(spark, f"{path}/registers.parquet").select(
         F.col("day").cast("long"),
         "event_type",
         F.col("bucket").cast("int"),

@@ -41,6 +41,7 @@ from .artifact import (
     publish_artifact,
     require_family,
 )
+from ..sources.tables import read_parquet
 
 MODALITIES = ("text", "media", "semantic")
 
@@ -109,7 +110,7 @@ def load_modality_verdicts(
         "modality set",
     )
     frames = {
-        mod: spark.read.parquet(f"{path}/{mod}.parquet")
+        mod: read_parquet(spark, f"{path}/{mod}.parquet")
         for mod in MODALITIES
     }
     return frames, meta

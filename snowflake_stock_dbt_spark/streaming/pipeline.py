@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import normalize_instant
+from ..sources.tables import normalize_instant, parquet_schema
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (ts normalized to µs instants).
@@ -53,7 +53,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an empty stream (caught by q340's dead-flat birth probe; the probe
     # harness now refuses empty results outright).
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = parquet_schema(spark, path)
     if os.path.isdir(path):
         raw = spark.readStream.schema(schema).format("parquet").load(path)
     else:
