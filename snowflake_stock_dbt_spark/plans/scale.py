@@ -794,12 +794,26 @@ def q171_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.col("x").alias("x2"), F.col("y").alias("y2"),
         F.col("h").alias("h2"),
     )
+    # Salt the 3-key self-join (guide §2.5): parallelism of a join keyed
+    # on l_returnflag alone is |flags| = 3 tasks evaluating ~9.4M
+    # candidate pairs serially (profiled r11: ~2.6 s/task). Salting the
+    # a-side on the deterministic day index and replicating the tiny
+    # b-side 16x spreads the candidate evaluation over 48 key groups;
+    # every (x1, x2) pair still meets exactly once, at salt = x1 % 16.
+    _TS_SALTS = 16
+    a_s = a.withColumn(
+        "__salt", F.pmod(F.col("x1"), F.lit(_TS_SALTS)).cast("int")
+    )
+    b_s = b.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(_TS_SALTS - 1)))
+    )
     pairs = (
-        a.join(b, "l_returnflag")
+        a_s.join(b_s, ["l_returnflag", "__salt"])
         .where(F.col("x1") < F.col("x2"))
         .where(
             F.pmod(F.col("h1") + F.col("h2"), F.lit(_TS_SAMPLE_MOD)) == 0
         )
+        .drop("__salt")
     )
     # The equi-join's parallelism is |flags|; re-spread the sampled
     # pairs before the slope/median stage (the cosine_neardup rule).

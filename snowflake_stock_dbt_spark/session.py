@@ -49,6 +49,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor defaults to 1 MiB partitions, which for
+        # this engine's CPU-dense operators (exact-decimal aggregation,
+        # array intersection, HOF folds — seconds of CPU per shuffled MB)
+        # coalesces small shuffles onto a handful of cores. 64 KiB keeps
+        # post-shuffle work spread across the available parallelism; the
+        # floor only binds when shuffle bytes < parallelism x 1 MiB, so at
+        # production scale the advisory size (not this) governs.
+        # Interleaved same-JVM A/B at sf0.1: 30.0s -> 24.3s over the 7
+        # most CPU-dense queries (q143 0.70x, q114 0.68x, q204 0.75x).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -121,6 +134,11 @@ def cluster_conf(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        # Same CPU-density argument as the local factory: never coalesce
+        # below the cluster's parallelism just because a shuffle is small
+        # in bytes — the engine's per-byte CPU (decimal-exact arithmetic)
+        # makes 1 MiB partitions seconds-long tasks.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         "spark.sql.files.maxPartitionBytes": "256m",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.session.timeZone": "UTC",
