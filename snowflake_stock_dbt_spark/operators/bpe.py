@@ -81,6 +81,7 @@ def bpe_train(
     words = word_counts(df, text_col).withColumn(
         "syms", F.expr("regexp_extract_all(word, '.', 0)")
     )
+    n_syms = None  # computed lazily below; carried across rounds
     rows = []
     for r in range(1, n_merges + 1):
         pairs = (
@@ -111,12 +112,32 @@ def bpe_train(
         # agg — so materializing it once halves the per-round work; with
         # the old every-3rd-round policy both jobs re-ran up to three
         # chained merge folds (measured 9.4s -> 3.7s at sf0.1).
+        if n_syms is None:
+            # One-time pre-merge size of the character-level corpus —
+            # folded into the same round as the first merge decision.
+            n_syms = words.agg(
+                F.sum(F.col("cnt") * F.size("syms")).alias("s")
+            ).collect()[0]["s"]
         words = words.withColumn(
             "syms", _merge_fold(F.col("syms"), a, b)
         ).localCheckpoint(eager=False)
-        n_syms = words.agg(
-            F.sum(F.col("cnt") * F.size("syms")).alias("s")
-        ).collect()[0]["s"]
+        if a != b:
+            # A merged occurrence removes exactly one symbol, and for
+            # a != b the greedy fold merges EVERY counted (a, b)
+            # adjacency: overlap of two occurrences would need the
+            # shared symbol to be both a right `b` and a left `a`,
+            # i.e. a == b; and a fresh merge (the string a||b) can never
+            # equal `a` (b is non-empty), so no chained re-merge either.
+            # n_syms is therefore derivable without a corpus scan —
+            # one full-frame job per round removed (opt r11); pinned
+            # against the aggregated size in tests/test_bpe.py.
+            n_syms -= int(pc)
+        else:
+            # a == b runs CAN overlap (pc counts run_len-1 adjacencies,
+            # the fold merges floor(run_len/2)) — pay the exact scan.
+            n_syms = words.agg(
+                F.sum(F.col("cnt") * F.size("syms")).alias("s")
+            ).collect()[0]["s"]
         rows.append((r, a, b, int(pc), int(n_syms)))
     return local_frame(
         spark,

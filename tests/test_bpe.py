@@ -109,3 +109,30 @@ def test_bpe_encode_agrees_exactly_with_training_totals(spark, sf_dir):
     # more merges never increases the token count, and words lower-bound it
     words_total = enc.agg(F.sum("n_words")).first()[0]
     assert words_total <= total <= chars
+
+
+def test_bpe_train_sizes_match_full_aggregation(spark):
+    """The r11 optimization derives corpus_symbols_after as
+    n_syms -= pair_count for a != b merges (no per-round corpus scan).
+    Pin it against the ground-truth aggregation over the re-encoded
+    corpus for a mix that exercises BOTH branches: 'eeee' forces an
+    a == b merge (overlapping runs, floor(run/2) merges), the rest are
+    ordinary a != b merges."""
+    from snowflake_stock_dbt_spark.operators.bpe import bpe_encode_words
+
+    rows = [("eeee eeee low low lower",), ("eeee low lowest be bee",)]
+    df = spark.createDataFrame(rows, "text string")
+    merges = bpe_train(spark, df, "text", n_merges=5).collect()
+    assert merges, "training produced no merges"
+    wc = word_counts(df, "text")
+    merge_list: list[tuple[str, str]] = []
+    for m in merges:
+        merge_list.append((m["left_sym"], m["right_sym"]))
+        enc = bpe_encode_words(wc, merge_list)
+        truth = enc.agg(
+            F.sum(F.col("cnt") * F.size("syms")).alias("s")
+        ).collect()[0]["s"]
+        assert m["corpus_symbols_after"] == truth, (
+            f"round {m['round']} ({m['left_sym']},{m['right_sym']}): "
+            f"derived {m['corpus_symbols_after']} != aggregated {truth}"
+        )
