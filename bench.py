@@ -92,6 +92,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "commit": _head_commit(),
     }
     if micro:
@@ -101,15 +102,32 @@ def main() -> None:
         # times them inside one shared JVM where 14% cross-day noise has
         # produced repeated false drift alarms.
         full["micro"] = micro
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-        f.write("\n")
+    # Run-scoped artifact (VERDICT r11 "what's wrong" #2): every run gets
+    # its own file keyed by core count + commit, so the driver's own
+    # verification runs (32c, then 8c) no longer clobber the committed
+    # round-close map with mixed-core values. BENCH_FULL.json — the
+    # committed per-query record compare_to_previous_round baselines
+    # against — is only rewritten when explicitly asked
+    # (SPARK_GRAFT_BENCH_WRITE_FULL=1, the round-close ritual).
+    runs_dir = os.path.join(here, "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    run_path = os.path.join(
+        runs_dir, f"full_c{full['cpus']}_{full['commit']}.json"
+    )
+    for path in (
+        [run_path, os.path.join(here, "BENCH_FULL.json")]
+        if os.environ.get("SPARK_GRAFT_BENCH_WRITE_FULL") == "1"
+        else [run_path]
+    ):
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
     # Regression chatter FIRST (stderr), JSON line LAST: the driver
     # captures combined output and keeps only the final 2000 chars, so any
     # line printed after the payload evicts it from the recorded
     # BENCH_r{N}.json tail (observed in round 9).
     movers = compare_to_previous_round(times, micro)
-    line = build_summary_line(total, sf, len(times), full["commit"], movers, micro)
+    line = build_summary_line(total, sf, len(times), full["commit"], movers, micro, times)
     sys.stderr.flush()
     print(line)
     sys.stdout.flush()
@@ -122,12 +140,23 @@ def build_summary_line(
     commit: str,
     movers: dict[str, str],
     micro: dict | None,
+    times: dict[str, float] | None = None,
 ) -> str:
     """The one-line stdout payload, guaranteed parseable by the driver:
     its artifact keeps only the final 2000 chars of combined output, so
-    the line must stay under that whatever the suite size — totals,
-    top movers, and micro medians fit; the 350-entry per-query map does
-    not and lives in BENCH_FULL.json instead."""
+    the line must stay under that whatever the suite size.
+
+    PERF_r11 came back hollow (``now_bench_ok: false``, ``per_query: {}``)
+    because round 11's compact line carried no ``queries`` map at all —
+    the driver's comparison consumes exactly that key (VERDICT r11 item 1).
+    A 351-entry map with full names is ~9.4k chars and can never survive
+    the 2000-char tail, so the line now carries the SLOWEST queries that
+    fit (regressions on sub-0.1s queries are timer noise by the bench's
+    own acceptance bar of >2x AND >0.5s absolute), names exact and
+    values in seconds, with the omission declared
+    (``queries_omitted``) and the complete map in BENCH_FULL.json.
+    Priority under the budget: queries map > micro medians > top movers.
+    """
     summary = {
         "metric": "query_suite_seconds",
         "value": total,
@@ -136,23 +165,33 @@ def build_summary_line(
         "n_queries": n_queries,
         "commit": commit,
         "full": "BENCH_FULL.json",
-        "top_movers": movers,
+        "queries": {},
+        "queries_omitted": 0,
     }
+    budget = 1900
+    if times:
+        ranked = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))
+        summary["queries_omitted"] = len(ranked)
+        for name, sec in ranked:
+            summary["queries"][name] = round(sec, 2)
+            if len(json.dumps(summary)) > budget:
+                del summary["queries"][name]
+                break
+            summary["queries_omitted"] -= 1
     if micro:
-        summary["micro"] = {
+        trial = dict(summary)
+        trial["micro"] = {
             k: (v if isinstance(v, str) else round(v, 2))
             for k, v in micro.items()
         }
-    line = json.dumps(summary)
-    if len(line) > 1900 and "micro" in summary:
-        # Never let the one-line contract regress back to a truncated
-        # tail — the micro medians live in BENCH_FULL.json regardless.
-        del summary["micro"]
-        line = json.dumps(summary)
-    if len(line) > 1900:
-        summary["top_movers"] = {}
-        line = json.dumps(summary)
-    return line
+        if len(json.dumps(trial)) <= budget:
+            summary = trial
+    if movers:
+        trial = dict(summary)
+        trial["top_movers"] = movers
+        if len(json.dumps(trial)) <= budget:
+            summary = trial
+    return json.dumps(summary)
 
 
 def _head_commit() -> str:
