@@ -51,6 +51,19 @@ def _arrow_frame(
     if not isinstance(st, StructType):
         raise TypeError(f"expected struct DDL, got {st}")
     names = st.fieldNames()
+    # Malformed rows must RAISE (falling back to createDataFrame's strict
+    # length/type errors), not be silently null-filled or mis-zipped by
+    # from_pylist: a dict row's keys would zip as values, and a short row
+    # would null-pad (ADVICE r11).
+    for r in data:
+        if isinstance(r, dict) or not isinstance(r, Sequence) or isinstance(
+            r, (str, bytes)
+        ):
+            raise TypeError(f"expected a sequence row, got {type(r).__name__}")
+        if len(r) != len(names):
+            raise ValueError(
+                f"row has {len(r)} values for {len(names)} fields"
+            )
     rows = [
         {n: _pyvalue(v, f.dataType) for n, v, f in zip(names, r, st.fields)}
         for r in data

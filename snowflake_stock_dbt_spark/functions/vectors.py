@@ -68,8 +68,16 @@ def dot_exact_lits(vec_col: str, values) -> Column:
     ``F.expr`` string parses JVM-side in one call and resolves to the
     identical expression tree: same zip_with product cast to
     DECIMAL(28,18), same DECIMAL(30,18) fold, same DOUBLE result.
-    ``values`` are embedded as double literals (``1.0D``)."""
-    arr = ", ".join(f"{float(v)!r}D" for v in values)
+    ``values`` are embedded as double literals (``1.0D``); non-finite
+    values have no SQL literal form ('infD' fails to parse), so those
+    fall back to the Column-API dot (ADVICE r11 — defensive, current LSH
+    planes are finite)."""
+    import math
+
+    vals = [float(v) for v in values]
+    if not all(math.isfinite(v) for v in vals):
+        return dot_exact(F.col(vec_col), F.array(*[F.lit(v) for v in vals]))
+    arr = ", ".join(f"{v!r}D" for v in vals)
     return F.expr(
         f"CAST(aggregate(zip_with(`{vec_col}`, array({arr}), "
         f"(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {_PROD})), "

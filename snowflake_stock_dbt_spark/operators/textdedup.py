@@ -203,8 +203,11 @@ def banded_signatures(
     # Parsed once per band instead of ~rows py4j calls each (opt r11).
     band_cols = [
         F.expr(
-            "struct({b} AS band_id, md5(concat_ws(',', {cols})) "
-            "AS band_hash)".format(
+            # CAST keeps band_id BIGINT as the pre-r11 F.lit(int) produced:
+            # a bare SQL integer literal is INT, a schema-visible narrowing
+            # for saved band-index artifacts (ADVICE r11).
+            "struct(CAST({b} AS BIGINT) AS band_id, "
+            "md5(concat_ws(',', {cols})) AS band_hash)".format(
                 b=band,
                 cols=", ".join(
                     f"h{band * rows + r}" for r in range(rows)

@@ -39,10 +39,18 @@ def _fingerprint(spark: SparkSession, path: str) -> tuple | None:
     try:
         st = os.stat(path)
         if os.path.isdir(path):
+            # Recurse one level so partition-dir layouts (dir/part=x/file)
+            # re-key when a nested file changes — a leaf write two levels
+            # down does not touch the top-level entry's mtime (ADVICE r11).
             sig = 0
             for entry in sorted(os.listdir(path)):
-                s = os.stat(os.path.join(path, entry))
+                p = os.path.join(path, entry)
+                s = os.stat(p)
                 sig ^= hash((entry, s.st_mtime_ns, s.st_size))
+                if os.path.isdir(p):
+                    for sub in sorted(os.listdir(p)):
+                        ss = os.stat(os.path.join(p, sub))
+                        sig ^= hash((entry, sub, ss.st_mtime_ns, ss.st_size))
             ident: tuple = ("dir", st.st_mtime_ns, sig)
         else:
             ident = ("file", st.st_mtime_ns, st.st_size)
@@ -51,6 +59,8 @@ def _fingerprint(spark: SparkSession, path: str) -> tuple | None:
     confs = (
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None),
         spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None),
+        spark.conf.get("spark.sql.parquet.mergeSchema", None),
+        spark.conf.get("spark.sql.caseSensitive", None),
     )
     return (os.path.abspath(path), ident, confs)
 

@@ -326,11 +326,15 @@ def test_bench_summary_line_fits_driver_tail():
     micro = {f"q{300 + i}_some_long_query_name_here": 123.4567 for i in range(30)}
     micro["_commit"] = "abcdef0"
     movers = {f"q{100 + i}_another_long_query_name": "123.45->678.90" for i in range(10)}
-    line = bench.build_summary_line(412.63, 0.1, 350, "abcdef0", movers, micro)
+    times = {f"q{i:03d}_some_long_query_name_here": 0.01 * i for i in range(350)}
+    line = bench.build_summary_line(412.63, 0.1, 350, "abcdef0", movers, micro, times)
     assert len(line) < 2000
     d = json.loads(line)
     assert d["n_queries"] == 350 and d["full"] == "BENCH_FULL.json"
-    assert "queries" not in d, "the per-query map must never ride the line"
+    # VERDICT r11 item 1 (supersedes r10's "never ride the line"): the
+    # driver's PERF comparison consumes a queries map parsed from the
+    # line, so the slowest-that-fit ride it, omission declared.
+    assert d["queries"] and d["queries_omitted"] == 350 - len(d["queries"])
 
 
 def test_bench_baseline_prefers_committed_full(tmp_path, monkeypatch):

@@ -1,0 +1,102 @@
+"""Round-12 optimization properties: ADVICE r11 robustness fixes
+(schema-memo fingerprint depth + conf key, local_frame strictness,
+band_id width, dot_exact_lits non-finite fallback)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_fingerprint_sees_nested_partition_writes(spark, tmp_path):
+    """A file rewritten one level down (partition-dir layout) must re-key
+    the schema memo — the top-level entry's mtime doesn't change when a
+    leaf two levels deep does (ADVICE r11)."""
+    from snowflake_stock_dbt_spark.sources.tables import _fingerprint
+
+    root = tmp_path / "t.parquet"
+    part = root / "part=a"
+    part.mkdir(parents=True)
+    leaf = part / "f0.parquet"
+    leaf.write_bytes(b"x" * 10)
+    k1 = _fingerprint(spark, str(root))
+    # Same-size rewrite with a bumped mtime only at the LEAF.
+    st = leaf.stat()
+    os.utime(leaf, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    k2 = _fingerprint(spark, str(root))
+    assert k1 != k2
+
+
+def test_fingerprint_keys_on_schema_affecting_confs(spark, tmp_path):
+    from snowflake_stock_dbt_spark.sources.tables import _fingerprint
+
+    p = tmp_path / "t.parquet"
+    p.write_bytes(b"x")
+    prior = spark.conf.get("spark.sql.caseSensitive")
+    k1 = _fingerprint(spark, str(p))
+    try:
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        k2 = _fingerprint(spark, str(p))
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", prior)
+    assert k1 != k2
+
+
+def test_arrow_frame_rejects_short_and_dict_rows(spark):
+    """Malformed rows must raise inside the Arrow path (so local_frame
+    falls back to createDataFrame's strict semantics) instead of being
+    silently null-padded or mis-zipped (ADVICE r11)."""
+    from snowflake_stock_dbt_spark.functions.localframe import _arrow_frame
+
+    with pytest.raises(ValueError):
+        _arrow_frame(spark, [(1,)], "a long, b string")
+    with pytest.raises(TypeError):
+        _arrow_frame(spark, [{"a": 1, "b": "x"}], "a long, b string")
+    # local_frame itself falls back and still errors loudly via Spark.
+    from snowflake_stock_dbt_spark.functions.localframe import local_frame
+
+    with pytest.raises(Exception):
+        local_frame(spark, [(1,)], "a long, b string").collect()
+
+
+def test_band_id_stays_bigint(spark):
+    """banded_signatures' parsed-SQL struct must keep band_id BIGINT —
+    the width every pre-r11 artifact was written with (ADVICE r11)."""
+    from snowflake_stock_dbt_spark.operators.textdedup import (
+        banded_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f g")], "doc_id long, body string"
+    )
+    out = banded_signatures(docs, "doc_id", "body")
+    assert dict(out.dtypes)["band_id"] == "bigint"
+
+
+def test_dot_exact_lits_nonfinite_falls_back(spark):
+    from snowflake_stock_dbt_spark.functions.vectors import (
+        dot_exact,
+        dot_exact_lits,
+    )
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "v array<double>")
+    # Finite literals: parsed-SQL path, value identical to dot_exact.
+    got = df.select(dot_exact_lits("v", [0.5, 0.25]).alias("d")).first()["d"]
+    want = df.select(
+        dot_exact(F.col("v"), F.array(F.lit(0.5), F.lit(0.25))).alias("d")
+    ).first()["d"]
+    assert got == want
+    # Non-finite literals must not fail at plan build ('infD' has no SQL
+    # literal form); the fallback keeps dot_exact's own semantics (the
+    # exact-decimal cast nulls non-finite, non-ANSI).
+    row = df.select(
+        dot_exact_lits("v", [float("inf"), 1.0]).alias("d")
+    ).first()
+    want_inf = df.select(
+        dot_exact(
+            F.col("v"), F.array(F.lit(float("inf")), F.lit(1.0))
+        ).alias("d")
+    ).first()["d"]
+    assert row["d"] == want_inf
