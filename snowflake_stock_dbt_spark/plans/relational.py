@@ -33,7 +33,10 @@ RANGE_SPAN_US = 6 * 3600 * 1_000_000  # 6-hour window for the range join
 
 
 def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: the ROLLUP's exact-decimal partial aggregation is
+    # CPU-dense and the local corpus is a 1-file scan (guide §2.5);
+    # measured 1.90s -> 1.11s at sf0.1, no-op at scale.
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(

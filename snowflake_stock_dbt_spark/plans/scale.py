@@ -163,7 +163,9 @@ def q68_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats frame is |groups| rows regardless of data size."""
     from ..functions.numeric import dec_std_columns
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: exact-decimal group stats over a 1-file local scan
+    # (guide §2.5); measured 1.59s -> 1.24s at sf0.1, no-op at scale.
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     n, s1, s2 = dec_std_columns("l_extendedprice")
     stats = li.groupBy("l_returnflag").agg(
         n.alias("n"), s1.alias("s1"), s2.alias("s2")
@@ -221,7 +223,9 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
 def q79_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: ~28 exact-decimal product sums per row serialize on a
+    # 1-file scan locally (guide §2.5); measured 2.57s -> 1.12s at sf0.1.
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     dec = lambda c: F.col(c).cast("double").cast("decimal(38,12)")  # noqa: E731
     aggs = [F.count("*").cast("double").alias("n")]
     for c in _CORR_COLS:
@@ -607,7 +611,9 @@ _REG_RES_SCALE = 1000
 def q155_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import dec_sum
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # spread=True: the normal-equation moment sums are exact-decimal
+    # (CPU-dense) over a 1-file local scan (guide §2.5); 2.25s -> 1.26s.
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
         F.col("l_quantity").cast("double").alias("x1"),
         F.col("l_discount").cast("double").alias("x2"),
         F.col("l_extendedprice").cast("double").alias("y"),

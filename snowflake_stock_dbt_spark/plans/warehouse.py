@@ -40,7 +40,11 @@ _Q82_CUTOFF = "1999-12-01 00:00:00"
 
 
 def q82_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: TPC-H-Q1-shaped exact-decimal aggregation over a
+    # 1-file local scan (guide §2.5); measured 1.55s -> 1.11s at sf0.1.
+    # The shipdate filter still reaches the scan (PushedFilters checked
+    # in plans/r12).
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (

@@ -84,11 +84,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(parquet_schema(spark, path)).parquet(path)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table (``{sf_dir}/{name}.parquet``)."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one synthetic table (``{sf_dir}/{name}.parquet``).
+
+    ``spread=True`` repartitions up to the default parallelism right
+    after the read — guide §2.5's unsplittable-input fix — and is opted
+    into ONLY by plans whose first stage is CPU-dense (exact-decimal
+    aggregation, regression folds) and would otherwise serialize on a
+    low-file-count scan. The underlying guard (``ensure_min_parallelism``)
+    no-ops whenever the scan already has >= parallelism files, i.e. at
+    any real scale; measured at sf0.1 it is a 0.44-0.80x win on the
+    opted-in queries and was a measured LOSS for cheap scan+agg queries,
+    which is why it is per-site opt-in rather than blanket.
+    """
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLUMNS.get(name, []):
         df = normalize_instant(df, c)
+    if spread:
+        from ..functions.partitioning import ensure_min_parallelism
+
+        df = ensure_min_parallelism(df)
     return df
 
 

@@ -38,7 +38,7 @@ def _update_user_totals(
     n, micro = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        micro += int(pdf["micro"].fillna(0).sum())
+        micro += int(pdf["micro"].sum())  # skipna sum == fillna(0).sum(), no per-key copy
     state.update((n, micro))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "total_value": [micro / 1_000_000]}
@@ -96,7 +96,7 @@ class UserTotalsProcessor(StatefulProcessor):
         )
         for pdf in rows:
             n += len(pdf)
-            micro += int(pdf["micro"].fillna(0).sum())
+            micro += int(pdf["micro"].sum())  # skipna sum == fillna(0).sum(), no per-key copy
         self._totals.update((n, micro))
         yield pd.DataFrame(
             {
@@ -458,13 +458,14 @@ class RateLimiterProcessor(StatefulProcessor):
             if self._stamps.exists()
             else []
         )
+        new.sort()
         stamps = sorted(prior + new)
         n, throttled, peak = (
             tuple(int(v) for v in self._totals.get())
             if self._totals.exists()
             else (0, 0, 0)
         )
-        for us in sorted(new):
+        for us in new:
             lo = bisect.bisect_left(stamps, us - (_RL_WINDOW_US - 1))
             hi = bisect.bisect_right(stamps, us)
             rolling = hi - lo

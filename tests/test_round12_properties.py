@@ -100,3 +100,40 @@ def test_dot_exact_lits_nonfinite_falls_back(spark):
         ).alias("d")
     ).first()["d"]
     assert row["d"] == want_inf
+
+
+def test_kcore_converged_input_costs_no_peel_and_returns_fixpoint(spark):
+    """The fused observe-based convergence probe (optimization r12) must
+    detect an already-k-core graph in the first round and return it
+    untouched — same early-exit semantics as the pre-fusion count probe."""
+    from snowflake_stock_dbt_spark.operators.graph import k_core
+
+    # K4: every node has degree 3 — already a 3-core.
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    stats: dict = {}
+    out = {
+        (r["node_id"], r["core_degree"])
+        for r in k_core(edges, k=3, _stats=stats).collect()
+    }
+    assert out == {(i, 3) for i in range(4)}
+    assert stats["rounds"] == 0
+
+
+def test_connected_components_converges_before_max_iter(spark):
+    """Label-prop CC with the observe-fused changed-count must still
+    stop at the fixpoint (diameter rounds), not run to max_iter."""
+    from snowflake_stock_dbt_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11)], "src long, dst long"
+    )
+    out = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, max_iter=25).collect()
+    }
+    assert out == {(i, 0) for i in range(6)} | {(10, 10), (11, 10)}
