@@ -386,7 +386,10 @@ SHUFFLE_BUDGETS = {
     "q152_dsir_selection": 36,  # count aggs + weight joins + top-N + pre-explode spread (raised from 30 when _bigram_stream gained its parallelism repartition; cached-plan runs show fewer)
     "q153_mad_outliers": 18,  # two percentile passes + broadcast-backs
     "q154_ewma_revenue": 8,  # daily agg + decay equi-join + final agg
-    "q155_linear_regression": 6,  # moment agg + residual scan
+    # moment agg + residual scan, + the deliberate guide-§2.5 pre-agg
+    # spread (load_table(spread=True), r12): one REPARTITION_BY_NUM
+    # exchange, counted several times by explain-formatted's node list.
+    "q155_linear_regression": 10,
     "q170_fk_orphans": 44,  # 7 edges x (key join + 1-row agg) + union
     "q178_knn_clusters": 16,  # post-checkpoint CC tail (lost checkpoint -> explodes)
     "q179_spearman": 16,  # two rank passes + moment join-backs
