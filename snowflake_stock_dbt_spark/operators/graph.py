@@ -411,16 +411,23 @@ def pagerank(
     The vertex count is collected once at setup (one count job); a fixed
     scalar beats re-deriving |V| with a broadcast join every round.
     """
+    from .similarity import register_persisted
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not edges_distinct:
         # Skip when the caller guarantees distinctness — this is a full
         # shuffle of the edge table.
         e = e.distinct()
-    e = e.persist()
+    # Registry-persisted (not unpersisted here): the lazy round chain
+    # below references ew once per round and only executes at the
+    # CALLER's action, after this function returned — an in-function
+    # unpersist would force the weighted edge build to recompute every
+    # round. Harnesses release via release_persisted_frames/clearCache.
+    e = register_persisted(e)
     deg = e.groupBy("u").agg(F.count("*").alias("deg"))
     # Attach the out-degree to each edge ONCE — the per-round work is then
     # a single join (weighted edges ⋈ ranks), not two.
-    ew = e.join(deg, "u").persist()
+    ew = register_persisted(e.join(deg, "u"))
     nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
@@ -437,7 +444,17 @@ def pagerank(
     bcast = F.broadcast if small else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     teleport = (1.0 - damping) / n
-    for _ in range(iters):
+    # The round recurrence is LINEAR — each round's ranks frame is
+    # consumed exactly once (by the next round's contribution join) — so
+    # nothing is ever recomputed without materialization. A per-round
+    # eager localCheckpoint therefore bought only lineage truncation, at
+    # the price of one scheduled job + block write/read per round (plus
+    # its AQE stage jobs). Rounds now stay lazy and the whole loop
+    # executes as ONE query; a checkpoint fires only every 4th round to
+    # bound plan depth for large ``iters`` (opt r12, guide §2.4/§1.2 —
+    # fewer actions, same shuffles; q93 isolated A/B in
+    # OPTIMIZATION_r12.md).
+    for i in range(iters):
         contrib = ew.join(bcast(ranks), ew.u == ranks.id).select(
             F.col("v"),
             (F.col("rank") / F.col("deg")).alias("c"),
@@ -446,19 +463,15 @@ def pagerank(
         in_sum = contrib.groupBy("v").agg(
             (F.sum(quantized).cast("double") / F.lit(1e12)).alias("s")
         )
-        ranks = (
-            nodes.join(bcast(in_sum), nodes.id == in_sum.v, "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(bcast(in_sum), nodes.id == in_sum.v, "left").select(
+            "id",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+            ).alias("rank"),
         )
-    e.unpersist()
-    ew.unpersist()
+        if i % 4 == 3 and i != iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -579,18 +592,25 @@ def hits(
             F.col(recv).alias("id"),
             F.floor(F.col("score") * F.lit(1e12)).cast("decimal(38,0)").alias("q"),
         )
-        ints = contrib.groupBy("id").agg(F.sum("q").alias("s_int"))
-        m = ints.agg(F.max("s_int").alias("m_int"))
-        return (
-            ints.crossJoin(F.broadcast(m))
-            .select(
-                "id",
-                (
-                    F.col("s_int").cast("double")
-                    / F.col("m_int").cast("double")
-                ).alias("score"),
-            )
+        # Materialize the INTEGER sums, not the normalized output: the
+        # max-normalization consumes ``ints`` twice (the broadcast max
+        # and the division), so without a cut the join+agg subtree ran
+        # twice per half-round — and each half-round's checkpoint sat
+        # one operator too late to stop it (opt r12, guide §1.2). The
+        # normalized frame itself is consumed exactly once (by the next
+        # half-round's join), so it stays lazy.
+        ints = (
+            contrib.groupBy("id")
+            .agg(F.sum("q").alias("s_int"))
             .localCheckpoint()
+        )
+        m = ints.agg(F.max("s_int").alias("m_int"))
+        return ints.crossJoin(F.broadcast(m)).select(
+            "id",
+            (
+                F.col("s_int").cast("double")
+                / F.col("m_int").cast("double")
+            ).alias("score"),
         )
 
     auth = None
@@ -627,11 +647,16 @@ def label_propagation(
 
     Per round: one join (edges x labels on the sending endpoint) + one
     (node, label) count agg + one per-node argmax window — all keyed on
-    vertex id, the pagerank shuffle shape, with ``localCheckpoint``
-    truncating lineage between rounds.
+    vertex id, the pagerank shuffle shape; rounds stay lazy (linear
+    recurrence) with a lineage-bounding checkpoint every 4th round.
     """
+    from .similarity import register_persisted
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    e = e.persist()
+    # Registry-persisted (not unpersisted here): the lazy round chain
+    # references e once per round and executes at the CALLER's action,
+    # after this function returned (see pagerank).
+    e = register_persisted(e)
     nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
@@ -652,7 +677,14 @@ def label_propagation(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(iters):
+    # Each round's labels frame is consumed exactly ONCE (next round's
+    # contribution join), so the recurrence is linear and rounds stay
+    # LAZY — the whole loop executes as one query instead of one eager
+    # checkpoint job (plus AQE stage jobs) per round; a checkpoint fires
+    # only every 4th round to bound plan depth for large ``iters``
+    # (opt r12, guide §2.4/§1.2; q204 isolated A/B in
+    # OPTIMIZATION_r12.md).
+    for i in range(iters):
         contrib = e.join(
             labels.withColumnRenamed("id", "u"), "u"
         ).select(F.col("v").alias("id"), "label")
@@ -677,8 +709,9 @@ def label_propagation(
             )
             .select("id", F.col("m.label").alias("label"))
         )
-        labels = picked.unionByName(static).localCheckpoint()
-    e.unpersist()
+        labels = picked.unionByName(static)
+        if i % 4 == 3 and i != iters - 1:
+            labels = labels.localCheckpoint()
     return labels.select("id", F.col("label").alias("community"))
 
 

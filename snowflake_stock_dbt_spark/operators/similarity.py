@@ -955,6 +955,26 @@ def release_persisted_frames() -> int:
     return n
 
 
+def register_persisted(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and track it in the session registry so harnesses
+    release it between queries (the _stabilize_assigned discipline,
+    shared with operators whose persisted frames must outlive the lazy
+    plan they anchor — e.g. graph rounds that defer execution to the
+    caller's action, opt r12)."""
+
+    def _alive(f: DataFrame) -> bool:
+        try:
+            lvl = f.storageLevel
+            return lvl.useMemory or lvl.useDisk
+        except Exception:
+            return False
+
+    _PERSISTED_FRAMES[:] = [f for f in _PERSISTED_FRAMES if _alive(f)]
+    df = df.persist()
+    _PERSISTED_FRAMES.append(df)
+    return df
+
+
 def _stabilize_assigned(out: DataFrame, k: int) -> DataFrame:
     """Persist the assigned frame when the two-level probe path is active
     (k >= TWO_LEVEL_MIN_K). The layered probe projection optimizes

@@ -192,14 +192,25 @@ def banded_signatures(
     k: int = 3,
     n_hashes: int = MINHASH_SEEDS,
     bands: int = LSH_BANDS,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, band_hash): the LSH band index rows of a corpus —
     the md5 of each band's ``rows`` consecutive minhash components. This
     IS the storable artifact shape (sinks/band_index.py persists it), and
     both the self-join (minhash_lsh_pairs) and the asymmetric probe
-    (minhash_index_probe) consume it unchanged."""
+    (minhash_index_probe) consume it unchanged.
+
+    ``signatures`` — a precomputed :func:`minhash_signatures` frame (same
+    n_hashes) — lets a caller that ALSO consumes the raw signature columns
+    (q176's accuracy audit) share one persisted signature pass instead of
+    re-running the shingle→hash→64-min pipeline per consumer (opt r12,
+    guide §1.2: don't compute things twice)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, k, n_hashes)
+    )
     # Parsed once per band instead of ~rows py4j calls each (opt r11).
     band_cols = [
         F.expr(
@@ -229,14 +240,19 @@ def minhash_lsh_pairs(
     k: int = 3,
     n_hashes: int = MINHASH_SEEDS,
     bands: int = LSH_BANDS,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs whose signatures agree on >= 1 band.
     Returns (doc_a, doc_b, n_shared_bands). Join is on (band_id, band_hash)
-    buckets — no quadratic product ever materializes."""
+    buckets — no quadratic product ever materializes. ``signatures``
+    passes a precomputed (ideally persisted) signature frame through to
+    :func:`banded_signatures` for callers that consume it elsewhere too."""
     # Persist the banded signatures: the self-join references them on both
     # sides, and without the persist the whole shingle→hash→64-min pipeline
     # would execute twice (once per join input).
-    banded = banded_signatures(df, id_col, text_col, k, n_hashes, bands).persist()
+    banded = banded_signatures(
+        df, id_col, text_col, k, n_hashes, bands, signatures=signatures
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -1270,10 +1270,17 @@ MINHASH_ACC_TOL = 0.35
 
 def q176_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # ONE persisted signature pass feeds every signature consumer: the
+    # LSH banding inside minhash_lsh_pairs AND both sides of the
+    # component-match join below. Before (opt r12) the shingle→hash→
+    # 64-min pipeline executed three times in this plan — once for the
+    # banding, once per unpersisted join side (guide §1.2: remove
+    # repeated passes before tuning anything else).
+    sig = minhash_signatures(docs, "doc_id", "text").persist()
     # Candidates feed three consumers (the output spine, the id
     # restriction, the exact-join keys) — persist so LSH banding runs once.
     cand = (
-        minhash_lsh_pairs(docs, "doc_id", "text")
+        minhash_lsh_pairs(docs, "doc_id", "text", signatures=sig)
         .select("doc_a", "doc_b")
         .persist()
     )
@@ -1282,7 +1289,6 @@ def q176_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sig = minhash_signatures(docs, "doc_id", "text")
     n = 64
     # selectExpr / F.expr: one py4j round trip per frame instead of one
     # per column (opt r11); identical projections and the identical

@@ -58,6 +58,10 @@ BNL_ALLOWED = {
     # and the spill passes are windows — no other join shape in the plan
     "q152_dsir_selection",  # 1-row totals broadcast (q03 pattern)
     "q155_linear_regression",  # 1-row moment/beta broadcast (q03 pattern)
+    # 1-row max-normalization broadcast per HITS half-round: visible in
+    # the returned plan since opt r12 made the final half-rounds lazy
+    # (before, the eager per-half-round checkpoint hid the same join).
+    "q191_hits_scores",
     "q156_mixture_allocation",  # 1-row water-filling lambda broadcast
     "q157_zorder_keys",  # 1-row min/max grid-stats broadcast (q80 pattern)
     "q160_collocations",  # 1-row total-token broadcast (q03 pattern)

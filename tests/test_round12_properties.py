@@ -137,3 +137,73 @@ def test_connected_components_converges_before_max_iter(spark):
         for r in connected_components(edges, max_iter=25).collect()
     }
     assert out == {(i, 0) for i in range(6)} | {(10, 10), (11, 10)}
+
+
+def test_pagerank_lazy_rounds_match_reference_across_checkpoint_guard(spark):
+    """Rounds are lazy since opt r12 (linear recurrence, checkpoint only
+    every 4th round): iters=6 crosses the lineage-guard boundary, so this
+    pins both the guard path and the multi-round single-plan evaluation
+    against a brute-force Python PageRank on a known graph."""
+    from snowflake_stock_dbt_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iters=6, edges_distinct=True).collect()
+    }
+
+    # Reference: same quantized update rule, pure Python.
+    import math
+    from collections import defaultdict
+
+    n, damping = 4, 0.85
+    deg = defaultdict(int)
+    for u, _ in pairs:
+        deg[u] += 1
+    ranks = {i: 1.0 / n for i in range(n)}
+    for _ in range(6):
+        acc = defaultdict(int)
+        for u, v in pairs:
+            acc[v] += math.floor(ranks[u] / deg[u] * 1e12)
+        ranks = {
+            i: (1 - damping) / n + damping * (acc[i] / 1e12)
+            for i in range(n)
+        }
+    assert set(got) == set(ranks)
+    for i in ranks:
+        assert got[i] == ranks[i], (i, got[i], ranks[i])
+
+
+def test_label_propagation_lazy_rounds_match_eager_semantics(spark):
+    """LPA with iters crossing the every-4 lineage guard keeps the
+    synchronous min-tie-break semantics: on a 4-cycle plus a pendant,
+    six rounds must produce the same labels as the documented update
+    rule simulated in Python."""
+    from snowflake_stock_dbt_spark.operators.graph import label_propagation
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(edges, iters=6).collect()
+    }
+
+    from collections import Counter, defaultdict
+
+    inn = defaultdict(list)
+    for u, v in pairs:
+        inn[v].append(u)
+    labels = {i: i for i in range(5)}
+    for _ in range(6):
+        new = {}
+        for v in labels:
+            if inn[v]:
+                c = Counter(labels[u] for u in inn[v])
+                best = min((-cnt, lab) for lab, cnt in c.items())[1]
+                new[v] = best
+            else:
+                new[v] = v
+        labels = new
+    assert got == labels
